@@ -1,0 +1,83 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed as Spark would on a cluster — full plan through
+Catalyst, result materialized via a count/collect of the final
+(small) output. A warmup pass absorbs JVM/codegen startup so the
+numbers reflect steady-state execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dss_nlp_ingestion_spark.plans import QUERIES  # noqa: E402
+from dss_nlp_ingestion_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+#: Headline set: the heaviest representatives of each operator family.
+BENCH_QUERIES = (
+    "flagship_doc_profile",
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_nation_revenue",
+    "topk_orders_per_segment",
+    "majority_vote_priority",
+    "rollup_hierarchy_events",
+    "hourly_event_windows",
+    "ttl_dedup_events",
+    "json_props_agg",
+)
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> None:
+    spark = get_spark(
+        app_name="dss-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(CPUS, 32),
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    names = [n for n in BENCH_QUERIES if n in QUERIES]
+    # Warmup: run the first query once to absorb JVM/codegen startup.
+    QUERIES[names[0]](spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        assert n >= 0
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

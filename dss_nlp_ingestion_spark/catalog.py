@@ -1,0 +1,67 @@
+"""Table catalog: parquet scans over a scale-factor directory.
+
+All engine queries consume the driver-generated synthetic tables
+(TESTDATA.md). Scans are plain ``spark.read.parquet`` so Catalyst can
+push filters/projections into the parquet reader (check
+``PushedFilters`` / ``ReadSchema`` in ``.explain``), and partition
+sizing is governed by ``spark.sql.files.maxPartitionBytes`` — the same
+plan scales from sf0.001 to a 100 TB lake unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Dimension tables small enough to broadcast at any scale factor —
+#: at 100 TB the facts grow, these stay catalog-sized.
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one table from ``sf_dir`` (parquet, schema-on-read).
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark
+    rejects by default; it is read via the nanos-as-long legacy mode
+    and floor-converted to a microsecond timestamp — the same
+    truncation DuckDB applies, so oracle comparisons agree.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Scan every table; also registers each as a temp view so the
+    SQL surface (``spark.sql``) sees the same catalog the DataFrame
+    API does."""
+    out = {}
+    for name in TABLES:
+        df = table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

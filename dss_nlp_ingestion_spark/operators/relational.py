@@ -1,0 +1,167 @@
+"""Relational operators (SURVEY.md §2.3–§2.8).
+
+Reference parity notes (citations are file:line into
+/root/reference):
+
+- ``majority_vote``       — src/utils/general_utils.py:126-147
+  (``get_sector``: mode of a group with share > 0.666 else null).
+- ``hierarchical_rollup`` — src/utils/general_utils.py:150-184
+  (``get_sector_loose``: divide the code by 10^trim, coarsening until
+  some value wins > 0.5 share; give up after the level list).
+- ``ttl_dedup``           — src/base.py:210-218 +
+  src/historydb/redislease.py:60-79 (Redis SETEX 7-day history).
+  Batch semantics here: an occurrence is *accepted* iff no occurrence
+  of the same key exists within the TTL window before it ("renewal"
+  reading — any sighting refreshes the clock). Expressed with a lag
+  window so it is pure SQL, shuffle-once, and scale-safe.
+- ``topk_per_group``      — Counter.most_common-style top-k
+  (src/utils/general_utils.py:143,179) as a rank window.
+- ``anti_join_new`` / ``semi_join_known`` — insert-if-absent /
+  membership checks (src/workqueue_setup.py:35-44,
+  src/lurkers/reddit.py:89) as broadcast-able anti/semi joins.
+
+Scale posture: every operator is expressed with joins/windows on
+explicit keys so Catalyst chooses broadcast vs shuffle via AQE; no
+driver-side collection anywhere.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def majority_vote(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    vote_col: str,
+    threshold: float = 0.666,
+    out_col: str = "majority",
+) -> DataFrame:
+    """Per group, the modal value of ``vote_col`` if its share strictly
+    exceeds ``threshold``, else NULL. Ties break to the smallest vote
+    value (deterministic, unlike the reference's insertion-order
+    Counter tie-break — documented semantic pin, SURVEY.md §7.4.2).
+    """
+    counts = df.groupBy(*group_cols, vote_col).agg(F.count(F.lit(1)).alias("_votes"))
+    w = Window.partitionBy(*[F.col(c) for c in group_cols])
+    ranked = (
+        counts.withColumn("_total", F.sum("_votes").over(w))
+        .withColumn(
+            "_rn",
+            F.row_number().over(w.orderBy(F.desc("_votes"), F.asc(vote_col))),
+        )
+        .filter(F.col("_rn") == 1)
+    )
+    return ranked.select(
+        *group_cols,
+        F.when(
+            F.col("_votes") / F.col("_total") > F.lit(threshold), F.col(vote_col)
+        ).alias(out_col),
+    )
+
+
+def hierarchical_rollup(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    code_col: str,
+    levels: Sequence[int] = (0, 2, 4, 6),
+    threshold: float = 0.5,
+    out_code: str = "rolled_code",
+    out_level: str = "level",
+) -> DataFrame:
+    """ICB-style rollup: per group, truncate ``code_col`` by
+    ``10^level`` (integer division) and pick the *finest* level whose
+    modal truncated code holds a share > ``threshold``; groups where
+    no level wins get NULL code/level.
+
+    One shuffle: the per-(group, level, code) counts; level selection
+    is two stacked windows. This is the Spark re-expression of the
+    reference's per-document Python loop — semantically a ROLLUP over
+    the code hierarchy with a custom level-select.
+    """
+    lv = F.explode(F.array(*[F.lit(int(x)) for x in levels])).alias("_lvl")
+    exploded = df.select(*group_cols, F.col(code_col).alias("_code")).select(
+        *group_cols, "_code", lv
+    )
+    coded = exploded.withColumn(
+        "_rcode", F.floor(F.col("_code") / F.pow(F.lit(10.0), F.col("_lvl"))).cast("long")
+    )
+    counts = coded.groupBy(*group_cols, "_lvl", "_rcode").agg(
+        F.count(F.lit(1)).alias("_votes")
+    )
+    wl = Window.partitionBy(*[F.col(c) for c in group_cols], F.col("_lvl"))
+    best_per_level = (
+        counts.withColumn("_total", F.sum("_votes").over(wl))
+        .withColumn(
+            "_rn", F.row_number().over(wl.orderBy(F.desc("_votes"), F.asc("_rcode")))
+        )
+        .filter((F.col("_rn") == 1) & (F.col("_votes") / F.col("_total") > F.lit(threshold)))
+    )
+    wg = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(F.asc("_lvl"))
+    finest = (
+        best_per_level.withColumn("_gr", F.row_number().over(wg))
+        .filter(F.col("_gr") == 1)
+        .select(
+            *group_cols,
+            F.col("_lvl").alias(out_level),
+            F.col("_rcode").alias(out_code),
+        )
+    )
+    all_groups = df.select(*group_cols).distinct()
+    return all_groups.join(finest, on=list(group_cols), how="left")
+
+
+def ttl_dedup(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    time_col: str,
+    ttl_seconds: int = 604_800,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Rows accepted by a TTL'd history: keep a row iff the previous
+    sighting of its key is absent or older than ``ttl_seconds``
+    (renewal semantics; see module docstring). One shuffle on the key.
+    """
+    order = [F.col(time_col).asc()]
+    if order_tiebreak:
+        order.append(F.col(order_tiebreak).asc())
+    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(*order)
+    ms = F.unix_millis(F.col(time_col))
+    prev = F.lag(ms).over(w)
+    return (
+        df.withColumn("_prev_ms", prev)
+        .filter(
+            F.col("_prev_ms").isNull()
+            | (ms - F.col("_prev_ms") >= F.lit(ttl_seconds * 1000))
+        )
+        .drop("_prev_ms")
+    )
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Top-k rows per group under a deterministic ordering (caller must
+    include a tie-break key in ``order_by``)."""
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(*order_by)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+def anti_join_new(df: DataFrame, existing: DataFrame, on: Sequence[str]) -> DataFrame:
+    """Rows of ``df`` absent from ``existing`` (insert-if-absent)."""
+    return df.join(existing, on=list(on), how="left_anti")
+
+
+def semi_join_known(df: DataFrame, members: DataFrame, on: Sequence[str]) -> DataFrame:
+    """Rows of ``df`` whose key appears in ``members``."""
+    return df.join(members, on=list(on), how="left_semi")

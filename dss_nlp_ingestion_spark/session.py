@@ -1,0 +1,60 @@
+"""SparkSession factory tuned for the engine.
+
+Defaults are chosen for correctness-reproducibility (UTC session
+timezone, ANSI off so behavior matches classic SQL semantics) and for
+scale (AQE with skew-join handling and partition coalescing, Arrow for
+any pandas-UDF stage). On a real cluster the same settings apply; only
+``master`` changes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONF: dict[str, str] = {
+    # --- determinism / semantics ---
+    "spark.sql.session.timeZone": "UTC",
+    # --- adaptive execution: runtime re-plan, skew splitting, coalesce ---
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # --- broadcast threshold: dims (region/nation/universe) stay map-side ---
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # --- Arrow for pandas UDF / toPandas boundaries ---
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # --- scan granularity: 128 MiB splits a 100 TB table into ~800k tasks ---
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # --- parquet ---
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+}
+
+
+def get_spark(
+    app_name: str = "dss-nlp-ingestion-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's tuned config.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` when unset, so
+    tests and bench share one code path; on a cluster pass ``None`` and
+    let spark-submit decide.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_GRAFT_CPUS" in os.environ:
+        master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
+    if master:
+        builder = builder.master(master)
+    conf = dict(DEFAULT_CONF)
+    if shuffle_partitions is not None:
+        conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
