@@ -1,0 +1,230 @@
+"""Text / string / regex functions (SURVEY.md §2.9, X1–X18) plus the
+LLM-pipeline text-analysis operators (language ID, quality scoring,
+token counting, fingerprinting).
+
+Reference parity (citations into /root/reference):
+- X1  cashtags            — src/lurkers/reddit.py:82-88
+- X2  parenthesized codes — src/lurkers/etnet.py:233
+- X3  article-id extract  — src/lurkers/aastocks.py:117
+- X4  text cleaning       — src/utils/general_utils.py:187-207
+- X5  full-width fold     — src/lurkers/etnet.py:129-142
+- X6  punct-run collapse  — src/lurkers/etnet.py:144-154
+- X7  whitespace squeeze  — src/lurkers/aastocks.py:177
+- X9  zero-pad ticker     — src/lurkers/aastocks.py:80
+- X10 exchange suffix     — src/utils/hkscraper_utils.py:1-12
+- X12 field concat        — src/base.py:143-153
+- X13 stable id hash      — src/workqueue/rediswq.py:195-197 (sha224)
+- X14 content hash        — replaces Python ``hash`` with sha2-256
+                            (deterministic; documented semantic change)
+- X15 JSONP strip         — src/lurkers/eastmoney.py:72-74
+
+All builders are JVM-side expressions — no UDFs — so they inline into
+whole-stage codegen and scale linearly with input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tokens considered English stopwords by the heuristic language ID /
+# quality scorer. Deliberately tiny and fixed so oracles can replicate.
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+#: BPE-ish tokenizer regex: runs of letters, runs of digits, or a
+#: single non-space symbol — a crude analog of byte-pair pretokenizers.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+PUNCT_CLASS = r"[.,!?;:]"
+
+
+# --- tokenization ---------------------------------------------------------
+
+def ws_tokens(col: Column) -> Column:
+    """Whitespace tokens (array)."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count, BIGINT."""
+    return F.size(ws_tokens(col)).cast("long")
+
+
+def bpe_token_count(col: Column) -> Column:
+    """BPE-ish token count via :data:`BPE_TOKEN_RE`, BIGINT."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), 0)).cast("long")
+
+
+# --- extraction (X1-X3, X15) ---------------------------------------------
+
+def cashtags(col: Column) -> Column:
+    """X1: ``$TSLA``-style cashtags, upper-cased, as array."""
+    return F.transform(
+        F.regexp_extract_all(col, F.lit(r"\$([A-Za-z]+)"), 1), F.upper
+    )
+
+
+def paren_codes(col: Column) -> Column:
+    """X2: lazily-matched parenthesized codes, as array."""
+    return F.regexp_extract_all(col, F.lit(r"\((.*?)\)"), 1)
+
+
+def numeric_codes_only(arr: Column) -> Column:
+    """F8: keep only all-digit entries of an array."""
+    return F.filter(arr, lambda x: x.rlike(r"^[0-9]+$"))
+
+
+def article_id(col: Column, prefix: str) -> Column:
+    """X3: ``NOW.12345`` / ``ETN.12345`` article-id extract."""
+    return F.regexp_extract(col, rf"({prefix}\.[0-9]*)", 1)
+
+
+def jsonp_payload(col: Column) -> Column:
+    """X15: strip a ``callback(...)`` JSONP wrapper, return the JSON."""
+    return F.regexp_extract(col, r"^[^(]*\((.*)\)$", 1)
+
+
+# --- cleaning (X4-X8) -----------------------------------------------------
+
+def strip_cashtags_and_urls(col: Column) -> Column:
+    """X4: remove ``$TICKER`` mentions and URLs (case-insensitive)."""
+    no_tags = F.regexp_replace(col, r"\$\w+", "")
+    return F.regexp_replace(no_tags, r"(?i)https?://\S+", "")
+
+
+def fold_fullwidth(col: Column, pairs: dict[str, str] | None = None) -> Column:
+    """X5: full-width -> half-width fold via ``translate``. Default map
+    covers the ideographic space and the common full-width punctuation
+    the reference's ``strQ2B`` hits in practice."""
+    table = pairs or {
+        "　": " ",  # ideographic space
+        "！": "!",
+        "，": ",",
+        "．": ".",
+        "：": ":",
+        "；": ";",
+        "？": "?",
+        "～": "~",
+    }
+    return F.translate(col, "".join(table), "".join(table.values()))
+
+
+def collapse_punct_runs(col: Column, chars: str = "!?,;:~") -> Column:
+    """X6: collapse runs of each punctuation char (except '.') to one.
+    Chained per-char ``{2,}`` replaces — backreference-free so the same
+    pattern runs on RE2-based engines."""
+    out = col
+    for ch in chars:
+        esc = "\\" + ch
+        out = F.regexp_replace(out, f"{esc}{{2,}}", ch)
+    return out
+
+
+def squeeze_whitespace(col: Column, repl: str = "") -> Column:
+    """X7: drop (or normalize) all whitespace runs."""
+    return F.regexp_replace(col, r"\s+", repl)
+
+
+# --- identifiers (X9, X10, X12-X14) ---------------------------------------
+
+def zero_pad(col: Column, width: int = 5) -> Column:
+    """X9: ``zfill``-style left zero-pad."""
+    return F.lpad(col.cast("string"), width, "0")
+
+
+def exchange_suffix(col: Column) -> Column:
+    """X10: 6-digit code -> ``.SZ``; 5-digit -> drop first char +
+    ``.HK``; else unchanged."""
+    return (
+        F.when(F.length(col) == 6, F.concat(col, F.lit(".SZ")))
+        .when(F.length(col) == 5, F.concat(F.substring(col, 2, 4), F.lit(".HK")))
+        .otherwise(col)
+    )
+
+
+def concat_fields(*cols: Column, sep: str = " ") -> Column:
+    """X12: null-safe field concatenation (title+description+text)."""
+    return F.concat_ws(sep, *cols)
+
+
+def stable_id_hash(col: Column) -> Column:
+    """X13: stable dedup-key hash. The reference uses sha224
+    (rediswq.py:195-197); we standardize on sha256 for oracle parity
+    (DuckDB has no sha224) — same role, longer digest."""
+    return F.sha2(col.cast("string"), 256)
+
+
+def content_hash(*cols: Column) -> Column:
+    """X14/D2: deterministic content hash replacing Python ``hash``
+    (which is per-process salted — reference bug fixed by design)."""
+    return F.sha2(F.concat_ws("", *cols), 256)
+
+
+# --- hierarchy math (X17, X18) --------------------------------------------
+
+def hierarchy_truncate(code: Column, trim: Column | int) -> Column:
+    """X17: ``code // 10^trim`` integer hierarchy truncation."""
+    t = F.lit(trim) if isinstance(trim, int) else trim
+    return F.floor(code / F.pow(F.lit(10.0), t)).cast("long")
+
+
+# --- text analysis (LLM-pipeline operators) -------------------------------
+
+def stopword_count(col: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    """Count of stopword occurrences (word-bounded)."""
+    pat = r"\b(" + "|".join(stopwords) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(pat), 0)).cast("long")
+
+
+def punct_count(col: Column) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(PUNCT_CLASS), 0)).cast("long")
+
+
+def uniq_token_ratio(col: Column) -> Column:
+    """distinct tokens / tokens — repetition detector."""
+    toks = ws_tokens(col)
+    return F.size(F.array_distinct(toks)) / F.size(toks)
+
+
+def lang_id(col: Column, threshold: float = 0.08) -> Column:
+    """Heuristic language ID: English-stopword ratio over tokens.
+    ``en`` when the ratio clears ``threshold``, else ``und``.
+    The Spark re-expression of the reference's per-source ``lang``
+    config (configs.yaml:11-42) as a content-derived operator."""
+    ratio = stopword_count(col) / token_count(col)
+    return F.when(ratio > F.lit(threshold), F.lit("en")).otherwise(F.lit("und"))
+
+
+def quality_score(col: Column, n_chars: Column) -> Column:
+    """Composite document-quality score in [0,1]:
+    0.4·length-gate + 0.3·uniqueness + 0.3·(1 − punct density).
+    Pure column arithmetic — identical formula in the oracle."""
+    len_score = F.when((n_chars >= 100) & (n_chars <= 2000), F.lit(1.0)).otherwise(
+        F.lit(0.0)
+    )
+    punct_density = punct_count(col) / token_count(col)
+    return (
+        F.lit(0.4) * len_score
+        + F.lit(0.3) * uniq_token_ratio(col)
+        + F.lit(0.3) * (F.lit(1.0) - F.least(punct_density, F.lit(1.0)))
+    )
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Word k-gram shingles as an array of strings (1-indexed
+    ``element_at`` so DuckDB list indexing matches)."""
+    toks = ws_tokens(col)
+    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(k - 1))
+    parts = lambda i: [F.element_at(toks, i + j) for j in range(k)]  # noqa: E731
+    return F.transform(idx, lambda i: F.concat_ws(" ", *parts(i)))
+
+
+def doc_fingerprint(col: Column, k: int = 3) -> Column:
+    """Rolling-hash document fingerprint: the minimum sha256 over word
+    k-gram shingles (a 1-permutation MinHash; basis of the D2/near-dup
+    family). NULL for docs shorter than k words."""
+    sh = shingles(col, k)
+    return F.when(
+        F.size(ws_tokens(col)) >= k,
+        F.array_min(F.transform(sh, lambda s: F.sha2(s, 256))),
+    )

@@ -1,1 +1,347 @@
-"""Placeholder — populated in a later milestone."""
+"""Text / date function queries (SURVEY.md §2.9–§2.10) and the
+text-analysis operators of the LLM-pipeline extension (language ID,
+quality scoring, token counting, fingerprinting), each oracle-checked
+against DuckDB on the shared parquet tables.
+
+Where the synthetic corpus lacks a feature the reference handled
+(full-width CJK, cashtags), the query synthesizes the feature from
+real columns first — the operator still runs against the oracle
+end-to-end instead of trivially matching on empty output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dss_nlp_ingestion_spark.catalog import table
+from dss_nlp_ingestion_spark.functions import dates as D
+from dss_nlp_ingestion_spark.functions import text as T
+from dss_nlp_ingestion_spark.plans.registry import fround, fround_sql, register
+
+# ---------------------------------------------------------------------------
+# X1/X2/X3: regex extraction suite
+# ---------------------------------------------------------------------------
+
+_REGEX_ORACLE = r"""
+SELECT doc_id,
+       upper(coalesce(array_to_string(regexp_extract_all(text, '\b(s[a-z]+)\b', 1), ','), '')) AS s_words,
+       CAST(len(regexp_extract_all(text, '\b(s[a-z]+)\b', 1)) AS BIGINT) AS n_s_words,
+       array_to_string(list_transform(
+         regexp_extract_all('id=(' || CAST(doc_id AS VARCHAR) || ') lang=(' || lang || ')', '\((.*?)\)', 1),
+         x -> x), ',') AS paren_codes,
+       coalesce(array_to_string(regexp_extract_all(text, '\$([A-Za-z]+)', 1), ','), '') AS cashtags
+FROM documents
+"""
+
+
+@register("regex_extract_suite", _REGEX_ORACLE)
+def regex_extract_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 cashtag extraction (reddit.py:82-88), X2 lazy parenthesized
+    codes (etnet.py:233) over a synthesized ``(id)(lang)`` string, and
+    a word-class extract standing in for the reference's uppercase
+    ticker regex (the corpus is lowercase)."""
+    docs = table(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.lit("id=("), F.col("doc_id").cast("string"), F.lit(") lang=("), F.col("lang"), F.lit(")")
+    )
+    s_words = F.regexp_extract_all(F.col("text"), F.lit(r"\b(s[a-z]+)\b"), 1)
+    return docs.select(
+        "doc_id",
+        F.upper(F.array_join(s_words, ",")).alias("s_words"),
+        F.size(s_words).cast("long").alias("n_s_words"),
+        F.array_join(T.paren_codes(synth), ",").alias("paren_codes"),
+        F.array_join(T.cashtags(F.col("text")), ",").alias("cashtags"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X4/X7/F7: cleaning + short-text gate
+# ---------------------------------------------------------------------------
+
+_CLEAN_ORACLE = r"""
+WITH cleaned AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace(regexp_replace(text, '\$\w+', '', 'g'), '(?i)https?://\S+', '', 'g'),
+           '\s+', ' ', 'g')) AS clean_text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(string_split_regex(clean_text, '\s+')) AS BIGINT) AS n_tokens
+FROM cleaned
+WHERE len(string_split_regex(clean_text, '\s+')) > 5
+"""
+
+
+@register("text_clean_gate", _CLEAN_ORACLE)
+def text_clean_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 cashtag/URL strip + X7 whitespace normalize + F7 short-text
+    gate (general_utils.py:187-207): the reference's pre-NLP cleaning
+    pass as pure JVM expressions."""
+    docs = table(spark, sf_dir, "documents")
+    clean = F.trim(T.squeeze_whitespace(T.strip_cashtags_and_urls(F.col("text")), " "))
+    out = docs.select("doc_id", T.token_count(clean).alias("n_tokens"))
+    return out.filter(F.col("n_tokens") > 5)
+
+
+# ---------------------------------------------------------------------------
+# X5/X6: full-width fold + punctuation-run collapse (synthesized CJK)
+# ---------------------------------------------------------------------------
+
+_FOLD_ORACLE = """
+WITH synth AS (
+  SELECT doc_id,
+         substring(text, 1, 20) || '　！！！，，ＡＢ～～' AS raw
+  FROM documents
+), folded AS (
+  SELECT doc_id,
+         translate(raw, '　！，．：；？～ＡＢ', ' !,.:;?~AB') AS half
+  FROM synth
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         half, '!{2,}', '!', 'g'), '\\?{2,}', '?', 'g'), ',{2,}', ',', 'g'), '~{2,}', '~', 'g')
+       AS collapsed
+FROM folded
+"""
+
+
+@register("fullwidth_punct_fold", _FOLD_ORACLE)
+def fullwidth_punct_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 full-width->half-width fold (etnet.py:129-142 ``strQ2B``) +
+    X6 punctuation-run collapse (etnet.py:144-154), exercised on a
+    synthesized CJK-punctuation suffix so the transform is non-trivial
+    on the ASCII corpus."""
+    docs = table(spark, sf_dir, "documents")
+    raw = F.concat(F.substring(F.col("text"), 1, 20), F.lit("　！！！，，ＡＢ～～"))
+    folded = F.translate(raw, "　！，．：；？～ＡＢ", " !,.:;?~AB")
+    collapsed = T.collapse_punct_runs(folded, "!?,~")
+    return docs.select("doc_id", collapsed.alias("collapsed"))
+
+
+# ---------------------------------------------------------------------------
+# X9/X10: zero-pad + exchange-suffix mapping
+# ---------------------------------------------------------------------------
+
+_PAD_ORACLE = """
+WITH codes AS (
+  SELECT c_custkey,
+         lpad(CAST(c_custkey % 100000 AS VARCHAR), 5, '0') AS pad5,
+         lpad(CAST(c_custkey % 1000000 AS VARCHAR), 6, '0') AS pad6
+  FROM customer
+)
+SELECT c_custkey,
+       pad5,
+       substring(pad5, 2, 4) || '.HK' AS hk_code,
+       pad6 || '.SZ' AS sz_code
+FROM codes
+"""
+
+
+@register("zero_pad_exchange", _PAD_ORACLE)
+def zero_pad_exchange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 zfill (aastocks.py:80) + X10 exchange-suffix mapping
+    (hkscraper_utils.py:1-12) over key-derived codes."""
+    c = table(spark, sf_dir, "customer")
+    pad5 = T.zero_pad(F.col("c_custkey") % 100000, 5)
+    pad6 = T.zero_pad(F.col("c_custkey") % 1000000, 6)
+    return c.select(
+        "c_custkey",
+        pad5.alias("pad5"),
+        T.exchange_suffix(pad5).alias("hk_code"),
+        T.exchange_suffix(pad6).alias("sz_code"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X12/X13/X14: concat + stable hashes
+# ---------------------------------------------------------------------------
+
+_HASH_ORACLE = """
+SELECT doc_id,
+       sha256(CAST(doc_id AS VARCHAR)) AS id_hash,
+       sha256(concat_ws('', source, lang, text)) AS text_hash
+FROM documents
+"""
+
+
+@register("content_hash_ids", _HASH_ORACLE)
+def content_hash_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13 stable id hash + X14/D2 deterministic content hash
+    (replacing the reference's per-process-salted Python ``hash``,
+    aastocks.py:185,192 — documented semantic fix)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.stable_id_hash(F.col("doc_id")).alias("id_hash"),
+        T.content_hash(F.col("source"), F.col("lang"), F.col("text")).alias("text_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: token counting (whitespace + BPE-ish)
+# ---------------------------------------------------------------------------
+
+_TOKEN_ORACLE = f"""
+WITH t AS (
+  SELECT lang,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_toks,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_toks
+  FROM documents
+)
+SELECT lang,
+       CAST(sum(ws_toks) AS BIGINT) AS total_ws_tokens,
+       CAST(sum(bpe_toks) AS BIGINT) AS total_bpe_tokens,
+       {fround_sql('CAST(sum(ws_toks) AS DOUBLE) / count(*)', 4)} AS avg_ws_tokens
+FROM t
+GROUP BY lang
+"""
+
+
+@register("token_stats_by_lang", _TOKEN_ORACLE)
+def token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex) aggregated per
+    declared language — the LLM-pipeline token accounting operator."""
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        T.token_count(F.col("text")).alias("ws_toks"),
+        T.bpe_token_count(F.col("text")).alias("bpe_toks"),
+    )
+    return t.groupBy("lang").agg(
+        F.sum("ws_toks").cast("long").alias("total_ws_tokens"),
+        F.sum("bpe_toks").cast("long").alias("total_bpe_tokens"),
+        fround(F.sum("ws_toks").cast("double") / F.count(F.lit(1)), 4).alias("avg_ws_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: language ID + quality scoring
+# ---------------------------------------------------------------------------
+
+_STOPWORD_PAT = r"\b(" + "|".join(T.EN_STOPWORDS) + r")\b"
+
+_LANGQ_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id, n_chars,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS toks,
+         CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS uniq_toks,
+         CAST(len(regexp_extract_all(lower(text), '{_STOPWORD_PAT}')) AS BIGINT) AS stops,
+         CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS puncts
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN CAST(stops AS DOUBLE) / toks > 0.08 THEN 'en' ELSE 'und' END AS pred_lang,
+       {fround_sql(
+           '0.4 * (CASE WHEN n_chars >= 100 AND n_chars <= 2000 THEN 1.0 ELSE 0.0 END)'
+           ' + 0.3 * (CAST(uniq_toks AS DOUBLE) / toks)'
+           " + 0.3 * (1.0 - least(CAST(puncts AS DOUBLE) / toks, 1.0))", 6)} AS quality
+FROM m
+"""
+
+
+@register("lang_id_quality", _LANGQ_ORACLE)
+def lang_id_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (stopword ratio) + composite quality
+    score (length gate, uniqueness, punctuation density) — the
+    LLM-pipeline quality-filter operators as pure column math."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.lang_id(F.col("text")).alias("pred_lang"),
+        fround(T.quality_score(F.col("text"), F.col("n_chars")), 6).alias("quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: rolling-hash fingerprint (1-perm MinHash)
+# ---------------------------------------------------------------------------
+
+_FP_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+  FROM documents
+)
+SELECT doc_id,
+       list_min(list_transform(range(1, len(ws) - 1),
+         i -> sha256(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS fingerprint
+FROM w
+WHERE len(ws) >= 3
+"""
+
+
+@register("doc_fingerprints", _FP_ORACLE)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint: min sha256 over word 3-gram
+    shingles (1-permutation MinHash) — the scalable basis of the
+    near-dup family (D2 extension)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.filter(F.size(T.ws_tokens(F.col("text"))) >= 3).select(
+        "doc_id", T.doc_fingerprint(F.col("text"), 3).alias("fingerprint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# T1-T4: date parse/format round-trips
+# ---------------------------------------------------------------------------
+
+_DATE_ORACLE = """
+SELECT event_id,
+       CAST(substring(CAST(ts AS VARCHAR), 1, 10) AS DATE) AS iso_day,
+       strftime(ts, '%Y/%m/%d %H:%M') AS fmt_aastocks,
+       strptime(strftime(ts, '%Y/%m/%d %H:%M'), '%Y/%m/%d %H:%M') AS reparsed,
+       strptime(strftime(ts, '%d/%m/%Y %H:%M'), '%d/%m/%Y %H:%M') AS reparsed_etnet,
+       CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+       make_timestamp(CAST(floor(epoch(ts)) AS BIGINT) * 1000000) AS from_epoch
+FROM events
+"""
+
+
+@register("date_parse_roundtrip", _DATE_ORACLE)
+def date_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 ISO-prefix date, T2/T3 fixed-format parse (aastocks/etnet
+    formats), T4 epoch round-trip — the reference's entire timestamp
+    normalization surface as built-ins."""
+    ev = table(spark, sf_dir, "events")
+    fmt2 = F.date_format(F.col("ts"), D.FMT_AASTOCKS)
+    fmt3 = F.date_format(F.col("ts"), D.FMT_ETNET)
+    epoch = D.ts_to_epoch(F.col("ts"))
+    return ev.select(
+        "event_id",
+        D.iso_prefix_date(F.col("ts").cast("string")).alias("iso_day"),
+        fmt2.alias("fmt_aastocks"),
+        D.parse_ts(fmt2, D.FMT_AASTOCKS).alias("reparsed"),
+        D.parse_ts(fmt3, D.FMT_ETNET).alias("reparsed_etnet"),
+        epoch.alias("epoch_s"),
+        D.epoch_to_ts(epoch).alias("from_epoch"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T6/T8: relative scrape windows with explicit as-of
+# ---------------------------------------------------------------------------
+
+_WINDOW_ORACLE = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start, event_type,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-25 00:00:00' - INTERVAL 24 HOUR - INTERVAL 72 HOUR
+  AND ts <  TIMESTAMP '2024-01-25 00:00:00' - INTERVAL 24 HOUR
+GROUP BY CAST(date_trunc('day', ts) AS TIMESTAMP), event_type
+"""
+
+
+@register("relative_window_counts", _WINDOW_ORACLE)
+def relative_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 relative scrape window (eastmoney.py:80-88) with an explicit
+    as-of (deterministic replay of the reference's now()-anchored
+    window) + T8 day buckets."""
+    ev = table(spark, sf_dir, "events")
+    as_of = F.lit("2024-01-25 00:00:00").cast("timestamp")
+    windowed = ev.filter(
+        D.in_relative_window(F.col("ts"), as_of, duration_hours=72, offset_hours=24)
+    )
+    return windowed.groupBy(
+        D.day_bucket(F.col("ts")).alias("day_start"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
