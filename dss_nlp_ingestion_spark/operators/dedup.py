@@ -1,0 +1,254 @@
+"""Deduplication operator family (SURVEY.md §2.4 + LLM-pipeline
+extension): exact, TTL-history, MinHash+LSH, n-gram Jaccard, SimHash.
+
+Reference parity: the reference dedups exactly — by URL/article-id
+sha224 against a Redis 7-day key-space (D1, src/base.py:210-218,
+src/historydb/redislease.py:60-79) and by content hash (D2,
+src/lurkers/newsfilter.py:167 — Python ``hash``, replaced here by
+sha2-256). The near-dup operators (MinHash/LSH, Jaccard, SimHash)
+extend that surface to what a 100 TB training-data pipeline needs.
+
+Scale design:
+- Exact dedup: hash-groupBy — one shuffle on the digest, partial
+  aggregation upstream.
+- MinHash+LSH: signatures are computed scan-side (per-row expression,
+  no shuffle), candidate generation shuffles on (band, band_key) —
+  the classic shingle->minhash->band->bucket-join pipeline; bucket
+  sizes, not input size, bound the pair blowup.
+- SimHash: per-row 16-bit signature from token nibbles; near-pair
+  join on signature (hamming<=r via xor+bit_count) — at scale, band
+  the signature bytes first.
+- All hashes are sha2-based and deterministic (never Python ``hash``
+  or engine-private hash functions), so DuckDB oracles reproduce
+  them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from dss_nlp_ingestion_spark.functions.text import content_hash, shingles, ws_tokens
+
+
+# --- exact (D2) -----------------------------------------------------------
+
+def exact_dedup(df: DataFrame, content_cols: Sequence[str], id_col: str) -> DataFrame:
+    """Keep the lowest-id row per identical content digest."""
+    hashed = df.withColumn("_digest", content_hash(*[F.col(c) for c in content_cols]))
+    w = Window.partitionBy("_digest").orderBy(F.col(id_col).asc())
+    return (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_digest")
+    )
+
+
+def dup_groups(df: DataFrame, content_cols: Sequence[str], id_col: str) -> DataFrame:
+    """Digest groups with multiplicity > 1: (digest, n_dups, keep_id)."""
+    hashed = df.withColumn("_digest", content_hash(*[F.col(c) for c in content_cols]))
+    return (
+        hashed.groupBy(F.col("_digest").alias("digest"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# --- MinHash + LSH --------------------------------------------------------
+
+def minhash_signature(text_col: Column, num_perm: int = 8, k: int = 3) -> Column:
+    """MinHash signature as an array of ``num_perm`` hex digests:
+    perm ``p``'s value is min over word-k-gram shingles of
+    ``sha2(p || ':' || shingle)``. Salted-sha permutations keep the
+    signature reproducible in any engine (vs. seeded random perms)."""
+    sh = shingles(text_col, k)
+
+    # Single-argument closures only: F.transform interprets a
+    # ``lambda s, p=p`` as an (element, index) lambda and clobbers p.
+    def _perm_hash(p: int):
+        return lambda s: F.sha2(F.concat(F.lit(f"{p}:"), s), 256)
+
+    return F.array(
+        *[F.array_min(F.transform(sh, _perm_hash(p))) for p in range(num_perm)]
+    )
+
+
+def lsh_bands(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 8,
+    band_rows: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """(id, band, band_key) rows: the signature split into
+    ``num_perm / band_rows`` bands, each keyed by its concatenated
+    minhashes. Docs shorter than ``k`` words are excluded."""
+    n_bands = num_perm // band_rows
+    sig = minhash_signature(F.col(text_col), num_perm, k)
+    with_sig = df.filter(F.size(ws_tokens(F.col(text_col))) >= k).select(
+        F.col(id_col).alias("id"), sig.alias("_sig")
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|",
+                    *[F.element_at(F.col("_sig"), b * band_rows + r + 1) for r in range(band_rows)],
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return with_sig.select("id", F.explode(bands).alias("_b")).select(
+        "id", F.col("_b.band").alias("band"), F.col("_b.band_key").alias("band_key")
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 8,
+    band_rows: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing any LSH band —
+    the shuffle is on (band, band_key); only bucket-local pairs are
+    generated."""
+    bands = lsh_bands(df, id_col, text_col, num_perm, band_rows, k)
+    # Rename-per-side self-join (shared-lineage aliases are unsafe).
+    a = bands.withColumnRenamed("id", "id_a")
+    b = bands.withColumnRenamed("id", "id_b")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+# --- n-gram Jaccard -------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.15,
+) -> DataFrame:
+    """Pairs with Jaccard similarity of distinct word-k-gram sets >=
+    ``threshold``: explode shingles -> equi-join on shingle (shuffle on
+    shingle) -> per-pair intersection counts -> sizes via two
+    broadcast-able joins. Returns (id_a, id_b, shared, jaccard_num /
+    jaccard_den as exact longs) — callers derive the float."""
+    sh = df.filter(F.size(ws_tokens(F.col(text_col))) >= k).select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(F.col(text_col), k)).alias("_sh"),
+    )
+    sizes = sh.select("id", F.size("_sh").cast("long").alias("sz"))
+    ex_a = sh.select(F.col("id").alias("id_a"), F.explode("_sh").alias("s"))
+    ex_b = sh.select(F.col("id").alias("id_b"), F.explode("_sh").alias("s"))
+    shared = (
+        ex_a.join(ex_b, ["s"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    out = (
+        shared.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("union_sz", F.col("sz_a") + F.col("sz_b") - F.col("shared"))
+    )
+    return out.filter(F.col("shared") / F.col("union_sz") >= F.lit(threshold)).select(
+        "id_a", "id_b", "shared", "union_sz"
+    )
+
+
+# --- SimHash --------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash per row: each distinct token contributes ±1 to
+    every bit position according to the first 4 hex digits of its
+    sha256; bit j of the signature is 1 iff the summed contribution is
+    positive. (id, simhash)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(ws_tokens(F.col(text_col)))).alias("tok"),
+    )
+    h16 = F.conv(F.substring(F.sha2(F.col("tok"), 256), 1, 4), 16, 10).cast("long")
+    contribs = toks.select(
+        "id",
+        *[
+            F.when(F.shiftright(h16, j).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias(f"_c{j}")
+            for j in range(SIMHASH_BITS)
+        ],
+    )
+    sums = contribs.groupBy("id").agg(
+        *[F.sum(f"_c{j}").alias(f"_s{j}") for j in range(SIMHASH_BITS)]
+    )
+    sig = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"_s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return sums.select("id", sig.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Pairs with SimHash hamming distance <= ``max_hamming``.
+    Self-join + xor/bit_count; at larger scale, band the signature
+    bytes first (pigeonhole: distance<=3 pairs share one of 4 nibble
+    bands) — the all-pairs form here is the correctness oracle."""
+    sig = simhash16(df, id_col, text_col)
+    a = sig.select(F.col("id").alias("id_a"), F.col("simhash").alias("sim_a"))
+    b = sig.select(F.col("id").alias("id_b"), F.col("simhash").alias("sim_b"))
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("long")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# --- TTL history anti-join (D1 batch form) --------------------------------
+
+def history_filter(
+    df: DataFrame,
+    history: DataFrame,
+    id_hash_col: str,
+    hist_hash_col: str = "id_hash",
+    hist_age_col: str | None = None,
+    ttl_periods: int | None = None,
+) -> DataFrame:
+    """D1: keep rows whose id-hash is absent from the history table —
+    or present but expired (age >= ttl). With no TTL column this is a
+    plain left_anti; with one it is a left join + predicate. The
+    history side is broadcast when small, shuffled on the hash
+    otherwise — never collected."""
+    if hist_age_col is None or ttl_periods is None:
+        return df.join(
+            history.select(F.col(hist_hash_col).alias(id_hash_col)),
+            on=id_hash_col,
+            how="left_anti",
+        )
+    h = history.select(
+        F.col(hist_hash_col).alias("_h_hash"), F.col(hist_age_col).alias("_h_age")
+    )
+    joined = df.join(h, df[id_hash_col] == F.col("_h_hash"), "left")
+    return joined.filter(
+        F.col("_h_hash").isNull() | (F.col("_h_age") >= F.lit(ttl_periods))
+    ).drop("_h_hash", "_h_age")

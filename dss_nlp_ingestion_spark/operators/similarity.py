@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns (SURVEY.md §2.11 N7–N10
+generalized; LLM-pipeline north star).
+
+The reference's similarity surface is API-backed 1-N text similarity
+(src/utils/tencent_api.py:111-123) and word/sentence embeddings
+(:98-109, :125-136). Here embeddings are first-class ``array<float>``
+columns and similarity is a distributed operator:
+
+- ``cosine`` — dot products/norms as explicit *sequential* double
+  folds: identical IEEE ops in identical order are bit-identical
+  across engines, whereas engine-native sums are free to reorder
+  (and double→high-scale-decimal casts differ between Spark's
+  shortest-repr rounding and DuckDB's exact-binary rounding).
+- brute-force top-k: broadcast the (small) query set against the
+  corpus — the correctness baseline; one scan, no shuffle of the
+  corpus.
+- random-hyperplane LSH bucketing: deterministic integer plane
+  weights ``((p*31 + i*17) % 7) - 3`` (no RNG -> reproducible in SQL);
+  bucket-local joins are the scale path (IVF-style pruning: the
+  pair/candidate work is bounded per bucket, not quadratic in the
+  corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+def dot_exact(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product -> DOUBLE (deterministic: the
+    DuckDB oracle folds the same products in the same order via
+    list_reduce, yielding bit-identical doubles)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot_exact(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot_exact(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """For every query vector, the k nearest corpus vectors by cosine
+    (self-matches excluded): broadcast the query set, scan the corpus
+    once, rank per query. Returns (query_id, neighbor_id, score,
+    rank)."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        )
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qv"), F.col("_cv")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane_bucket(vec_col: Column, n_planes: int = 8, dim: int = 64) -> Column:
+    """Random-hyperplane LSH bucket id in [0, 2^n_planes): bit p is
+    the sign of the projection onto deterministic integer plane
+    ``w(p,i) = ((p*31 + i*17) % 7) - 3``."""
+    # NB: the per-plane lambda must stay single-argument — a
+    # ``lambda i, p=p`` default-arg closure is seen by F.transform as
+    # a binary (element, index) lambda and the index silently replaces
+    # the captured constant.
+    def _plane_term(p: int):
+        return lambda i: (
+            F.element_at(vec_col, i).cast("double")
+            * F.lit(1.0) * (((F.lit(p * 31) + (i - 1) * 17) % 7) - 3)
+        )
+
+    bucket = None
+    for p in range(n_planes):
+        prods = F.transform(F.sequence(F.lit(1), F.lit(dim)), _plane_term(p))
+        proj = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+        bit = F.when(proj > 0, F.lit(2**p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("long")
+
+
+def bucketed_near_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Near-duplicate pairs restricted to equal LSH buckets — the
+    scale path: the join shuffles on the bucket id and pair generation
+    is bucket-local. Returns (id_a, id_b, bucket, score)."""
+    # Self-join with columns renamed per side — DataFrame aliases on a
+    # shared lineage can silently resolve both `a.x` and `b.x` to the
+    # same column, turning the bucket equality into a tautology.
+    a = emb.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("v_a"),
+        hyperplane_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("v_b"),
+        hyperplane_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+    )
+    return (
+        a.join(b, ["bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "bucket",
+            cosine(F.col("v_a"), F.col("v_b")).alias("score"),
+        )
+        .filter(F.col("score") >= F.lit(threshold))
+    )

@@ -1,1 +1,239 @@
-"""Placeholder — populated in a later milestone."""
+"""Dedup operator queries (SURVEY.md §2.4 + LLM-pipeline dedup
+family), oracle-checked. Exact dedup is exercised on a corpus with
+*planted* duplicates (documents UNION a 10% slice) so the operator is
+non-trivial at every scale factor; the near-dup operators run on the
+raw corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dss_nlp_ingestion_spark.catalog import table
+from dss_nlp_ingestion_spark.operators.dedup import (
+    SIMHASH_BITS,
+    dup_groups,
+    history_filter,
+    lsh_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash16,
+    simhash_near_pairs,
+)
+from dss_nlp_ingestion_spark.plans.registry import fround, fround_sql, register
+
+# DuckDB CTE fragments shared by the shingle-based oracles.
+_WS_CTE = r"""
+w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_transform(range(1, len(ws) - 1),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh
+  FROM w WHERE len(ws) >= 3
+)"""
+
+
+# ---------------------------------------------------------------------------
+# D2 exact dedup on planted duplicates
+# ---------------------------------------------------------------------------
+
+_EXACT_ORACLE = """
+WITH planted AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+)
+SELECT sha256(text) AS digest,
+       CAST(count(*) AS BIGINT) AS n_dups,
+       min(doc_id) AS keep_id
+FROM planted
+GROUP BY sha256(text)
+HAVING count(*) > 1
+"""
+
+
+@register("exact_dup_groups", _EXACT_ORACLE)
+def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 exact content dedup (text_hash, newsfilter.py:167) as a
+    hash-groupBy over a corpus with planted 10% duplicates: emits each
+    duplicate group with its survivor id."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.unionByName(docs.filter(F.col("doc_id") % 10 == 0))
+    return dup_groups(planted, ["text"], "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# D1 TTL history anti-join (batch form)
+# ---------------------------------------------------------------------------
+
+_HISTORY_ORACLE = """
+WITH history AS (
+  SELECT sha256(CAST(doc_id AS VARCHAR)) AS id_hash,
+         doc_id % 14 AS age_days
+  FROM documents WHERE doc_id % 7 = 0
+)
+SELECT d.doc_id FROM documents d
+LEFT JOIN history h ON sha256(CAST(d.doc_id AS VARCHAR)) = h.id_hash
+WHERE h.id_hash IS NULL OR h.age_days >= 7
+"""
+
+
+@register("history_ttl_filter", _HISTORY_ORACLE)
+def history_ttl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 dedup against a TTL'd history table (redislease.py:60-79:
+    absent -> ingest; present-but-expired -> re-ingest). History is
+    synthesized from every 7th doc with a deterministic age."""
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "id_hash", F.sha2(F.col("doc_id").cast("string"), 256)
+    )
+    history = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 0)
+        .select(
+            F.sha2(F.col("doc_id").cast("string"), 256).alias("id_hash"),
+            (F.col("doc_id") % 14).alias("age_days"),
+        )
+    )
+    return history_filter(
+        docs, history, "id_hash", "id_hash", "age_days", ttl_periods=7
+    ).select("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH candidate pairs
+# ---------------------------------------------------------------------------
+
+_NUM_PERM, _BAND_ROWS = 8, 2
+_minhash_cols = ",\n    ".join(
+    f"list_min(list_transform(sh, s -> sha256('{p}:' || s))) AS m{p}"
+    for p in range(_NUM_PERM)
+)
+_band_selects = "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, {b} AS band, m{b * _BAND_ROWS} || '|' || m{b * _BAND_ROWS + 1} AS band_key FROM sig"
+    for b in range(_NUM_PERM // _BAND_ROWS)
+)
+
+_LSH_ORACLE = f"""
+WITH {_WS_CTE},
+sig AS (
+  SELECT doc_id,
+    {_minhash_cols}
+  FROM sh
+), bands AS (
+{_band_selects}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+@register("minhash_lsh_candidates", _LSH_ORACLE)
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8 perms over word-3-gram shingles) + LSH(4 bands x 2
+    rows) candidate pairs — the scalable near-dup discovery pipeline
+    (shuffle on band key only; never all-pairs)."""
+    docs = table(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(
+        docs, "doc_id", "text", num_perm=_NUM_PERM, band_rows=_BAND_ROWS, k=3
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard similarity pairs
+# ---------------------------------------------------------------------------
+
+_JACCARD_ORACLE = f"""
+WITH {_WS_CTE},
+dsh AS (
+  SELECT doc_id, list_distinct(sh) AS sh FROM sh
+), sizes AS (
+  SELECT doc_id, CAST(len(sh) AS BIGINT) AS sz FROM dsh
+), ex AS (
+  SELECT doc_id, unnest(sh) AS s FROM dsh
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, shared,
+       sa.sz + sb.sz - shared AS union_sz,
+       {fround_sql('CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared)', 6)} AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.15
+"""
+
+
+@register("ngram_jaccard_dups", _JACCARD_ORACLE)
+def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs (threshold 0.15): the
+    posting-list self-join form (shuffle on shingle; bucket-local pair
+    counts) — the verifier for the MinHash/LSH approximation."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.15)
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "shared",
+        "union_sz",
+        fround(F.col("shared").cast("double") / F.col("union_sz"), 6).alias("jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash signatures + near pairs
+# ---------------------------------------------------------------------------
+
+_sim_sums = ",\n    ".join(
+    f"sum(CASE WHEN (h16 >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+    for j in range(SIMHASH_BITS)
+)
+_sim_assemble = " + ".join(
+    f"(CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+)
+
+_SIMHASH_CTE = f"""
+toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id, ('0x' || substr(sha256(tok), 1, 4))::BIGINT AS h16 FROM toks
+), bits AS (
+  SELECT doc_id,
+    {_sim_sums}
+  FROM h GROUP BY doc_id
+), sig AS (
+  SELECT doc_id AS id, CAST({_sim_assemble} AS BIGINT) AS simhash FROM bits
+)"""
+
+_SIMHASH_ORACLE = f"WITH {_SIMHASH_CTE}\nSELECT id, simhash FROM sig"
+
+
+@register("simhash_signatures", _SIMHASH_ORACLE)
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (token-nibble contributions) — the
+    per-row near-dup signature; computed scan-side, one shuffle to
+    aggregate bit votes."""
+    docs = table(spark, sf_dir, "documents")
+    return simhash16(docs, "doc_id", "text")
+
+
+_SIMHASH_PAIRS_ORACLE = f"""
+WITH {_SIMHASH_CTE}
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+@register("simhash_near_dups", _SIMHASH_PAIRS_ORACLE)
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 3 over 16 bits) via
+    xor+bit_count self-join (all-pairs correctness form; banded at
+    scale)."""
+    docs = table(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)

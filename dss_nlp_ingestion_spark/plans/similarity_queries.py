@@ -1,1 +1,158 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity-search queries over the embeddings table (LLM-pipeline
+north star), oracle-checked: exact-decimal cosine keeps scores
+bit-identical between Spark and DuckDB (see operators.similarity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dss_nlp_ingestion_spark.catalog import table
+from dss_nlp_ingestion_spark.operators.similarity import (
+    brute_force_topk,
+    bucketed_near_pairs,
+    hyperplane_bucket,
+    l2_norm,
+)
+from dss_nlp_ingestion_spark.plans.registry import fround, fround_sql, register
+
+_DIM = 64
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """DuckDB twin of operators.similarity.dot_exact."""
+    return (
+        f"list_reduce([CAST(0.0 AS DOUBLE)] || list_transform(range(1, {_DIM + 1}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+# ---------------------------------------------------------------------------
+
+_NORM_ORACLE = f"""
+SELECT vec_id, label,
+       {fround_sql(f"sqrt({_dot_sql('embedding', 'embedding')})", 6)} AS l2_norm
+FROM embeddings
+"""
+
+
+@register("embedding_norms", _NORM_ORACLE)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norm — the normalization pass every similarity
+    pipeline runs first; exercises exact array folding."""
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", "label", fround(l2_norm(F.col("embedding")), 6).alias("l2_norm")
+    )
+
+
+# ---------------------------------------------------------------------------
+
+_COS_SCORE = (
+    f"{_dot_sql('qv', 'cv')} / (sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('cv', 'cv')}))"
+)
+
+_TOPK_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+), scored AS (
+  SELECT query_id, neighbor_id, {_COS_SCORE} AS score
+  FROM c CROSS JOIN q
+  WHERE neighbor_id != query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, score,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, {fround_sql('score', 6)} AS score, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register("cosine_topk_bruteforce", _TOPK_ORACLE)
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 10 query vectors
+    (N9 text-similarity generalized, tencent_api.py:111-123):
+    broadcast query set x corpus scan + per-query rank window — the
+    ANN correctness baseline."""
+    emb = table(spark, sf_dir, "embeddings")
+    out = brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=5)
+    return out.select(
+        "query_id", "neighbor_id", fround(F.col("score"), 6).alias("score"), "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+
+_N_PLANES = 8
+_plane_projs = []
+for p in range(_N_PLANES):
+    prods = (
+        f"[CAST(0.0 AS DOUBLE)] || list_transform(range(1, {_DIM + 1}), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * ((({p * 31} + (i-1)*17) % 7) - 3))"
+    )
+    _plane_projs.append(
+        f"(CASE WHEN list_reduce({prods}, (x, y) -> x + y) > 0 THEN {2**p} ELSE 0 END)"
+    )
+_BUCKET_SQL = "CAST(" + " + ".join(_plane_projs) + " AS BIGINT)"
+
+_BUCKET_ORACLE = f"""
+WITH b AS (
+  SELECT vec_id, {_BUCKET_SQL} AS bucket FROM embeddings
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       min(vec_id) AS min_vec_id
+FROM b GROUP BY bucket
+"""
+
+
+@register("lsh_bucket_stats", _BUCKET_ORACLE)
+def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket histogram (8 deterministic planes
+    -> 256 buckets): the IVF-style partitioning whose bucket sizes
+    bound all downstream candidate work."""
+    emb = table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "vec_id", hyperplane_bucket(F.col("embedding"), _N_PLANES, _DIM).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+
+_PAIR_SCORE = (
+    f"{_dot_sql('a.embedding', 'b.embedding')} / "
+    f"(sqrt({_dot_sql('a.embedding', 'a.embedding')}) * sqrt({_dot_sql('b.embedding', 'b.embedding')}))"
+)
+
+_NEAR_ORACLE = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket AS bucket,
+       {fround_sql(_PAIR_SCORE.replace('b.embedding', 'b.embedding'), 6)} AS score
+FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_PAIR_SCORE} >= 0.3
+"""
+
+
+@register("embedding_near_dups", _NEAR_ORACLE)
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs restricted to equal LSH
+    buckets (threshold 0.3) — bucket-local joins are the 100 TB path:
+    shuffle on bucket id, quadratic work bounded per bucket."""
+    emb = table(spark, sf_dir, "embeddings")
+    return bucketed_near_pairs(
+        emb, "vec_id", "embedding", n_planes=_N_PLANES, dim=_DIM, threshold=0.3
+    ).select("id_a", "id_b", "bucket", fround(F.col("score"), 6).alias("score"))
