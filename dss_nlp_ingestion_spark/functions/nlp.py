@@ -1,0 +1,131 @@
+"""NLP enrichment functions (SURVEY.md §2.11, N1–N11).
+
+The reference calls external NLP APIs per document (Tencent NLU,
+src/utils/tencent_api.py; Baidu NLP, src/utils/baidu_api.py) — a
+rate-limited, non-reproducible surface. The engine replaces them with
+deterministic local heuristics with the same *signatures and shapes*:
+
+- N1/N2 sentiment  — lexicon hit ratio -> (label, confidence, pos,
+  neg), mirroring Baidu's ``{sentiment, confidence, positive_prob,
+  negative_prob}`` (baidu_api.py:108-121).
+- N3/N4 keywords   — per-doc TF top-k excluding stopwords, mirroring
+  ``KeywordsExtraction(Num=30)`` (tencent_api.py:42-54).
+- N5 topics        — rule lexicons -> scored tags, mirroring 2-level
+  tag lists (baidu_api.py:139-153).
+- N6 summary       — leading-window truncation to ``max_words``
+  (newsSummary(maxLen), baidu_api.py:156-169).
+- N8/N10 embedding — hashed nibble projection of tokens into a dense
+  vector (word/sentence embedding, tencent_api.py:98-109,125-136).
+- N7/N9 similarity — cosine over those embeddings (see
+  ``operators.similarity`` for the distributed forms).
+
+Everything is a JVM-side expression, so the "model" runs inside
+whole-stage codegen; swap in a real model by replacing a single
+function with a pandas UDF of the same signature (a reference
+vectorized implementation lives in ``sentiment_pandas_udf``).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from dss_nlp_ingestion_spark.functions.text import EN_STOPWORDS, token_count, ws_tokens
+
+#: Sentiment lexicons, fixed to the synthetic corpus vocabulary so the
+#: heuristic is exercised; swap per-domain.
+POS_WORDS = ("fast", "big")
+NEG_WORDS = ("slow", "small")
+
+#: Topic rule lexicons (N5): tag -> evidence words.
+TOPIC_RULES = {
+    "execution": ("scan", "filter", "join", "agg", "sort", "merge"),
+    "storage": ("table", "row", "column", "data", "key", "value"),
+    "streaming": ("stream", "window", "batch"),
+}
+
+EMBED_DIM = 8
+
+
+def _hits(col: Column, words: tuple[str, ...]) -> Column:
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(pat), 0)).cast("long")
+
+
+def sentiment_hits(col: Column) -> tuple[Column, Column]:
+    """(positive hits, negative hits) lexicon counts."""
+    return _hits(col, POS_WORDS), _hits(col, NEG_WORDS)
+
+
+def sentiment_score(col: Column) -> Column:
+    """Polarity in [-1, 1]: (pos - neg) / (pos + neg), 0 when no
+    evidence."""
+    pos, neg = sentiment_hits(col)
+    return F.when(pos + neg > 0, (pos - neg) / (pos + neg)).otherwise(F.lit(0.0))
+
+
+def sentiment_label(col: Column, threshold: float = 0.2) -> Column:
+    """3-class label (N1 ``mode='3class'``, tencent_api.py:27-40)."""
+    s = sentiment_score(col)
+    return (
+        F.when(s > F.lit(threshold), F.lit("positive"))
+        .when(s < F.lit(-threshold), F.lit("negative"))
+        .otherwise(F.lit("neutral"))
+    )
+
+
+def sentiment_pandas_udf():
+    """Arrow-vectorized twin of :func:`sentiment_score` — the slot
+    where a real model (ONNX/torch) would sit; batched, never
+    per-row-Python in the JVM loop. Built lazily because
+    ``pandas_udf`` needs an active SparkSession to parse its return
+    type."""
+
+    @pandas_udf("double")
+    def _sentiment(text: pd.Series) -> pd.Series:
+        pos_pat = r"\b(" + "|".join(POS_WORDS) + r")\b"
+        neg_pat = r"\b(" + "|".join(NEG_WORDS) + r")\b"
+        low = text.str.lower()
+        pos = low.str.count(pos_pat)
+        neg = low.str.count(neg_pat)
+        total = pos + neg
+        return ((pos - neg) / total.where(total > 0)).fillna(0.0)
+
+    return _sentiment
+
+
+def summarize(col: Column, max_words: int = 12) -> Column:
+    """N6: leading ``max_words`` words."""
+    return F.array_join(F.slice(ws_tokens(col), 1, max_words), " ")
+
+
+def is_truncated(col: Column, max_words: int = 12) -> Column:
+    return (token_count(col) > max_words).alias("is_truncated")
+
+
+def topic_score(col: Column, topic: str) -> Column:
+    """N5: evidence-word density for one topic."""
+    return _hits(col, TOPIC_RULES[topic]) / token_count(col)
+
+
+def embed_tokens(col: Column, dim: int = EMBED_DIM) -> list[Column]:
+    """N8/N10: dense hashed embedding — component ``j`` sums
+    (nibble_j(sha256(token)) - 7.5) over tokens, normalized by token
+    count. Deterministic, engine-portable (hex-nibble arithmetic), and
+    a genuine bag-of-words projection (cosine between docs sharing
+    vocabulary is meaningfully > 0)."""
+    toks = ws_tokens(col)
+
+    def _component(j: int) -> Column:
+        def _term(t: Column) -> Column:
+            nib = F.conv(F.substring(F.sha2(t, 256), j + 1, 1), 16, 10).cast("double")
+            return nib - F.lit(7.5)
+
+        total = F.aggregate(
+            F.transform(toks, _term), F.lit(0.0), lambda acc, x: acc + x
+        )
+        return total / F.size(toks)
+
+    return [_component(j) for j in range(dim)]

@@ -1,0 +1,95 @@
+"""Multimodal-column queries (LLM-pipeline extension), oracle-checked
+where the math is portable. ``media_decode_stub`` is the notable one:
+the Spark side runs a real ``mapInPandas`` Arrow stage (the slot where
+an image decoder plugs in), and the oracle recomputes the same
+metadata formula in SQL — cross-checking the Arrow batch path itself,
+not just column math. (The corpus is ASCII, so DuckDB codepoints ==
+UTF-8 bytes; the fake decoder relies on that equivalence only in the
+oracle, not in the engine.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dss_nlp_ingestion_spark.catalog import table
+from dss_nlp_ingestion_spark.operators.multimodal import (
+    extract_media_metadata,
+    frame_sample_offsets,
+    with_binary_payload,
+)
+from dss_nlp_ingestion_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+
+_BINMETA_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS payload_sha
+FROM documents
+"""
+
+
+@register("binary_metadata", _BINMETA_ORACLE)
+def binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column basics: byte length + content digest of
+    the payload (sha2 over the encoded bytes == sha256 of the UTF-8
+    string)."""
+    docs = with_binary_payload(table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.length(F.col("payload")).cast("long").alias("n_bytes"),
+        F.sha2(F.col("payload"), 256).alias("payload_sha"),
+    )
+
+
+# ---------------------------------------------------------------------------
+
+_DECODE_ORACLE = """
+WITH b AS (
+  SELECT doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n,
+         CASE WHEN length(text) >= 1 THEN ord(substr(text, 1, 1)) ELSE 0 END AS b0,
+         CASE WHEN length(text) >= 2 THEN ord(substr(text, 2, 1)) ELSE 0 END AS b1
+  FROM documents
+)
+SELECT doc_id,
+       n AS n_bytes,
+       CAST(64 + (b0 * 256 + b1) % 1024 AS INT) AS width,
+       CAST(64 + (b1 * 256 + b0) % 768 AS INT) AS height,
+       CAST(1 + b0 % 3 AS INT) AS channels,
+       'fake/v1' AS format
+FROM b
+"""
+
+
+@register("media_decode_stub", _DECODE_ORACLE)
+def media_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-decode stage through a real mapInPandas Arrow pipeline
+    with the deterministic fake decoder — schema, batch shape, and
+    partition behavior are production; only the codec is faked."""
+    docs = with_binary_payload(table(spark, sf_dir, "documents"))
+    return extract_media_metadata(docs, fake=True)
+
+
+# ---------------------------------------------------------------------------
+
+_FRAMES_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       frame_idx,
+       CAST(floor(frame_idx * CAST(octet_length(encode(text)) AS BIGINT) / 4.0) AS BIGINT) AS byte_offset
+FROM documents
+CROSS JOIN (VALUES (0), (1), (2), (3)) AS frames(frame_idx)
+"""
+
+
+@register("frame_sample_offsets", _FRAMES_ORACLE)
+def frame_sample_offsets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: evenly-spaced byte offsets per payload
+    (video frame-extraction stand-in), exploded one row per frame."""
+    docs = with_binary_payload(table(spark, sf_dir, "documents"))
+    return frame_sample_offsets(docs, n_frames=4).withColumn(
+        "frame_idx", F.col("frame_idx").cast("int")
+    )

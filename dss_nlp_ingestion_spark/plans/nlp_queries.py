@@ -1,1 +1,251 @@
-"""Placeholder — populated in a later milestone."""
+"""NLP enrichment queries (SURVEY.md §2.11, N1–N11) — deterministic
+heuristic models over the documents table, oracle-checked.
+
+These pin the *shapes* of the reference's API-backed enrichment
+(sentiment structs, scored keyword lists, topic tags, summaries,
+embeddings) while staying hermetic and engine-portable. A production
+deployment swaps each heuristic for a model-backed pandas UDF with
+the same signature (see functions.nlp.sentiment_pandas_udf).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dss_nlp_ingestion_spark.catalog import table
+from dss_nlp_ingestion_spark.functions import nlp as N
+from dss_nlp_ingestion_spark.functions.text import EN_STOPWORDS, token_count, ws_tokens
+from dss_nlp_ingestion_spark.plans.registry import fround, fround_sql, register
+
+_POS_PAT = r"\b(" + "|".join(N.POS_WORDS) + r")\b"
+_NEG_PAT = r"\b(" + "|".join(N.NEG_WORDS) + r")\b"
+
+# ---------------------------------------------------------------------------
+# N1/N2: sentiment
+# ---------------------------------------------------------------------------
+
+_SENTIMENT_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '{_POS_PAT}')) AS BIGINT) AS pos_hits,
+         CAST(len(regexp_extract_all(lower(text), '{_NEG_PAT}')) AS BIGINT) AS neg_hits
+  FROM documents
+), s AS (
+  SELECT doc_id, pos_hits, neg_hits,
+         CASE WHEN pos_hits + neg_hits > 0
+              THEN CAST(pos_hits - neg_hits AS DOUBLE) / (pos_hits + neg_hits)
+              ELSE 0.0 END AS raw
+  FROM h
+)
+SELECT doc_id, pos_hits, neg_hits,
+       {fround_sql('raw', 6)} AS score,
+       CASE WHEN raw > 0.2 THEN 'positive'
+            WHEN raw < -0.2 THEN 'negative'
+            ELSE 'neutral' END AS label
+FROM s
+"""
+
+
+@register("sentiment_scores", _SENTIMENT_ORACLE)
+def sentiment_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N1/N2 lexicon sentiment (tencent_api.py:27-40,
+    baidu_api.py:108-121 shapes): polarity score + 3-class label."""
+    docs = table(spark, sf_dir, "documents")
+    pos, neg = N.sentiment_hits(F.col("text"))
+    return docs.select(
+        "doc_id",
+        pos.alias("pos_hits"),
+        neg.alias("neg_hits"),
+        fround(N.sentiment_score(F.col("text")), 6).alias("score"),
+        N.sentiment_label(F.col("text")).alias("label"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# N3/N4 + W2: per-doc TF top-k keywords
+# ---------------------------------------------------------------------------
+
+_STOP_LIST = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+
+_KEYWORDS_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+  FROM documents
+), tf AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+  FROM words
+  WHERE word NOT IN ({_STOP_LIST})
+  GROUP BY doc_id, word
+)
+SELECT doc_id, word, tf, rank FROM (
+  SELECT doc_id, word, tf,
+         CAST(row_number() OVER (
+           PARTITION BY doc_id ORDER BY tf DESC, word ASC) AS BIGINT) AS rank
+  FROM tf
+) WHERE rank <= 5
+"""
+
+
+@register("keywords_topk", _KEYWORDS_ORACLE)
+def keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3 keyword extraction as per-doc TF top-5 (stopwords excluded;
+    KeywordsExtraction(Num=30) shape, tencent_api.py:42-54 — W2
+    top-k). Explode -> count -> rank window; one shuffle on
+    (doc, word), one on doc."""
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(ws_tokens(F.lower(F.col("text")))).alias("word")
+    ).filter(~F.col("word").isin(*EN_STOPWORDS))
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("word"))
+    return (
+        tf.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# N5: topic classification (rule lexicons)
+# ---------------------------------------------------------------------------
+
+_topic_selects = "\n  UNION ALL\n".join(
+    f"""  SELECT doc_id, '{topic}' AS topic,
+    CAST(len(regexp_extract_all(lower(text), '\\b({"|".join(words)})\\b')) AS BIGINT) AS hits,
+    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS toks
+  FROM documents"""
+    for topic, words in sorted(N.TOPIC_RULES.items())
+)
+
+_TOPIC_ORACLE = f"""
+WITH scored AS (
+{_topic_selects}
+), ranked AS (
+  SELECT doc_id, topic, CAST(hits AS DOUBLE) / toks AS raw,
+         row_number() OVER (
+           PARTITION BY doc_id
+           ORDER BY CAST(hits AS DOUBLE) / toks DESC, topic ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, topic, {fround_sql('raw', 6)} AS score
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("topic_classification", _TOPIC_ORACLE)
+def topic_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5 topic tagging (baidu_api.py:139-153 shape): rule-lexicon
+    densities, winner per doc with deterministic tie-break."""
+    docs = table(spark, sf_dir, "documents")
+    entries = [
+        F.struct(F.lit(t).alias("topic"), N.topic_score(F.col("text"), t).alias("raw"))
+        for t in sorted(N.TOPIC_RULES)
+    ]
+    exploded = docs.select("doc_id", F.explode(F.array(*entries)).alias("e")).select(
+        "doc_id", F.col("e.topic").alias("topic"), F.col("e.raw").alias("raw")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("raw"), F.asc("topic"))
+    return (
+        exploded.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "topic", fround(F.col("raw"), 6).alias("score"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# N6: summarization (leading-window truncation)
+# ---------------------------------------------------------------------------
+
+_SUMMARY_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents
+)
+SELECT doc_id,
+       array_to_string(ws[1:12], ' ') AS summary,
+       len(ws) > 12 AS is_truncated,
+       CAST(len(ws) AS BIGINT) AS n_tokens
+FROM w
+"""
+
+
+@register("summaries", _SUMMARY_ORACLE)
+def summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N6 summary (newsSummary(maxLen) shape, baidu_api.py:156-169):
+    leading 12-word window + truncation flag."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        N.summarize(F.col("text"), 12).alias("summary"),
+        (token_count(F.col("text")) > 12).alias("is_truncated"),
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# N8/N10 embeddings + N7/N9 similarity to an anchor
+# ---------------------------------------------------------------------------
+
+def _embed_sql(expr: str, j: int) -> str:
+    """DuckDB twin of functions.nlp.embed_tokens component j."""
+    terms = (
+        f"list_transform(string_split_regex(trim({expr}), '\\s+'), "
+        f"t -> CAST(('0x' || substr(sha256(t), {j + 1}, 1))::BIGINT AS DOUBLE) - 7.5)"
+    )
+    fold = f"list_reduce([CAST(0.0 AS DOUBLE)] || {terms}, (x, y) -> x + y)"
+    return f"{fold} / len(string_split_regex(trim({expr}), '\\s+'))"
+
+
+_ANCHOR = "spark data table stream"
+
+_emb_cols = ",\n       ".join(
+    f"{_embed_sql('text', j)} AS e{j}" for j in range(N.EMBED_DIM)
+)
+
+
+def _anchor_sql(j: int) -> str:
+    return _embed_sql(f"'{_ANCHOR}'", j)
+
+
+_dot_terms = " + ".join(f"e{j} * ({_anchor_sql(j)})" for j in range(N.EMBED_DIM))
+_doc_norm = "sqrt(" + " + ".join(f"e{j} * e{j}" for j in range(N.EMBED_DIM)) + ")"
+_anchor_norm = (
+    "sqrt(" + " + ".join(f"({_anchor_sql(j)}) * ({_anchor_sql(j)})" for j in range(N.EMBED_DIM)) + ")"
+)
+
+_EMBED_ORACLE = f"""
+WITH e AS (
+  SELECT doc_id,
+       {_emb_cols}
+  FROM documents
+)
+SELECT doc_id,
+       {", ".join(fround_sql(f'e{j}', 6) + f' AS e{j}' for j in range(N.EMBED_DIM))},
+       {fround_sql(f'CASE WHEN {_doc_norm} > 0 THEN ({_dot_terms}) / ({_doc_norm} * {_anchor_norm}) ELSE 0.0 END', 6)} AS anchor_cos
+FROM e
+"""
+
+
+@register("text_embeddings", _EMBED_ORACLE)
+def text_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N8/N10 hashed-projection text embeddings (8-dim) + N7/N9
+    cosine against a fixed anchor sentence — the text-similarity
+    surface (tencent_api.py:98-136) as pure expressions."""
+    docs = table(spark, sf_dir, "documents")
+    comps = N.embed_tokens(F.col("text"), N.EMBED_DIM)
+    anchor = N.embed_tokens(F.lit(_ANCHOR), N.EMBED_DIM)
+    dot = None
+    dn = None
+    an = None
+    for j in range(N.EMBED_DIM):
+        t = comps[j] * anchor[j]
+        dot = t if dot is None else dot + t
+        d2 = comps[j] * comps[j]
+        dn = d2 if dn is None else dn + d2
+        a2 = anchor[j] * anchor[j]
+        an = a2 if an is None else an + a2
+    cos = F.when(F.sqrt(dn) > 0, dot / (F.sqrt(dn) * F.sqrt(an))).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        *[fround(comps[j], 6).alias(f"e{j}") for j in range(N.EMBED_DIM)],
+        fround(cos, 6).alias("anchor_cos"),
+    )
