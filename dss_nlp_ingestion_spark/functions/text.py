@@ -64,6 +64,13 @@ def cashtags(col: Column) -> Column:
     )
 
 
+def bare_upper_tickers(col: Column) -> Column:
+    """X1 second form: bare all-caps words (``\\b[A-Z][A-Z]+\\b``,
+    reddit.py:87) — candidate tickers to intersect with the
+    universe."""
+    return F.regexp_extract_all(col, F.lit(r"\b([A-Z][A-Z]+)\b"), 1)
+
+
 def paren_codes(col: Column) -> Column:
     """X2: lazily-matched parenthesized codes, as array."""
     return F.regexp_extract_all(col, F.lit(r"\((.*?)\)"), 1)

@@ -1,0 +1,317 @@
+"""Per-source payload parsers (SURVEY.md §2.1 S1–S5, §3.2 step 4).
+
+Each parser maps a DataFrame of raw payload strings (one row per HTTP
+response body or page) to normalized document rows — the Spark
+re-expression of the reference lurkers' ``get_document`` parsing:
+
+- S1 newsfilter — src/lurkers/newsfilter.py:111-191 (API JSON:
+  ``{total:{value}, articles:[...]}``; ISO date prefix T1; the
+  '4 Form' exclusion F5).
+- S2 reddit/pushshift — src/lurkers/reddit.py:137-199 (API JSON
+  ``{data:[...]}``; F4 filter chain: removed_by_category absent,
+  selftext none of {'', 'unknown', '[removed]'}, tickers nonempty;
+  X1 cashtag NER; J2 universe intersection minus {'DD','ARE'};
+  T4 epoch parse).
+- S5 eastmoney — src/lurkers/eastmoney.py:63-96 (JSONP wrapper strip
+  X15 + report list explode).
+- S3 aastocks / S4 etnet — src/lurkers/aastocks.py:109-220,
+  src/lurkers/etnet.py:183-289 (HTML: title/tickers/content/time via
+  the pages' CSS hooks, X2 parenthesized ticker extract, X5/X6 CJK
+  normalization, T2/T3 timestamp formats, X3 article ids).
+
+All parsing is JVM-side (``from_json`` / ``regexp_extract_all``) —
+no BeautifulSoup-style row-at-a-time Python; an HTML page is just a
+string a regex scans. Each parser ends with the same normalized
+columns so outputs union into the ``documents`` table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from dss_nlp_ingestion_spark.functions.text import (
+    bare_upper_tickers,
+    cashtags,
+    collapse_punct_runs,
+    content_hash,
+    fold_fullwidth,
+    jsonp_payload,
+    numeric_codes_only,
+    paren_codes,
+    stable_id_hash,
+    zero_pad,
+)
+
+NEWSFILTER_SCHEMA = StructType(
+    [
+        StructField("total", StructType([StructField("value", LongType())])),
+        StructField(
+            "articles",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("id", StringType()),
+                        StructField("source", StructType([StructField("name", StringType())])),
+                        StructField("symbols", ArrayType(StringType())),
+                        StructField("title", StringType()),
+                        StructField("description", StringType()),
+                        StructField("publishedAt", StringType()),
+                        StructField("url", StringType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+PUSHSHIFT_SCHEMA = StructType(
+    [
+        StructField(
+            "data",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("id", StringType()),
+                        StructField("subreddit", StringType()),
+                        StructField("title", StringType()),
+                        StructField("selftext", StringType()),
+                        StructField("created_utc", LongType()),
+                        StructField("full_link", StringType()),
+                        StructField("removed_by_category", StringType()),
+                    ]
+                )
+            ),
+        )
+    ]
+)
+
+EASTMONEY_SCHEMA = StructType(
+    [
+        StructField(
+            "data",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("id", StringType()),
+                        StructField("encodeUrl", StringType()),
+                        StructField("title", StringType()),
+                        StructField("stockName", StringType()),
+                        StructField("stockCode", StringType()),
+                        StructField("publishDate", StringType()),
+                    ]
+                )
+            ),
+        )
+    ]
+)
+
+
+def _normalized(
+    source: str,
+    source_id: Column,
+    source_link: Column,
+    tickers: Column,
+    title: Column,
+    description: Column,
+    text: Column,
+    time: Column,
+) -> list[Column]:
+    """The unified projection every parser ends with (§1.3 schema)."""
+    return [
+        stable_id_hash(source_id).alias("unique_identifier"),
+        F.lit(source).alias("source"),
+        source_id.alias("source_id"),
+        source_link.alias("source_link"),
+        tickers.alias("tickers"),
+        title.alias("title"),
+        description.alias("description"),
+        text.alias("text"),
+        content_hash(title, description, text).alias("text_hash"),
+        time.alias("time"),
+    ]
+
+
+def parse_newsfilter(raw: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """S1: JSON body -> one row per article; drops '4 Form' insider
+    filings (the reference excludes them in the query DSL,
+    newsfilter.py:74 — applied here post-parse)."""
+    parsed = raw.select(
+        F.from_json(F.col(payload_col), NEWSFILTER_SCHEMA).alias("p")
+    ).select(F.explode(F.col("p.articles")).alias("a"))
+    return parsed.filter(~F.col("a.title").contains("4 Form")).select(
+        *_normalized(
+            "newsfilter",
+            F.col("a.id"),
+            F.col("a.url"),
+            F.col("a.symbols"),
+            F.col("a.title"),
+            F.col("a.description"),
+            F.concat_ws(" ", F.col("a.title"), F.col("a.description")),
+            F.to_timestamp(F.substring(F.col("a.publishedAt"), 1, 19).cast("string")),
+        )
+    )
+
+
+def parse_pushshift(
+    raw: DataFrame, universe_symbols: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """S2: pushshift JSON -> posts surviving the F4 filter chain, with
+    X1 cashtag NER intersected against the broadcast universe minus
+    the {'DD','ARE'} false-positive set (reddit.py:89)."""
+    posts = raw.select(
+        F.from_json(F.col(payload_col), PUSHSHIFT_SCHEMA).alias("p")
+    ).select(F.explode(F.col("p.data")).alias("d"))
+    alive = posts.filter(
+        F.col("d.removed_by_category").isNull()
+        & F.col("d.selftext").isNotNull()
+        & ~F.col("d.selftext").isin("", "unknown", "[removed]")
+    )
+    universe_arr = F.broadcast(
+        universe_symbols.agg(F.collect_set("ticker_symbol").alias("_u"))
+    )
+    candidates = F.array_union(
+        cashtags(F.col("d.selftext")), bare_upper_tickers(F.col("d.selftext"))
+    )
+    tagged = alive.crossJoin(universe_arr).withColumn(
+        "tickers",
+        F.array_except(
+            F.array_intersect(candidates, F.col("_u")),
+            F.array(F.lit("DD"), F.lit("ARE")),
+        ),
+    )
+    with_tickers = tagged.filter(F.size("tickers") > 0)
+    return with_tickers.select(
+        *_normalized(
+            "reddit",
+            F.col("d.id"),
+            F.col("d.full_link"),
+            F.col("tickers"),
+            F.col("d.title"),
+            F.lit(None).cast("string"),
+            F.col("d.selftext"),
+            F.timestamp_seconds(F.col("d.created_utc")),
+        )
+    )
+
+
+def parse_eastmoney(raw: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """S5: JSONP wrapper strip (X15) -> report rows; stockCode padded
+    (X9) and the raw struct preserved as a map (§1.2 rule: schema
+    violations ride the ``raw`` column, not the typed ones)."""
+    body = jsonp_payload(F.col(payload_col))
+    parsed = raw.select(F.from_json(body, EASTMONEY_SCHEMA).alias("p")).select(
+        F.explode(F.col("p.data")).alias("d")
+    )
+    return parsed.select(
+        *_normalized(
+            "eastmoney",
+            F.col("d.id"),
+            F.unbase64(F.col("d.encodeUrl")).cast("string"),
+            F.array(zero_pad(F.col("d.stockCode"), 6)),
+            F.col("d.title"),
+            F.col("d.stockName"),
+            F.col("d.title"),
+            F.to_timestamp(F.col("d.publishDate")),
+        ),
+        F.create_map(
+            F.lit("stockCode"), F.col("d.stockCode"),
+            F.lit("stockName"), F.col("d.stockName"),
+        ).alias("raw"),
+    )
+
+
+def _html_articles(raw: DataFrame, payload_col: str, ref_prefix: str) -> DataFrame:
+    """Split a listing page into per-article chunks by the
+    ``ref="<PREFIX>.nnn"`` markers (X3)."""
+    chunks = F.split(F.col(payload_col), r'(?=ref="' + ref_prefix + r'\.)')
+    return (
+        raw.select(F.explode(chunks).alias("chunk"))
+        .withColumn(
+            "article_id", F.regexp_extract(F.col("chunk"), f"({ref_prefix}\\.[0-9]+)", 1)
+        )
+        .filter(F.col("article_id") != "")
+    )
+
+
+def _strip_tags(col: Column) -> Column:
+    """X11 HTML -> text as a JVM regex (MLStripper analog)."""
+    return F.trim(F.regexp_replace(col, r"<[^>]+>", ""))
+
+
+def parse_aastocks(raw: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """S3: AAstocks article HTML -> docs. Title from ``newshead5``,
+    ticker from the parenthesized code (X2, zero-padded X9), content
+    from ``spanContent`` with CJK punctuation-run collapse (X6), time
+    format T2."""
+    arts = _html_articles(raw, payload_col, "NOW")
+    title = _strip_tags(
+        F.regexp_extract(F.col("chunk"), r'class="newshead5">(.*?)</h1>', 1)
+    )
+    content = collapse_punct_runs(
+        fold_fullwidth(
+            _strip_tags(
+                F.regexp_extract(F.col("chunk"), r'class="spanContent">(.*?)</div>', 1)
+            )
+        ),
+        "!?,;:~",
+    )
+    codes = numeric_codes_only(paren_codes(F.col("chunk")))
+    time = F.to_timestamp(
+        F.regexp_extract(F.col("chunk"), r'class="newstime5">(.*?)</div>', 1),
+        "yyyy/MM/dd HH:mm",
+    )
+    return arts.select(
+        *_normalized(
+            "aastocks",
+            F.col("article_id"),
+            F.concat(F.lit("http://www.aastocks.com/news/"), F.col("article_id")),
+            F.transform(codes, lambda c: zero_pad(c, 5)),
+            title,
+            F.lit(None).cast("string"),
+            content,
+            time,
+        )
+    )
+
+
+def parse_etnet(raw: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """S4: Etnet article HTML -> docs (ArticleHdr/NewsContent/date
+    hooks, numeric-only parenthesized tickers F8/X2, T3 time
+    format)."""
+    arts = _html_articles(raw, payload_col, "ETN")
+    title = _strip_tags(
+        F.regexp_extract(F.col("chunk"), r'class="ArticleHdr">(.*?)</p>', 1)
+    )
+    content = collapse_punct_runs(
+        fold_fullwidth(
+            _strip_tags(
+                F.regexp_extract(F.col("chunk"), r'class="NewsContent">(.*?)</div>', 1)
+            )
+        ),
+        "!?,;:~",
+    )
+    codes = numeric_codes_only(paren_codes(content))
+    time = F.to_timestamp(
+        F.regexp_extract(F.col("chunk"), r'class="date">(.*?)</span>', 1),
+        "dd/MM/yyyy HH:mm",
+    )
+    return arts.select(
+        *_normalized(
+            "etnet",
+            F.col("article_id"),
+            F.concat(F.lit("https://www.etnet.com.hk/news/"), F.col("article_id")),
+            F.transform(codes, lambda c: zero_pad(c, 5)),
+            title,
+            F.lit(None).cast("string"),
+            content,
+            time,
+        )
+    )

@@ -1,0 +1,57 @@
+"""Sink semantics (SURVEY.md §2.2 K1–K4) over a partitioned parquet
+document store.
+
+- K1 bulk append    — ``insert_many(ordered=False)`` (src/base.py:272)
+  -> partition-parallel parquet append.
+- K2 idempotent load — ES ``_op_type='create'`` + ``just_insert``
+  flip (src/utils/database_utils.py:83-113, src/base.py:155-196) ->
+  anti-join-then-append MERGE (insert-if-absent keyed on
+  ``unique_identifier``).
+- K4 replicate-if-absent — per-row exists check
+  (src/workqueue_setup.py:14-46) -> the same anti-join append.
+
+The store layout is ``<root>/source=<s>/...`` (partitioned by
+source), so per-collection reads prune partitions — the Spark
+equivalent of the reference's per-source Mongo collections.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def bulk_append(df: DataFrame, store_path: str, partition_by: tuple[str, ...] = ("source",)) -> None:
+    """K1: unordered batch append, partitioned for pruning."""
+    df.write.mode("append").partitionBy(*partition_by).parquet(store_path)
+
+
+def read_store(spark: SparkSession, store_path: str) -> DataFrame:
+    return spark.read.parquet(store_path)
+
+
+def idempotent_append(
+    spark: SparkSession,
+    df: DataFrame,
+    store_path: str,
+    key: str = "unique_identifier",
+    partition_by: tuple[str, ...] = ("source",),
+) -> int:
+    """K2/D4: insert-if-absent — anti-join the incoming batch against
+    the store's key set, append only novel rows. Returns the number of
+    rows appended. (On a transactional table format this is a single
+    MERGE; on raw parquet the anti-join + append pair gives the same
+    at-least-once-safe result as ES ``_op_type='create'``.)"""
+    if os.path.exists(store_path):
+        existing = read_store(spark, store_path).select(key)
+        novel = df.join(existing, on=key, how="left_anti")
+    else:
+        novel = df
+    novel = novel.cache()
+    n = novel.count()
+    if n:
+        bulk_append(novel, store_path, partition_by)
+    novel.unpersist()
+    return n

@@ -1,0 +1,113 @@
+"""Sink (K1/K2/K4) and streaming (§2.12) semantics tests: idempotent
+append, tumbling-window parity with batch, watermarked TTL dedup,
+availableNow drain, foreachBatch merge."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from dss_nlp_ingestion_spark.sources.sinks import idempotent_append, read_store
+from dss_nlp_ingestion_spark.streaming.pipeline import (
+    hourly_window_counts,
+    read_events_stream,
+    run_complete_available_now,
+    stream_to_idempotent_store,
+    watermark_dedup,
+)
+from tests.conftest import SF_DIR
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["unique_identifier", "source", "text"])
+
+
+def test_idempotent_append_is_insert_if_absent(spark, tmp_path):
+    store = str(tmp_path / "store")
+    first = _docs(spark, [("a", "s1", "t1"), ("b", "s1", "t2")])
+    assert idempotent_append(spark, first, store) == 2
+    # Replay the same batch + one novel row: only the novel row lands.
+    replay = _docs(spark, [("a", "s1", "t1"), ("c", "s2", "t3")])
+    assert idempotent_append(spark, replay, store) == 1
+    stored = read_store(spark, store)
+    assert stored.count() == 3
+    assert stored.select("unique_identifier").distinct().count() == 3
+    # Partition pruning works (per-source collection analog).
+    assert set(r.source for r in stored.select("source").distinct().collect()) == {"s1", "s2"}
+
+
+def test_streaming_hourly_windows_match_batch(spark, tmp_path):
+    # Copy the sf0.001 events through the nanos-safe catalog into a
+    # stream-source dir, then drain with availableNow.
+    from dss_nlp_ingestion_spark.catalog import table
+
+    events = table(spark, SF_DIR, "events")
+    src = str(tmp_path / "events_src")
+    events.write.parquet(src)
+
+    stream = read_events_stream(spark, src, schema=events.schema)
+    agg = hourly_window_counts(stream, watermark="2 hours")
+    run_complete_available_now(agg, "hourly_stream")
+    got = {
+        (r.window_start, r.event_type): r.n_events
+        for r in spark.table("hourly_stream").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): r.n_events
+        for r in events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_watermark_dedup_drops_in_stream_duplicates(spark, tmp_path):
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, "click", base),
+        (1, "click", base + datetime.timedelta(minutes=5)),   # dup within TTL
+        (1, "click", base + datetime.timedelta(days=8)),      # past watermark gap
+        (2, "view", base),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    src = str(tmp_path / "dedup_src")
+    df.write.parquet(src)
+    stream = read_events_stream(spark, src, schema=df.schema)
+    deduped = watermark_dedup(stream, ("user_id", "event_type"), "ts", ttl="7 days")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("dedup_stream").collect()
+    # Within one availableNow pass all three (1, click) sightings hit
+    # live state -> exactly one survives; (2, view) survives.
+    keys = sorted((r.user_id, r.event_type) for r in out)
+    assert keys == [(1, "click"), (2, "view")]
+
+
+def test_foreachbatch_idempotent_store(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("a", "s1", "t1"), ("b", "s1", "t2"), ("a", "s1", "t1")],
+        ["unique_identifier", "source", "text"],
+    )
+    src = str(tmp_path / "stream_src")
+    df.write.parquet(src)
+    store = str(tmp_path / "merge_store")
+    stream = read_events_stream(spark, src, schema=df.schema)
+    q = stream_to_idempotent_store(spark, stream, store, key="unique_identifier")
+    q.awaitTermination()
+    stored = read_store(spark, store)
+    # In-batch duplicate 'a' still appends once per novel key set; the
+    # guarantee is cross-batch idempotence: a replay adds nothing.
+    stream2 = read_events_stream(spark, src, schema=df.schema)
+    q2 = stream_to_idempotent_store(spark, stream2, store, key="unique_identifier")
+    q2.awaitTermination()
+    assert read_store(spark, store).select("unique_identifier").distinct().count() == 2
+    assert stored.count() <= 3

@@ -1,0 +1,114 @@
+"""Parser tests (SURVEY.md §2.1) on raw-payload fixtures shaped like
+the live APIs/pages the reference scraped (FIXTURES.md §4) — hermetic,
+no network."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dss_nlp_ingestion_spark.sources.parsers import (
+    parse_aastocks,
+    parse_eastmoney,
+    parse_etnet,
+    parse_newsfilter,
+    parse_pushshift,
+)
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def _raw(spark, name):
+    with open(os.path.join(FIXTURES, name), encoding="utf-8") as f:
+        return spark.createDataFrame([(f.read(),)], ["payload"])
+
+
+NORMALIZED_COLS = {
+    "unique_identifier",
+    "source",
+    "source_id",
+    "source_link",
+    "tickers",
+    "title",
+    "description",
+    "text",
+    "text_hash",
+    "time",
+}
+
+
+def test_newsfilter_parser(spark):
+    docs = parse_newsfilter(_raw(spark, "raw_newsfilter.json")).collect()
+    # 3 articles, minus the '4 Form' filing (F5 exclusion).
+    assert len(docs) == 2
+    by_id = {d.source_id: d for d in docs}
+    assert set(by_id) == {"nf-001", "nf-003"}
+    a = by_id["nf-001"]
+    assert a.tickers == ["AAPL", "MSFT"]
+    assert a.time.isoformat().startswith("2024-01-15T13:45")
+    assert a.source == "newsfilter"
+    assert len(a.unique_identifier) == 64  # sha256 hex
+
+
+def test_pushshift_parser_filter_chain(spark):
+    universe = spark.createDataFrame(
+        [("AAPL",), ("TSLA",), ("GME",), ("DD",), ("ARE",)], ["ticker_symbol"]
+    )
+    docs = parse_pushshift(_raw(spark, "raw_pushshift.json"), universe).collect()
+    # 5 posts: [removed] dropped, removed_by_category dropped,
+    # no-ticker dropped, DD/ARE-only dropped -> 1 survivor.
+    assert len(docs) == 1
+    d = docs[0]
+    assert d.source_id == "abc123"
+    assert sorted(d.tickers) == ["AAPL", "GME", "TSLA"]
+    assert d.time.year == 2024
+
+
+def test_eastmoney_jsonp_parser(spark):
+    docs = parse_eastmoney(_raw(spark, "raw_eastmoney.jsonp")).collect()
+    assert len(docs) == 2
+    d = {r.source_id: r for r in docs}
+    assert d["em-1"].tickers == ["000001"]
+    assert d["em-1"].source_link == "https://example.com/em-1"  # unbase64
+    assert d["em-1"].raw["stockName"] == "平安银行"
+    assert d["em-2"].time.isoformat().startswith("2024-01-16T14:00")
+
+
+def test_aastocks_html_parser(spark):
+    docs = parse_aastocks(_raw(spark, "raw_aastocks.html")).collect()
+    assert len(docs) == 2
+    d = {r.source_id: r for r in docs}
+    a = d["NOW.1296761"]
+    assert a.title == "騰訊回購股份　涉資約10億元"
+    assert a.tickers == ["00700"]
+    # X5/X6: full-width '！' folded then runs collapsed.
+    assert "！！！" not in a.text and "!!" not in a.text and "!" in a.text
+    assert a.time.isoformat().startswith("2024-01-15T16:45")
+
+
+def test_etnet_html_parser(spark):
+    docs = parse_etnet(_raw(spark, "raw_etnet.html")).collect()
+    assert len(docs) == 2
+    d = {r.source_id: r for r in docs}
+    e = d["ETN.2345678"]
+    assert "科技股領漲" in e.title
+    assert sorted(e.tickers) == ["00700", "09988"]
+    assert e.time.isoformat().startswith("2024-01-15T12:30")
+    assert "～～" not in e.text  # fullwidth folded + collapsed
+
+
+@pytest.mark.parametrize(
+    "parser_fixture",
+    [
+        ("raw_newsfilter.json", parse_newsfilter),
+        ("raw_eastmoney.jsonp", parse_eastmoney),
+        ("raw_aastocks.html", parse_aastocks),
+        ("raw_etnet.html", parse_etnet),
+    ],
+)
+def test_parsers_share_normalized_schema(spark, parser_fixture):
+    name, parser = parser_fixture
+    cols = set(parser(_raw(spark, name)).columns)
+    assert NORMALIZED_COLS.issubset(cols)
