@@ -25,7 +25,9 @@ from dss_nlp_ingestion_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
-#: Headline set: the heaviest representatives of each operator family.
+#: Headline set: the heaviest representatives of each operator family
+#: (relational core, windows/rollups, dedup suite, similarity search,
+#: text analysis, NLP enrichment, multimodal plumbing).
 BENCH_QUERIES = (
     "flagship_doc_profile",
     "q1_pricing_summary",
@@ -37,6 +39,17 @@ BENCH_QUERIES = (
     "hourly_event_windows",
     "ttl_dedup_events",
     "json_props_agg",
+    "exact_dup_groups",
+    "minhash_lsh_candidates",
+    "ngram_jaccard_dups",
+    "simhash_signatures",
+    "cosine_topk_bruteforce",
+    "lsh_bucket_stats",
+    "embedding_near_dups",
+    "keywords_topk",
+    "lang_id_quality",
+    "text_embeddings",
+    "media_decode_stub",
 )
 
 

@@ -65,3 +65,15 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Spread a CPU-bound stage across all cores when the upstream
+    scan produced fewer splits than the cluster has slots (a small
+    file arrives as one partition; 100 TB arrives as ~800k splits —
+    this no-ops there). The round-robin shuffle of the *input* rows
+    is cheap relative to per-row crypto/codec work downstream."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

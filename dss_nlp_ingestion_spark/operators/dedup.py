@@ -30,6 +30,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from dss_nlp_ingestion_spark.catalog import ensure_parallelism
 from dss_nlp_ingestion_spark.functions.text import content_hash, shingles, ws_tokens
 
 
@@ -62,19 +63,51 @@ def dup_groups(df: DataFrame, content_cols: Sequence[str], id_col: str) -> DataF
 # --- MinHash + LSH --------------------------------------------------------
 
 def minhash_signature(text_col: Column, num_perm: int = 8, k: int = 3) -> Column:
-    """MinHash signature as an array of ``num_perm`` hex digests:
-    perm ``p``'s value is min over word-k-gram shingles of
-    ``sha2(p || ':' || shingle)``. Salted-sha permutations keep the
-    signature reproducible in any engine (vs. seeded random perms)."""
+    """MinHash signature as an array of ``num_perm`` 8-hex-char
+    values via one-permutation hashing: each shingle is sha256'd
+    ONCE and the digest is sliced into ``num_perm`` disjoint 8-char
+    windows; component ``p`` is the min of slice ``p`` over shingles.
+    One crypto hash per shingle (vs. one per shingle*perm) — 8x
+    cheaper scan-side — and reproducible in any engine."""
+    if num_perm > 8:
+        raise ValueError("one-permutation slicing supports at most 8 perms (64 hex chars)")
     sh = shingles(text_col, k)
+    hashed = F.transform(sh, lambda s: F.sha2(s, 256))
 
-    # Single-argument closures only: F.transform interprets a
-    # ``lambda s, p=p`` as an (element, index) lambda and clobbers p.
-    def _perm_hash(p: int):
-        return lambda s: F.sha2(F.concat(F.lit(f"{p}:"), s), 256)
+    def _slice_min(p: int) -> Column:
+        return F.array_min(
+            F.transform(hashed, lambda h: F.substring(h, p * 8 + 1, 8))
+        )
 
-    return F.array(
-        *[F.array_min(F.transform(sh, _perm_hash(p))) for p in range(num_perm)]
+    return F.array(*[_slice_min(p) for p in range(num_perm)])
+
+
+def minhash_signature_df(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """(id, m0..m{num_perm-1}) MinHash components via the explode
+    pipeline: one row per shingle, ONE sha256 in a flat codegen'd
+    projection (whole-stage CSE collapses the ``num_perm`` substring
+    slices to a single hash evaluation — the array-lambda form in
+    :func:`minhash_signature` re-evaluates it per slice, ~8x slower),
+    then a partial-aggregated min per component. One shuffle on id."""
+    if num_perm > 8:
+        raise ValueError("one-permutation slicing supports at most 8 perms (64 hex chars)")
+    rows = ensure_parallelism(
+        df.filter(F.size(ws_tokens(F.col(text_col))) >= k)
+    ).select(
+        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), k)).alias("s")
+    )
+    h = F.sha2(F.col("s"), 256)
+    sliced = rows.select(
+        "id", *[F.substring(h, p * 8 + 1, 8).alias(f"_m{p}") for p in range(num_perm)]
+    )
+    return sliced.groupBy("id").agg(
+        *[F.min(f"_m{p}").alias(f"m{p}") for p in range(num_perm)]
     )
 
 
@@ -90,23 +123,19 @@ def lsh_bands(
     ``num_perm / band_rows`` bands, each keyed by its concatenated
     minhashes. Docs shorter than ``k`` words are excluded."""
     n_bands = num_perm // band_rows
-    sig = minhash_signature(F.col(text_col), num_perm, k)
-    with_sig = df.filter(F.size(ws_tokens(F.col(text_col))) >= k).select(
-        F.col(id_col).alias("id"), sig.alias("_sig")
-    )
+    sig = minhash_signature_df(df, id_col, text_col, num_perm, k)
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
                 F.concat_ws(
-                    "|",
-                    *[F.element_at(F.col("_sig"), b * band_rows + r + 1) for r in range(band_rows)],
+                    "|", *[F.col(f"m{b * band_rows + r}") for r in range(band_rows)]
                 ).alias("band_key"),
             )
             for b in range(n_bands)
         ]
     )
-    return with_sig.select("id", F.explode(bands).alias("_b")).select(
+    return sig.select("id", F.explode(bands).alias("_b")).select(
         "id", F.col("_b.band").alias("band"), F.col("_b.band_key").alias("band_key")
     )
 
@@ -148,7 +177,9 @@ def ngram_jaccard_pairs(
     shingle) -> per-pair intersection counts -> sizes via two
     broadcast-able joins. Returns (id_a, id_b, shared, jaccard_num /
     jaccard_den as exact longs) — callers derive the float."""
-    sh = df.filter(F.size(ws_tokens(F.col(text_col))) >= k).select(
+    sh = ensure_parallelism(
+        df.filter(F.size(ws_tokens(F.col(text_col))) >= k)
+    ).select(
         F.col(id_col).alias("id"),
         F.array_distinct(shingles(F.col(text_col), k)).alias("_sh"),
     )
@@ -181,7 +212,7 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     every bit position according to the first 4 hex digits of its
     sha256; bit j of the signature is 1 iff the summed contribution is
     positive. (id, simhash)."""
-    toks = df.select(
+    toks = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(ws_tokens(F.col(text_col)))).alias("tok"),
     )

@@ -95,7 +95,9 @@ def decode_image_batch(
 
 def extract_media_metadata(df: DataFrame, fake: bool = True) -> DataFrame:
     """Run the decode stage over (doc_id, payload)."""
-    binary = df.select("doc_id", "payload")
+    from dss_nlp_ingestion_spark.catalog import ensure_parallelism
+
+    binary = ensure_parallelism(df.select("doc_id", "payload"))
     return binary.mapInPandas(
         lambda it: decode_image_batch(it, fake=fake), schema=MEDIA_META_SCHEMA
     )

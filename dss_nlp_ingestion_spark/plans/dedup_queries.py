@@ -105,8 +105,10 @@ def history_ttl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _NUM_PERM, _BAND_ROWS = 8, 2
+# One-permutation hashing: one sha256 per shingle, sliced into 8
+# disjoint 8-hex-char windows (matches operators.dedup.minhash_signature).
 _minhash_cols = ",\n    ".join(
-    f"list_min(list_transform(sh, s -> sha256('{p}:' || s))) AS m{p}"
+    f"list_min(list_transform(hsh, h -> substr(h, {p * 8 + 1}, 8))) AS m{p}"
     for p in range(_NUM_PERM)
 )
 _band_selects = "\n  UNION ALL\n".join(
@@ -116,10 +118,12 @@ _band_selects = "\n  UNION ALL\n".join(
 
 _LSH_ORACLE = f"""
 WITH {_WS_CTE},
-sig AS (
+hashed AS (
+  SELECT doc_id, list_transform(sh, s -> sha256(s)) AS hsh FROM sh
+), sig AS (
   SELECT doc_id,
     {_minhash_cols}
-  FROM sh
+  FROM hashed
 ), bands AS (
 {_band_selects}
 )

@@ -1,0 +1,112 @@
+"""Rate-limited HTTP fetch stage (SURVEY.md §2.1 S1–S5, S10–S13 and
+§4: "DataSource/fetch stage abstraction ... inside mapInPandas").
+
+The reference fetches sequentially per worker pod with per-source
+retry counts (``num_retries: 10``, configs.yaml:17) and backoff
+(reddit.py:148-150: sleep on 429). Here fetching is a ``mapInPandas``
+stage over a URL/task DataFrame:
+
+- **bounded concurrency + rate limit per executor slot** — a token-
+  bucket inside the worker process (the Tencent 20 req/s analog,
+  tencent_api.py:4);
+- **bounded retries with backoff** per request;
+- **injectable transport**: the ``fetcher`` callable does the actual
+  I/O. Tests (and this container, which has no network) inject a fake;
+  production injects ``urllib``/``requests``. Spark-side wiring —
+  Arrow batches, task distribution, error rows instead of task
+  failures — is identical either way.
+
+Scale note: fetch tasks are pure fan-out; the stage inherits the URL
+DataFrame's partitioning, so throughput = executors x slot-level
+rate limit, and a dead URL costs one error row, not a task retry.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+FETCH_RESULT_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("status", IntegerType()),
+        StructField("payload", StringType()),
+        StructField("error", StringType()),
+        StructField("attempts", IntegerType()),
+        StructField("elapsed_ms", LongType()),
+    ]
+)
+
+Fetcher = Callable[[str], tuple[int, str]]
+
+
+class _TokenBucket:
+    """Per-worker rate limiter: ``rate`` requests/second, burst 1."""
+
+    def __init__(self, rate: float):
+        self.min_interval = 1.0 / rate if rate > 0 else 0.0
+        self._last = 0.0
+
+    def acquire(self) -> None:
+        now = time.monotonic()
+        wait = self._last + self.min_interval - now
+        if wait > 0:
+            time.sleep(wait)
+        self._last = time.monotonic()
+
+
+def fetch_stage(
+    urls: DataFrame,
+    fetcher: Fetcher,
+    url_col: str = "url",
+    rate_per_slot: float = 20.0,
+    max_retries: int = 3,
+    backoff_s: float = 0.05,
+) -> DataFrame:
+    """Map a URL DataFrame through the rate-limited fetcher; returns
+    FETCH_RESULT_SCHEMA rows (never raises — failures become error
+    rows so one dead URL can't burn a whole task's retries)."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bucket = _TokenBucket(rate_per_slot)
+        for pdf in batches:
+            out = []
+            for url in pdf[url_col]:
+                t0 = time.monotonic()
+                status, payload, error, attempts = 0, None, None, 0
+                for attempt in range(1, max_retries + 1):
+                    attempts = attempt
+                    bucket.acquire()
+                    try:
+                        status, payload = fetcher(url)
+                        if status == 429:  # backoff-and-retry (reddit.py:148)
+                            time.sleep(backoff_s * attempt)
+                            continue
+                        error = None
+                        break
+                    except Exception as exc:  # noqa: BLE001 — error row, not task failure
+                        error = f"{type(exc).__name__}: {exc}"
+                        time.sleep(backoff_s * attempt)
+                out.append(
+                    (
+                        url,
+                        status,
+                        payload,
+                        error,
+                        attempts,
+                        int((time.monotonic() - t0) * 1000),
+                    )
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in FETCH_RESULT_SCHEMA.fields])
+
+    return urls.select(url_col).mapInPandas(_run, schema=FETCH_RESULT_SCHEMA)

@@ -1,0 +1,74 @@
+"""Physical-plan assertions (the 100 TB posture, SURVEY.md §7.1):
+filters/projections reach the parquet scan, dimension joins broadcast,
+aggregations partial-aggregate before the shuffle, whole-stage codegen
+covers the hot path. Plan regressions fail here before they cost
+anything at scale."""
+
+from __future__ import annotations
+
+from dss_nlp_ingestion_spark.plans import QUERIES
+from tests.conftest import SF_DIR
+
+
+def _plan(spark, name: str) -> str:
+    return QUERIES[name](spark, SF_DIR)._sc is None or _formatted(spark, name)
+
+
+def _formatted(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _formatted(spark, "filter_project_customers")
+    assert "PushedFilters:" in plan
+    assert "c_acctbal" in plan.split("PushedFilters:")[1].split("\n")[0]
+
+
+def test_projection_pruning_reaches_scan(spark):
+    plan = _formatted(spark, "filter_project_customers")
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    # Only the projected columns are read, not the whole row.
+    assert "c_acctbal" in read_schema and "c_nationkey" not in read_schema
+
+
+def test_q5_dimension_joins_broadcast(spark):
+    plan = _formatted(spark, "q5_nation_revenue")
+    assert plan.count("BroadcastHashJoin") >= 3  # region, nation, supplier
+    assert "CartesianProduct" not in plan
+
+
+def test_q1_partial_aggregation(spark):
+    plan = _formatted(spark, "q1_pricing_summary")
+    # Partial then final hash aggregate around one exchange
+    # (map-side combine: the shuffle carries 6 groups, not 6B rows).
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("+- Exchange") == 1  # tree shows exactly one shuffle
+
+
+def test_date_filter_pushdown_on_lineitem(spark):
+    plan = _formatted(spark, "q1_pricing_summary")
+    pushed = plan.split("PushedFilters:")[1].split("\n")[0]
+    assert "l_shipdate" in pushed
+
+
+def test_topk_rank_pushdown(spark):
+    plan = _formatted(spark, "topk_orders_per_segment")
+    # One real Window plus WindowGroupLimit pushdown: the rank<=k
+    # limit prunes rows BEFORE the shuffle (partial top-k per map
+    # task), so the exchange carries k rows per group per partition.
+    assert plan.count(" Window (") == 1
+    assert "WindowGroupLimit" in plan
+
+
+def test_lsh_no_cartesian(spark):
+    plan = _formatted(spark, "minhash_lsh_candidates")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_broadcast_query_set_in_topk_cosine(spark):
+    plan = _formatted(spark, "cosine_topk_bruteforce")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

@@ -1,0 +1,54 @@
+"""Fetch-stage tests: retries/backoff, 429 handling, error rows
+instead of task failures, rate limiting (S1-S5/S10-S13 transport)."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from dss_nlp_ingestion_spark.sources.fetch import fetch_stage
+
+
+def test_fetch_success_and_error_rows(spark):
+    def fetcher(url):
+        if url.endswith("bad"):
+            raise ConnectionError("refused")
+        return 200, f"body-of-{url}"
+
+    urls = spark.createDataFrame([("http://a",), ("http://bad",)], ["url"])
+    rows = {r.url: r for r in fetch_stage(urls, fetcher, max_retries=2, backoff_s=0.0).collect()}
+    assert rows["http://a"].status == 200
+    assert rows["http://a"].payload == "body-of-http://a"
+    assert rows["http://a"].attempts == 1
+    assert rows["http://bad"].error.startswith("ConnectionError")
+    assert rows["http://bad"].attempts == 2  # retried, then gave up as a row
+
+
+def test_fetch_429_backoff_retry(spark):
+    calls = {"n": 0}
+
+    def fetcher(url):
+        calls["n"] += 1
+        return (429, "") if calls["n"] < 3 else (200, "finally")
+
+    urls = spark.createDataFrame([("http://throttled",)], ["url"])
+    # Single partition so the closure's counter is one worker's.
+    row = fetch_stage(
+        urls.coalesce(1), fetcher, max_retries=5, backoff_s=0.0
+    ).collect()[0]
+    assert row.status == 200 and row.payload == "finally"
+    assert row.attempts == 3
+
+
+def test_fetch_rate_limit_spacing(spark):
+    def fetcher(url):
+        return 200, "ok"
+
+    urls = spark.createDataFrame([(f"http://u{i}",) for i in range(5)], ["url"])
+    t0 = time.monotonic()
+    out = fetch_stage(urls.coalesce(1), fetcher, rate_per_slot=50.0).collect()
+    elapsed = time.monotonic() - t0
+    assert len(out) == 5
+    # 5 requests at 50 req/s on one slot >= ~80ms of enforced spacing.
+    assert elapsed >= 0.07
