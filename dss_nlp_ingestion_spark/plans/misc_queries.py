@@ -1,0 +1,104 @@
+"""Remaining small operators from SURVEY.md §2 (W4 dryrun, A3
+counters, F5 search-DSL predicate) and the streaming drain exposed as
+a rows-only query (§2.12 — not SQL-expressible, so no oracle; the
+driver records the weaker rows-only check)."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dss_nlp_ingestion_spark.catalog import table
+from dss_nlp_ingestion_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+
+_DRYRUN_ORACLE = """
+SELECT doc_id, source, lang FROM documents ORDER BY doc_id LIMIT 1
+"""
+
+
+@register("dryrun_first_doc", _DRYRUN_ORACLE)
+def dryrun_first_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 dryrun semantics (src/base.py:238-241: stop after the first
+    successful document) — deterministic ORDER BY + LIMIT 1."""
+    return (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")
+        .limit(1)
+    )
+
+
+# ---------------------------------------------------------------------------
+
+_COUNTERS_ORACLE = """
+SELECT CASE WHEN event_type = 'error' THEN 'failure' ELSE 'success' END AS status,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY CASE WHEN event_type = 'error' THEN 'failure' ELSE 'success' END
+"""
+
+
+@register("status_counters", _COUNTERS_ORACLE)
+def status_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 run accounting (success/failure/skip counters,
+    src/base.py:94-97,198-208) as a grouped count."""
+    ev = table(spark, sf_dir, "events")
+    status = F.when(F.col("event_type") == "error", F.lit("failure")).otherwise(
+        F.lit("success")
+    )
+    return ev.groupBy(status.alias("status")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+
+_DSL_ORACLE = """
+SELECT event_id, user_id FROM events
+WHERE event_type = 'purchase'
+  AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+  AND props NOT LIKE '%"k": 9%'
+"""
+
+
+@register("search_dsl_filter", _DSL_ORACLE)
+def search_dsl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 search-DSL predicate shape (newsfilter.py:74: equality +
+    open time-range + negated pattern) as pushdown-able filters."""
+    ev = table(spark, sf_dir, "events")
+    return ev.filter(
+        (F.col("event_type") == "purchase")
+        & (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+        & ~F.col("props").like('%"k": 9%')
+    ).select("event_id", "user_id")
+
+
+# ---------------------------------------------------------------------------
+
+
+@register("streaming_hourly_counts")  # rows-only: streaming is not DuckDB-expressible
+def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 tumbling windows executed through the REAL Structured
+    Streaming engine (file source -> watermark -> window agg ->
+    availableNow drain into a memory sink); returns the drained
+    table. Batch twin: ``hourly_event_windows`` (oracle-checked) —
+    the streaming plan is certified by stream==batch parity in
+    tests/test_sinks_streaming.py."""
+    from dss_nlp_ingestion_spark.catalog import table as _table
+    from dss_nlp_ingestion_spark.streaming.pipeline import (
+        hourly_window_counts,
+        read_events_stream,
+        run_complete_available_now,
+    )
+
+    events = _table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="dss_stream_src_")
+    events.write.mode("overwrite").parquet(src)
+    stream = read_events_stream(spark, src, schema=events.schema)
+    agg = hourly_window_counts(stream, watermark="2 hours")
+    run_complete_available_now(agg, "dss_streaming_hourly")
+    return spark.table("dss_streaming_hourly")
