@@ -99,21 +99,19 @@ def strip_cashtags_and_urls(col: Column) -> Column:
     return F.regexp_replace(no_tags, r"(?i)https?://\S+", "")
 
 
+#: X5 full-width -> half-width map, codepoint-exact with the
+#: reference's ``strQ2B`` (etnet.py:129-142): U+3000 -> space and the
+#: whole U+FF01..U+FF5E block shifted down by 0xFEE0.
+_FULLWIDTH = "　" + "".join(chr(0xFF01 + i) for i in range(94))
+_HALFWIDTH = " " + "".join(chr(0x21 + i) for i in range(94))
+
+
 def fold_fullwidth(col: Column, pairs: dict[str, str] | None = None) -> Column:
-    """X5: full-width -> half-width fold via ``translate``. Default map
-    covers the ideographic space and the common full-width punctuation
-    the reference's ``strQ2B`` hits in practice."""
-    table = pairs or {
-        "　": " ",  # ideographic space
-        "！": "!",
-        "，": ",",
-        "．": ".",
-        "：": ":",
-        "；": ";",
-        "？": "?",
-        "～": "~",
-    }
-    return F.translate(col, "".join(table), "".join(table.values()))
+    """X5: full-width -> half-width fold via ``translate`` — the full
+    U+FF01–FF5E codepoint shift, not a punctuation subset."""
+    if pairs:
+        return F.translate(col, "".join(pairs), "".join(pairs.values()))
+    return F.translate(col, _FULLWIDTH, _HALFWIDTH)
 
 
 def collapse_punct_runs(col: Column, chars: str = "!?,;:~") -> Column:

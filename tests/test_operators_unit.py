@@ -1,0 +1,133 @@
+"""Unit tests for the operator/function library on tiny hand-built
+frames: edge cases the oracle corpus doesn't reach (ties, empties,
+TTL boundaries, skew salting equivalence)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from dss_nlp_ingestion_spark.functions.text import (
+    collapse_punct_runs,
+    exchange_suffix,
+    fold_fullwidth,
+    token_count,
+)
+from dss_nlp_ingestion_spark.operators.relational import (
+    hierarchical_rollup,
+    majority_vote,
+    ttl_dedup,
+)
+from dss_nlp_ingestion_spark.operators.skew import salted_aggregate, salted_join
+
+
+def test_majority_vote_threshold_and_tie(spark):
+    rows = [
+        # group 1: A has 3/4 = 0.75 > 0.666 -> A
+        (1, "A"), (1, "A"), (1, "A"), (1, "B"),
+        # group 2: A 2/4 = 0.5 -> NULL
+        (2, "A"), (2, "A"), (2, "B"), (2, "B"),
+        # group 3: single vote, share 1.0 -> C
+        (3, "C"),
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = {r.g: r.m for r in majority_vote(df, ["g"], "v", 0.666, "m").collect()}
+    assert out == {1: "A", 2: None, 3: "C"}
+
+
+def test_majority_vote_tie_breaks_to_smallest(spark):
+    # Exactly tied counts: winner must be the smallest value (pinned
+    # determinism vs. the reference's insertion-order Counter).
+    df = spark.createDataFrame([(1, "B"), (1, "A")], ["g", "v"])
+    row = majority_vote(df, ["g"], "v", 0.4, "m").collect()[0]
+    assert row.m == "A"
+
+
+def test_hierarchical_rollup_levels(spark):
+    rows = [
+        # user 1: codes 111,112,113 -> level 0 has no majority (each 1/3),
+        # level 1 (11,11,11) -> 11 at 100%.
+        (1, 111), (1, 112), (1, 113),
+        # user 2: 200 dominates level 0 outright.
+        (2, 200), (2, 200), (2, 201),
+        # user 3: spread so far apart no level<=2 wins... 0/555/999 ->
+        # level 2: 0,5,9 each 1/3 -> NULL.
+        (3, 0), (3, 555), (3, 999),
+    ]
+    df = spark.createDataFrame(rows, ["u", "code"])
+    out = {
+        r.u: (r.level, r.rolled)
+        for r in hierarchical_rollup(df, ["u"], "code", (0, 1, 2), 0.5, "rolled", "level").collect()
+    }
+    assert out[1] == (1, 11)
+    assert out[2] == (0, 200)
+    assert out[3] == (None, None)
+
+
+def test_ttl_dedup_boundary(spark):
+    base = datetime.datetime(2024, 1, 1)
+    ttl = 3600  # 1 hour
+    rows = [
+        (1, base),                                    # accepted (first)
+        (2, base + datetime.timedelta(seconds=3599)),  # gap < ttl -> dropped
+        (3, base + datetime.timedelta(seconds=7199)),  # gap 3600 from #2 -> accepted
+    ]
+    df = spark.createDataFrame([(i, "k", t) for i, t in rows], ["id", "k", "ts"])
+    out = sorted(
+        r.id for r in ttl_dedup(df, ["k"], "ts", ttl_seconds=ttl, order_tiebreak="id").collect()
+    )
+    assert out == [1, 3]
+
+
+def test_salted_aggregate_matches_plain(spark):
+    df = spark.createDataFrame(
+        [("k1", i * 1.0) for i in range(100)] + [("k2", 5.0)], ["k", "x"]
+    )
+    plain = {
+        r.k: (r.n, r.total)
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("total"))
+        .collect()
+    }
+    salted = {
+        r.k: (r.n, r.total)
+        for r in salted_aggregate(
+            df,
+            ["k"],
+            {"n": (F.count(F.lit(1)), F.sum("n")), "total": (F.sum("x"), F.sum("total"))},
+            salt_buckets=8,
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_matches_plain(spark):
+    fact = spark.createDataFrame(
+        [("hot", i) for i in range(50)] + [("cold", 1)], ["k", "v"]
+    )
+    dim = spark.createDataFrame([("hot", "H"), ("cold", "C")], ["k", "name"])
+    plain = sorted((r.k, r.v, r.name) for r in fact.join(dim, "k").collect())
+    salted = sorted((r.k, r.v, r.name) for r in salted_join(fact, dim, "k", 4).collect())
+    assert salted == plain
+
+
+def test_text_edges(spark):
+    df = spark.createDataFrame(
+        [("　ＡＢ！！ｃ？？", ""), ("one two  three", "x")], ["t", "pad"]
+    )
+    out = df.select(
+        fold_fullwidth(F.col("t")).alias("folded"),
+        collapse_punct_runs(fold_fullwidth(F.col("t")), "!?").alias("collapsed"),
+        token_count(F.col("t")).alias("n"),
+        exchange_suffix(F.lit("00700")).alias("hk"),
+        exchange_suffix(F.lit("000001")).alias("sz"),
+        exchange_suffix(F.lit("ABC")).alias("passthrough"),
+    ).collect()
+    # Full U+FF01-FF5E codepoint shift: letters fold too (strQ2B parity).
+    assert out[0].folded == " AB!!c??"
+    assert out[0].collapsed == " AB!c?"
+    assert out[1].n == 3
+    assert out[0].hk == "0700.HK"
+    assert out[0].sz == "000001.SZ"
+    assert out[0].passthrough == "ABC"
