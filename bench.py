@@ -50,6 +50,7 @@ BENCH_QUERIES = (
     "lang_id_quality",
     "text_embeddings",
     "media_decode_stub",
+    "ann_bucket_topk",
 )
 
 
