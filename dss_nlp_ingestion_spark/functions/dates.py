@@ -64,3 +64,27 @@ def in_relative_window(
     end = as_of - F.make_interval(hours=F.lit(offset_hours))
     start = end - F.make_interval(hours=F.lit(duration_hours))
     return (ts >= start) & (ts < end)
+
+
+#: T5 fuzzy-ish parse: the fixed-format fallback chain covering every
+#: timestamp shape the reference's sources emit (dateutil.parse's
+#: general fuzziness is out of scope by design — a bounded format list
+#: is deterministic and JVM-side).
+FALLBACK_FORMATS = (
+    "yyyy-MM-dd'T'HH:mm:ssXXX",
+    "yyyy-MM-dd'T'HH:mm:ss",
+    "yyyy-MM-dd HH:mm:ss",
+    "yyyy/MM/dd HH:mm",
+    "dd/MM/yyyy HH:mm",
+    "yyyy-MM-dd",
+)
+
+
+def parse_ts_fuzzy(col: Column, formats: tuple[str, ...] = FALLBACK_FORMATS) -> Column:
+    """T5: first format that parses wins (``try_to_timestamp``
+    returns NULL instead of failing, so the chain is total)."""
+    out = None
+    for fmt in formats:
+        parsed = F.try_to_timestamp(col, F.lit(fmt))
+        out = parsed if out is None else F.coalesce(out, parsed)
+    return out

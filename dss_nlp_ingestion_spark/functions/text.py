@@ -233,3 +233,22 @@ def doc_fingerprint(col: Column, k: int = 3) -> Column:
         F.size(ws_tokens(col)) >= k,
         F.array_min(F.transform(sh, lambda s: F.sha2(s, 256))),
     )
+
+
+def strip_cjk_junk(col: Column) -> Column:
+    """X8: remove the CJK article artifacts the reference strips
+    (eastmoney.py:136-140): leading ``　　2`` markers, ideographic
+    double-spaces, carriage returns, then all remaining spaces."""
+    out = F.regexp_replace(col, "　　2", "")
+    out = F.regexp_replace(out, "　　", "")
+    out = F.regexp_replace(out, "\r", "")
+    return F.regexp_replace(out, " ", "")
+
+
+def link_blacklist_filter(col: Column, prefixes: tuple[str, ...]) -> Column:
+    """F6: TRUE for links NOT starting with any blacklisted prefix
+    (google_utils.py:14-34)."""
+    cond = F.lit(False)
+    for p in prefixes:
+        cond = cond | col.startswith(p)
+    return ~cond
