@@ -89,3 +89,40 @@ def retention_delete(
     shutil.rmtree(store_path)
     os.rename(tmp, store_path)
     return n
+
+
+def observed_append(
+    df: DataFrame,
+    store_path: str,
+    partition_by: tuple[str, ...] = ("source",),
+) -> dict:
+    """K1 + A5: append with sink-side metrics via ``observe`` — the
+    engine-native replacement for the reference's hand-rolled
+    success/failure accounting (database_utils.py:96-107). Metrics are
+    computed on the rows as written (one pass, no extra job)."""
+    from pyspark.sql import Observation
+
+    obs = Observation("sink_metrics")
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_written"),
+        F.approx_count_distinct(F.concat_ws("/", *[F.col(c) for c in partition_by])).alias(
+            "partitions_touched"
+        ),
+    )
+    observed.write.mode("append").partitionBy(*partition_by).parquet(store_path)
+    return obs.get
+
+
+def date_partitioned_append(
+    df: DataFrame,
+    store_path: str,
+    time_col: str = "time",
+    source_col: str = "source",
+) -> None:
+    """The SURVEY §7.1 store layout: partitioned by (source, day) so
+    time-window + per-collection queries prune both dimensions — at
+    100 TB a 7-day lookback over one source reads 7 directories."""
+    df.withColumn("_day", F.date_format(F.col(time_col), "yyyy-MM-dd")).write.mode(
+        "append"
+    ).partitionBy(source_col, "_day").parquet(store_path)

@@ -22,7 +22,15 @@ TABLES = (
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="dss-tests", master="local[4]", shuffle_partitions=4)
+    import tempfile
+
+    warehouse = tempfile.mkdtemp(prefix="dss_warehouse_")
+    s = get_spark(
+        app_name="dss-tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={"spark.sql.warehouse.dir": warehouse},
+    )
     yield s
     s.stop()
 

@@ -30,3 +30,39 @@ def test_retention_delete(spark, tmp_path):
     assert set(r.source for r in remaining.collect()) == {"s1", "s2"}
     # Idempotent when nothing is expired.
     assert retention_delete(spark, store, "time", "2024-04-01 00:00:00") == 0
+
+
+def test_observed_append_metrics(spark, tmp_path):
+    from dss_nlp_ingestion_spark.sources.sinks import observed_append
+
+    df = spark.createDataFrame(
+        [("a", "s1"), ("b", "s1"), ("c", "s2")], ["unique_identifier", "source"]
+    )
+    metrics = observed_append(df, str(tmp_path / "obs_store"))
+    assert metrics["rows_written"] == 3
+    assert metrics["partitions_touched"] == 2
+
+
+def test_date_partitioned_store_prunes(spark, tmp_path):
+    import datetime
+    from dss_nlp_ingestion_spark.sources.sinks import date_partitioned_append
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("a", "s1", base),
+        ("b", "s1", base + datetime.timedelta(days=1)),
+        ("c", "s2", base),
+    ]
+    store = str(tmp_path / "datestore")
+    df = spark.createDataFrame(rows, ["unique_identifier", "source", "time"])
+    date_partitioned_append(df, store)
+    scan = spark.read.parquet(store).filter(
+        "(source = 's1') AND (_day = '2024-01-01')"
+    )
+    assert scan.count() == 1
+    # Partition pruning: both predicates are partition filters on the
+    # scan (no data-file read outside source=s1/_day=2024-01-01).
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "source" in pf and "_day" in pf
