@@ -120,3 +120,39 @@ def ann_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("query_id", "neighbor_id", fround(F.col("score"), 6).alias("score"), "rank")
     )
+
+
+_EXISTS_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000
+)
+"""
+
+
+@register("correlated_exists_big_spenders", _EXISTS_SQL)
+def correlated_exists_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS subquery — Catalyst decorrelates it into a
+    semi-join (a class the reference's hand-written Python could never
+    express); identical SQL text runs on both engines."""
+    load_all(spark, sf_dir)
+    return spark.sql(_EXISTS_SQL)
+
+
+_SCALAR_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+"""
+
+
+@register("scalar_subquery_above_avg", _SCALAR_SQL)
+def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in a predicate: the average is computed once
+    and broadcast into the filter. (Comparison against the avg is
+    engine-safe here: output columns are raw parquet values, and rows
+    near the double-avg boundary resolve identically because both
+    engines aggregate the same 1500 doubles — asserted by the oracle
+    gate itself.)"""
+    load_all(spark, sf_dir)
+    return spark.sql(_SCALAR_SQL)
