@@ -102,3 +102,31 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = hourly_window_counts(stream, watermark="2 hours")
     run_complete_available_now(agg, "dss_streaming_hourly")
     return spark.table("dss_streaming_hourly")
+
+
+@register("tryadd_exact_dedup")  # rows-only: accept-anchored TTL needs per-key iteration
+def tryadd_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 with EXACT Redis-tryAdd semantics in batch: per-key
+    ``applyInPandas`` running the same accept-anchored algorithm the
+    streaming operator uses (streaming/stateful.py) — a rejected
+    sighting does not refresh the TTL clock. Not SQL-expressible
+    (iterative per-key state), so rows-only; semantics are certified
+    by the pure-pandas oracle tests."""
+    import pandas as pd
+
+    from dss_nlp_ingestion_spark.streaming.stateful import (
+        TRYADD_OUTPUT_SCHEMA,
+        accepted_tryadd_pandas,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        F.concat_ws("|", "user_id", "event_type").alias("key"),
+        F.col("event_id"),
+        F.col("ts"),
+    )
+
+    def _per_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        accepted, _ = accepted_tryadd_pandas(pdf, ttl_ms=604_800_000)
+        return accepted[["key", "event_id", "ts"]]
+
+    return ev.groupBy("key").applyInPandas(_per_key, schema=TRYADD_OUTPUT_SCHEMA)

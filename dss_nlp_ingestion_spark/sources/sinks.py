@@ -126,3 +126,27 @@ def date_partitioned_append(
     df.withColumn("_day", F.date_format(F.col(time_col), "yyyy-MM-dd")).write.mode(
         "append"
     ).partitionBy(source_col, "_day").parquet(store_path)
+
+
+def compact_store(
+    spark: SparkSession,
+    store_path: str,
+    partition_by: tuple[str, ...] = ("source",),
+    target_files_per_partition: int = 1,
+) -> int:
+    """Maintenance compaction (the ES forcemerge / OPTIMIZE analog,
+    SURVEY.md §4 "storage-side compaction"): rewrite the store with
+    ``target_files_per_partition`` files per partition directory.
+    Append-heavy ingestion accumulates small files; scan cost at
+    100 TB tracks file count as much as byte count. Returns the file
+    count after compaction."""
+    df = read_store(spark, store_path).repartition(
+        target_files_per_partition, *[F.col(c) for c in partition_by]
+    )
+    tmp = store_path.rstrip("/") + ".compact.tmp"
+    df.write.mode("overwrite").partitionBy(*partition_by).parquet(tmp)
+    import shutil
+
+    shutil.rmtree(store_path)
+    os.rename(tmp, store_path)
+    return len(read_store(spark, store_path).inputFiles())

@@ -66,3 +66,20 @@ def test_date_partitioned_store_prunes(spark, tmp_path):
     assert "PartitionFilters" in plan
     pf = plan.split("PartitionFilters:")[1].split("]")[0]
     assert "source" in pf and "_day" in pf
+
+
+def test_compact_store(spark, tmp_path):
+    from dss_nlp_ingestion_spark.sources.sinks import bulk_append, compact_store, read_store
+
+    store = str(tmp_path / "compactstore")
+    # Three small appends -> many small files.
+    for batch in range(3):
+        df = spark.createDataFrame(
+            [(f"id{batch}-{i}", "s1") for i in range(10)],
+            ["unique_identifier", "source"],
+        )
+        bulk_append(df, store)
+    before = len(read_store(spark, store).inputFiles())
+    n_files = compact_store(spark, store, ("source",), target_files_per_partition=1)
+    assert n_files < before
+    assert read_store(spark, store).count() == 30
