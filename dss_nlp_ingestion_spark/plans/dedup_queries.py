@@ -241,3 +241,83 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale)."""
     docs = table(spark, sf_dir, "documents")
     return simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Capped-posting-list Jaccard: the at-scale variant of the exact form
+# ---------------------------------------------------------------------------
+
+_CAP = 100
+
+_JACCARD_CAPPED_ORACLE = f"""
+WITH {_WS_CTE},
+dsh AS (
+  SELECT doc_id, list_distinct(sh) AS sh FROM sh
+), sizes AS (
+  SELECT doc_id, CAST(len(sh) AS BIGINT) AS sz FROM dsh
+), ex AS (
+  SELECT doc_id, unnest(sh) AS s FROM dsh
+), rare AS (
+  SELECT s FROM ex GROUP BY s HAVING count(*) <= {_CAP}
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared
+  FROM (SELECT * FROM ex WHERE s IN (SELECT s FROM rare)) a
+  JOIN (SELECT * FROM ex WHERE s IN (SELECT s FROM rare)) b
+    ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, shared,
+       sa.sz + sb.sz - shared AS union_sz,
+       {fround_sql('CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared)', 6)} AS jaccard_lb
+FROM shared
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.15
+"""
+
+
+@register("ngram_jaccard_dups_capped", _JACCARD_CAPPED_ORACLE)
+def ngram_jaccard_dups_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of the Jaccard join: shingles with document
+    frequency > {cap} are dropped from the posting join (a shingle in
+    d docs contributes d^2 pair rows — the cap bounds the quadratic
+    blowup; near-dup pairs still share plenty of rare shingles).
+    Scores are therefore a LOWER BOUND (aliased ``jaccard_lb``);
+    ``ngram_jaccard_dups`` is the exact verifier.""".replace("{cap}", str(_CAP))
+    from dss_nlp_ingestion_spark.catalog import ensure_parallelism
+    from dss_nlp_ingestion_spark.functions.text import shingles as _shingles
+    from dss_nlp_ingestion_spark.functions.text import ws_tokens as _ws
+
+    docs = table(spark, sf_dir, "documents")
+    sh = ensure_parallelism(
+        docs.filter(F.size(_ws(F.col("text"))) >= 3)
+    ).select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(_shingles(F.col("text"), 3)).alias("_sh"),
+    )
+    sizes = sh.select("id", F.size("_sh").cast("long").alias("sz"))
+    ex = sh.select("id", F.explode("_sh").alias("s"))
+    rare = ex.groupBy("s").agg(F.count(F.lit(1)).alias("_df")).filter(
+        F.col("_df") <= _CAP
+    ).select("s")
+    ex_rare = ex.join(rare, "s")
+    ex_a = ex_rare.select(F.col("id").alias("id_a"), "s")
+    ex_b = ex_rare.select(F.col("id").alias("id_b"), "s")
+    shared = (
+        ex_a.join(ex_b, ["s"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    out = (
+        shared.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("union_sz", F.col("sz_a") + F.col("sz_b") - F.col("shared"))
+    )
+    return out.filter(F.col("shared") / F.col("union_sz") >= F.lit(0.15)).select(
+        "id_a",
+        "id_b",
+        "shared",
+        "union_sz",
+        fround(F.col("shared").cast("double") / F.col("union_sz"), 6).alias("jaccard_lb"),
+    )
