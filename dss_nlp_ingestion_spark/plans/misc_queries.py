@@ -130,3 +130,92 @@ def tryadd_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return accepted[["key", "event_id", "ts"]]
 
     return ev.groupBy("key").applyInPandas(_per_key, schema=TRYADD_OUTPUT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Sessionization: gap-based event sessions (the event-analytics twin
+# of the reference's hour-bucket task windows — variable-length
+# windows instead of fixed tumbling ones)
+# ---------------------------------------------------------------------------
+
+_SESSION_ORACLE = """
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 1800000
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), numbered AS (
+  SELECT user_id, event_id, ts,
+         sum(is_start) OVER (
+           PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end
+FROM numbered
+GROUP BY user_id, session_id
+"""
+
+
+@register("sessionize_events", _SESSION_ORACLE)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity closes a session):
+    start-marker lag window + running sum = session id, then per-
+    session aggregates. One shuffle on user_id; both windows share the
+    same partitioning so Catalyst reuses the sort."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gap_ms = F.unix_millis(F.col("ts")) - F.unix_millis(F.lag("ts").over(w))
+    marked = ev.withColumn(
+        "is_start",
+        F.when(F.lag("ts").over(w).isNull() | (gap_ms >= 1_800_000), 1).otherwise(0),
+    )
+    numbered = marked.withColumn(
+        "session_id",
+        F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles: sort-based quantiles per group
+# ---------------------------------------------------------------------------
+
+_PCTL_ORACLE = """
+SELECT event_type,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.9) AS p90,
+       quantile_cont(value, 0.99) AS p99,
+       min(value) AS v_min,
+       max(value) AS v_max
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("value_percentiles", _PCTL_ORACLE)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event type (Spark
+    ``percentile`` == DuckDB ``quantile_cont``: identical sort +
+    linear interpolation, bit-equal results). At 100 TB swap to
+    ``approx_percentile`` (t-digest) — same call shape, bounded
+    memory."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("p50"),
+        F.percentile("value", F.lit(0.9)).alias("p90"),
+        F.percentile("value", F.lit(0.99)).alias("p99"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+    )
