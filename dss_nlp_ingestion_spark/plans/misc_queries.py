@@ -219,3 +219,80 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("v_min"),
         F.max("value").alias("v_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join: last click before each purchase (union+window form)
+# ---------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+WITH purchases AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, event_id AS click_id, value AS click_value, ts
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.user_id, p.event_id, c.click_id AS asof_click_id,
+       c.click_value AS asof_click_value
+FROM purchases p
+ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts > c.ts
+"""
+
+
+@register("asof_last_click_before_purchase", _ASOF_ORACLE)
+def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (the §2.5 gap): each purchase gets the latest
+    strictly-earlier click of the same user. Implemented via the
+    union+window carry-forward (one shuffle + one sort; no range-join
+    explosion) — DuckDB's native ASOF JOIN is the oracle."""
+    from dss_nlp_ingestion_spark.operators.asof import asof_join_union
+
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+        "ts",
+    )
+    out = asof_join_union(
+        purchases, clicks, ["user_id"], "ts", ["click_id", "click_value"], strict=True
+    )
+    return out.select("user_id", "event_id", "asof_click_id", "asof_click_value")
+
+
+# ---------------------------------------------------------------------------
+# Pivot: event-type counts per user as columns
+# ---------------------------------------------------------------------------
+
+_PIVOT_ORACLE = """
+SELECT user_id,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("pivot_event_counts", _PIVOT_ORACLE)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with an explicit value list (never inferred — inference
+    needs an extra pass and breaks plan determinism): per-user
+    event-type histogram as columns."""
+    ev = table(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(k), F.lit(0)).cast("long").alias(k) for k in kinds],
+        )
+    )
