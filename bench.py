@@ -51,6 +51,9 @@ BENCH_QUERIES = (
     "text_embeddings",
     "media_decode_stub",
     "ann_bucket_topk",
+    "sessionize_events",
+    "asof_last_click_before_purchase",
+    "value_percentiles",
 )
 
 
