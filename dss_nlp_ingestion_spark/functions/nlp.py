@@ -129,3 +129,23 @@ def embed_tokens(col: Column, dim: int = EMBED_DIM) -> list[Column]:
         return total / F.size(toks)
 
     return [_component(j) for j in range(dim)]
+
+
+def word_similarity(a: Column, b: Column, dim: int = EMBED_DIM) -> Column:
+    """N7 (get_word_similarity, tencent_api.py:84-96): cosine between
+    the hashed embeddings of two words/phrases. Pure expressions —
+    usable directly inside joins and filters."""
+    ea = embed_tokens(a, dim)
+    eb = embed_tokens(b, dim)
+    dot = None
+    na = None
+    nb = None
+    for j in range(dim):
+        t = ea[j] * eb[j]
+        dot = t if dot is None else dot + t
+        sa = ea[j] * ea[j]
+        na = sa if na is None else na + sa
+        sb = eb[j] * eb[j]
+        nb = sb if nb is None else nb + sb
+    denom = F.sqrt(na) * F.sqrt(nb)
+    return F.when(denom > 0, dot / denom).otherwise(F.lit(0.0))

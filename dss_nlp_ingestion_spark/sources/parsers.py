@@ -315,3 +315,50 @@ def parse_etnet(raw: DataFrame, payload_col: str = "payload") -> DataFrame:
             time,
         )
     )
+
+
+# --- S10/S11: Google SERP + Wikipedia scans -------------------------------
+
+#: F6 prefix blacklist (google_utils.py:14-34) — non-article Google
+#: properties to drop from SERP results.
+GOOGLE_LINK_BLACKLIST = (
+    "https://www.google.com",
+    "https://maps.google.com",
+    "https://support.google.com",
+    "https://accounts.google.com",
+    "https://policies.google.com",
+    "https://translate.google.com",
+    "https://webcache.googleusercontent.com",
+)
+
+
+def parse_google_serp(raw: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """S10 (google_utils.py:37-74): extract result links from a SERP
+    page and drop the blacklisted Google-property prefixes (F6).
+    Returns one row per surviving link."""
+    from dss_nlp_ingestion_spark.functions.text import link_blacklist_filter
+
+    links = F.regexp_extract_all(
+        F.col(payload_col), F.lit(r'href="(https?://[^"]+)"'), 1
+    )
+    exploded = raw.select(F.explode(links).alias("link"))
+    return exploded.filter(
+        link_blacklist_filter(F.col("link"), GOOGLE_LINK_BLACKLIST)
+    ).distinct()
+
+
+def parse_wikipedia(raw: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """S11 (wiki_utils.py:27-64,66-125): pick the first
+    ``en.wikipedia.org/wiki/...`` link from a SERP, and extract a
+    summary (first paragraph, tags stripped X11) from an article
+    page. One row per payload with (wiki_link, summary)."""
+    wiki_link = F.regexp_extract(
+        F.col(payload_col), r'href="(https://en\.wikipedia\.org/wiki/[^"]+)"', 1
+    )
+    first_para = _strip_tags(
+        F.regexp_extract(F.col(payload_col), r"<p>(.*?)</p>", 1)
+    )
+    return raw.select(
+        F.when(wiki_link != "", wiki_link).alias("wiki_link"),
+        F.when(first_para != "", first_para).alias("summary"),
+    )

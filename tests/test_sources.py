@@ -112,3 +112,50 @@ def test_parsers_share_normalized_schema(spark, parser_fixture):
     name, parser = parser_fixture
     cols = set(parser(_raw(spark, name)).columns)
     assert NORMALIZED_COLS.issubset(cols)
+
+
+def test_google_serp_parser(spark):
+    html = (
+        '<a href="https://www.google.com/search?q=x">more</a>'
+        '<a href="https://news.site.com/article1">A</a>'
+        '<a href="https://support.google.com/help">?</a>'
+        '<a href="https://news.site.com/article1">A-dup</a>'
+        '<a href="https://blog.example.com/post">B</a>'
+    )
+    from dss_nlp_ingestion_spark.sources.parsers import parse_google_serp
+
+    raw = spark.createDataFrame([(html,)], ["payload"])
+    links = sorted(r.link for r in parse_google_serp(raw).collect())
+    # Blacklisted Google properties dropped, duplicates collapsed.
+    assert links == [
+        "https://blog.example.com/post",
+        "https://news.site.com/article1",
+    ]
+
+
+def test_wikipedia_parser(spark):
+    html = (
+        '<a href="https://en.wikipedia.org/wiki/Apple_Inc.">wiki</a>'
+        "<p>Apple Inc. is an American <b>multinational</b> company.</p>"
+        "<p>Second paragraph.</p>"
+    )
+    from dss_nlp_ingestion_spark.sources.parsers import parse_wikipedia
+
+    raw = spark.createDataFrame([(html,)], ["payload"])
+    row = parse_wikipedia(raw).collect()[0]
+    assert row.wiki_link == "https://en.wikipedia.org/wiki/Apple_Inc."
+    assert row.summary == "Apple Inc. is an American multinational company."
+
+
+def test_word_similarity_function(spark):
+    from pyspark.sql import functions as F
+
+    from dss_nlp_ingestion_spark.functions.nlp import word_similarity
+
+    df = spark.createDataFrame([("spark", "spark", "table")], ["a", "b", "c"])
+    row = df.select(
+        word_similarity(F.col("a"), F.col("b")).alias("same"),
+        word_similarity(F.col("a"), F.col("c")).alias("diff"),
+    ).collect()[0]
+    assert abs(row.same - 1.0) < 1e-9  # identical words -> cosine 1
+    assert row.diff < 1.0
