@@ -71,8 +71,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
 
     names = [n for n in BENCH_QUERIES if n in QUERIES]
-    # Warmup: run the first query once to absorb JVM/codegen startup.
+    # Warmup: one JVM query (codegen/JIT) and one trivial Arrow stage
+    # (spawns the reusable python workers) so timings are steady-state.
     QUERIES[names[0]](spark, SF_DIR).count()
+    spark.range(0, 1000, 1, CPUS).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in names:

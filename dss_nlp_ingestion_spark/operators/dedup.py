@@ -192,9 +192,17 @@ def ngram_jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("long").alias("shared"))
     )
+    # Sizes are one row per doc — broadcast both lookups so the big
+    # pair-count stream never shuffles again.
     out = (
-        shared.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        shared.join(
+            F.broadcast(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a")),
+            "id_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b")),
+            "id_b",
+        )
         .withColumn("union_sz", F.col("sz_a") + F.col("sz_b") - F.col("shared"))
     )
     return out.filter(F.col("shared") / F.col("union_sz") >= F.lit(threshold)).select(
