@@ -296,3 +296,54 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[F.coalesce(F.col(k), F.lit(0)).cast("long").alias(k) for k in kinds],
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Range join: co-occurring events (the other §2.5 named gap)
+# ---------------------------------------------------------------------------
+
+_RANGE_ORACLE = """
+SELECT a.user_id,
+       a.event_id AS id_a, b.event_id AS id_b,
+       a.event_type AS type_a, b.event_type AS type_b,
+       epoch_ms(b.ts) - epoch_ms(a.ts) AS gap_ms
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_id < b.event_id
+ AND b.ts >= a.ts - INTERVAL 60 SECOND
+ AND b.ts <= a.ts + INTERVAL 60 SECOND
+"""
+
+
+@register("range_join_cooccurring", _RANGE_ORACLE)
+def range_join_cooccurring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join — SURVEY §2.5's other named gap: event
+    pairs of the same user within ±60s. The equi-key (user_id)
+    carries the shuffle; the time band is a residual predicate, so
+    the pair work is per-user, never global. At extreme per-key
+    volumes, pre-bucket ts into 60s bins and join on (user, bin±1)
+    to bound the frontier."""
+    ev = table(spark, sf_dir, "events")
+    a = ev.select(
+        "user_id",
+        F.col("event_id").alias("id_a"),
+        F.col("event_type").alias("type_a"),
+        F.col("ts").alias("ts_a"),
+    )
+    b = ev.select(
+        "user_id",
+        F.col("event_id").alias("id_b"),
+        F.col("event_type").alias("type_b"),
+        F.col("ts").alias("ts_b"),
+    )
+    gap = F.unix_millis(F.col("ts_b")) - F.unix_millis(F.col("ts_a"))
+    return (
+        a.join(b, ["user_id"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (gap >= -60_000)
+            & (gap <= 60_000)
+        )
+        .select("user_id", "id_a", "id_b", "type_a", "type_b", gap.alias("gap_ms"))
+    )
