@@ -62,26 +62,6 @@ def dup_groups(df: DataFrame, content_cols: Sequence[str], id_col: str) -> DataF
 
 # --- MinHash + LSH --------------------------------------------------------
 
-def minhash_signature(text_col: Column, num_perm: int = 8, k: int = 3) -> Column:
-    """MinHash signature as an array of ``num_perm`` 8-hex-char
-    values via one-permutation hashing: each shingle is sha256'd
-    ONCE and the digest is sliced into ``num_perm`` disjoint 8-char
-    windows; component ``p`` is the min of slice ``p`` over shingles.
-    One crypto hash per shingle (vs. one per shingle*perm) — 8x
-    cheaper scan-side — and reproducible in any engine."""
-    if num_perm > 8:
-        raise ValueError("one-permutation slicing supports at most 8 perms (64 hex chars)")
-    sh = shingles(text_col, k)
-    hashed = F.transform(sh, lambda s: F.sha2(s, 256))
-
-    def _slice_min(p: int) -> Column:
-        return F.array_min(
-            F.transform(hashed, lambda h: F.substring(h, p * 8 + 1, 8))
-        )
-
-    return F.array(*[_slice_min(p) for p in range(num_perm)])
-
-
 def minhash_signature_df(
     df: DataFrame,
     id_col: str,
@@ -89,12 +69,13 @@ def minhash_signature_df(
     num_perm: int = 8,
     k: int = 3,
 ) -> DataFrame:
-    """(id, m0..m{num_perm-1}) MinHash components via the explode
-    pipeline: one row per shingle, ONE sha256 in a flat codegen'd
-    projection (whole-stage CSE collapses the ``num_perm`` substring
-    slices to a single hash evaluation — the array-lambda form in
-    :func:`minhash_signature` re-evaluates it per slice, ~8x slower),
-    then a partial-aggregated min per component. One shuffle on id."""
+    """(id, m0..m{num_perm-1}) MinHash components via one-permutation
+    hashing on the explode pipeline: one row per shingle, ONE sha256
+    in a flat codegen'd projection (whole-stage CSE collapses the
+    ``num_perm`` substring slices to a single hash evaluation; an
+    array-lambda ``transform`` form re-evaluates the hash per slice,
+    ~8x slower, and was removed for that reason), then a
+    partial-aggregated min per component. One shuffle on id."""
     if num_perm > 8:
         raise ValueError("one-permutation slicing supports at most 8 perms (64 hex chars)")
     rows = ensure_parallelism(
@@ -260,6 +241,68 @@ def simhash_near_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_banded_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Pairs with SimHash hamming distance <= ``max_hamming`` via the
+    pigeonhole banding join — the 100 TB form of
+    :func:`simhash_near_pairs`.
+
+    Splitting a 16-bit signature into ``n_bands`` equal bands, any
+    pair within hamming distance ``max_hamming`` (< n_bands) differs
+    in at most ``max_hamming`` bands and therefore AGREES on at least
+    one band.  So: explode each signature into (band_idx, band_value)
+    keys, equi-join on them (shuffle on the band key — never
+    all-pairs), verify the exact hamming distance on the surviving
+    candidates, and dedupe pairs that matched in several bands.
+    Candidate volume is bounded by band-bucket sizes, not n^2.
+    """
+    if max_hamming >= n_bands:
+        raise ValueError("pigeonhole banding requires max_hamming < n_bands")
+    if SIMHASH_BITS % n_bands != 0:
+        raise ValueError("n_bands must divide SIMHASH_BITS")
+    band_w = SIMHASH_BITS // n_bands
+    mask = (1 << band_w) - 1
+    sig = simhash16(df, id_col, text_col)
+    bands = sig.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * band_w)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bval"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select(
+        "id", "simhash", F.col("_b.band").alias("band"), F.col("_b.bval").alias("bval")
+    )
+    a = bands.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("sim_a"), "band", "bval"
+    )
+    b = bands.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("sim_b"), "band", "bval"
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("long")
+    return (
+        a.join(b, ["band", "bval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

