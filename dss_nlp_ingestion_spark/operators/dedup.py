@@ -152,12 +152,26 @@ def ngram_jaccard_pairs(
     text_col: str,
     k: int = 3,
     threshold: float = 0.15,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Pairs with Jaccard similarity of distinct word-k-gram sets >=
-    ``threshold``: explode shingles -> equi-join on shingle (shuffle on
-    shingle) -> per-pair intersection counts -> sizes via two
-    broadcast-able joins. Returns (id_a, id_b, shared, jaccard_num /
-    jaccard_den as exact longs) — callers derive the float."""
+    ``threshold``.
+
+    Pipeline: explode shingles -> ONE shuffle grouping doc-ids per
+    shingle (``collect_list``) -> bucket-local pair generation via a
+    double explode of the id list (no posting-list self-join, so the
+    pair stream is produced without a second shuffle of the token
+    stream) -> per-pair intersection counts -> set sizes via two
+    broadcast joins.  Returns (id_a, id_b, shared, union_sz) as exact
+    longs — callers derive the float.
+
+    ``max_df`` is the 100 TB guard: a shingle appearing in d docs
+    expands to d^2 pair rows, so shingles with document frequency >
+    ``max_df`` are dropped before the explode (their doc lists are
+    never materialized past the aggregate).  With the cap, per-row
+    work is bounded by max_df^2 and scores become a LOWER BOUND;
+    without it (``None``) the result is exact but quadratic in the
+    hottest shingle — small-sf verification only."""
     sh = ensure_parallelism(
         df.filter(F.size(ws_tokens(F.col(text_col))) >= k)
     ).select(
@@ -165,11 +179,15 @@ def ngram_jaccard_pairs(
         F.array_distinct(shingles(F.col(text_col), k)).alias("_sh"),
     )
     sizes = sh.select("id", F.size("_sh").cast("long").alias("sz"))
-    ex_a = sh.select(F.col("id").alias("id_a"), F.explode("_sh").alias("s"))
-    ex_b = sh.select(F.col("id").alias("id_b"), F.explode("_sh").alias("s"))
+    ex = sh.select("id", F.explode("_sh").alias("s"))
+    grp = ex.groupBy("s").agg(F.collect_list("id").alias("_ids"))
+    if max_df is not None:
+        grp = grp.filter(F.size("_ids") <= max_df)
+    pairs = grp.select(F.explode("_ids").alias("id_a"), "_ids").select(
+        "id_a", F.explode("_ids").alias("id_b")
+    )
     shared = (
-        ex_a.join(ex_b, ["s"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        pairs.filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("long").alias("shared"))
     )
@@ -194,45 +212,71 @@ def ngram_jaccard_pairs(
 # --- SimHash --------------------------------------------------------------
 
 SIMHASH_BITS = 16
+#: Wide signature for the banded at-scale join: 60 bits = 15 hex chars
+#: of the token sha256 (fits a signed 64-bit long in both engines).
+SIMHASH_WIDE_BITS = 60
 
 
-def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """16-bit SimHash per row: each distinct token contributes ±1 to
-    every bit position according to the first 4 hex digits of its
-    sha256; bit j of the signature is 1 iff the summed contribution is
-    positive. (id, simhash)."""
+def simhash_sig(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS) -> DataFrame:
+    """``bits``-bit SimHash per row: each distinct token contributes
+    ±1 to every bit position according to the first ``bits/4`` hex
+    digits of its sha256; bit j of the signature is 1 iff the summed
+    contribution is positive. (id, simhash).
+
+    The per-bit votes are a flat codegen'd projection over the
+    exploded token stream with one partial-aggregated sum per bit —
+    one shuffle on id regardless of width."""
+    if bits % 4 != 0 or bits > 60:
+        raise ValueError("bits must be a multiple of 4, at most 60 (signed long)")
     toks = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(ws_tokens(F.col(text_col)))).alias("tok"),
     )
-    h16 = F.conv(F.substring(F.sha2(F.col("tok"), 256), 1, 4), 16, 10).cast("long")
-    contribs = toks.select(
+    # Materialize the token hash in its own projection: inlining the
+    # expression into all ``bits`` vote columns would re-evaluate
+    # sha2+conv per bit (no CSE across a wide projection).
+    hashed = toks.select(
+        "id",
+        F.conv(F.substring(F.sha2(F.col("tok"), 256), 1, bits // 4), 16, 10)
+        .cast("long")
+        .alias("_h"),
+    )
+    contribs = hashed.select(
         "id",
         *[
-            F.when(F.shiftright(h16, j).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+            F.when(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) == 1, F.lit(1))
             .otherwise(F.lit(-1))
             .alias(f"_c{j}")
-            for j in range(SIMHASH_BITS)
+            for j in range(bits)
         ],
     )
     sums = contribs.groupBy("id").agg(
-        *[F.sum(f"_c{j}").alias(f"_s{j}") for j in range(SIMHASH_BITS)]
+        *[F.sum(f"_c{j}").alias(f"_s{j}") for j in range(bits)]
     )
     sig = None
-    for j in range(SIMHASH_BITS):
+    for j in range(bits):
         term = F.when(F.col(f"_s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
     return sums.select("id", sig.cast("long").alias("simhash"))
 
 
+def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash (the driver-checked compact signature)."""
+    return simhash_sig(df, id_col, text_col, SIMHASH_BITS)
+
+
 def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
 ) -> DataFrame:
     """Pairs with SimHash hamming distance <= ``max_hamming``.
-    Self-join + xor/bit_count; at larger scale, band the signature
-    bytes first (pigeonhole: distance<=3 pairs share one of 4 nibble
-    bands) — the all-pairs form here is the correctness oracle."""
-    sig = simhash16(df, id_col, text_col)
+    All-pairs self-join + xor/bit_count — the small-sf correctness
+    verifier for :func:`simhash_banded_pairs`; O(n^2), never run at
+    scale."""
+    sig = simhash_sig(df, id_col, text_col, bits)
     a = sig.select(F.col("id").alias("id_a"), F.col("simhash").alias("sim_a"))
     b = sig.select(F.col("id").alias("id_b"), F.col("simhash").alias("sim_b"))
     ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("long")
@@ -250,27 +294,34 @@ def simhash_banded_pairs(
     text_col: str,
     max_hamming: int = 3,
     n_bands: int = 4,
+    bits: int = SIMHASH_WIDE_BITS,
 ) -> DataFrame:
     """Pairs with SimHash hamming distance <= ``max_hamming`` via the
     pigeonhole banding join — the 100 TB form of
     :func:`simhash_near_pairs`.
 
-    Splitting a 16-bit signature into ``n_bands`` equal bands, any
-    pair within hamming distance ``max_hamming`` (< n_bands) differs
-    in at most ``max_hamming`` bands and therefore AGREES on at least
-    one band.  So: explode each signature into (band_idx, band_value)
-    keys, equi-join on them (shuffle on the band key — never
-    all-pairs), verify the exact hamming distance on the surviving
-    candidates, and dedupe pairs that matched in several bands.
-    Candidate volume is bounded by band-bucket sizes, not n^2.
-    """
+    Splitting a ``bits``-bit signature into ``n_bands`` equal bands,
+    any pair within hamming distance ``max_hamming`` (< n_bands)
+    differs in at most ``max_hamming`` bands and therefore AGREES on
+    at least one band.  So: explode each signature into (band_idx,
+    band_value) keys, equi-join on them (shuffle on the band key —
+    never all-pairs), verify the exact hamming distance on the
+    surviving candidates, and dedupe pairs that matched in several
+    bands.  Candidate volume is bounded by band-bucket sizes, not n^2.
+
+    Band width decides bucket cardinality and therefore bucket size:
+    with the default 60-bit signature, each band key has 2^15 values,
+    so candidate volume is ~n^2/32768 per band even on an adversarial
+    corpus — a 16-bit signature's 4-bit bands (16 values) would put
+    ~n/16 rows in every bucket and re-create the quadratic join,
+    which is why the wide signature is the banded default."""
     if max_hamming >= n_bands:
         raise ValueError("pigeonhole banding requires max_hamming < n_bands")
-    if SIMHASH_BITS % n_bands != 0:
-        raise ValueError("n_bands must divide SIMHASH_BITS")
-    band_w = SIMHASH_BITS // n_bands
+    if bits % n_bands != 0:
+        raise ValueError("n_bands must divide bits")
+    band_w = bits // n_bands
     mask = (1 << band_w) - 1
-    sig = simhash16(df, id_col, text_col)
+    sig = simhash_sig(df, id_col, text_col, bits)
     bands = sig.select(
         "id",
         "simhash",
@@ -297,12 +348,26 @@ def simhash_banded_pairs(
         F.col("id").alias("id_b"), F.col("simhash").alias("sim_b"), "band", "bval"
     )
     ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("long")
+
+    # Emit each pair exactly once WITHOUT a distinct() shuffle: a pair
+    # agreeing in several bands is kept only in its earliest agreeing
+    # band — computed from the two signatures already on the joined
+    # row with pure bit arithmetic.
+    def _band_val(sig: Column, b: int) -> Column:
+        return F.shiftright(sig, b * band_w).bitwiseAND(F.lit(mask))
+
+    first_agree = F.lit(n_bands - 1)
+    for b_idx in range(n_bands - 2, -1, -1):
+        first_agree = F.when(
+            _band_val(F.col("sim_a"), b_idx) == _band_val(F.col("sim_b"), b_idx),
+            F.lit(b_idx),
+        ).otherwise(first_agree)
+
     return (
         a.join(b, ["band", "bval"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter((F.col("id_a") < F.col("id_b")) & (first_agree == F.col("band")))
         .select("id_a", "id_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
     )
 
 

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from dss_nlp_ingestion_spark.catalog import table
 from dss_nlp_ingestion_spark.operators.dedup import (
     SIMHASH_BITS,
+    SIMHASH_WIDE_BITS,
     dup_groups,
     history_filter,
     lsh_candidate_pairs,
@@ -192,27 +193,31 @@ def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SimHash signatures + near pairs
 # ---------------------------------------------------------------------------
 
-_sim_sums = ",\n    ".join(
-    f"sum(CASE WHEN (h16 >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
-    for j in range(SIMHASH_BITS)
-)
-_sim_assemble = " + ".join(
-    f"(CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(SIMHASH_BITS)
-)
-
-_SIMHASH_CTE = f"""
+def _simhash_cte(bits: int) -> str:
+    """DuckDB twin of ``operators.dedup.simhash_sig`` at ``bits``."""
+    sums = ",\n    ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(bits)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(bits)
+    )
+    return f"""
 toks AS (
   SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok
   FROM documents
 ), h AS (
-  SELECT doc_id, ('0x' || substr(sha256(tok), 1, 4))::BIGINT AS h16 FROM toks
+  SELECT doc_id, ('0x' || substr(sha256(tok), 1, {bits // 4}))::BIGINT AS h FROM toks
 ), bits AS (
   SELECT doc_id,
-    {_sim_sums}
+    {sums}
   FROM h GROUP BY doc_id
 ), sig AS (
-  SELECT doc_id AS id, CAST({_sim_assemble} AS BIGINT) AS simhash FROM bits
+  SELECT doc_id AS id, CAST({assemble} AS BIGINT) AS simhash FROM bits
 )"""
+
+
+_SIMHASH_CTE = _simhash_cte(SIMHASH_BITS)
 
 _SIMHASH_ORACLE = f"WITH {_SIMHASH_CTE}\nSELECT id, simhash FROM sig"
 
@@ -244,16 +249,28 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
-@register("simhash_near_dups_banded", _SIMHASH_PAIRS_ORACLE)
+_SIMHASH_WIDE_PAIRS_ORACLE = f"""
+WITH {_simhash_cte(SIMHASH_WIDE_BITS)}
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+@register("simhash_near_dups_banded", _SIMHASH_WIDE_PAIRS_ORACLE)
 def simhash_near_dups_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs via pigeonhole banding (4 bands of 4
-    bits; hamming <= 3 guarantees a shared band) — equi-join on the
-    band key, hamming-verify candidates, dedupe multi-band matches.
-    The 100 TB headline form: candidate volume is band-bucket-bounded,
-    never n^2.  Oracle is the all-pairs SQL — same result set from a
-    different algorithm."""
+    """SimHash near-dup pairs via pigeonhole banding over the WIDE
+    60-bit signature (4 bands of 15 bits; hamming <= 3 guarantees a
+    shared band) — equi-join on the band key, hamming-verify
+    candidates, dedupe multi-band matches.  The 100 TB headline form:
+    band keys have 2^15 values, so candidate volume is band-bucket-
+    bounded, never n^2.  Oracle is the all-pairs SQL — same result
+    set from a different algorithm."""
     docs = table(spark, sf_dir, "documents")
-    return simhash_banded_pairs(docs, "doc_id", "text", max_hamming=3, n_bands=4)
+    return simhash_banded_pairs(
+        docs, "doc_id", "text", max_hamming=3, n_bands=4, bits=SIMHASH_WIDE_BITS
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -292,42 +309,16 @@ WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.15
 @register("ngram_jaccard_dups_capped", _JACCARD_CAPPED_ORACLE)
 def ngram_jaccard_dups_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB form of the Jaccard join: shingles with document
-    frequency > {cap} are dropped from the posting join (a shingle in
+    frequency > {cap} are dropped before pair generation (a shingle in
     d docs contributes d^2 pair rows — the cap bounds the quadratic
     blowup; near-dup pairs still share plenty of rare shingles).
     Scores are therefore a LOWER BOUND (aliased ``jaccard_lb``);
     ``ngram_jaccard_dups`` is the exact verifier.""".replace("{cap}", str(_CAP))
-    from dss_nlp_ingestion_spark.catalog import ensure_parallelism
-    from dss_nlp_ingestion_spark.functions.text import shingles as _shingles
-    from dss_nlp_ingestion_spark.functions.text import ws_tokens as _ws
-
     docs = table(spark, sf_dir, "documents")
-    sh = ensure_parallelism(
-        docs.filter(F.size(_ws(F.col("text"))) >= 3)
-    ).select(
-        F.col("doc_id").alias("id"),
-        F.array_distinct(_shingles(F.col("text"), 3)).alias("_sh"),
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.15, max_df=_CAP
     )
-    sizes = sh.select("id", F.size("_sh").cast("long").alias("sz"))
-    ex = sh.select("id", F.explode("_sh").alias("s"))
-    rare = ex.groupBy("s").agg(F.count(F.lit(1)).alias("_df")).filter(
-        F.col("_df") <= _CAP
-    ).select("s")
-    ex_rare = ex.join(rare, "s")
-    ex_a = ex_rare.select(F.col("id").alias("id_a"), "s")
-    ex_b = ex_rare.select(F.col("id").alias("id_b"), "s")
-    shared = (
-        ex_a.join(ex_b, ["s"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
-    )
-    out = (
-        shared.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-        .withColumn("union_sz", F.col("sz_a") + F.col("sz_b") - F.col("shared"))
-    )
-    return out.filter(F.col("shared") / F.col("union_sz") >= F.lit(0.15)).select(
+    return pairs.select(
         "id_a",
         "id_b",
         "shared",

@@ -78,9 +78,22 @@ def test_simhash_banded_no_cartesian(spark):
 
 
 def test_simhash_banded_matches_allpairs(spark):
-    # Pigeonhole recall check: banding loses no pair at hamming <= 3.
+    # Pigeonhole recall check: banding loses no pair at hamming <= 3
+    # (same 60-bit signature, all-pairs verifier vs banded join).
+    from dss_nlp_ingestion_spark.catalog import table
+    from dss_nlp_ingestion_spark.operators.dedup import (
+        SIMHASH_WIDE_BITS,
+        simhash_near_pairs,
+    )
+
     banded = QUERIES["simhash_near_dups_banded"](spark, SF_DIR)
-    allpairs = QUERIES["simhash_near_dups"](spark, SF_DIR)
+    allpairs = simhash_near_pairs(
+        table(spark, SF_DIR, "documents"),
+        "doc_id",
+        "text",
+        max_hamming=3,
+        bits=SIMHASH_WIDE_BITS,
+    )
     assert sorted(map(tuple, banded.collect())) == sorted(map(tuple, allpairs.collect()))
 
 
@@ -92,6 +105,17 @@ def test_fulltext_broadcast_term_stats(spark):
     plan = _formatted(spark, "fulltext_topk")
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_broadcasts_centroids_and_probes(spark):
+    # IVF: centroid set and probe table ride broadcasts; the corpus
+    # is never shuffled for the candidate join (only the bounded
+    # ranking windows exchange).
+    plan = _formatted(spark, "ivf_topk")
+    assert "CartesianProduct" not in plan
+    assert (
+        plan.count("BroadcastNestedLoopJoin") + plan.count("BroadcastHashJoin") >= 2
+    )
 
 
 def test_broadcast_query_set_in_topk_cosine(spark):
