@@ -66,25 +66,40 @@ def in_relative_window(
     return (ts >= start) & (ts < end)
 
 
-#: T5 fuzzy-ish parse: the fixed-format fallback chain covering every
-#: timestamp shape the reference's sources emit (dateutil.parse's
-#: general fuzziness is out of scope by design — a bounded format list
-#: is deterministic and JVM-side).
-FALLBACK_FORMATS = (
-    "yyyy-MM-dd'T'HH:mm:ssXXX",
-    "yyyy-MM-dd'T'HH:mm:ss",
-    "yyyy-MM-dd HH:mm:ss",
-    "yyyy/MM/dd HH:mm",
-    "dd/MM/yyyy HH:mm",
-    "yyyy-MM-dd",
+#: T5 fuzzy parse (the reference uses ``dateutil.parse``,
+#: src/utils/google_utils.py:8-11): a fixed-format fallback chain
+#: covering the formats live scraped dates actually arrive in — ISO
+#: with/without tz offset and fractional seconds, RFC-2822,
+#: ``Mon D, YYYY`` SERP dates, day-first and dotted EU forms.  A
+#: bounded format list is deterministic and JVM-side, unlike
+#: dateutil's heuristics.  Each entry is (format, strip-regex): the
+#: optional regex removes a prefix Spark cannot parse (day-of-week
+#: symbols are format-only since Spark 3), keeping the chain total.
+FALLBACK_FORMATS: tuple[tuple[str, str | None], ...] = (
+    ("yyyy-MM-dd'T'HH:mm:ssXXX", None),
+    ("yyyy-MM-dd'T'HH:mm:ss.SSSXXX", None),
+    ("yyyy-MM-dd'T'HH:mm:ss", None),
+    ("yyyy-MM-dd HH:mm:ss", None),
+    ("yyyy/MM/dd HH:mm", None),
+    ("dd/MM/yyyy HH:mm", None),
+    ("dd MMM yyyy HH:mm:ss Z", r"^[A-Za-z]{3}, "),  # RFC-2822 minus weekday
+    ("MMM d, yyyy HH:mm", None),
+    ("MMM d, yyyy", None),
+    ("d MMM yyyy", None),
+    ("yyyy.MM.dd", None),
+    ("yyyy-MM-dd", None),
 )
 
 
-def parse_ts_fuzzy(col: Column, formats: tuple[str, ...] = FALLBACK_FORMATS) -> Column:
+def parse_ts_fuzzy(
+    col: Column,
+    formats: tuple[tuple[str, str | None], ...] = FALLBACK_FORMATS,
+) -> Column:
     """T5: first format that parses wins (``try_to_timestamp``
     returns NULL instead of failing, so the chain is total)."""
     out = None
-    for fmt in formats:
-        parsed = F.try_to_timestamp(col, F.lit(fmt))
+    for fmt, strip in formats:
+        src = F.regexp_replace(col, strip, "") if strip else col
+        parsed = F.try_to_timestamp(src, F.lit(fmt))
         out = parsed if out is None else F.coalesce(out, parsed)
     return out

@@ -345,3 +345,93 @@ def relative_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed.groupBy(
         D.day_bucket(F.col("ts")).alias("day_start"), "event_type"
     ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+
+
+# ---------------------------------------------------------------------------
+# T5: fuzzy date parse over a deliberately messy fixture column
+# ---------------------------------------------------------------------------
+
+# Both engines render the SAME messy strings from doc_id arithmetic
+# (13 variants: ISO w/ and w/o tz + millis, RFC-2822, SERP 'Mon D,
+# YYYY', day-first, dotted, and one unparseable), then run their
+# fuzzy chain; the parsed timestamp and a null flag are compared.
+_FUZZY_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         make_timestamp((1704067200 + (doc_id % 365) * 86400
+                         + (doc_id % 1439) * 60 + (doc_id % 59)) * 1000000) AS ts
+  FROM documents
+), raw AS (
+  SELECT doc_id,
+    CASE doc_id % 13
+      WHEN 0 THEN strftime(ts, '%Y-%m-%dT%H:%M:%S') || '+00:00'
+      WHEN 1 THEN strftime(ts, '%Y-%m-%dT%H:%M:%S') || '.123+00:00'
+      WHEN 2 THEN strftime(ts, '%Y-%m-%dT%H:%M:%S')
+      WHEN 3 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+      WHEN 4 THEN strftime(ts, '%Y/%m/%d %H:%M')
+      WHEN 5 THEN strftime(ts, '%d/%m/%Y %H:%M')
+      WHEN 6 THEN strftime(ts, '%a, %d %b %Y %H:%M:%S') || ' +0000'
+      WHEN 7 THEN strftime(ts, '%b %-d, %Y %H:%M')
+      WHEN 8 THEN strftime(ts, '%b %-d, %Y')
+      WHEN 9 THEN strftime(ts, '%-d %b %Y')
+      WHEN 10 THEN strftime(ts, '%Y.%m.%d')
+      WHEN 11 THEN strftime(ts, '%Y-%m-%d')
+      ELSE 'no date here ' || doc_id
+    END AS raw
+  FROM base
+)
+SELECT doc_id, raw,
+       CAST(try_strptime(regexp_replace(raw, '^[A-Za-z]{3}, ', ''),
+         ['%Y-%m-%dT%H:%M:%S%z', '%Y-%m-%dT%H:%M:%S.%g%z',
+          '%Y-%m-%dT%H:%M:%S', '%Y-%m-%d %H:%M:%S', '%Y/%m/%d %H:%M',
+          '%d/%m/%Y %H:%M', '%d %b %Y %H:%M:%S %z', '%b %-d, %Y %H:%M',
+          '%b %-d, %Y', '%-d %b %Y', '%Y.%m.%d', '%Y-%m-%d'])
+       AS TIMESTAMP) AS parsed,
+       try_strptime(regexp_replace(raw, '^[A-Za-z]{3}, ', ''),
+         ['%Y-%m-%dT%H:%M:%S%z', '%Y-%m-%dT%H:%M:%S.%g%z',
+          '%Y-%m-%dT%H:%M:%S', '%Y-%m-%d %H:%M:%S', '%Y/%m/%d %H:%M',
+          '%d/%m/%Y %H:%M', '%d %b %Y %H:%M:%S %z', '%b %-d, %Y %H:%M',
+          '%b %-d, %Y', '%-d %b %Y', '%Y.%m.%d', '%Y-%m-%d'])
+       IS NULL AS unparsed
+FROM raw
+"""
+
+
+@register("date_parse_fuzzy", _FUZZY_ORACLE)
+def date_parse_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 fuzzy parse (dateutil.parse analog, google_utils.py:8-11):
+    renders 13 messy date shapes from doc_id arithmetic and runs the
+    fixed fallback chain; NULL only where dateutil would also give up
+    (the planted garbage variant)."""
+    from dss_nlp_ingestion_spark.functions.dates import parse_ts_fuzzy
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    epoch = (
+        F.lit(1704067200)
+        + (F.col("doc_id") % 365) * 86400
+        + (F.col("doc_id") % 1439) * 60
+        + (F.col("doc_id") % 59)
+    )
+    ts = F.timestamp_seconds(epoch)
+    v = F.col("doc_id") % 13
+    raw = (
+        F.when(v == 0, F.concat(F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss"), F.lit("+00:00")))
+        .when(v == 1, F.concat(F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss"), F.lit(".123+00:00")))
+        .when(v == 2, F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss"))
+        .when(v == 3, F.date_format(ts, "yyyy-MM-dd HH:mm:ss"))
+        .when(v == 4, F.date_format(ts, "yyyy/MM/dd HH:mm"))
+        .when(v == 5, F.date_format(ts, "dd/MM/yyyy HH:mm"))
+        .when(v == 6, F.concat(F.date_format(ts, "EEE, dd MMM yyyy HH:mm:ss"), F.lit(" +0000")))
+        .when(v == 7, F.date_format(ts, "MMM d, yyyy HH:mm"))
+        .when(v == 8, F.date_format(ts, "MMM d, yyyy"))
+        .when(v == 9, F.date_format(ts, "d MMM yyyy"))
+        .when(v == 10, F.date_format(ts, "yyyy.MM.dd"))
+        .when(v == 11, F.date_format(ts, "yyyy-MM-dd"))
+        .otherwise(F.concat(F.lit("no date here "), F.col("doc_id").cast("string")))
+    )
+    parsed = parse_ts_fuzzy(F.col("raw"))
+    return (
+        docs.withColumn("raw", raw)
+        .select("doc_id", "raw", parsed.alias("parsed"))
+        .withColumn("unparsed", F.col("parsed").isNull())
+    )

@@ -362,3 +362,137 @@ def parse_wikipedia(raw: DataFrame, payload_col: str = "payload") -> DataFrame:
         F.when(wiki_link != "", wiki_link).alias("wiki_link"),
         F.when(first_para != "", first_para).alias("summary"),
     )
+
+
+# --- S12: Baidu Baike two-step fuzzy lookup -------------------------------
+
+#: X16 URL builders (baidu_api.py:36,64).
+BAIDU_ITEM_URL_PREFIX = "https://baike.baidu.com/item/"
+BAIDU_SEARCH_URL_PREFIX = (
+    "https://www.baidu.com/baidu?tn=monline_7_dg&ie=utf-8&wd="
+)
+
+
+def baidu_item_url(query: Column) -> Column:
+    """Direct Baike item URL for a query string (baidu_api.py:36)."""
+    return F.concat(F.lit(BAIDU_ITEM_URL_PREFIX), query)
+
+
+def baidu_search_url(query: Column) -> Column:
+    """Fuzzy-search URL: ``{query}+公司+百科`` (baidu_api.py:64)."""
+    return F.concat(F.lit(BAIDU_SEARCH_URL_PREFIX), query, F.lit("+公司+百科"))
+
+
+def parse_baidu_baike(raw: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """S12 step 1 (baidu_api.py:31-56): Baike item page -> (url,
+    summary, content).  The reference collects every ``<div
+    class="para">`` block: summary is the first, content the joined
+    rest, both with newlines and NBSPs stripped.  Re-expressed as a
+    JVM regex scan: extract all para blocks, strip tags, normalize.
+    Pages with no para blocks yield empty strings (the reference's
+    miss signal)."""
+    paras = F.regexp_extract_all(
+        F.col(payload_col),
+        F.lit(r'(?s)<div[^>]*class="para[^"]*"[^>]*>(.*?)</div>'),
+        1,
+    )
+    clean = F.transform(
+        paras,
+        lambda p: F.regexp_replace(
+            F.regexp_replace(_strip_tags(p), "\n", ""), " ", ""
+        ),
+    )
+    summary = F.coalesce(F.try_element_at(clean, F.lit(1)), F.lit(""))
+    content = F.coalesce(
+        F.array_join(F.slice(clean, 2, F.greatest(F.size(clean) - 1, F.lit(0))), ""),
+        F.lit(""),
+    )
+    return raw.select(
+        F.col("url"),
+        summary.alias("summary"),
+        content.alias("content"),
+    )
+
+
+def parse_baidu_serp_name(raw: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """S12 step 2a (baidu_api.py:59-81): from a Baidu SERP, pull the
+    first ``c-tools`` tool-span whose ``data-tools`` title links to a
+    百度百科 entry and extract the Chinese company name (the title text
+    before the 百度百科 marker — the reference slices the same span
+    with fixed offsets).  One row per payload: (url, baike_name),
+    baike_name NULL when no Baike result is present."""
+    # The reference regex: title:'...',url — capture the title text of
+    # the first entry containing 百度百科, then trim the marker suffix.
+    first_title = F.regexp_extract(
+        F.col(payload_col), r"title:'([^']*百度百科[^']*)'", 1
+    )
+    name = F.regexp_replace(first_title, r"[-_\s]*百度百科\s*$", "")
+    return raw.select(
+        F.col("url"),
+        F.when(name != "", name).alias("baike_name"),
+    ).drop_duplicates(["url"])
+
+
+def baidu_two_step_lookup(queries: DataFrame, fetcher, query_col: str = "query"):
+    """S12 composed pipeline (baidu_api.py:31-81): direct item fetch
+    first; queries whose item page has no para blocks fall back to the
+    SERP fuzzy step (search -> extract Baike entry name -> fetch the
+    named item page).  Returns (query, via, url, summary, content)
+    where ``via`` is 'direct' or 'two_step'.
+
+    Both fetch stages are the rate-limited ``mapInPandas`` transport
+    (fetch.py) — fan-out scales with executors; the per-query result
+    is one row regardless of path, and a dead URL is an error row,
+    not a task failure."""
+    from dss_nlp_ingestion_spark.sources.fetch import fetch_stage
+
+    q = queries.select(F.col(query_col).alias("query")).distinct()
+    direct = fetch_stage(
+        q.select(baidu_item_url(F.col("query")).alias("url")), fetcher
+    )
+    direct_docs = parse_baidu_baike(direct).withColumn(
+        "query", F.replace(F.col("url"), F.lit(BAIDU_ITEM_URL_PREFIX), F.lit(""))
+    )
+    hits = direct_docs.filter(
+        (F.col("summary") != "") | (F.col("content") != "")
+    ).select("query", F.lit("direct").alias("via"), "url", "summary", "content")
+
+    misses = direct_docs.filter(
+        (F.col("summary") == "") & (F.col("content") == "")
+    ).select("query")
+    serp = fetch_stage(
+        misses.select(
+            F.col("query"), baidu_search_url(F.col("query")).alias("url")
+        ),
+        fetcher,
+    )
+    names = parse_baidu_serp_name(serp).withColumn(
+        "query",
+        F.regexp_replace(
+            F.replace(F.col("url"), F.lit(BAIDU_SEARCH_URL_PREFIX), F.lit("")),
+            r"\+公司\+百科$",
+            "",
+        ),
+    )
+    step2 = fetch_stage(
+        names.filter(F.col("baike_name").isNotNull()).select(
+            F.col("query").alias("orig_query"),
+            baidu_item_url(F.col("baike_name")).alias("url"),
+        ),
+        fetcher,
+    )
+    # fetch_stage only returns transport columns; re-derive the query
+    # from the fetched item URL through the name mapping.
+    step2_docs = (
+        parse_baidu_baike(step2)
+        .withColumn(
+            "baike_name",
+            F.replace(F.col("url"), F.lit(BAIDU_ITEM_URL_PREFIX), F.lit("")),
+        )
+        .join(
+            names.select("query", "baike_name"),
+            "baike_name",
+        )
+        .select("query", F.lit("two_step").alias("via"), "url", "summary", "content")
+    )
+    return hits.unionByName(step2_docs)

@@ -159,3 +159,78 @@ def test_word_similarity_function(spark):
     ).collect()[0]
     assert abs(row.same - 1.0) < 1e-9  # identical words -> cosine 1
     assert row.diff < 1.0
+
+
+# --- S12: Baidu Baike two-step lookup -------------------------------------
+
+_BAIKE_PAGE = (
+    '<html><div class="lemma"><div class="para">小米集团是一家</div>'
+    '<div class="para">成立于2010年。\n更多<b>内容</b></div>'
+    '<div class="para">总部位于北京。</div></div></html>'
+)
+_BAIKE_EMPTY = "<html><body>nothing here</body></html>"
+_BAIDU_SERP = (
+    "<html><span class=\"c-tools new-pmd\" data-tools='{"
+    "title:'小米集团_百度百科',url:'http://x'}'></span></html>"
+)
+
+
+def test_baidu_baike_direct_parser(spark):
+    from dss_nlp_ingestion_spark.sources.parsers import parse_baidu_baike
+
+    raw = spark.createDataFrame(
+        [("https://baike.baidu.com/item/小米集团", _BAIKE_PAGE)],
+        ["url", "payload"],
+    )
+    row = parse_baidu_baike(raw).collect()[0]
+    # summary = first para; content = joined rest, tags/newlines/NBSP
+    # stripped (baidu_api.py:44-51).
+    assert row.summary == "小米集团是一家"
+    assert row.content == "成立于2010年。更多内容总部位于北京。"
+
+
+def test_baidu_baike_miss_is_empty(spark):
+    from dss_nlp_ingestion_spark.sources.parsers import parse_baidu_baike
+
+    raw = spark.createDataFrame([("u", _BAIKE_EMPTY)], ["url", "payload"])
+    row = parse_baidu_baike(raw).collect()[0]
+    assert row.summary == "" and row.content == ""
+
+
+def test_baidu_serp_name_extract(spark):
+    from dss_nlp_ingestion_spark.sources.parsers import parse_baidu_serp_name
+
+    raw = spark.createDataFrame([("u", _BAIDU_SERP)], ["url", "payload"])
+    row = parse_baidu_serp_name(raw).collect()[0]
+    assert row.baike_name == "小米集团"
+
+    none = spark.createDataFrame([("u", _BAIKE_EMPTY)], ["url", "payload"])
+    assert parse_baidu_serp_name(none).collect()[0].baike_name is None
+
+
+def test_baidu_two_step_lookup_both_paths(spark):
+    from dss_nlp_ingestion_spark.sources.parsers import (
+        BAIDU_ITEM_URL_PREFIX,
+        baidu_two_step_lookup,
+    )
+
+    # 'xiaomi' resolves directly; 'mi corp' misses the direct item page
+    # and resolves through the SERP fallback (baidu_api.py:59-81).
+    def fetcher(url):
+        if url == BAIDU_ITEM_URL_PREFIX + "xiaomi":
+            return 200, _BAIKE_PAGE
+        if url == BAIDU_ITEM_URL_PREFIX + "mi corp":
+            return 200, _BAIKE_EMPTY
+        if "www.baidu.com" in url and "mi%20corp" in url or "mi corp" in url:
+            return 200, _BAIDU_SERP
+        if url == BAIDU_ITEM_URL_PREFIX + "小米集团":
+            return 200, _BAIKE_PAGE
+        return 404, ""
+
+    queries = spark.createDataFrame([("xiaomi",), ("mi corp",)], ["query"])
+    rows = {r.query: r for r in baidu_two_step_lookup(queries, fetcher).collect()}
+    assert rows["xiaomi"].via == "direct"
+    assert rows["xiaomi"].summary == "小米集团是一家"
+    assert rows["mi corp"].via == "two_step"
+    assert rows["mi corp"].url.endswith("小米集团")
+    assert rows["mi corp"].content.startswith("成立于2010年。")
