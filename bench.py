@@ -50,6 +50,8 @@ BENCH_QUERIES = (
     "cosine_topk_bruteforce",
     "lsh_bucket_stats",
     "embedding_near_dups",
+    "ivf_topk",
+    "fulltext_topk",
     "keywords_topk",
     "lang_id_quality",
     "text_embeddings",

@@ -105,22 +105,45 @@ def bucketed_near_pairs(
     n_planes: int = 8,
     dim: int = 64,
     threshold: float = 0.35,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs restricted to equal LSH buckets — the
     scale path: the join shuffles on the bucket id and pair generation
-    is bucket-local. Returns (id_a, id_b, bucket, score)."""
+    is bucket-local. Returns (id_a, id_b, bucket, score).
+
+    ``max_bucket`` is the skew guard: a degenerate hyperplane (e.g. a
+    bucket holding 10% of all vectors) would re-create the quadratic
+    join inside one reducer.  When set, oversized buckets are
+    hash-split into ceil(n/max_bucket) subgroups and the pair space is
+    covered block-by-block (``operators.skew.blocked_self_pairs``) —
+    the result set is IDENTICAL (no pair lost, none duplicated), only
+    the per-task bound changes."""
+    bucketed = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        hyperplane_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+    )
+    if max_bucket is not None:
+        from dss_nlp_ingestion_spark.operators.skew import blocked_self_pairs
+
+        pairs = blocked_self_pairs(bucketed, "bucket", "vid", cap=max_bucket)
+        # Cosine is symmetric, so normalize the id order after scoring
+        # (off-diagonal blocks fix roles by subgroup hash, not id).
+        scored = pairs.select(
+            F.least(F.col("vid_a"), F.col("vid_b")).alias("id_a"),
+            F.greatest(F.col("vid_a"), F.col("vid_b")).alias("id_b"),
+            "bucket",
+            cosine(F.col("vec_a"), F.col("vec_b")).alias("score"),
+        )
+        return scored.filter(F.col("score") >= F.lit(threshold))
     # Self-join with columns renamed per side — DataFrame aliases on a
     # shared lineage can silently resolve both `a.x` and `b.x` to the
     # same column, turning the bucket equality into a tautology.
-    a = emb.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("v_a"),
-        hyperplane_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+    a = bucketed.select(
+        F.col("vid").alias("id_a"), F.col("vec").alias("v_a"), "bucket"
     )
-    b = emb.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("v_b"),
-        hyperplane_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+    b = bucketed.select(
+        F.col("vid").alias("id_b"), F.col("vec").alias("v_b"), "bucket"
     )
     return (
         a.join(b, ["bucket"])
@@ -132,4 +155,73 @@ def bucketed_near_pairs(
             cosine(F.col("v_a"), F.col("v_b")).alias("score"),
         )
         .filter(F.col("score") >= F.lit(threshold))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_mod: int = 31,
+    n_probe: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """IVF-style approximate top-k: partition the corpus into inverted
+    lists by nearest centroid, probe only the ``n_probe`` lists
+    closest to each query, score candidates exactly.
+
+    Training-free deterministic centroids (every ``centroid_mod``-th
+    corpus vector) keep the operator reproducible in any engine — on
+    a cluster, swap in k-means centroids without touching the plan
+    shape.  Scale story: the centroid set is broadcast twice (once to
+    assign, once to probe); the corpus is scanned once for assignment
+    (n·K scan-side dot products) and NEVER shuffled — the probe table
+    (queries × n_probe rows) broadcasts onto the assigned corpus, and
+    only the k-bounded per-query ranking windows shuffle.  Recall
+    knobs: ``n_probe`` up, ``centroid_mod`` down.
+
+    Returns (query_id, neighbor_id, score, rank).
+    """
+    cents = F.broadcast(
+        corpus.filter(F.col(id_col) % centroid_mod == 0).select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("_cvec")
+        )
+    )
+    base = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    w_assign = Window.partitionBy("neighbor_id").orderBy(
+        F.desc("_cscore"), F.asc("cent_id")
+    )
+    assigned = (
+        base.crossJoin(cents)
+        .select(
+            "neighbor_id", "_cv", "cent_id",
+            cosine(F.col("_cv"), F.col("_cvec")).alias("_cscore"),
+        )
+        .withColumn("_rn", F.row_number().over(w_assign))
+        .filter(F.col("_rn") == 1)
+        .select("neighbor_id", "_cv", "cent_id")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("_pscore"), F.asc("cent_id"))
+    probes = (
+        q.crossJoin(cents)
+        .select(
+            "query_id", "_qv", "cent_id",
+            cosine(F.col("_qv"), F.col("_cvec")).alias("_pscore"),
+        )
+        .withColumn("_rn", F.row_number().over(w_probe))
+        .filter(F.col("_rn") <= n_probe)
+        .select("query_id", "_qv", "cent_id")
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        assigned.join(F.broadcast(probes), "cent_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            cosine(F.col("_qv"), F.col("_cv")).alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= k)
     )

@@ -74,3 +74,61 @@ def salted_join(
         "_salt", F.pmod(F.xxhash64(F.col(src), F.monotonically_increasing_id()), F.lit(salt_buckets))
     )
     return fact_salted.join(dim_salted, [on, "_salt"]).drop("_salt")
+
+
+def blocked_self_pairs(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    cap: int = 1000,
+) -> DataFrame:
+    """Skew-safe intra-group pair generation: all unordered pairs of
+    rows sharing ``group_col``, with per-join-task work bounded by
+    ``cap^2`` regardless of how degenerate a group is.
+
+    A plain group-keyed self-join puts an n-row group's n^2 pairs in
+    one reducer; here each group is hash-split into ``g = ceil(n /
+    cap)`` subgroups and the pair space is covered by the g*(g+1)/2
+    subgroup blocks (i <= j): the left side replicates each row into
+    blocks (sub, j >= sub), the right side into blocks (i <= sub, sub),
+    and the join key is (group, block_i, block_j).  Every unordered
+    pair lands in exactly one block — diagonal blocks dedupe by id
+    order, off-diagonal blocks are disjoint by construction — so the
+    result is IDENTICAL to the naive self-join while the heaviest
+    task is cap^2.
+
+    Returns the joined pairs with every ``df`` column suffixed _a/_b
+    (ids NOT normalized on off-diagonal blocks: callers with
+    symmetric payloads normalize with least/greatest).
+    """
+    sizes = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    with_g = F.broadcast(
+        sizes.select(
+            group_col,
+            F.greatest(F.lit(1), F.ceil(F.col("_n") / cap)).cast("int").alias("_g"),
+        )
+    )
+    sized = df.join(with_g, group_col).withColumn(
+        "_sub", F.pmod(F.xxhash64(F.col(id_col)), F.col("_g")).cast("int")
+    )
+    left = sized.withColumn(
+        "_blk_j", F.explode(F.sequence(F.col("_sub"), F.col("_g") - 1))
+    ).withColumnRenamed("_sub", "_blk_i")
+    right = sized.withColumn(
+        "_blk_i", F.explode(F.sequence(F.lit(0), F.col("_sub")))
+    ).withColumnRenamed("_sub", "_blk_j")
+    a = left.select(
+        F.col(group_col), "_blk_i", "_blk_j",
+        *[F.col(c).alias(f"{c}_a") for c in df.columns if c != group_col],
+    )
+    b = right.select(
+        F.col(group_col), "_blk_i", "_blk_j",
+        *[F.col(c).alias(f"{c}_b") for c in df.columns if c != group_col],
+    )
+    ida, idb = F.col(f"{id_col}_a"), F.col(f"{id_col}_b")
+    return (
+        a.join(b, [group_col, "_blk_i", "_blk_j"])
+        .filter((F.col("_blk_i") != F.col("_blk_j")) | (ida < idb))
+        .filter(ida != idb)
+        .drop("_blk_i", "_blk_j")
+    )

@@ -156,3 +156,100 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucketed_near_pairs(
         emb, "vec_id", "embedding", n_planes=_N_PLANES, dim=_DIM, threshold=0.3
     ).select("id_a", "id_b", "bucket", fround(F.col("score"), 6).alias("score"))
+
+
+@register("embedding_near_dups_guarded", _NEAR_ORACLE)
+def embedding_near_dups_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same bucket-local near-dup join under the SKEW GUARD
+    (operators.skew.blocked_self_pairs): buckets larger than
+    ``max_bucket`` are hash-split and their pair space covered in
+    bounded blocks, so one degenerate hyperplane bucket cannot
+    re-create the quadratic join in a single reducer.  Result set is
+    identical to ``embedding_near_dups`` — same oracle — only the
+    per-task bound changes (max_bucket=4 is deliberately tiny so the
+    split path is exercised even at sf0.01)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return bucketed_near_pairs(
+        emb,
+        "vec_id",
+        "embedding",
+        n_planes=_N_PLANES,
+        dim=_DIM,
+        threshold=0.3,
+        max_bucket=4,
+    ).select("id_a", "id_b", "bucket", fround(F.col("score"), 6).alias("score"))
+
+
+# ---------------------------------------------------------------------------
+
+_CENT_MOD, _N_PROBE, _IVF_K = 31, 2, 5
+
+_CENT_SCORE = (
+    f"{_dot_sql('v', 'cvec')} / (sqrt({_dot_sql('v', 'v')}) * sqrt({_dot_sql('cvec', 'cvec')}))"
+)
+_QC_SCORE = (
+    f"{_dot_sql('qv', 'cvec')} / (sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('cvec', 'cvec')}))"
+)
+_QV_SCORE = (
+    f"{_dot_sql('qv', 'v')} / (sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('v', 'v')}))"
+)
+
+_IVF_ORACLE = f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+  WHERE vec_id % {_CENT_MOD} = 0
+), assigned AS (
+  SELECT neighbor_id, v, cent_id FROM (
+    SELECT c.vec_id AS neighbor_id, c.embedding AS v, cents.cent_id,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY {_CENT_SCORE} DESC, cents.cent_id ASC) AS rn
+    FROM embeddings c CROSS JOIN cents
+  ) WHERE rn = 1
+), probes AS (
+  SELECT query_id, qv, cent_id FROM (
+    SELECT q.vec_id AS query_id, q.embedding AS qv, cents.cent_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_QC_SCORE} DESC, cents.cent_id ASC) AS rn
+    FROM embeddings q CROSS JOIN cents
+    WHERE q.vec_id < 10
+  ) WHERE rn <= {_N_PROBE}
+), scored AS (
+  SELECT p.query_id, a.neighbor_id, {_QV_SCORE} AS score
+  FROM assigned a JOIN probes p ON a.cent_id = p.cent_id
+  WHERE a.neighbor_id != p.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, score,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, {fround_sql('score', 6)} AS score, rank
+FROM ranked WHERE rank <= {_IVF_K}
+"""
+
+
+@register("ivf_topk", _IVF_ORACLE)
+def ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors for the first 10 query
+    vectors: inverted lists by nearest deterministic centroid (every
+    31st vector), 2-probe search, exact re-scoring of candidates —
+    the centroid-partitioned scale path next to the LSH-bucketed one
+    (`ann_bucket_topk`).  Corpus assignment is a broadcast
+    centroid scan; the corpus itself never shuffles."""
+    from dss_nlp_ingestion_spark.operators.similarity import ivf_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    out = ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        "vec_id",
+        "embedding",
+        centroid_mod=_CENT_MOD,
+        n_probe=_N_PROBE,
+        k=_IVF_K,
+    )
+    return out.select(
+        "query_id", "neighbor_id", fround(F.col("score"), 6).alias("score"), "rank"
+    )

@@ -131,3 +131,37 @@ def test_text_edges(spark):
     assert out[0].hk == "0700.HK"
     assert out[0].sz == "000001.SZ"
     assert out[0].passthrough == "ABC"
+
+
+def test_blocked_self_pairs_matches_naive(spark):
+    # Skew guard equivalence: block-decomposed intra-group pairs ==
+    # the naive group self-join, for caps that force 1..n subgroups.
+    from pyspark.sql import functions as F
+
+    from dss_nlp_ingestion_spark.operators.skew import blocked_self_pairs
+
+    rows = [(i, i % 3, i * 10) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, grp int, payload long")
+    naive = (
+        df.selectExpr("grp", "id as id_a", "payload as p_a")
+        .join(df.selectExpr("grp", "id as id_b", "payload as p_b"), "grp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("grp", "id_a", "id_b")
+    )
+    expected = sorted(map(tuple, naive.collect()))
+    for cap in (1, 3, 5, 100):
+        got = blocked_self_pairs(df, "grp", "id", cap=cap).select(
+            "grp",
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        assert sorted(map(tuple, got.collect())) == expected, f"cap={cap}"
+
+
+def test_guarded_near_dups_matches_unguarded(spark):
+    from dss_nlp_ingestion_spark.plans import QUERIES
+    from tests.conftest import SF_DIR
+
+    plain = QUERIES["embedding_near_dups"](spark, SF_DIR)
+    guarded = QUERIES["embedding_near_dups_guarded"](spark, SF_DIR)
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, guarded.collect()))
