@@ -1,0 +1,90 @@
+"""Connected components over near-duplicate candidate pairs — the
+clustering step between pair discovery (MinHash/SimHash/Jaccard) and
+canonical-document selection in a training-data dedup pipeline.
+
+The reference dedups by exact key only (src/base.py:210-218); at
+100 TB, near-dup PAIRS must be folded into CLUSTERS so each group
+keeps one canonical document.  This is small-diameter graph work
+(duplicate clusters are near-cliques), so iterative min-label
+propagation converges in a handful of supersteps.
+
+Scale design: each iteration is one join + one aggregate, both
+shuffled on the node id — the classic large-star/small-star shape
+without an external graph library.  The driver-side loop inspects
+only a changed-count aggregate (never row data), and iterations are
+capped: k supersteps propagate labels across any component of
+diameter <= k, and near-dup clusters are denser than chains by
+construction.  On pathological chain graphs, raise ``max_iter`` or
+alternate with a star-contraction step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 15,
+) -> DataFrame:
+    """Label every node reachable through ``edges`` with the minimum
+    node id of its component.  Returns (node, label).
+
+    Min-label propagation: start with label(v) = v; each superstep
+    sets label(v) = min(label(v), min over neighbors' labels); stop
+    when no label changes (checked via a count aggregate, not a
+    collect).  Deterministic for any edge order.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
+        )
+        .distinct()
+    )
+    labels = sym.select(F.col("u").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["v"] == labels["node"])
+            .groupBy("u")
+            .agg(F.min("label").alias("_nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["u"], "left")
+            .select(
+                "node",
+                "label",
+                F.least(F.col("label"), F.coalesce(F.col("_nmin"), F.col("label"))).alias(
+                    "_new"
+                ),
+            )
+        )
+        changed = updated.filter(F.col("_new") < F.col("label")).count()
+        labels = updated.select("node", F.col("_new").alias("label"))
+        if changed == 0:
+            break
+    return labels
+
+
+def canonical_filter(
+    df: DataFrame,
+    components: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """Keep one canonical row per duplicate cluster (the minimum id —
+    which IS the component label) plus every row that belongs to no
+    cluster.  The components table is near-dup-pair-sized, far
+    smaller than the corpus: broadcast when small, shuffle on id
+    otherwise — the corpus is filtered, never expanded."""
+    comp = components.select(
+        F.col("node").alias(id_col), F.col("label").alias("_label")
+    )
+    joined = df.join(comp, id_col, "left")
+    return joined.filter(
+        F.col("_label").isNull() | (F.col(id_col) == F.col("_label"))
+    ).drop("_label")

@@ -325,3 +325,52 @@ def ngram_jaccard_dups_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         "union_sz",
         fround(F.col("shared").cast("double") / F.col("union_sz"), 6).alias("jaccard_lb"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clusters: connected components over LSH candidate pairs
+# ---------------------------------------------------------------------------
+
+_CLUSTER_ORACLE = f"""
+WITH RECURSIVE {_WS_CTE},
+hashed AS (
+  SELECT doc_id, list_transform(sh, s -> sha256(s)) AS hsh FROM sh
+), sig AS (
+  SELECT doc_id,
+    {_minhash_cols}
+  FROM hashed
+), bands AS (
+{_band_selects}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+), walk AS (
+  SELECT u AS node, v AS reach FROM edges
+  UNION
+  SELECT w.node, e.v AS reach FROM walk w JOIN edges e ON w.reach = e.u
+)
+SELECT node, least(node, min(reach)) AS label
+FROM walk GROUP BY node
+"""
+
+
+@register("dup_clusters", _CLUSTER_ORACLE)
+def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components (iterative
+    min-label propagation, operators/graph.py) over the MinHash-LSH
+    candidate pairs — the step that turns pair discovery into
+    keep-one-canonical dedup.  Oracle: DuckDB recursive transitive
+    closure grouped to the min reachable id — same labels from a
+    different algorithm."""
+    from dss_nlp_ingestion_spark.operators.graph import connected_components
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(
+        docs, "doc_id", "text", num_perm=_NUM_PERM, band_rows=_BAND_ROWS, k=3
+    )
+    return connected_components(pairs, "id_a", "id_b")

@@ -397,3 +397,56 @@ def range_join_cooccurring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "id_a", "id_b", "type_a", "type_b", gap.alias("gap_ms"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Native session windows (the engine-side twin of gap sessionization)
+# ---------------------------------------------------------------------------
+
+# Spark's session_window merges an event into the open session when it
+# arrives strictly BEFORE last_ts + gap; the island oracle uses the
+# same >= gap boundary.  Window bounds emitted as epoch millis (BIGINT)
+# to sidestep ns-vs-us timestamp normalization.
+_SESSION_WINDOW_ORACLE = """
+WITH marked AS (
+  SELECT user_id, epoch_ms(ts) AS ms,
+         CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                   OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w >= 1800000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), numbered AS (
+  SELECT user_id, ms,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ms ASC
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       min(ms) AS session_start_ms,
+       max(ms) + 1800000 AS session_end_ms,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM numbered
+GROUP BY user_id, session_id
+"""
+
+
+@register("session_window_counts", _SESSION_WINDOW_ORACLE)
+def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-length session windows via Spark's NATIVE
+    ``session_window`` operator (30-minute gap per user) — the
+    engine-managed twin of the lag/island ``sessionize_events`` form
+    and the batch shape of the streaming session aggregation.  One
+    shuffle on (user_id); window merging happens inside the aggregate
+    operator, which is what makes it streamable with state eviction
+    at watermark."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window(F.col("ts"), "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_millis(F.col("session_window.start")).alias("session_start_ms"),
+            F.unix_millis(F.col("session_window.end")).alias("session_end_ms"),
+            "n_events",
+        )
+    )

@@ -117,3 +117,28 @@ def stream_to_idempotent_store(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def session_window_counts_stream(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """§2.12 session windows in Structured Streaming: the engine
+    merges an event into the open session while it lands before
+    last_ts + gap; the watermark closes sessions and evicts their
+    state.  Same expression as the batch ``session_window_counts``
+    query — stream==batch parity is the test."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(key_col))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.unix_millis(F.col("session_window.start")).alias("session_start_ms"),
+            F.unix_millis(F.col("session_window.end")).alias("session_end_ms"),
+            "n_events",
+        )
+    )

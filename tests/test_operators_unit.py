@@ -165,3 +165,27 @@ def test_guarded_near_dups_matches_unguarded(spark):
     plain = QUERIES["embedding_near_dups"](spark, SF_DIR)
     guarded = QUERIES["embedding_near_dups_guarded"](spark, SF_DIR)
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, guarded.collect()))
+
+
+def test_connected_components_and_canonical_filter(spark):
+    from pyspark.sql import functions as F
+
+    from dss_nlp_ingestion_spark.operators.graph import (
+        canonical_filter,
+        connected_components,
+    )
+
+    # Two components {1,2,3,9} (chain) and {5,6}; 7, 8 unclustered.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 9), (5, 6)], "id_a long, id_b long"
+    )
+    labels = {r.node: r.label for r in connected_components(edges).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 10)], "doc_id long")
+    kept = sorted(
+        r.doc_id
+        for r in canonical_filter(docs, connected_components(edges), "doc_id").collect()
+    )
+    # Cluster survivors 1 and 5, plus unclustered 4, 7, 8.
+    assert kept == [1, 4, 5, 7, 8]

@@ -111,3 +111,22 @@ def test_foreachbatch_idempotent_store(spark, tmp_path):
     q2.awaitTermination()
     assert read_store(spark, store).select("unique_identifier").distinct().count() == 2
     assert stored.count() <= 3
+
+
+def test_streaming_session_windows_match_batch(spark, tmp_path):
+    from dss_nlp_ingestion_spark.catalog import table
+    from dss_nlp_ingestion_spark.plans import QUERIES
+    from dss_nlp_ingestion_spark.streaming.pipeline import (
+        session_window_counts_stream,
+    )
+
+    events = table(spark, SF_DIR, "events")
+    src = str(tmp_path / "events_session_src")
+    events.write.parquet(src)
+
+    stream = read_events_stream(spark, src, schema=events.schema)
+    agg = session_window_counts_stream(stream, gap="30 minutes")
+    run_complete_available_now(agg, "session_stream")
+    got = sorted(map(tuple, spark.table("session_stream").collect()))
+    want = sorted(map(tuple, QUERIES["session_window_counts"](spark, SF_DIR).collect()))
+    assert got == want
