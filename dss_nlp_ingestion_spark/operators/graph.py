@@ -38,15 +38,22 @@ def connected_components(
     when no label changes (checked via a count aggregate, not a
     collect).  Deterministic for any edge order.
     """
+    # The edge list is read once per superstep and the upstream
+    # lineage may be an expensive pipeline (LSH candidate generation)
+    # — persist it, or every iteration re-runs the whole producer.
     sym = (
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .unionByName(
             edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
         )
         .distinct()
+        .persist()
     )
-    labels = sym.select(F.col("u").alias("node")).distinct().withColumn(
-        "label", F.col("node")
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -65,9 +72,15 @@ def connected_components(
             )
         )
         changed = updated.filter(F.col("_new") < F.col("label")).count()
-        labels = updated.select("node", F.col("_new").alias("label"))
+        prev = labels
+        # localCheckpoint truncates the per-iteration lineage (plans
+        # otherwise grow superlinearly) and materializes the new
+        # labels so `prev` can be released.
+        labels = updated.select("node", F.col("_new").alias("label")).localCheckpoint()
+        prev.unpersist()
         if changed == 0:
             break
+    sym.unpersist()
     return labels
 
 

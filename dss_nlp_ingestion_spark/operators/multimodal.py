@@ -114,3 +114,94 @@ def frame_sample_offsets(df: DataFrame, n_frames: int = 4) -> DataFrame:
         "byte_offset",
         F.floor(F.col("frame_idx") * F.col("n_bytes") / float(n_frames)).cast("long"),
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def resize_stub_batch(
+    batches: Iterator[pd.DataFrame],
+    width: int,
+    height: int,
+    fake: bool = True,
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas resize stage: (doc_id, payload) -> fixed-size
+    payloads.  The fake path cycles the source bytes to exactly
+    width*height bytes (deterministic, size-exact — the real
+    PIL.Image.resize plugs in at the NotImplementedError).  The
+    Spark-side contract is what's real: binary in, binary out, bounded
+    Arrow batches, output size decoupled from input size."""
+    target = width * height
+    for pdf in batches:
+        if not fake:
+            raise NotImplementedError(
+                "real image resize requires pillow; run with fake=True"
+            )
+        out = []
+        for p in pdf["payload"]:
+            b = bytes(p) or b"\x00"
+            reps = (target // len(b)) + 1
+            out.append((b * reps)[:target])
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "payload": out,
+                "width": pd.Series([width] * len(out), dtype="int32"),
+                "height": pd.Series([height] * len(out), dtype="int32"),
+            }
+        )
+
+
+def resize_media(
+    df: DataFrame, width: int = 64, height: int = 48, fake: bool = True
+) -> DataFrame:
+    """Run the resize stage over (doc_id, payload)."""
+    from dss_nlp_ingestion_spark.catalog import ensure_parallelism
+
+    binary = ensure_parallelism(df.select("doc_id", "payload"))
+    return binary.mapInPandas(
+        lambda it: resize_stub_batch(it, width, height, fake=fake),
+        schema=RESIZED_SCHEMA,
+    )
+
+
+N_HIST_BINS = 8
+
+MEDIA_FEATURE_SCHEMA = StructType(
+    [StructField("doc_id", LongType())]
+    + [StructField(f"f{i}", LongType()) for i in range(N_HIST_BINS)]
+)
+
+
+def byte_histogram_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Feature-extraction stage: 8-bin byte-value histogram per
+    payload (bin = byte >> 5) — the deterministic stand-in for a real
+    image/audio feature extractor, vectorized with numpy inside each
+    Arrow batch."""
+    import numpy as np
+
+    for pdf in batches:
+        feats = np.zeros((len(pdf), N_HIST_BINS), dtype="int64")
+        for row_i, p in enumerate(pdf["payload"]):
+            arr = np.frombuffer(bytes(p), dtype=np.uint8)
+            if arr.size:
+                feats[row_i] = np.bincount(arr >> 5, minlength=N_HIST_BINS)
+        out = {"doc_id": pdf["doc_id"].astype("int64")}
+        for i in range(N_HIST_BINS):
+            out[f"f{i}"] = feats[:, i]
+        yield pd.DataFrame(out)
+
+
+def media_byte_features(df: DataFrame) -> DataFrame:
+    """Run the feature-extraction stage over (doc_id, payload)."""
+    from dss_nlp_ingestion_spark.catalog import ensure_parallelism
+
+    binary = ensure_parallelism(df.select("doc_id", "payload"))
+    return binary.mapInPandas(byte_histogram_batch, schema=MEDIA_FEATURE_SCHEMA)

@@ -93,3 +93,41 @@ def frame_sample_offsets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_offsets(docs, n_frames=4).withColumn(
         "frame_idx", F.col("frame_idx").cast("int")
     )
+
+
+# ---------------------------------------------------------------------------
+
+# Feature extraction: 8-bin byte histogram (bin = byte >> 5).  The
+# payload is UTF-8 of an ASCII corpus, so DuckDB reproduces the byte
+# stream from the character codes.
+_FEATURES_ORACLE = """
+WITH chars AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, length(text) + 1),
+                               i -> ascii(text[i]) // 32)) AS bin
+  FROM documents
+)
+SELECT doc_id,
+       CAST(count(*) FILTER (WHERE bin = 0) AS BIGINT) AS f0,
+       CAST(count(*) FILTER (WHERE bin = 1) AS BIGINT) AS f1,
+       CAST(count(*) FILTER (WHERE bin = 2) AS BIGINT) AS f2,
+       CAST(count(*) FILTER (WHERE bin = 3) AS BIGINT) AS f3,
+       CAST(count(*) FILTER (WHERE bin = 4) AS BIGINT) AS f4,
+       CAST(count(*) FILTER (WHERE bin = 5) AS BIGINT) AS f5,
+       CAST(count(*) FILTER (WHERE bin = 6) AS BIGINT) AS f6,
+       CAST(count(*) FILTER (WHERE bin = 7) AS BIGINT) AS f7
+FROM chars GROUP BY doc_id
+"""
+
+
+@register("media_byte_features", _FEATURES_ORACLE)
+def media_byte_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction stage: numpy byte-value histogram per
+    payload inside an Arrow mapInPandas batch — the deterministic
+    stand-in for image/audio embedding extraction, hash-checked
+    against a character-code oracle (the corpus is ASCII, so UTF-8
+    bytes == codepoints)."""
+    from dss_nlp_ingestion_spark.operators.multimodal import media_byte_features
+
+    docs = with_binary_payload(table(spark, sf_dir, "documents"))
+    return media_byte_features(docs)

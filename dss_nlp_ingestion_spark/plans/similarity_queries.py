@@ -182,7 +182,7 @@ def embedding_near_dups_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 
-_CENT_MOD, _N_PROBE, _IVF_K = 31, 2, 5
+_CENT_MOD, _N_PROBE, _IVF_K = 71, 2, 5
 
 _CENT_SCORE = (
     f"{_dot_sql('v', 'cvec')} / (sqrt({_dot_sql('v', 'v')}) * sqrt({_dot_sql('cvec', 'cvec')}))"

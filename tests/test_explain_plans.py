@@ -118,6 +118,14 @@ def test_ivf_broadcasts_centroids_and_probes(spark):
     )
 
 
+def test_session_window_single_shuffle(spark):
+    # Native session_window: merging happens inside the aggregate —
+    # one exchange on the grouping key, no join, no cartesian.
+    plan = _formatted(spark, "session_window_counts")
+    assert plan.count("+- Exchange") == 1
+    assert "CartesianProduct" not in plan
+
+
 def test_broadcast_query_set_in_topk_cosine(spark):
     plan = _formatted(spark, "cosine_topk_bruteforce")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

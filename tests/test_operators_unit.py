@@ -189,3 +189,19 @@ def test_connected_components_and_canonical_filter(spark):
     )
     # Cluster survivors 1 and 5, plus unclustered 4, 7, 8.
     assert kept == [1, 4, 5, 7, 8]
+
+
+def test_resize_stub_stage(spark):
+    from dss_nlp_ingestion_spark.operators.multimodal import (
+        resize_media,
+        with_binary_payload,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "short"), (2, "a much longer text payload " * 10)], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in resize_media(with_binary_payload(docs), 64, 48).collect()}
+    assert len(out[1].payload) == 64 * 48 == len(out[2].payload)
+    assert out[1].width == 64 and out[1].height == 48
+    # Fake resize cycles source bytes deterministically.
+    assert bytes(out[1].payload[:5]) == b"short"
