@@ -101,3 +101,52 @@ def tryadd_dedup_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+class TryAddProcessor:
+    """Spark 4 ``transformWithStateInPandas`` form of the exact
+    tryAdd dedup — same accept-anchored semantics as
+    :func:`tryadd_dedup_stream`, on the typed-state API (ValueState
+    per key instead of the GroupState tuple).  Requires the RocksDB
+    state store provider."""
+
+    def init(self, handle) -> None:
+        self._last = handle.getValueState("last_accept_ms", TRYADD_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        last = self._last.get()[0] if self._last.exists() else None
+        batch = pd.concat(list(rows), ignore_index=False)
+        accepted, last = accepted_tryadd_pandas(batch, 604_800_000, last)
+        if last is not None:
+            self._last.update((int(last),))
+        yield accepted[["key", "event_id", "ts"]]
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def close(self) -> None:
+        pass
+
+
+def tryadd_dedup_stream_tws(
+    stream,
+    key_col: str = "key",
+    ts_col: str = "ts",
+    ttl: str = "7 days",
+):
+    """Exact tryAdd through ``transformWithStateInPandas`` (the
+    Spark 4 replacement for applyInPandasWithState): same output as
+    :func:`tryadd_dedup_stream`, state managed by the typed handle
+    and evicted with the stream."""
+    from pyspark.sql.streaming import StatefulProcessor  # noqa: F401
+
+    return (
+        stream.withWatermark(ts_col, ttl)
+        .groupBy(key_col)
+        .transformWithStateInPandas(
+            statefulProcessor=TryAddProcessor(),
+            outputStructType=TRYADD_OUTPUT_SCHEMA,
+            outputMode="Append",
+            timeMode="None",
+        )
+    )

@@ -7,6 +7,7 @@ from __future__ import annotations
 import datetime
 
 import pandas as pd
+import pytest
 
 from dss_nlp_ingestion_spark.streaming.pipeline import read_events_stream
 from dss_nlp_ingestion_spark.streaming.stateful import (
@@ -105,3 +106,41 @@ def test_tryadd_state_survives_across_batches(spark, tmp_path):
     # Restarted query reads only the new file (checkpoint) and keeps
     # state: event 2 (+30min) is rejected against batch-1's accept.
     assert drain() == [1, 3]
+
+
+def test_tryadd_tws_matches_applyinpandaswithstate(spark, tmp_path):
+    # transformWithStateInPandas (Spark 4 typed-state API) twin of the
+    # GroupState form.  Its Python driver worker needs protobuf, which
+    # this container lacks — skip there; the operator itself is plain
+    # DataFrame API and runs wherever pyspark[connect] deps exist.
+    pytest.importorskip("google.protobuf.descriptor")
+
+    from pyspark.sql import functions as F
+
+    from dss_nlp_ingestion_spark.catalog import table
+    from dss_nlp_ingestion_spark.streaming.stateful import (
+        tryadd_dedup_stream,
+        tryadd_dedup_stream_tws,
+    )
+    from tests.conftest import SF_DIR
+
+    ev = table(spark, SF_DIR, "events").select(
+        F.concat_ws("|", "user_id", "event_type").alias("key"), "event_id", "ts"
+    )
+    src = str(tmp_path / "tws_src")
+    ev.write.mode("overwrite").parquet(src)
+
+    outs = {}
+    for name, op in (("gs", tryadd_dedup_stream), ("tws", tryadd_dedup_stream_tws)):
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        q = (
+            op(stream)
+            .writeStream.format("memory")
+            .queryName(f"tryadd_{name}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        outs[name] = sorted(map(tuple, spark.table(f"tryadd_{name}").collect()))
+    assert outs["gs"] == outs["tws"]
