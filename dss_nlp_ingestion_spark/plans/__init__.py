@@ -18,3 +18,4 @@ from dss_nlp_ingestion_spark.plans import misc_queries  # noqa: F401,E402
 from dss_nlp_ingestion_spark.plans import sql_surface  # noqa: F401,E402
 from dss_nlp_ingestion_spark.plans import rollup_queries  # noqa: F401,E402
 from dss_nlp_ingestion_spark.plans import fulltext_queries  # noqa: F401,E402
+from dss_nlp_ingestion_spark.plans import sampling_queries  # noqa: F401,E402

@@ -1,0 +1,220 @@
+"""Corpus-assembly queries: deterministic sampling, train/valid/test
+splits, stratified domain-mix rebalancing, KMV distinct sketch, and
+token-budget shard packing (operators.sampling), each oracle-checked.
+
+These are the post-dedup steps that turn the cleaned document store
+the reference pipeline ends at into reproducible training corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dss_nlp_ingestion_spark.catalog import table
+from dss_nlp_ingestion_spark.functions.text import token_count, ws_tokens
+from dss_nlp_ingestion_spark.operators.sampling import (
+    HASH_DENOM,
+    assign_split,
+    deterministic_sample,
+    hash_fraction,
+    kmv_distinct,
+    pack_shards,
+    stratified_sample,
+)
+from dss_nlp_ingestion_spark.plans.registry import fround, fround_sql, register
+
+
+def _hfrac_sql(expr: str, salt: str) -> str:
+    """DuckDB twin of operators.sampling.hash_fraction: first 52 bits
+    of sha256('salt:' || key) as an exact double fraction."""
+    return (
+        f"(('0x' || substr(sha256('{salt}:' || CAST({expr} AS VARCHAR)), 1, 13))"
+        f"::BIGINT / {HASH_DENOM!r})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reproducible Bernoulli sample
+# ---------------------------------------------------------------------------
+
+_SAMPLE_RATE = 0.2
+
+_SAMPLE_ORACLE = f"""
+SELECT doc_id, lang,
+       {fround_sql(_hfrac_sql('doc_id', 'sample'), 6)} AS frac
+FROM documents
+WHERE {_hfrac_sql('doc_id', 'sample')} < {_SAMPLE_RATE}
+"""
+
+
+@register("hash_sample_docs", _SAMPLE_ORACLE)
+def hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% document sample keyed on doc_id — membership
+    is a pure function of the key (reruns, engine changes, and
+    repartitions keep the same rows; nested under any higher rate).
+    Scan-side filter: zero shuffle at any scale."""
+    docs = deterministic_sample(
+        table(spark, sf_dir, "documents"), "doc_id", _SAMPLE_RATE, salt="sample"
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        fround(hash_fraction(F.col("doc_id"), "sample"), 6).alias("frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Train/valid/test split (leak-free across reruns)
+# ---------------------------------------------------------------------------
+
+# Exact binary fractions: the cumulative thresholds (0.75, 0.875) are
+# exactly representable, so Spark's accumulated sum and the oracle's
+# literals are the identical double.
+_SPLIT_WEIGHTS = {"train": 0.75, "valid": 0.125, "test": 0.125}
+
+_SPLIT_ORACLE = f"""
+WITH s AS (
+  SELECT lang,
+         CASE WHEN {_hfrac_sql('doc_id', 'split')} < 0.75 THEN 'train'
+              WHEN {_hfrac_sql('doc_id', 'split')} < 0.875 THEN 'valid'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM s GROUP BY split, lang
+"""
+
+
+@register("train_valid_test_counts", _SPLIT_ORACLE)
+def train_valid_test_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """75/12.5/12.5 train/valid/test assignment hashed on doc_id,
+    counted per (split, lang). A document's split never changes when
+    the corpus grows — the invariant that keeps eval sets leak-free.
+    The split itself is a projection; the count is one shuffle."""
+    docs = assign_split(
+        table(spark, sf_dir, "documents"), "doc_id", _SPLIT_WEIGHTS, salt="split"
+    )
+    return docs.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified (domain-mix) sampling
+# ---------------------------------------------------------------------------
+
+_LANG_RATES = {"en": 0.3, "zh": 0.6, "de": 0.8, "es": 0.2}
+_DEFAULT_RATE = 0.05
+
+_RATE_CASE = (
+    "CASE lang "
+    + " ".join(f"WHEN '{v}' THEN {r}" for v, r in _LANG_RATES.items())
+    + f" ELSE {_DEFAULT_RATE} END"
+)
+
+_STRATA_ORACLE = f"""
+WITH kept AS (
+  SELECT lang FROM documents
+  WHERE {_hfrac_sql('doc_id', 'strata')} < {_RATE_CASE}
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled
+FROM kept GROUP BY lang
+"""
+
+
+@register("stratified_lang_sample", _STRATA_ORACLE)
+def stratified_lang_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix rebalancing: per-language keep rates (upsample
+    low-resource langs, downsample dominant ones), counted per lang.
+    The rate map folds into a CASE expression, so the sample is still
+    a shuffle-free scan-side filter."""
+    docs = stratified_sample(
+        table(spark, sf_dir, "documents"),
+        "doc_id",
+        "lang",
+        _LANG_RATES,
+        default_rate=_DEFAULT_RATE,
+        salt="strata",
+    )
+    return docs.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_sampled"))
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct-cardinality sketch (vocabulary size per language)
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+
+_KMV_ORACLE = f"""
+WITH t AS (
+  SELECT DISTINCT lang, tok FROM (
+    SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+    FROM documents
+  )
+), f AS (
+  SELECT lang, {_hfrac_sql('tok', 'kmv')} AS frac FROM t
+), r AS (
+  SELECT lang, frac, row_number() OVER (PARTITION BY lang ORDER BY frac ASC) AS rn
+  FROM f
+), a AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_exact,
+         max(CASE WHEN rn = {_KMV_K} THEN frac END) AS kth
+  FROM r GROUP BY lang
+)
+SELECT lang, n_exact,
+       {fround_sql(f"CASE WHEN kth IS NOT NULL THEN {float(_KMV_K - 1)!r} / kth ELSE CAST(n_exact AS DOUBLE) END", 4)} AS n_est
+FROM a
+"""
+
+
+@register("kmv_vocab_by_lang", _KMV_ORACLE)
+def kmv_vocab_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary-size estimate via the K-Minimum-Values
+    sketch (k=64) next to the exact distinct count — the reproducible
+    (cross-engine, unlike HLL) approximate-distinct operator. One
+    shuffle on lang; the rank pass is WindowGroupLimit-prunable and
+    each group retains <= k values after it."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("lang", F.explode(ws_tokens(F.col("text"))).alias("tok"))
+    out = kmv_distinct(toks, ["lang"], "tok", k=_KMV_K, salt="kmv")
+    return out.select("lang", "n_exact", fround(F.col("n_est"), 4).alias("n_est"))
+
+
+# ---------------------------------------------------------------------------
+# Token-budget shard packing (distributed prefix sum)
+# ---------------------------------------------------------------------------
+
+_SHARD_BUDGET = 5_000
+_RANGE_SIZE = 100
+
+_PACK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS w
+  FROM documents
+), s AS (
+  SELECT doc_id, w,
+         COALESCE(sum(w) OVER (ORDER BY doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM t
+)
+SELECT doc_id, w AS n_tokens,
+       CAST(floor(cum_before / CAST({_SHARD_BUDGET} AS DOUBLE)) AS BIGINT) AS shard_id
+FROM s
+"""
+
+
+@register("pack_training_shards", _PACK_ORACLE)
+def pack_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents (in doc_id order) into ~5k-token training
+    shards: shard_id = floor(tokens_before_this_doc / budget). The
+    oracle is the naive global running sum; the Spark plan is the
+    two-level distributed prefix sum (per-range windows in parallel +
+    a tiny per-range-totals global pass) that produces bit-identical
+    longs without a single-partition window over the corpus."""
+    docs = table(spark, sf_dir, "documents")
+    weighted = docs.select("doc_id", token_count(F.col("text")).alias("w"))
+    return pack_shards(
+        weighted, "doc_id", "w", budget=_SHARD_BUDGET, range_size=_RANGE_SIZE
+    )

@@ -205,3 +205,79 @@ def test_resize_stub_stage(spark):
     assert out[1].width == 64 and out[1].height == 48
     # Fake resize cycles source bytes deterministically.
     assert bytes(out[1].payload[:5]) == b"short"
+
+
+# --- sampling / split / sketch / shard packing ----------------------------
+
+def test_deterministic_sample_nested_and_stable(spark):
+    from dss_nlp_ingestion_spark.operators.sampling import deterministic_sample
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "id long")
+    s10 = {r.id for r in deterministic_sample(df, "id", 0.1).collect()}
+    s30 = {r.id for r in deterministic_sample(df, "id", 0.3).collect()}
+    # Nested: a lower rate is a strict subset of a higher one.
+    assert s10 <= s30
+    # Roughly Bernoulli (loose bounds; hash is fixed so this is stable).
+    assert 120 <= len(s10) <= 280 and 450 <= len(s30) <= 750
+    # Stable across repartitioning.
+    s10b = {
+        r.id for r in deterministic_sample(df.repartition(7), "id", 0.1).collect()
+    }
+    assert s10 == s10b
+
+
+def test_assign_split_partitions_everything(spark):
+    from dss_nlp_ingestion_spark.operators.sampling import assign_split
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "id long")
+    out = assign_split(df, "id", {"train": 0.75, "valid": 0.125, "test": 0.125})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == 1000
+    assert set(counts) == {"train", "valid", "test"}
+    assert counts["train"] > counts["valid"] and counts["train"] > counts["test"]
+    # Membership is per-key stable: adding rows never moves old keys.
+    sub = assign_split(df.filter(F.col("id") < 500), "id",
+                       {"train": 0.75, "valid": 0.125, "test": 0.125})
+    full = {r.id: r["split"] for r in out.collect()}
+    for r in sub.collect():
+        assert full[r.id] == r["split"]
+
+
+def test_stratified_sample_rates(spark):
+    from dss_nlp_ingestion_spark.operators.sampling import stratified_sample
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    out = stratified_sample(df, "id", "s", {"a": 1.0}, default_rate=0.0)
+    got = out.groupBy("s").agg(F.count(F.lit(1)).alias("n")).collect()
+    assert {r.s: r.n for r in got} == {"a": 1000}
+
+
+def test_kmv_distinct_exact_small_and_estimate_bounds(spark):
+    from dss_nlp_ingestion_spark.operators.sampling import kmv_distinct
+
+    rows = [(g, f"k{g}_{i % (10 if g == 0 else 500)}") for g in (0, 1)
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "g long, k string")
+    out = {r.g: r for r in kmv_distinct(df, ["g"], "k", k=64).collect()}
+    # Group 0 has 10 < k distinct -> exact.
+    assert out[0].n_exact == 10 and out[0].n_est == 10.0
+    # Group 1: 500 distinct, estimate within 35% (fixed hash -> stable).
+    assert out[1].n_exact == 500
+    assert 325 <= out[1].n_est <= 675
+
+
+def test_pack_shards_matches_naive_prefix_sum(spark):
+    from dss_nlp_ingestion_spark.operators.sampling import pack_shards
+
+    rows = [(i, (i * 37) % 90 + 10) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    out = {r.id: (r.n_tokens, r.shard_id)
+           for r in pack_shards(df, "id", "w", budget=1000, range_size=64).collect()}
+    cum = 0
+    for i, w in rows:
+        assert out[i] == (w, cum // 1000)
+        cum += w
+    # Budget respected up to one document of overshoot.
+    assert max(r[1] for r in out.values()) == (cum - rows[-1][1]) // 1000
