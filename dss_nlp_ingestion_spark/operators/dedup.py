@@ -399,3 +399,37 @@ def history_filter(
     return joined.filter(
         F.col("_h_hash").isNull() | (F.col("_h_age") >= F.lit(ttl_periods))
     ).drop("_h_hash", "_h_age")
+
+
+# --- benchmark decontamination --------------------------------------------
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Drop corpus documents that share ANY word ``k``-gram with the
+    benchmark set — eval-set decontamination, the dedup-family pass a
+    training pipeline runs against held-out benchmarks before
+    training (n-gram overlap is the standard published criterion).
+
+    Scale shape: the benchmark's distinct shingle set is eval-sized
+    (millions of shingles at most, vs the corpus's billions) and is
+    broadcast, so the contamination probe is a map-side semi-join over
+    the exploded corpus shingles; only the matched doc ids — a tiny
+    set — reach the final anti-join, where the corpus is filtered,
+    never expanded. Documents shorter than ``k`` words produce no
+    shingles and are trivially clean."""
+    bench = (
+        benchmark.select(F.explode(shingles(F.col(text_col), k)).alias("_s"))
+        .distinct()
+    )
+    probe = corpus.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("_s")
+    )
+    contaminated = (
+        probe.join(F.broadcast(bench), "_s", "left_semi").select(id_col).distinct()
+    )
+    return corpus.join(contaminated, id_col, "left_anti")

@@ -1,0 +1,65 @@
+"""MERGE INTO (upsert) semantics as a pure DataFrame transform.
+
+The reference's store writes are upserts: ``_id``-keyed index calls
+that overwrite matched documents and insert new ones
+(src/base.py:239-253 bulk index with explicit ``_id``). The lakehouse
+twin of that sink semantics is ``MERGE INTO`` — re-expressed here as a
+single full-outer join so it runs on any DataFrame source, returns the
+merged relation, and stays oracle-checkable (the engine-side sinks in
+``sources.sinks`` already cover the write-path idempotence).
+
+Scale shape: one shuffle of each side on the merge key (or a broadcast
+of the source when it is delta-sized, which is the common case —
+Catalyst/AQE picks that automatically when the source fits); no other
+stage touches the full target. This is exactly the join Delta/Iceberg
+MERGE compiles to before file rewriting, minus the transaction log.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_into(
+    target: DataFrame,
+    source: DataFrame,
+    key_cols: Sequence[str],
+    insert_only: bool = False,
+) -> DataFrame:
+    """Return ``target`` merged with ``source`` on ``key_cols``:
+
+    - matched rows take the source's values (WHEN MATCHED THEN UPDATE
+      SET *) — unless ``insert_only``, which keeps the target row
+      (the reference's replicate-if-absent / K4 semantics);
+    - source rows with no match are inserted (WHEN NOT MATCHED THEN
+      INSERT *);
+    - target rows with no match are kept.
+
+    ``source`` must have (at least) the target's columns. Matching is
+    decided by a non-null source key after the full-outer join, so
+    source values may legitimately be NULL without being mistaken for
+    "no match" (a plain ``coalesce`` per column would get that wrong).
+    """
+    cols = target.columns
+    src = source.select([F.col(c).alias(f"_s_{c}") for c in cols])
+    cond: Column = reduce(
+        lambda a, b: a & b, [target[k].eqNullSafe(src[f"_s_{k}"]) for k in key_cols]
+    )
+    joined = target.join(src, cond, "full_outer")
+    matched = reduce(
+        lambda a, b: a & b, [src[f"_s_{k}"].isNotNull() for k in key_cols]
+    )
+    in_target = reduce(
+        lambda a, b: a & b, [target[k].isNotNull() for k in key_cols]
+    )
+    out = []
+    for c in cols:
+        take_source = matched & (~in_target if insert_only else F.lit(True))
+        out.append(
+            F.when(take_source, src[f"_s_{c}"]).otherwise(target[c]).alias(c)
+        )
+    return joined.select(*out)

@@ -374,3 +374,41 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", num_perm=_NUM_PERM, band_rows=_BAND_ROWS, k=3
     )
     return connected_components(pairs, "id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap vs a held-out eval set)
+# ---------------------------------------------------------------------------
+
+_DECON_ORACLE = f"""
+WITH {_WS_CTE},
+bench AS (
+  SELECT DISTINCT s FROM (
+    SELECT unnest(sh) AS s FROM sh WHERE doc_id % 97 = 0
+  )
+), probe AS (
+  SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id % 97 <> 0
+), bad AS (
+  SELECT DISTINCT p.doc_id FROM probe p JOIN bench b USING (s)
+)
+SELECT d.doc_id, d.lang FROM documents d
+WHERE d.doc_id % 97 <> 0
+  AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+"""
+
+
+@register("decontaminated_docs", _DECON_ORACLE)
+def decontaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: every 97th document plays the
+    held-out benchmark; corpus documents sharing ANY word 3-gram with
+    it are dropped (the published n-gram overlap criterion for
+    training-data hygiene). Benchmark shingles broadcast; corpus is
+    filtered, never expanded."""
+    from dss_nlp_ingestion_spark.operators.dedup import decontaminate
+
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    return decontaminate(corpus, benchmark, "doc_id", "text", k=3).select(
+        "doc_id", "lang"
+    )

@@ -156,3 +156,97 @@ def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate itself.)"""
     load_all(spark, sf_dir)
     return spark.sql(_SCALAR_SQL)
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO (upsert) — Delta-style merge as a full-outer join
+# ---------------------------------------------------------------------------
+
+_MERGE_SRC_SQL = """
+src AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         o_totalprice * 1.1 AS o_totalprice
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey,
+         'N' AS o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 1000 = 0
+)"""
+
+_MERGE_ORACLE = f"""
+WITH {_MERGE_SRC_SQL}
+SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+       CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_custkey
+            ELSE t.o_custkey END AS o_custkey,
+       CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+            ELSE t.o_orderstatus END AS o_orderstatus,
+       {fround_sql("CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice ELSE t.o_totalprice END", 2)} AS o_totalprice
+FROM orders t FULL JOIN src s ON t.o_orderkey = s.o_orderkey
+"""
+
+_MERGE_INSERT_ONLY_ORACLE = f"""
+WITH {_MERGE_SRC_SQL}
+SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+       CASE WHEN t.o_orderkey IS NOT NULL THEN t.o_custkey
+            ELSE s.o_custkey END AS o_custkey,
+       CASE WHEN t.o_orderkey IS NOT NULL THEN t.o_orderstatus
+            ELSE s.o_orderstatus END AS o_orderstatus,
+       {fround_sql("CASE WHEN t.o_orderkey IS NOT NULL THEN t.o_totalprice ELSE s.o_totalprice END", 2)} AS o_totalprice
+FROM orders t FULL JOIN src s ON t.o_orderkey = s.o_orderkey
+"""
+
+
+def _merge_frames(spark: SparkSession, sf_dir: str):
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * F.lit(1.1)).alias("o_totalprice"),
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 1000 == 0).select(
+        (F.col("o_orderkey") + F.lit(100_000_000)).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    return orders, updates.unionByName(inserts)
+
+
+@register("merge_upsert_orders", _MERGE_ORACLE)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style MERGE INTO: a delta of status updates (every 7th
+    order) plus fresh inserts (offset keys) merged into orders — one
+    full-outer join on the key, matched rows take the delta, unmatched
+    target rows survive (operators.merge). The sink-side twin of the
+    reference's _id-keyed index upserts (base.py:239-253)."""
+    from dss_nlp_ingestion_spark.operators.merge import merge_into
+
+    target, source = _merge_frames(spark, sf_dir)
+    merged = merge_into(target, source, ["o_orderkey"])
+    return merged.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        fround(F.col("o_totalprice"), 2).alias("o_totalprice"),
+    )
+
+
+@register("merge_insert_only_orders", _MERGE_INSERT_ONLY_ORACLE)
+def merge_insert_only_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The insert-only MERGE mode (WHEN NOT MATCHED THEN INSERT, no
+    update clause): matched target rows are kept verbatim — the
+    reference's replicate-if-absent semantics (K4) as a relational
+    transform with a full oracle."""
+    from dss_nlp_ingestion_spark.operators.merge import merge_into
+
+    target, source = _merge_frames(spark, sf_dir)
+    merged = merge_into(target, source, ["o_orderkey"], insert_only=True)
+    return merged.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        fround(F.col("o_totalprice"), 2).alias("o_totalprice"),
+    )

@@ -281,3 +281,40 @@ def test_pack_shards_matches_naive_prefix_sum(spark):
         cum += w
     # Budget respected up to one document of overshoot.
     assert max(r[1] for r in out.values()) == (cum - rows[-1][1]) // 1000
+
+
+def test_merge_into_update_insert_keep(spark):
+    from dss_nlp_ingestion_spark.operators.merge import merge_into
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, v string, x double"
+    )
+    # Updates key 2 (with a legitimately-NULL value), inserts key 9.
+    source = spark.createDataFrame(
+        [(2, None, 99.0), (9, "new", 1.0)], "k long, v string, x double"
+    )
+    out = {r.k: (r.v, r.x) for r in merge_into(target, source, ["k"]).collect()}
+    # NULL source value WINS on match (not mistaken for "no match").
+    assert out == {1: ("a", 10.0), 2: (None, 99.0), 3: ("c", 30.0), 9: ("new", 1.0)}
+
+    keep = {r.k: (r.v, r.x)
+            for r in merge_into(target, source, ["k"], insert_only=True).collect()}
+    assert keep == {1: ("a", 10.0), 2: ("b", 20.0), 3: ("c", 30.0), 9: ("new", 1.0)}
+
+
+def test_decontaminate_ngram_overlap(spark):
+    from dss_nlp_ingestion_spark.operators.dedup import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),   # shares "quick brown fox"
+            (2, "totally unrelated clean text here"),
+            (3, "too short"),                   # < 3 words of overlap possible
+        ],
+        "id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "a quick brown fox appears")], "id long, text string"
+    )
+    kept = sorted(r.id for r in decontaminate(corpus, bench, "id", "text").collect())
+    assert kept == [2, 3]
