@@ -101,3 +101,85 @@ def canonical_filter(
     return joined.filter(
         F.col("_label").isNull() | (F.col(id_col) == F.col("_label"))
     ).drop("_label")
+
+
+def connected_components_pj(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Connected components with POINTER JUMPING: each superstep does
+    one hop of neighbor-min propagation followed by a label-chase
+    (label(v) <- label(label(v))), so the frontier distance covered
+    DOUBLES per round instead of growing by one. Same output contract
+    as :func:`connected_components` — (node, label = component min id).
+
+    Why it exists: plain min-label propagation needs diameter-many
+    supersteps, fine for near-clique duplicate clusters but O(n)
+    rounds on chain-shaped components (url redirect chains, quote
+    chains). With the jump, convergence is O(log diameter) — ~40
+    rounds cover any graph that fits on Earth — which is the
+    shape you want when each superstep is a full shuffle at 100 TB.
+
+    The jump is valid because labels always point at real nodes
+    (a label is the min of some reachable node set and every node is
+    in the labels table) and label(v) is non-increasing, so chasing
+    one level composes reachability information already paid for —
+    two extra hash joins on the (node,label) table per round, far
+    cheaper than the supersteps they eliminate.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # Hop: min over neighbors' current labels.
+        neighbor_min = (
+            sym.join(labels, sym["v"] == labels["node"])
+            .groupBy("u")
+            .agg(F.min("label").alias("_nmin"))
+        )
+        hopped = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["u"], "left")
+            .select(
+                "node",
+                F.col("label").alias("_old"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_nmin"), F.col("label"))
+                ).alias("_hop"),
+            )
+        )
+        # Jump: chase one level of indirection through the labels
+        # table itself (label is non-increasing, so this only ever
+        # tightens). Rename-per-side: shared-lineage aliases are
+        # unsafe for self-joins.
+        chase = hopped.select(
+            F.col("node").alias("_cn"), F.col("_hop").alias("_cl")
+        )
+        jumped = (
+            hopped.join(chase, hopped["_hop"] == chase["_cn"], "left")
+            .select(
+                "node",
+                "_old",
+                F.least(
+                    F.col("_hop"), F.coalesce(F.col("_cl"), F.col("_hop"))
+                ).alias("_new"),
+            )
+        )
+        changed = jumped.filter(F.col("_new") < F.col("_old")).count()
+        labels = jumped.select("node", F.col("_new").alias("label")).localCheckpoint()
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels

@@ -412,3 +412,19 @@ def decontaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(corpus, benchmark, "doc_id", "text", k=3).select(
         "doc_id", "lang"
     )
+
+
+@register("dup_clusters_pj", _CLUSTER_ORACLE)
+def dup_clusters_pj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same near-dup clustering through the POINTER-JUMPING
+    components kernel (label(v) <- label(label(v)) each round):
+    identical labels — same oracle — in O(log diameter) supersteps
+    instead of O(diameter), the kernel to prefer when cluster shapes
+    are not guaranteed near-clique."""
+    from dss_nlp_ingestion_spark.operators.graph import connected_components_pj
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(
+        docs, "doc_id", "text", num_perm=_NUM_PERM, band_rows=_BAND_ROWS, k=3
+    )
+    return connected_components_pj(pairs, "id_a", "id_b")

@@ -318,3 +318,23 @@ def test_decontaminate_ngram_overlap(spark):
     )
     kept = sorted(r.id for r in decontaminate(corpus, bench, "id", "text").collect())
     assert kept == [2, 3]
+
+
+def test_pointer_jumping_cc_matches_naive_on_chain(spark):
+    from dss_nlp_ingestion_spark.operators.graph import (
+        connected_components,
+        connected_components_pj,
+    )
+
+    # 40-node chain (worst case for plain propagation: diameter 39,
+    # pointer jumping must close it in <= 10 doubling rounds) plus a
+    # separate triangle and an isolated edge.
+    chain = [(i, i + 1) for i in range(100, 140)]
+    extra = [(1, 2), (2, 3), (3, 1), (7, 8)]
+    edges = spark.createDataFrame(chain + extra, "id_a long, id_b long")
+    pj = {r.node: r.label for r in connected_components_pj(edges).collect()}
+    naive = {r.node: r.label
+             for r in connected_components(edges, max_iter=50).collect()}
+    assert pj == naive
+    assert all(pj[n] == 100 for n in range(100, 141))
+    assert pj[1] == pj[2] == pj[3] == 1 and pj[7] == pj[8] == 7
