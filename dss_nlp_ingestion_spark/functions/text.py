@@ -259,3 +259,39 @@ def link_blacklist_filter(col: Column, prefixes: tuple[str, ...]) -> Column:
     for p in prefixes:
         cond = cond | col.startswith(p)
     return ~cond
+
+
+# --- PII redaction (training-data hygiene) --------------------------------
+
+#: Dialect-portable patterns (Java regex AND RE2): no lookaround, no
+#: backrefs — so the identical pattern string runs in the oracle.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+[0-9][0-9 ()-]{6,}[0-9]"
+PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace emails, phone numbers (international form), and IPv4
+    addresses with typed placeholder tokens — the scrubbing pass a
+    training pipeline runs before tokenization. Email first: its
+    domain must not survive to be half-matched by the IP pattern.
+    Pure JVM regexp_replace chain — codegen'd, no UDF."""
+    out = F.regexp_replace(col, PII_EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")
+    return F.regexp_replace(out, PII_IPV4_RE, "<IP>")
+
+
+def pii_counts(col: Column) -> tuple[Column, Column, Column]:
+    """(n_emails, n_phones, n_ips) occurrence counts — the audit
+    metric reported alongside redaction."""
+    return (
+        F.size(F.regexp_extract_all(col, F.lit(PII_EMAIL_RE), 0)).cast("long"),
+        F.size(F.regexp_extract_all(col, F.lit(PII_PHONE_RE), 0)).cast("long"),
+        F.size(F.regexp_extract_all(col, F.lit(PII_IPV4_RE), 0)).cast("long"),
+    )
+
+
+def chunk_starts(tokens: Column, stride: int) -> Column:
+    """0-based start offsets of overlapping token windows: 0, stride,
+    2*stride, ... while < token count (inclusive sequence to n-1)."""
+    return F.sequence(F.lit(0), F.size(tokens) - 1, F.lit(stride))

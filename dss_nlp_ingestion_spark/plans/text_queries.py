@@ -435,3 +435,128 @@ def date_parse_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "raw", parsed.alias("parsed"))
         .withColumn("unparsed", F.col("parsed").isNull())
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (emails / phones / IPv4 -> typed placeholders)
+# ---------------------------------------------------------------------------
+
+# The synthetic corpus carries no PII, so both engines append the SAME
+# deterministic contact block derived from doc_id (varied via moduli so
+# every combination of present/absent PII kinds occurs), then redact.
+_PII_AUG_SQL = """
+text
+|| CASE WHEN doc_id % 3 <> 0
+        THEN ' reach u' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+        ELSE '' END
+|| CASE WHEN doc_id % 4 <> 0
+        THEN ' call +1 (555) 01' || CAST(doc_id % 90 + 10 AS VARCHAR)
+        ELSE '' END
+|| CASE WHEN doc_id % 5 <> 0
+        THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+             || CAST(doc_id % 100 AS VARCHAR)
+        ELSE '' END
+"""
+
+_PII_ORACLE = f"""
+WITH aug AS (
+  SELECT doc_id, {_PII_AUG_SQL} AS t FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{T.PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{T.PII_PHONE_RE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(t, '{T.PII_IPV4_RE}')) AS BIGINT) AS n_ips,
+       sha256(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(t, '{T.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{T.PII_PHONE_RE}', '<PHONE>', 'g'),
+           '{T.PII_IPV4_RE}', '<IP>', 'g')
+       ) AS redacted_sha
+FROM aug
+"""
+
+
+@register("pii_redaction", _PII_ORACLE)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: count and redact emails, international phone
+    numbers, and IPv4 addresses into typed placeholders (<EMAIL>/
+    <PHONE>/<IP>) — pure codegen'd regexp chain over the scan, zero
+    shuffle; the redacted text is sha-hashed for compact comparison."""
+    docs = table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 != 0,
+            F.concat(F.lit(" reach u"), did.cast("string"), F.lit("@mail.example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 4 != 0,
+            F.concat(F.lit(" call +1 (555) 01"), (did % 90 + 10).cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 != 0,
+            F.concat(
+                F.lit(" host 10.0."),
+                (did % 256).cast("string"),
+                F.lit("."),
+                (did % 100).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    t = F.col("_t")
+    n_emails, n_phones, n_ips = T.pii_counts(t)
+    return (
+        docs.select("doc_id", aug.alias("_t"))
+        .select(
+            "doc_id",
+            n_emails.alias("n_emails"),
+            n_phones.alias("n_phones"),
+            n_ips.alias("n_ips"),
+            F.sha2(T.redact_pii(t), 256).alias("redacted_sha"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Overlapping token-window chunking (context-length packing input)
+# ---------------------------------------------------------------------------
+
+_CHUNK_SIZE, _CHUNK_STRIDE = 64, 48
+
+_CHUNK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents
+), s AS (
+  SELECT doc_id, ws, unnest(generate_series(0, len(ws) - 1, {_CHUNK_STRIDE})) AS st
+  FROM t
+)
+SELECT doc_id,
+       CAST(st // {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(len(ws[st + 1 : st + {_CHUNK_SIZE}]) AS BIGINT) AS n_chunk_tokens,
+       sha256(array_to_string(ws[st + 1 : st + {_CHUNK_SIZE}], ' ')) AS chunk_sha
+FROM s
+"""
+
+
+@register("chunk_windows", _CHUNK_ORACLE)
+def chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split documents into overlapping 64-token windows with
+    stride 48 (context-length chunking before tokenization/
+    packing): sequence + explode + slice, all codegen'd array ops on
+    the scan — rows fan out by ~tokens/stride but never shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    toks = T.ws_tokens(F.col("text"))
+    exploded = docs.select(
+        "doc_id",
+        toks.alias("_ws"),
+        F.explode(T.chunk_starts(toks, _CHUNK_STRIDE)).alias("_st"),
+    )
+    sl = F.slice(F.col("_ws"), F.col("_st") + 1, _CHUNK_SIZE)
+    return exploded.select(
+        "doc_id",
+        F.floor(F.col("_st") / F.lit(_CHUNK_STRIDE)).cast("long").alias("chunk_idx"),
+        F.size(sl).cast("long").alias("n_chunk_tokens"),
+        F.sha2(F.concat_ws(" ", sl), 256).alias("chunk_sha"),
+    )

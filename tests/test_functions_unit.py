@@ -45,3 +45,23 @@ def test_parse_ts_fuzzy_fallback_chain(spark):
         "2024-01-15T00:00:00",
         None,
     ]
+
+
+def test_redact_pii_all_kinds(spark):
+    from dss_nlp_ingestion_spark.functions.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [("mail a.b+c@x-y.co or +44 (20) 1234-567 from 192.168.0.1 ok",),
+         ("no pii at all",),
+         ("ip only 8.8.8.8",)],
+        "t string",
+    )
+    out = df.select(
+        redact_pii(F.col("t")).alias("r"),
+        *[c.alias(n) for c, n in zip(pii_counts(F.col("t")),
+                                     ("ne", "np", "ni"))],
+    ).collect()
+    assert out[0].r == "mail <EMAIL> or <PHONE> from <IP> ok"
+    assert (out[0].ne, out[0].np, out[0].ni) == (1, 1, 1)
+    assert out[1].r == "no pii at all" and out[1].ne == 0
+    assert out[2].r == "ip only <IP>" and out[2].ni == 1
