@@ -225,3 +225,56 @@ def ivf_topk(
         .withColumn("rank", F.row_number().over(w_rank).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def multiprobe_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    k: int = 5,
+) -> DataFrame:
+    """Multi-probe LSH top-k: each query searches its own hyperplane
+    bucket PLUS every bucket at Hamming distance 1 (one sign bit
+    flipped) — the standard recall fix for LSH ANN: vectors near a
+    hyperplane land on either side, and the 1-bit probes cover
+    exactly those boundary misses without touching the rest of the
+    corpus.
+
+    Scale shape: the probe table is queries x (n_planes + 1) rows —
+    broadcast — and joins the bucketed corpus on bucket id, so
+    candidate work grows from 1 to (n_planes + 1) bucket volumes per
+    query while the corpus is still scanned once and never shuffled.
+    Probed buckets are disjoint (each corpus vector has one bucket),
+    so no candidate dedup step is needed. Returns (query_id,
+    neighbor_id, score, rank)."""
+    bucketed = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        hyperplane_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        hyperplane_bucket(F.col(vec_col), n_planes, dim).alias("_qb"),
+    )
+    probe_set = F.array(
+        F.col("_qb"), *[F.col("_qb").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
+    )
+    probes = q.select(
+        "query_id", "_qv", F.explode(probe_set).alias("bucket")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        bucketed.join(F.broadcast(probes), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qv"), F.col("_cv")).alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

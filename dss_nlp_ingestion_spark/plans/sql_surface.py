@@ -250,3 +250,49 @@ def merge_insert_only_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         fround(F.col("o_totalprice"), 2).alias("o_totalprice"),
     )
+
+
+_PROBE_LIST = ", ".join(["bucket"] + [f"xor(bucket, {1 << p})" for p in range(_N_PLANES)])
+
+_MULTIPROBE_ORACLE = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv,
+         unnest([{_PROBE_LIST}]) AS bucket
+  FROM b WHERE vec_id < 10
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM b
+), scored AS (
+  SELECT query_id, neighbor_id, {_COS} AS score
+  FROM q JOIN c USING (bucket)
+  WHERE neighbor_id != query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, score,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, {fround_sql('score', 6)} AS score, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register("ann_multiprobe_topk", _MULTIPROBE_ORACLE)
+def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: queries probe their own bucket plus all 8
+    Hamming-distance-1 buckets (one hyperplane sign flipped each),
+    recovering the boundary misses single-bucket probing drops —
+    recall goes up ~(n_planes+1)x candidate volume, corpus still
+    scanned once, probes broadcast (operators.similarity
+    .multiprobe_bucket_topk)."""
+    from dss_nlp_ingestion_spark.operators.similarity import multiprobe_bucket_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    out = multiprobe_bucket_topk(
+        emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding",
+        n_planes=_N_PLANES, dim=_DIM, k=5,
+    )
+    return out.select(
+        "query_id", "neighbor_id", fround(F.col("score"), 6).alias("score"), "rank"
+    )
