@@ -60,6 +60,15 @@ BENCH_QUERIES = (
     "sessionize_events",
     "asof_last_click_before_purchase",
     "value_percentiles",
+    # Corpus-assembly & hygiene family (round 2 additions).
+    "ann_multiprobe_topk",
+    "dup_clusters_pj",
+    "decontaminated_docs",
+    "pack_training_shards",
+    "kmv_vocab_by_lang",
+    "chunk_windows",
+    "pii_redaction",
+    "merge_upsert_orders",
 )
 
 

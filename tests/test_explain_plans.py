@@ -129,3 +129,46 @@ def test_session_window_single_shuffle(spark):
 def test_broadcast_query_set_in_topk_cosine(spark):
     plan = _formatted(spark, "cosine_topk_bruteforce")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_sampling_is_shuffle_free_scan_filter(spark):
+    # Deterministic sampling must be a pure scan-side filter: no
+    # Exchange anywhere — at 100 TB the sample is a map-only pass.
+    plan = _formatted(spark, "hash_sample_docs")
+    assert "Exchange" not in plan
+    assert "Filter" in plan
+
+
+def test_pack_shards_no_global_corpus_window(spark):
+    plan = _formatted(spark, "pack_training_shards")
+    # The per-range window is partitioned (hashpartitioning on _rng);
+    # the only single-partition window runs over the tiny per-range
+    # totals, and the offsets join back via broadcast.
+    assert "hashpartitioning(_rng" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    plan = _formatted(spark, "decontaminated_docs")
+    # Benchmark shingles broadcast into the semi-join probe; the
+    # corpus is never on the build side of a shuffle pair-join.
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_merge_single_shuffle_join(spark):
+    plan = _formatted(spark, "merge_upsert_orders")
+    # MERGE compiles to exactly one full-outer join, no cartesian.
+    assert plan.count("SortMergeJoin FullOuter") + plan.count(
+        "ShuffledHashJoin FullOuter"
+    ) == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_multiprobe_broadcasts_probes(spark):
+    plan = _formatted(spark, "ann_multiprobe_topk")
+    # Probe table broadcast onto the bucketed corpus; per-query top-k
+    # uses the rank-limit pushdown.
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
