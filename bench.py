@@ -69,6 +69,8 @@ BENCH_QUERIES = (
     "chunk_windows",
     "pii_redaction",
     "merge_upsert_orders",
+    "quality_curriculum_bins",
+    "corpus_build_e2e",
 )
 
 

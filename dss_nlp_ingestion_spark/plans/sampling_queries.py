@@ -8,7 +8,7 @@ the reference pipeline ends at into reproducible training corpora.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dss_nlp_ingestion_spark.catalog import table
@@ -217,4 +217,184 @@ def pack_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted = docs.select("doc_id", token_count(F.col("text")).alias("w"))
     return pack_shards(
         weighted, "doc_id", "w", budget=_SHARD_BUDGET, range_size=_RANGE_SIZE
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-size deterministic sample (exactly n rows, order by key hash)
+# ---------------------------------------------------------------------------
+
+_FIXED_N = 200
+
+_FIXED_ORACLE = f"""
+SELECT doc_id, lang, {fround_sql(_hfrac_sql('doc_id', 'fixed'), 6)} AS frac
+FROM documents
+ORDER BY {_hfrac_sql('doc_id', 'fixed')} ASC
+LIMIT {_FIXED_N}
+"""
+
+
+@register("fixed_size_sample", _FIXED_ORACLE)
+def fixed_size_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-n deterministic sample: the n smallest key-hash
+    fractions (a uniform sample without a rate guess). Compiles to
+    TakeOrderedAndProject — per-partition top-n then a merge of n-row
+    heads, never a global sort of the corpus; membership is again a
+    pure function of the key set."""
+    docs = table(spark, sf_dir, "documents")
+    frac = hash_fraction(F.col("doc_id"), "fixed")
+    return (
+        docs.select("doc_id", "lang", fround(frac, 6).alias("frac"), frac.alias("_o"))
+        .orderBy(F.col("_o").asc())
+        .limit(_FIXED_N)
+        .drop("_o")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality curriculum bins (distributed histogram-CDF, no global sort)
+# ---------------------------------------------------------------------------
+
+_N_BINS = 4
+
+# Rounded-quality histogram -> cumulative docs-above -> bin. Binning at
+# VALUE granularity (all docs with equal rounded quality share a bin)
+# keeps the result deterministic without per-doc tie-breaks.
+_TOKS_SQL = r"len(string_split_regex(trim(text), '\s+'))"
+_UNIQ_SQL = r"len(list_distinct(string_split_regex(trim(text), '\s+')))"
+_QUALITY_SQL = fround_sql(
+    "0.4 * (CASE WHEN n_chars >= 100 AND n_chars <= 2000 THEN 1.0 ELSE 0.0 END)"
+    f" + 0.3 * (CAST({_UNIQ_SQL} AS DOUBLE) / {_TOKS_SQL})"
+    " + 0.3 * (1.0 - least(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)"
+    f" / {_TOKS_SQL}, 1.0))",
+    6,
+)
+
+_CURRICULUM_ORACLE = f"""
+WITH q AS (
+  SELECT doc_id, {_QUALITY_SQL} AS quality
+  FROM documents
+), counts AS (
+  SELECT quality, count(*) AS n FROM q GROUP BY quality
+), cdf AS (
+  SELECT quality,
+         COALESCE(sum(n) OVER (ORDER BY quality DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS above,
+         sum(n) OVER () AS total
+  FROM counts
+)
+SELECT q.doc_id, q.quality,
+       CAST(floor({_N_BINS}.0 * cdf.above / cdf.total) AS BIGINT) AS bin
+FROM q JOIN cdf USING (quality)
+"""
+
+
+@register("quality_curriculum_bins", _CURRICULUM_ORACLE)
+def quality_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum binning: quartile bins over the quality score
+    (bin 0 = best) WITHOUT a global sort — one shuffle builds the
+    per-quality-value histogram, the cumulative pass runs over the
+    tiny distinct-values table, and bins broadcast-join back onto the
+    corpus (the same two-level shape as shard packing; ntile() would
+    be a single-partition window over every row)."""
+    from dss_nlp_ingestion_spark.functions.text import quality_score
+
+    docs = table(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id",
+        fround(quality_score(F.col("text"), F.col("n_chars")), 6).alias("quality"),
+    )
+    counts = q.groupBy("quality").agg(F.count(F.lit(1)).alias("_n"))
+    w_above = Window.orderBy(F.col("quality").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cdf = counts.select(
+        "quality",
+        F.coalesce(F.sum("_n").over(w_above), F.lit(0)).alias("_above"),
+        F.sum("_n").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_total"),
+    )
+    return q.join(F.broadcast(cdf), "quality").select(
+        "doc_id",
+        "quality",
+        F.floor(F.lit(float(_N_BINS)) * F.col("_above") / F.col("_total"))
+        .cast("long")
+        .alias("bin"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus build: dedup -> decontaminate -> gate -> split
+# ---------------------------------------------------------------------------
+
+_E2E_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_transform(range(1, len(ws) - 1),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh
+  FROM w WHERE len(ws) >= 3
+), dedup AS (
+  SELECT doc_id, text, lang FROM (
+    SELECT doc_id, text, lang,
+           row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id ASC) AS rn
+    FROM documents
+  ) WHERE rn = 1
+), bench AS (
+  SELECT DISTINCT s FROM (SELECT unnest(sh) AS s FROM sh WHERE doc_id % 97 = 0)
+), probe AS (
+  SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id % 97 <> 0
+), bad AS (
+  SELECT DISTINCT p.doc_id FROM probe p JOIN bench b USING (s)
+), clean AS (
+  SELECT d.doc_id, d.lang,
+         CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT) AS toks
+  FROM dedup d
+  WHERE d.doc_id % 97 <> 0
+    AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+    AND len(string_split_regex(trim(d.text), '\\s+')) > 5
+), labeled AS (
+  SELECT lang, toks,
+         CASE WHEN (('0x' || substr(sha256('split:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+                    / 4503599627370496.0) < 0.75 THEN 'train'
+              WHEN (('0x' || substr(sha256('split:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+                    / 4503599627370496.0) < 0.875 THEN 'valid'
+              ELSE 'test' END AS split
+  FROM clean
+)
+SELECT split, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(toks) AS BIGINT) AS total_tokens
+FROM labeled GROUP BY split, lang
+"""
+
+
+@register("corpus_build_e2e", _E2E_ORACLE)
+def corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-corpus build as ONE composed plan: exact
+    dedup (keep lowest id per content digest) -> eval-set
+    decontamination (3-gram overlap vs the doc_id%97 benchmark) ->
+    quality gate (> 5 tokens) -> leak-free hash split -> per
+    (split, lang) document and token accounting. Every stage is one
+    of the registered operators; Catalyst fuses the filters into the
+    scan side of each join, and nothing in the chain introduces a
+    shuffle beyond the dedup window, the two dedup/decontamination
+    joins, and the final aggregate."""
+    from dss_nlp_ingestion_spark.operators.dedup import decontaminate, exact_dedup
+
+    docs = table(spark, sf_dir, "documents")
+    deduped = exact_dedup(docs, ["text"], "doc_id")
+    corpus = deduped.filter(F.col("doc_id") % 97 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    clean = decontaminate(corpus, benchmark, "doc_id", "text", k=3).withColumn(
+        "_toks", token_count(F.col("text"))
+    ).filter(F.col("_toks") > 5)
+    labeled = assign_split(clean, "doc_id", _SPLIT_WEIGHTS, salt="split")
+    return labeled.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_toks").cast("long").alias("total_tokens"),
     )

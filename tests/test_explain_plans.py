@@ -172,3 +172,57 @@ def test_multiprobe_broadcasts_probes(spark):
     assert "BroadcastHashJoin" in plan
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    # The 100 TB lever for selective fact-to-fact joins: Spark's
+    # InjectRuntimeFilter builds a bloom filter from the filtered
+    # build side and pushes might_contain() into the probe-side scan,
+    # cutting shuffle volume before the join. Thresholds are tuned
+    # down here because the local test tables are tiny; on a cluster
+    # the defaults (10MB creation / 10GB application side) take over.
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        j = li.join(
+            orders.filter(F.col("o_orderpriority") == "1-URGENT"),
+            li["l_orderkey"] == orders["o_orderkey"],
+        )
+        plan = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "might_contain" in plan and "bloom_filter_agg" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_fixed_size_sample_take_ordered(spark):
+    # Exactly-n sampling must compile to TakeOrderedAndProject
+    # (per-partition top-n + n-row merge), never a global Sort of the
+    # corpus.
+    plan = _formatted(spark, "fixed_size_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort (" not in plan
+
+
+def test_curriculum_histogram_cdf_shape(spark):
+    plan = _formatted(spark, "quality_curriculum_bins")
+    # Histogram agg shuffles on quality; the bins join back broadcast.
+    assert "BroadcastHashJoin" in plan
+    assert "hashpartitioning(quality" in plan
