@@ -398,3 +398,61 @@ def corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("_toks").cast("long").alias("total_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic contrastive negatives (hash-indexed negative sampling)
+# ---------------------------------------------------------------------------
+
+_NEG_K = 4
+
+_NEG_ORACLE = f"""
+WITH tot AS (
+  SELECT count(*) AS c FROM documents
+), anchors AS (
+  SELECT d.doc_id, j,
+         ('0x' || substr(sha256('neg:' || CAST(d.doc_id AS VARCHAR) || ':'
+                                 || CAST(j AS VARCHAR)), 1, 13))::BIGINT % tot.c AS neg_id
+  FROM documents d
+  CROSS JOIN tot
+  CROSS JOIN (SELECT unnest(generate_series(1, {_NEG_K})) AS j)
+  WHERE d.doc_id < 20
+)
+SELECT a.doc_id, CAST(a.j AS BIGINT) AS j, a.neg_id, n.lang AS neg_lang
+FROM anchors a JOIN documents n ON n.doc_id = a.neg_id
+WHERE a.neg_id <> a.doc_id
+"""
+
+
+@register("contrastive_negatives", _NEG_ORACLE)
+def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    anchor document draws k=4 pseudo-random partners via
+    sha256('neg:'||id||':'||j) mod corpus size — reproducible across
+    runs/engines (no rand()), uniform over the corpus, and realized
+    by an equi-join on the computed id (shuffle on doc_id; anchors
+    broadcast when the anchor set is small). Accidental self-pairs
+    are filtered, identically in both engines."""
+    docs = table(spark, sf_dir, "documents")
+    total = docs.agg(F.count(F.lit(1)).alias("_c"))
+    h = F.sha2(
+        F.concat_ws(
+            ":", F.lit("neg"), F.col("doc_id").cast("string"), F.col("j").cast("string")
+        ),
+        256,
+    )
+    anchors = (
+        docs.filter(F.col("doc_id") < 20)
+        .select("doc_id", F.explode(F.sequence(F.lit(1), F.lit(_NEG_K))).alias("j"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.col("j").cast("long").alias("j"),
+            (F.conv(F.substring(h, 1, 13), 16, 10).cast("long") % F.col("_c")).alias(
+                "neg_id"
+            ),
+        )
+        .filter(F.col("neg_id") != F.col("doc_id"))
+    )
+    neg = docs.select(F.col("doc_id").alias("neg_id"), F.col("lang").alias("neg_lang"))
+    return anchors.join(neg, "neg_id").select("doc_id", "j", "neg_id", "neg_lang")

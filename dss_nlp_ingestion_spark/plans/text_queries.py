@@ -560,3 +560,54 @@ def chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(sl).cast("long").alias("n_chunk_tokens"),
         F.sha2(F.concat_ws(" ", sl), 256).alias("chunk_sha"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition scores (Gopher-rule family)
+# ---------------------------------------------------------------------------
+
+def _rep_sql(k: int) -> str:
+    """DuckDB k-gram duplicate fraction: 1 - distinct/total k-grams."""
+    grams = (
+        f"list_transform(range(1, len(ws) - {k - 2}), i -> "
+        + " || ' ' || ".join(f"ws[i+{j}]" for j in range(k)).replace("ws[i+0]", "ws[i]")
+        + ")"
+    )
+    return (
+        f"CASE WHEN len(ws) >= {k} THEN "
+        f"1.0 - CAST(len(list_distinct({grams})) AS DOUBLE) / len({grams}) "
+        f"ELSE 0.0 END"
+    )
+
+
+_REP_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents
+)
+SELECT doc_id,
+       {fround_sql(_rep_sql(2), 6)} AS dup2_frac,
+       {fround_sql(_rep_sql(3), 6)} AS dup3_frac
+FROM w
+"""
+
+
+@register("repetition_scores", _REP_ORACLE)
+def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (the Gopher-style duplicate-n-gram
+    quality rule): fraction of repeated word 2-grams and 3-grams per
+    document — high values flag degenerate/boilerplate text before
+    training. Pure scan-side array math, no shuffle."""
+    docs = table(spark, sf_dir, "documents")
+
+    def rep(k: int) -> F.Column:
+        sh = T.shingles(F.col("text"), k)
+        frac = F.lit(1.0) - F.size(F.array_distinct(sh)) / F.size(sh)
+        return F.when(
+            F.size(T.ws_tokens(F.col("text"))) >= k, frac
+        ).otherwise(F.lit(0.0))
+
+    return docs.select(
+        "doc_id",
+        fround(rep(2), 6).alias("dup2_frac"),
+        fround(rep(3), 6).alias("dup3_frac"),
+    )

@@ -107,3 +107,59 @@ def test_fullwidth_fold_collapse_idempotent(spark, texts):
         collapse_punct_runs(fold_fullwidth(F.col("c")), "!?,").alias("c")
     )
     assert [r.c for r in once.collect()] == [r.c for r in twice.collect()]
+
+
+# --- sampling family ------------------------------------------------------
+
+weights_strategy = st.lists(st.integers(1, 500), min_size=1, max_size=60)
+
+
+@given(ws=weights_strategy, budget=st.integers(10, 2000), rng=st.integers(2, 16))
+@settings(**_SETTINGS)
+def test_pack_shards_equals_python_prefix_sum(spark, ws, budget, rng):
+    from dss_nlp_ingestion_spark.operators.sampling import pack_shards
+
+    rows = list(enumerate(ws))
+    df = spark.createDataFrame(rows, "id long, w long")
+    got = {
+        r.id: r.shard_id
+        for r in pack_shards(df, "id", "w", budget=budget, range_size=rng).collect()
+    }
+    cum = 0
+    for i, w in rows:
+        assert got[i] == cum // budget
+        cum += w
+
+
+@given(keys=st.lists(st.integers(0, 10_000), min_size=1, max_size=80, unique=True),
+       rate=st.floats(0.05, 0.95))
+@settings(**_SETTINGS)
+def test_sample_is_subset_and_split_total(spark, keys, rate):
+    from dss_nlp_ingestion_spark.operators.sampling import (
+        assign_split,
+        deterministic_sample,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "id long")
+    kept = {r.id for r in deterministic_sample(df, "id", rate).collect()}
+    assert kept <= set(keys)
+    # Higher rate keeps a superset.
+    kept2 = {r.id for r in deterministic_sample(df, "id", min(rate + 0.04, 1.0)).collect()}
+    assert kept <= kept2
+    # Split covers every row exactly once.
+    out = assign_split(df, "id", {"a": 0.5, "b": 0.25, "c": 0.25}).collect()
+    assert len(out) == len(keys) and {r["split"] for r in out} <= {"a", "b", "c"}
+
+
+@given(nkeys=st.integers(1, 120), k=st.integers(2, 32))
+@settings(**_SETTINGS)
+def test_kmv_exact_below_k(spark, nkeys, k):
+    from dss_nlp_ingestion_spark.operators.sampling import kmv_distinct
+
+    df = spark.createDataFrame([(0, f"v{i}") for i in range(nkeys)], "g long, k string")
+    row = kmv_distinct(df, ["g"], "k", k=k).collect()[0]
+    assert row.n_exact == nkeys
+    if nkeys < k:
+        assert row.n_est == float(nkeys)
+    else:
+        assert row.n_est > 0
