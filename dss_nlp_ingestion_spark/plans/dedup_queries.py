@@ -16,6 +16,7 @@ from dss_nlp_ingestion_spark.operators.dedup import (
     SIMHASH_WIDE_BITS,
     dup_groups,
     history_filter,
+    lsh_bands,
     lsh_candidate_pairs,
     ngram_jaccard_pairs,
     simhash16,
@@ -428,3 +429,55 @@ def dup_clusters_pj(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", num_perm=_NUM_PERM, band_rows=_BAND_ROWS, k=3
     )
     return connected_components_pj(pairs, "id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup dedup: new batch vs existing corpus
+# ---------------------------------------------------------------------------
+
+_INCR_ORACLE = f"""
+WITH {_WS_CTE},
+hashed AS (
+  SELECT doc_id, list_transform(sh, s -> sha256(s)) AS hsh FROM sh
+), sig AS (
+  SELECT doc_id,
+    {_minhash_cols}
+  FROM hashed
+), bands AS (
+{_band_selects}
+), cands AS (
+  SELECT DISTINCT n.doc_id
+  FROM bands n JOIN bands o
+    ON n.band = o.band AND n.band_key = o.band_key
+   AND n.doc_id % 5 = 0 AND o.doc_id % 5 <> 0
+)
+SELECT d.doc_id, d.lang FROM documents d
+WHERE d.doc_id % 5 = 0
+  AND d.doc_id NOT IN (SELECT doc_id FROM cands)
+"""
+
+
+@register("incremental_lsh_dedup", _INCR_ORACLE)
+def incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OPERATIONAL dedup mode at scale: an incoming batch
+    (doc_id % 5 = 0 plays the new crawl) is near-dup-checked against
+    the existing corpus only — new-batch bands equi-join the stored
+    corpus bands (no new-vs-new or corpus-vs-corpus pair work), and
+    matched newcomers are dropped. At 100 TB the corpus band table is
+    a persisted index; per-batch cost is proportional to the BATCH,
+    not the corpus. Survivors returned with their language."""
+    docs = table(spark, sf_dir, "documents")
+    bands = lsh_bands(docs, "doc_id", "text", _NUM_PERM, _BAND_ROWS, k=3)
+    new_bands = bands.filter(F.col("id") % 5 == 0)
+    old_bands = bands.filter(F.col("id") % 5 != 0)
+    cands = (
+        new_bands.join(old_bands.select("band", "band_key").distinct(),
+                       ["band", "band_key"], "left_semi")
+        .select(F.col("id").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .join(cands, "doc_id", "left_anti")
+        .select("doc_id", "lang")
+    )

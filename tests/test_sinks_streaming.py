@@ -130,3 +130,40 @@ def test_streaming_session_windows_match_batch(spark, tmp_path):
     got = sorted(map(tuple, spark.table("session_stream").collect()))
     want = sorted(map(tuple, QUERIES["session_window_counts"](spark, SF_DIR).collect()))
     assert got == want
+
+
+def test_streaming_split_and_sample_match_batch(spark, tmp_path):
+    # Sampling/split are stateless projections of the key, so the SAME
+    # operator runs unchanged under Structured Streaming: membership
+    # and split labels on the stream equal the batch answer exactly.
+    from dss_nlp_ingestion_spark.catalog import table
+    from dss_nlp_ingestion_spark.operators.sampling import (
+        assign_split,
+        deterministic_sample,
+    )
+
+    docs = table(spark, SF_DIR, "documents").select("doc_id", "lang")
+    src = str(tmp_path / "docs_split_src")
+    docs.write.parquet(src)
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    labeled = assign_split(
+        deterministic_sample(stream, "doc_id", 0.5), "doc_id",
+        {"train": 0.75, "valid": 0.125, "test": 0.125},
+    )
+    q = (
+        labeled.writeStream.format("memory")
+        .queryName("split_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.doc_id, r["split"]) for r in spark.table("split_stream").collect()}
+    want = {
+        (r.doc_id, r["split"])
+        for r in assign_split(
+            deterministic_sample(docs, "doc_id", 0.5), "doc_id",
+            {"train": 0.75, "valid": 0.125, "test": 0.125},
+        ).collect()
+    }
+    assert got == want and len(got) > 0
