@@ -296,3 +296,59 @@ def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", fround(F.col("score"), 6).alias("score"), "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 (slowly-changing-dimension) history build
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = f"""
+WITH hist AS (
+  SELECT c_custkey, CAST(1 AS BIGINT) AS version,
+         {fround_sql('c_acctbal', 2)} AS acctbal
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, CAST(2 AS BIGINT) AS version,
+         {fround_sql('c_acctbal * 1.05', 2)} AS acctbal
+  FROM customer WHERE c_custkey % 11 = 0
+)
+SELECT c_custkey, version, acctbal,
+       lead(version) OVER (PARTITION BY c_custkey ORDER BY version ASC) - 1
+         AS valid_to,
+       lead(version) OVER (PARTITION BY c_custkey ORDER BY version ASC) IS NULL
+         AS is_current
+FROM hist
+"""
+
+
+@register("scd2_customer_history", _SCD2_ORACLE)
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: an update batch (every 11th
+    customer re-rated) appended as version 2; one per-key window
+    derives valid_to/is_current so point-in-time joins can pick the
+    version in effect. Union + a single window partitioned on the
+    key — the lakehouse history-table build without a transaction
+    log."""
+    from pyspark.sql import Window
+
+    c = table(spark, sf_dir, "customer")
+    base = c.select(
+        "c_custkey",
+        F.lit(1).cast("long").alias("version"),
+        fround(F.col("c_acctbal"), 2).alias("acctbal"),
+    )
+    upd = c.filter(F.col("c_custkey") % 11 == 0).select(
+        "c_custkey",
+        F.lit(2).cast("long").alias("version"),
+        fround(F.col("c_acctbal") * F.lit(1.05), 2).alias("acctbal"),
+    )
+    hist = base.unionByName(upd)
+    w = Window.partitionBy("c_custkey").orderBy(F.col("version").asc())
+    nxt = F.lead("version").over(w)
+    return hist.select(
+        "c_custkey",
+        "version",
+        "acctbal",
+        (nxt - 1).alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

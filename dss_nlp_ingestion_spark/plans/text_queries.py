@@ -611,3 +611,62 @@ def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(rep(2), 6).alias("dup2_frac"),
         fround(rep(3), 6).alias("dup3_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer vocabulary coverage (top-k tokens + cumulative mass)
+# ---------------------------------------------------------------------------
+
+_VOCAB_K = 100
+
+_VOCAB_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents
+), counts AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY tok
+), tot AS (
+  SELECT sum(n) AS total FROM counts
+), top AS (
+  SELECT tok, n FROM counts ORDER BY n DESC, tok ASC LIMIT {_VOCAB_K}
+)
+SELECT tok, n,
+       CAST(row_number() OVER (ORDER BY n DESC, tok ASC) AS BIGINT) AS rank,
+       {fround_sql("CAST(sum(n) OVER (ORDER BY n DESC, tok ASC "
+                   "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)"
+                   " / tot.total", 6)} AS coverage
+FROM top CROSS JOIN tot
+"""
+
+
+@register("vocab_coverage_topk", _VOCAB_ORACLE)
+def vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-design table: the 100 most frequent tokens with
+    cumulative corpus coverage (what fraction of all token
+    occurrences a vocabulary of that size would cover). One shuffle
+    builds the counts; the top-k is TakeOrderedAndProject and the
+    cumulative window runs over the k-row result only."""
+    docs = table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(T.ws_tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("_total"))
+    top = counts.orderBy(F.col("n").desc(), F.col("tok").asc()).limit(_VOCAB_K)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            "tok",
+            "n",
+            F.row_number().over(w).cast("long").alias("rank"),
+            fround(
+                F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0))
+                .cast("double")
+                / F.col("_total"),
+                6,
+            ).alias("coverage"),
+        )
+    )
