@@ -150,3 +150,21 @@ def compact_store(
     shutil.rmtree(store_path)
     os.rename(tmp, store_path)
     return len(read_store(spark, store_path).inputFiles())
+
+
+def write_training_shards(
+    packed: DataFrame,
+    store_path: str,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Materialize a packed corpus (operators.sampling.pack_shards
+    output joined back to its payload) as a shard_id-partitioned
+    parquet store: each training shard becomes one directory, so a
+    data loader reads exactly the shards it was assigned (partition
+    pruning — no scan of the rest of the corpus) and shard boundaries
+    survive recompaction. ``max_records_per_file`` caps file size for
+    loaders that stream a shard in splits."""
+    writer = packed.write.mode("overwrite").partitionBy("shard_id")
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.parquet(store_path)

@@ -83,3 +83,34 @@ def test_compact_store(spark, tmp_path):
     n_files = compact_store(spark, store, ("source",), target_files_per_partition=1)
     assert n_files < before
     assert read_store(spark, store).count() == 30
+
+
+def test_training_shard_store_prunes(spark, tmp_path):
+    from dss_nlp_ingestion_spark.catalog import table
+    from dss_nlp_ingestion_spark.functions.text import token_count
+    from dss_nlp_ingestion_spark.operators.sampling import pack_shards
+    from dss_nlp_ingestion_spark.sources.sinks import write_training_shards
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_DIR
+
+    docs = table(spark, SF_DIR, "documents")
+    packed = pack_shards(
+        docs.select("doc_id", token_count(F.col("text")).alias("w")),
+        "doc_id", "w", budget=500, range_size=16,
+    ).join(docs.select("doc_id", "lang"), "doc_id")
+    store = str(tmp_path / "shards")
+    write_training_shards(packed, store)
+
+    # A single-shard read must prune to one partition directory.
+    one = spark.read.parquet(store).filter(F.col("shard_id") == 0)
+    plan = one._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan and "shard_id" in plan.split("PartitionFilters")[1].split("\n")[0]
+    # Round trip: every doc kept exactly once, shard sizes ~budget.
+    back = spark.read.parquet(store)
+    assert back.count() == docs.count()
+    assert back.select("doc_id").distinct().count() == docs.count()
+    sizes = {r.shard_id: r.tot for r in back.groupBy("shard_id").agg(
+        F.sum("n_tokens").alias("tot")).collect()}
+    assert len(sizes) >= 2
