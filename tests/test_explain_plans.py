@@ -226,3 +226,20 @@ def test_curriculum_histogram_cdf_shape(spark):
     # Histogram agg shuffles on quality; the bins join back broadcast.
     assert "BroadcastHashJoin" in plan
     assert "hashpartitioning(quality" in plan
+
+
+def test_corpus_build_e2e_plan_shape(spark):
+    plan = _formatted(spark, "corpus_build_e2e")
+    # dedup window + decontamination joins + final agg; benchmark
+    # shingles broadcast, nothing cartesian.
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan or " Window (" in plan
+
+
+def test_chunk_windows_is_scan_side(spark):
+    # Chunking fans out rows but must not shuffle: explode + slice on
+    # the scan, no Exchange in the plan.
+    plan = _formatted(spark, "chunk_windows")
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the explode
