@@ -142,3 +142,85 @@ def session_window_counts_stream(
             "n_events",
         )
     )
+
+
+def stream_neardup_dedup(
+    stream: DataFrame,
+    store_path: str,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 8,
+    band_rows: int = 2,
+    k: int = 3,
+):
+    """Streaming NEAR-duplicate dedup with a persistent LSH band
+    index — the operational form of `incremental_lsh_dedup` for a
+    live crawl: each micro-batch
+
+    1. canonicalizes within itself (connected components over the
+       batch's LSH candidate pairs, keep the min id per cluster),
+    2. drops survivors whose bands hit the PERSISTED index (near-dups
+       of anything accepted in any earlier batch),
+    3. appends the remaining documents to ``store_path`` and their
+       bands to ``index_path``.
+
+    Scale shape: per batch, band generation is scan-side; the only
+    joins are batch-bands×batch-bands (bounded by the batch) and
+    batch-bands semi-join the index (shuffle on the band key; at
+    100 TB the index is bucketed by band_key so the probe co-locates).
+    The index grows with ACCEPTED documents only. foreachBatch gives
+    the same at-least-once + idempotent-store contract as
+    ``stream_to_idempotent_store``.
+
+    Returns the foreachBatch callback (exposed for direct unit
+    testing) alongside the started-query helper pattern used by the
+    other streaming ops."""
+    from dss_nlp_ingestion_spark.operators.dedup import lsh_bands, lsh_candidate_pairs
+    from dss_nlp_ingestion_spark.operators.graph import canonical_filter, connected_components
+
+    def _process(batch_df: DataFrame, _batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if not batch_df.take(1):
+            return
+        batch_df = batch_df.persist()
+        # 1. within-batch canonicalization
+        pairs = lsh_candidate_pairs(batch_df, id_col, text_col, num_perm, band_rows, k)
+        comps = connected_components(pairs, "id_a", "id_b")
+        canon = canonical_filter(batch_df, comps, id_col).persist()
+        # 2. probe the persisted index
+        bands = lsh_bands(canon, id_col, text_col, num_perm, band_rows, k)
+        try:
+            idx = spark.read.parquet(index_path).select("band", "band_key").distinct()
+            hit = (
+                bands.join(idx, ["band", "band_key"], "left_semi")
+                .select(F.col("id").alias(id_col))
+                .distinct()
+            )
+            survivors = canon.join(hit, id_col, "left_anti").persist()
+        except Exception:  # first batch: no index yet
+            survivors = canon
+        # 3. append documents + their bands
+        survivors.write.mode("append").parquet(store_path)
+        lsh_bands(survivors, id_col, text_col, num_perm, band_rows, k).write.mode(
+            "append"
+        ).parquet(index_path)
+        batch_df.unpersist()
+        canon.unpersist()
+
+    return _process
+
+
+def run_neardup_stream(
+    stream: DataFrame, store_path: str, index_path: str, **kwargs
+) -> None:
+    """Drain the stream through :func:`stream_neardup_dedup` with
+    availableNow (the reference's work-until-queue-empty loop)."""
+    process = stream_neardup_dedup(stream, store_path, index_path, **kwargs)
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", store_path + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

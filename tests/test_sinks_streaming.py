@@ -167,3 +167,46 @@ def test_streaming_split_and_sample_match_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_neardup_dedup_with_persistent_index(spark, tmp_path):
+    from dss_nlp_ingestion_spark.streaming.pipeline import run_neardup_stream
+
+    src = str(tmp_path / "docs_src")
+    store = str(tmp_path / "dedup_store")
+    index = str(tmp_path / "band_index")
+    schema = "doc_id long, text string"
+
+    batch1 = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "one two three four five six"),
+            (3, "red green blue yellow purple"),
+            (4, "north south east west center"),
+            (5, "apple banana cherry date elderberry"),
+        ],
+        schema,
+    )
+    batch1.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(batch1.schema).parquet(src)
+    run_neardup_stream(stream, store, index)
+    assert {r.doc_id for r in spark.read.parquet(store).collect()} == {1, 2, 3, 4, 5}
+
+    # Batch 2: 11 duplicates doc 1 (cross-batch near-dup -> dropped by
+    # the index probe), 12/13 duplicate each other (within-batch
+    # canonicalization keeps 12), 14 is fresh.
+    batch2 = spark.createDataFrame(
+        [
+            (11, "alpha beta gamma delta epsilon"),
+            (12, "lorem ipsum dolor sit amet consectetur"),
+            (13, "lorem ipsum dolor sit amet consectetur"),
+            (14, "quick brown fox jumps over lazy dog"),
+        ],
+        schema,
+    )
+    batch2.write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema(batch1.schema).parquet(src)
+    run_neardup_stream(stream2, store, index)
+
+    final = {r.doc_id for r in spark.read.parquet(store).collect()}
+    assert final == {1, 2, 3, 4, 5, 12, 14}
