@@ -71,6 +71,7 @@ BENCH_QUERIES = (
     "merge_upsert_orders",
     "quality_curriculum_bins",
     "corpus_build_e2e",
+    "quality_report_by_source",
 )
 
 

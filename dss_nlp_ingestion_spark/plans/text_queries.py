@@ -670,3 +670,73 @@ def vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source data-quality report (the pipeline health dashboard)
+# ---------------------------------------------------------------------------
+
+# Shared with the curriculum-bin oracle (same quality formula).
+from dss_nlp_ingestion_spark.plans.sampling_queries import _QUALITY_SQL  # noqa: E402
+
+_REPORT_ORACLE = f"""
+WITH w AS (
+  SELECT source, lang, text, n_chars,
+         string_split_regex(trim(text), '\\s+') AS ws
+  FROM documents
+), m AS (
+  SELECT source,
+         lang,
+         CAST(len(ws) AS BIGINT) AS toks,
+         {_QUALITY_SQL} AS quality,
+         {fround_sql(_rep_sql(3), 6)} AS dup3
+  FROM w
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       {fround_sql("CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / count(*)", 6)} AS mean_quality,
+       {fround_sql("CAST(sum(CAST(dup3 AS DECIMAL(18,6))) AS DOUBLE) / count(*)", 6)} AS mean_dup3,
+       {fround_sql("CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)} AS pct_en,
+       {fround_sql("CAST(sum(toks) AS DOUBLE) / count(*)", 6)} AS mean_tokens
+FROM m GROUP BY source
+"""
+
+
+@register("quality_report_by_source", _REPORT_ORACLE)
+def quality_report_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source data-quality dashboard every ingestion pipeline
+    watches: document counts, mean quality score, mean duplicate-
+    3-gram fraction, English share, and mean token count per source.
+    All metrics are scan-side column math feeding ONE partial-
+    aggregated shuffle on source; means are decimal-summed so the
+    report is exact under any aggregation order."""
+    docs = table(spark, sf_dir, "documents")
+
+    def rep3() -> F.Column:
+        sh = T.shingles(F.col("text"), 3)
+        frac = F.lit(1.0) - F.size(F.array_distinct(sh)) / F.size(sh)
+        return F.when(
+            F.size(T.ws_tokens(F.col("text"))) >= 3, frac
+        ).otherwise(F.lit(0.0))
+
+    m = docs.select(
+        "source",
+        "lang",
+        T.token_count(F.col("text")).alias("toks"),
+        fround(T.quality_score(F.col("text"), F.col("n_chars")), 6).alias("quality"),
+        fround(rep3(), 6).alias("dup3"),
+    )
+    n = F.count(F.lit(1))
+    return m.groupBy("source").agg(
+        n.cast("long").alias("n_docs"),
+        fround(
+            F.sum(F.col("quality").cast("decimal(18,6)")).cast("double") / n, 6
+        ).alias("mean_quality"),
+        fround(
+            F.sum(F.col("dup3").cast("decimal(18,6)")).cast("double") / n, 6
+        ).alias("mean_dup3"),
+        fround(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("double") / n, 6
+        ).alias("pct_en"),
+        fround(F.sum("toks").cast("double") / n, 6).alias("mean_tokens"),
+    )
