@@ -352,3 +352,91 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         (nxt - 1).alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time join against the SCD2 history
+# ---------------------------------------------------------------------------
+
+_PIT_ORACLE = f"""
+WITH hist AS (
+  SELECT c_custkey, CAST(1 AS BIGINT) AS version,
+         {fround_sql('c_acctbal', 2)} AS acctbal
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, CAST(2 AS BIGINT) AS version,
+         {fround_sql('c_acctbal * 1.05', 2)} AS acctbal
+  FROM customer WHERE c_custkey % 11 = 0
+), versioned AS (
+  SELECT c_custkey, version, acctbal,
+         lead(version) OVER (PARTITION BY c_custkey ORDER BY version ASC) - 1
+           AS valid_to
+  FROM hist
+), o AS (
+  SELECT o_custkey, o_orderpriority,
+         CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' THEN 1 ELSE 2 END
+           AS epoch
+  FROM orders
+)
+SELECT o.o_orderpriority,
+       CAST(o.epoch AS BIGINT) AS epoch,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(v.acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM o JOIN versioned v
+  ON v.c_custkey = o.o_custkey
+ AND v.version <= o.epoch
+ AND (v.valid_to IS NULL OR v.valid_to >= o.epoch)
+GROUP BY o.o_orderpriority, o.epoch
+"""
+
+
+@register("pit_join_scd2", _PIT_ORACLE)
+def pit_join_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each order picks the customer-dimension
+    VERSION in effect at its epoch (pre-1997 orders see version 1,
+    later ones see the re-rated version 2 where it exists) — the
+    query SCD2 history exists to serve. Equi-join on the key with the
+    version-validity residual; aggregated per (priority, epoch) with
+    exact decimal sums."""
+    from pyspark.sql import Window
+
+    c = table(spark, sf_dir, "customer")
+    hist = (
+        c.select(
+            "c_custkey",
+            F.lit(1).cast("long").alias("version"),
+            fround(F.col("c_acctbal"), 2).alias("acctbal"),
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 11 == 0).select(
+                "c_custkey",
+                F.lit(2).cast("long").alias("version"),
+                fround(F.col("c_acctbal") * F.lit(1.05), 2).alias("acctbal"),
+            )
+        )
+    )
+    w = Window.partitionBy("c_custkey").orderBy(F.col("version").asc())
+    versioned = hist.select(
+        "c_custkey", "version", "acctbal",
+        (F.lead("version").over(w) - 1).alias("valid_to"),
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderpriority",
+        F.when(F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"), 1)
+        .otherwise(2)
+        .cast("long")
+        .alias("epoch"),
+    )
+    joined = o.join(
+        versioned,
+        (versioned["c_custkey"] == o["o_custkey"])
+        & (versioned["version"] <= o["epoch"])
+        & (versioned["valid_to"].isNull() | (versioned["valid_to"] >= o["epoch"])),
+    )
+    return joined.groupBy("o_orderpriority", "epoch").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("acctbal").cast("decimal(18,2)")).cast("double").alias(
+            "total_acctbal"
+        ),
+    )
