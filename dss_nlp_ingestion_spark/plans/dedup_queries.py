@@ -481,3 +481,85 @@ def incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cands, "doc_id", "left_anti")
         .select("doc_id", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus funnel: retention counts through the dedup/decontamination chain
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = f"""
+WITH {_WS_CTE},
+hashed AS (
+  SELECT doc_id, list_transform(sh, s -> sha256(s)) AS hsh FROM sh
+), sig AS (
+  SELECT doc_id,
+    {_minhash_cols}
+  FROM hashed
+), bands AS (
+{_band_selects}
+), exact_kept AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id ASC) AS rn
+    FROM documents
+  ) WHERE rn = 1
+), near_drop AS (
+  SELECT DISTINCT b.doc_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+), near_kept AS (
+  SELECT doc_id FROM exact_kept
+  WHERE doc_id NOT IN (SELECT doc_id FROM near_drop)
+), bench AS (
+  SELECT DISTINCT s FROM (SELECT unnest(sh) AS s FROM sh WHERE doc_id % 97 = 0)
+), probe AS (
+  SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id % 97 <> 0
+), bad AS (
+  SELECT DISTINCT p.doc_id FROM probe p JOIN bench b USING (s)
+), clean_kept AS (
+  SELECT doc_id FROM near_kept
+  WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+)
+SELECT 'raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+UNION ALL
+SELECT 'exact_dedup', CAST(count(*) AS BIGINT) FROM exact_kept
+UNION ALL
+SELECT 'near_dedup', CAST(count(*) AS BIGINT) FROM near_kept
+UNION ALL
+SELECT 'decontaminated', CAST(count(*) AS BIGINT) FROM clean_kept
+"""
+
+
+@register("corpus_funnel_counts", _FUNNEL_ORACLE)
+def corpus_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability: how many documents survive each stage
+    of the cleaning chain — raw -> exact dedup (min id per digest) ->
+    near-dedup (drop docs with a smaller-id LSH candidate) ->
+    decontamination. The funnel every data-quality review starts
+    from; each stage count is a filter + count over the shared
+    upstream frames (Spark computes the band table once)."""
+    from dss_nlp_ingestion_spark.operators.dedup import decontaminate, exact_dedup
+
+    docs = table(spark, sf_dir, "documents")
+    exact = exact_dedup(docs, ["text"], "doc_id")
+    pairs = lsh_candidate_pairs(docs, "doc_id", "text", _NUM_PERM, _BAND_ROWS, k=3)
+    near_drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    near = exact.join(near_drop, "doc_id", "left_anti")
+    clean = decontaminate(
+        near.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+        "doc_id",
+        "text",
+        k=3,
+    )
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"), F.count(F.lit(1)).cast("long").alias("n_docs")
+        )
+
+    return (
+        stage("raw", docs)
+        .unionByName(stage("exact_dedup", exact))
+        .unionByName(stage("near_dedup", near))
+        .unionByName(stage("decontaminated", clean))
+    )
