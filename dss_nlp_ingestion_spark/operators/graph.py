@@ -49,10 +49,18 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # Superstep 0 for free: with identity labels the neighbor-min is
+    # just min(v) per u, so the first round needs no label join —
+    # one aggregate seeds label(v) = min(v, min neighbor), saving a
+    # full join+shuffle round (most near-clique clusters then
+    # converge in a single checked superstep).
     labels = (
-        sym.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        sym.groupBy("u")
+        .agg(F.min("v").alias("_nmin0"))
+        .select(
+            F.col("u").alias("node"),
+            F.least(F.col("u"), F.col("_nmin0")).alias("label"),
+        )
         .persist()
     )
     for _ in range(max_iter):
@@ -137,10 +145,15 @@ def connected_components_pj(
         .distinct()
         .persist()
     )
+    # Free superstep 0 (same trick as connected_components): identity
+    # labels make the first neighbor-min a plain min(v) aggregate.
     labels = (
-        sym.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        sym.groupBy("u")
+        .agg(F.min("v").alias("_nmin0"))
+        .select(
+            F.col("u").alias("node"),
+            F.least(F.col("u"), F.col("_nmin0")).alias("label"),
+        )
         .localCheckpoint()
     )
     for _ in range(max_iter):
