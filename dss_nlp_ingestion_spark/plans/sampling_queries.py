@@ -456,3 +456,96 @@ def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     neg = docs.select(F.col("doc_id").alias("neg_id"), F.col("lang").alias("neg_lang"))
     return anchors.join(neg, "neg_id").select("doc_id", "j", "neg_id", "neg_lang")
+
+
+# ---------------------------------------------------------------------------
+# Quality-weighted sampling (keep probability = quality score)
+# ---------------------------------------------------------------------------
+
+_QW_ORACLE = f"""
+WITH q AS (
+  SELECT doc_id, lang, {_QUALITY_SQL} AS quality FROM documents
+)
+SELECT doc_id, lang, quality FROM q
+WHERE {_hfrac_sql('doc_id', 'qw')} < quality
+"""
+
+
+@register("quality_weighted_sample", _QW_ORACLE)
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling by document quality: each document is kept
+    with probability equal to its quality score (high-quality data
+    oversampled exactly as mid-training recipes weight it). Still a
+    pure scan-side filter — the keep threshold is itself a column,
+    no shuffle, reproducible via the keyed hash."""
+    from dss_nlp_ingestion_spark.functions.text import quality_score
+
+    docs = table(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id",
+        "lang",
+        fround(quality_score(F.col("text"), F.col("n_chars")), 6).alias("quality"),
+    )
+    return q.filter(hash_fraction(F.col("doc_id"), "qw") < F.col("quality"))
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled language rebalancing (p_l ∝ n_l^alpha)
+# ---------------------------------------------------------------------------
+
+_ALPHA = 0.7
+
+# rate_l = fround6( n_l^(alpha-1) / max_l n_l^(alpha-1) ): the rarest
+# language samples at rate 1.0 and larger ones are downsampled toward
+# the n^alpha multinomial mix (the published low-resource upsampling
+# formula). Rates are floor-rounded to 6 dp in BOTH engines before the
+# hash comparison so libm pow() ulp differences cannot flip a row.
+_TEMP_ORACLE = f"""
+WITH counts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_orig FROM documents GROUP BY lang
+), rates AS (
+  SELECT lang, n_orig,
+         {fround_sql(f"pow(n_orig, {_ALPHA} - 1.0) / max(pow(n_orig, {_ALPHA} - 1.0)) OVER ()", 6)}
+           AS rate
+  FROM counts
+), kept AS (
+  SELECT d.lang FROM documents d JOIN rates r USING (lang)
+  WHERE {_hfrac_sql('d.doc_id', 'temp')} < r.rate
+)
+SELECT r.lang, r.n_orig, r.rate,
+       CAST(count(k.lang) AS BIGINT) AS n_sampled
+FROM rates r LEFT JOIN kept k ON k.lang = r.lang
+GROUP BY r.lang, r.n_orig, r.rate
+"""
+
+
+@register("temperature_lang_rebalance", _TEMP_ORACLE)
+def temperature_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled multinomial language rebalancing
+    (rate_l ∝ n_l^(α-1), α=0.7): the standard multilingual-pretraining
+    recipe for upsampling low-resource languages, derived FROM the
+    corpus itself — counts aggregate once, the tiny per-language rate
+    table broadcasts back, and the sample is the usual shuffle-free
+    keyed-hash filter. Rates floor-rounded to 6 dp in both engines so
+    libm pow() differences cannot flip membership."""
+    docs = table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_orig"))
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    pw = F.pow(F.col("n_orig").cast("double"), F.lit(_ALPHA - 1.0))
+    rates = counts.select(
+        "lang", "n_orig", fround(pw / F.max(pw).over(w_all), 6).alias("rate")
+    )
+    kept = (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(hash_fraction(F.col("doc_id"), "temp") < F.col("rate"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sampled"))
+    )
+    return rates.join(kept, "lang", "left").select(
+        "lang",
+        "n_orig",
+        "rate",
+        F.coalesce(F.col("n_sampled"), F.lit(0).cast("long")).alias("n_sampled"),
+    )
