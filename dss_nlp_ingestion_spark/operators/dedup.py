@@ -153,6 +153,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.15,
     max_df: int | None = None,
+    keep_sizes: bool = False,
 ) -> DataFrame:
     """Pairs with Jaccard similarity of distinct word-k-gram sets >=
     ``threshold``.
@@ -204,9 +205,11 @@ def ngram_jaccard_pairs(
         )
         .withColumn("union_sz", F.col("sz_a") + F.col("sz_b") - F.col("shared"))
     )
-    return out.filter(F.col("shared") / F.col("union_sz") >= F.lit(threshold)).select(
-        "id_a", "id_b", "shared", "union_sz"
+    out = out.filter(F.col("shared") / F.col("union_sz") >= F.lit(threshold))
+    cols = ["id_a", "id_b", "shared", "union_sz"] + (
+        ["sz_a", "sz_b"] if keep_sizes else []
     )
+    return out.select(*cols)
 
 
 # --- SimHash --------------------------------------------------------------

@@ -563,3 +563,108 @@ def corpus_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage("near_dedup", near))
         .unionByName(stage("decontaminated", clean))
     )
+
+
+# ---------------------------------------------------------------------------
+# Normalization-aware exact dedup (C4-style canonical-form hashing)
+# ---------------------------------------------------------------------------
+
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower({t}), '[.,!?;:]', '', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+_NORM_EXACT_ORACLE = f"""
+WITH planted AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, upper(text) || ' !!' FROM documents WHERE doc_id % 10 = 0
+)
+SELECT sha256({_NORM_SQL.format(t='text')}) AS digest,
+       CAST(count(*) AS BIGINT) AS n_dups,
+       min(doc_id) AS keep_id
+FROM planted
+GROUP BY sha256({_NORM_SQL.format(t='text')})
+HAVING count(*) > 1
+"""
+
+
+@register("normalized_exact_dups", _NORM_EXACT_ORACLE)
+def normalized_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the CANONICAL form (lowercase, punctuation
+    stripped, whitespace squeezed) — catches the trivially-mutated
+    copies raw hashing misses (planted here as uppercased+punctuated
+    twins). Same hash-groupBy shuffle as exact dedup; normalization
+    is scan-side."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.upper(F.col("text")), F.lit(" !!")).alias("text"),
+        )
+    )
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[.,!?;:]", ""), r"\s+", " "
+        )
+    )
+    hashed = planted.withColumn("_digest", F.sha2(norm, 256))
+    return (
+        hashed.groupBy(F.col("_digest").alias("digest"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram containment (asymmetric partial-copy detection)
+# ---------------------------------------------------------------------------
+
+_CONTAIN_ORACLE = f"""
+WITH {_WS_CTE},
+dsh AS (
+  SELECT doc_id, list_distinct(sh) AS sh FROM sh
+), sizes AS (
+  SELECT doc_id, CAST(len(sh) AS BIGINT) AS sz FROM dsh
+), ex AS (
+  SELECT doc_id, unnest(sh) AS s FROM dsh
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, shared, sa.sz AS sz_a, sb.sz AS sz_b,
+       {fround_sql('CAST(shared AS DOUBLE) / sa.sz', 6)} AS contain_a,
+       {fround_sql('CAST(shared AS DOUBLE) / sb.sz', 6)} AS contain_b
+FROM shared
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE greatest(CAST(shared AS DOUBLE) / sa.sz, CAST(shared AS DOUBLE) / sb.sz) >= 0.5
+"""
+
+
+@register("ngram_containment_pairs", _CONTAIN_ORACLE)
+def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection: containment shared/|A| catches a
+    short document living inside a long one (quotes, partial copies),
+    which symmetric Jaccard dilutes below threshold. Same
+    one-shuffle posting pipeline with per-side sizes kept."""
+    from dss_nlp_ingestion_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.0, keep_sizes=True
+    )
+    ca = F.col("shared").cast("double") / F.col("sz_a")
+    cb = F.col("shared").cast("double") / F.col("sz_b")
+    return (
+        pairs.filter(F.greatest(ca, cb) >= 0.5)
+        .select(
+            "id_a", "id_b", "shared", "sz_a", "sz_b",
+            fround(ca, 6).alias("contain_a"),
+            fround(cb, 6).alias("contain_b"),
+        )
+    )
