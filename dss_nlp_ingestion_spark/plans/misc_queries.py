@@ -450,3 +450,71 @@ def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered conversion funnel (view -> click -> purchase)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STAGES_ORACLE = """
+WITH v AS (
+  SELECT user_id, min(ts) AS tv FROM events WHERE event_type = 'view'
+  GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS tc
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.tv
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS tp
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.tc
+  GROUP BY e.user_id
+)
+SELECT 'view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+UNION ALL
+SELECT 'click_after_view', CAST(count(*) AS BIGINT) FROM c
+UNION ALL
+SELECT 'purchase_after_click', CAST(count(*) AS BIGINT) FROM p
+"""
+
+
+@register("conversion_funnel", _FUNNEL_STAGES_ORACLE)
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED conversion funnel: users who viewed, then clicked
+    strictly after their first view, then purchased strictly after
+    that first qualifying click — the event-sequence analytics query
+    (plain per-stage counts can't express the ordering). Three
+    per-user aggregates chained by joins; every stage shuffles on
+    user_id, so the partitioning is reused stage to stage."""
+    events = table(spark, sf_dir, "events")
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("tc"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"), F.count(F.lit(1)).cast("long").alias("n_users")
+        )
+
+    return (
+        stage("view", v)
+        .unionByName(stage("click_after_view", c))
+        .unionByName(stage("purchase_after_click", p))
+    )
