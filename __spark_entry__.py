@@ -20,18 +20,33 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from dss_nlp_ingestion_spark.plans import ORACLES, QUERIES  # noqa: E402
+from dss_nlp_ingestion_spark.session import ship_package  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
+def _shipped(fn: Callable[[SparkSession, str], DataFrame]):
+    """Wrap a query so the package zip reaches executor Python workers
+    (addPyFile) no matter what SparkSession/cwd the caller uses —
+    without it, any mapInPandas stage fails with ModuleNotFoundError
+    when the driver's cwd is not the repo root."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ship_package(spark)
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    ship_package(spark)
     return QUERIES["flagship_doc_profile"](spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    return {name: _shipped(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

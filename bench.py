@@ -45,6 +45,7 @@ BENCH_QUERIES = (
     "exact_dup_groups",
     "minhash_lsh_candidates",
     "ngram_jaccard_dups_capped",
+    "cjk_lsh_candidates",
     "simhash_signatures",
     "simhash_near_dups_banded",
     "cosine_topk_bruteforce",
@@ -118,22 +119,26 @@ def main() -> None:
     for name in QUERIES:
         if name not in timings and not name.startswith("streaming_"):
             timings[name] = _time(name)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "timing": "steady_state",
-                "headline": list(names),
-                "queries": timings,
-                "cold_queries": cold,
-                "cold_total": round(sum(cold.values()), 3),
-                "all_queries_total": round(sum(timings.values()), 3),
-                "sf": _sf_from_dir(SF_DIR),
-            }
-        )
+    # ONE compact JSON line, and nothing printed before it — a
+    # downstream capture that truncates long output must still get a
+    # parseable record (BENCH_r02.json lost its tail to exactly that).
+    # Per-query cold timings are omitted for size; cold_total keeps
+    # the compile-cost signal.
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_runtime",
+            "value": total,
+            "unit": "sec",
+            "timing": "steady_state",
+            "queries": timings,
+            "headline": list(names),
+            "cold_total": round(sum(cold.values()), 3),
+            "all_queries_total": round(sum(timings.values()), 3),
+            "sf": _sf_from_dir(SF_DIR),
+        },
+        separators=(",", ":"),
     )
+    print(line, flush=True)
     spark.stop()
 
 

@@ -231,6 +231,51 @@ def shingles(col: Column, k: int = 3) -> Column:
     return F.regexp_extract_all(norm, F.lit(pat), 1)
 
 
+#: CJK Unified Ideographs (basic block) — the detection class for
+#: CJK-dominant text. Extension blocks can be appended if a corpus
+#: needs them; the basic block covers the reference's zh sources
+#: (aastocks/etnet/eastmoney).
+CJK_CHAR_RE = r"[一-鿿]"
+
+
+def cjk_char_ratio(col: Column) -> Column:
+    """Fraction of characters that are CJK ideographs, in [0,1]."""
+    n_cjk = F.size(F.regexp_extract_all(col, F.lit(CJK_CHAR_RE), 0))
+    return n_cjk / F.greatest(F.length(col), F.lit(1))
+
+
+def char_shingles(col: Column, k: int = 5) -> Column:
+    """Character k-gram shingles over whitespace-stripped text.
+
+    The shingle unit for unsegmented scripts: CJK text has no word
+    boundaries, so word shingles collapse a whole sentence into one
+    "token" and near-dup detection silently degrades to near-exact
+    matching (the reference's aastocks/etnet/eastmoney corpora are
+    exactly this shape, src/lurkers/eastmoney.py:136-140). Character
+    k-grams restore sub-sentence granularity. Same lookahead-capture
+    single-regex-pass trick as :func:`shingles` — stays in
+    whole-stage codegen."""
+    norm = F.regexp_replace(col, r"\s+", "")
+    pat = f"(?=(.{{{k}}}))."
+    return F.regexp_extract_all(norm, F.lit(pat), 1)
+
+
+def shingles_auto(
+    col: Column,
+    k_words: int = 3,
+    k_chars: int = 5,
+    cjk_threshold: float = 0.2,
+) -> Column:
+    """CJK-aware shingling: character ``k_chars``-grams when the text
+    is CJK-dominant (ratio >= ``cjk_threshold``), word ``k_words``-
+    grams otherwise — per row, so a mixed corpus routes each document
+    to the right unit. The near-dup family (MinHash/LSH, Jaccard,
+    containment) accepts this as a drop-in shingler."""
+    return F.when(
+        cjk_char_ratio(col) >= F.lit(cjk_threshold), char_shingles(col, k_chars)
+    ).otherwise(shingles(col, k_words))
+
+
 def doc_fingerprint(col: Column, k: int = 3) -> Column:
     """Rolling-hash document fingerprint: the minimum sha256 over word
     k-gram shingles (a 1-permutation MinHash; basis of the D2/near-dup

@@ -25,13 +25,19 @@ Scale design:
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from dss_nlp_ingestion_spark.catalog import ensure_parallelism
 from dss_nlp_ingestion_spark.functions.text import content_hash, shingles, ws_tokens
+
+#: Pluggable shingle builder: Column (text) -> Column (array<string>).
+#: ``None`` means word k-grams (:func:`functions.text.shingles`);
+#: pass :func:`functions.text.shingles_auto` for CJK-aware routing or
+#: :func:`functions.text.char_shingles` for pure character n-grams.
+Shingler = Callable[[Column], Column]
 
 
 # --- exact (D2) -----------------------------------------------------------
@@ -68,6 +74,7 @@ def minhash_signature_df(
     text_col: str,
     num_perm: int = 8,
     k: int = 3,
+    shingler: Shingler | None = None,
 ) -> DataFrame:
     """(id, m0..m{num_perm-1}) MinHash components via one-permutation
     hashing on the explode pipeline: one row per shingle, ONE sha256
@@ -75,13 +82,19 @@ def minhash_signature_df(
     ``num_perm`` substring slices to a single hash evaluation; an
     array-lambda ``transform`` form re-evaluates the hash per slice,
     ~8x slower, and was removed for that reason), then a
-    partial-aggregated min per component. One shuffle on id."""
+    partial-aggregated min per component. One shuffle on id.
+
+    ``shingler`` overrides the shingle unit (e.g. ``shingles_auto``
+    for CJK-aware character n-grams); docs yielding no shingles are
+    excluded either way."""
     if num_perm > 8:
         raise ValueError("one-permutation slicing supports at most 8 perms (64 hex chars)")
-    rows = ensure_parallelism(
-        df.filter(F.size(ws_tokens(F.col(text_col))) >= k)
-    ).select(
-        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), k)).alias("s")
+    sh_expr = shingler(F.col(text_col)) if shingler else shingles(F.col(text_col), k)
+    rows = (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("id"), sh_expr.alias("_sh"))
+        .filter(F.size("_sh") > 0)
+        .select("id", F.explode("_sh").alias("s"))
     )
     h = F.sha2(F.col("s"), 256)
     sliced = rows.select(
@@ -99,12 +112,13 @@ def lsh_bands(
     num_perm: int = 8,
     band_rows: int = 2,
     k: int = 3,
+    shingler: Shingler | None = None,
 ) -> DataFrame:
     """(id, band, band_key) rows: the signature split into
     ``num_perm / band_rows`` bands, each keyed by its concatenated
-    minhashes. Docs shorter than ``k`` words are excluded."""
+    minhashes. Docs yielding no shingles are excluded."""
     n_bands = num_perm // band_rows
-    sig = minhash_signature_df(df, id_col, text_col, num_perm, k)
+    sig = minhash_signature_df(df, id_col, text_col, num_perm, k, shingler)
     bands = F.array(
         *[
             F.struct(
@@ -128,11 +142,12 @@ def lsh_candidate_pairs(
     num_perm: int = 8,
     band_rows: int = 2,
     k: int = 3,
+    shingler: Shingler | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing any LSH band —
     the shuffle is on (band, band_key); only bucket-local pairs are
     generated."""
-    bands = lsh_bands(df, id_col, text_col, num_perm, band_rows, k)
+    bands = lsh_bands(df, id_col, text_col, num_perm, band_rows, k, shingler)
     # Rename-per-side self-join (shared-lineage aliases are unsafe).
     a = bands.withColumnRenamed("id", "id_a")
     b = bands.withColumnRenamed("id", "id_b")
@@ -154,6 +169,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.15,
     max_df: int | None = None,
     keep_sizes: bool = False,
+    shingler: Shingler | None = None,
 ) -> DataFrame:
     """Pairs with Jaccard similarity of distinct word-k-gram sets >=
     ``threshold``.
@@ -167,23 +183,33 @@ def ngram_jaccard_pairs(
     longs — callers derive the float.
 
     ``max_df`` is the 100 TB guard: a shingle appearing in d docs
-    expands to d^2 pair rows, so shingles with document frequency >
-    ``max_df`` are dropped before the explode (their doc lists are
-    never materialized past the aggregate).  With the cap, per-row
+    expands to d^2 pair rows, so over-cap shingles are removed BEFORE
+    any posting list is built — a count aggregate finds the rare
+    shingles, a semi-join on the shingle prunes the exploded stream,
+    and only then does ``collect_list`` buffer doc-ids.  A boilerplate
+    shingle in millions of documents therefore never materializes its
+    doc list in an aggregation buffer (the count+semi-join shuffles on
+    the same key, so the exchange is reused).  With the cap, per-group
     work is bounded by max_df^2 and scores become a LOWER BOUND;
     without it (``None``) the result is exact but quadratic in the
     hottest shingle — small-sf verification only."""
-    sh = ensure_parallelism(
-        df.filter(F.size(ws_tokens(F.col(text_col))) >= k)
-    ).select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(shingles(F.col(text_col), k)).alias("_sh"),
+    sh_expr = shingler(F.col(text_col)) if shingler else shingles(F.col(text_col), k)
+    sh = (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("id"), F.array_distinct(sh_expr).alias("_sh"))
+        .filter(F.size("_sh") > 0)
     )
     sizes = sh.select("id", F.size("_sh").cast("long").alias("sz"))
     ex = sh.select("id", F.explode("_sh").alias("s"))
-    grp = ex.groupBy("s").agg(F.collect_list("id").alias("_ids"))
     if max_df is not None:
-        grp = grp.filter(F.size("_ids") <= max_df)
+        rare = (
+            ex.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("s")
+        )
+        ex = ex.join(rare, "s", "left_semi")
+    grp = ex.groupBy("s").agg(F.collect_list("id").alias("_ids"))
     pairs = grp.select(F.explode("_ids").alias("id_a"), "_ids").select(
         "id_a", F.explode("_ids").alias("id_b")
     )

@@ -64,8 +64,12 @@ def bm25_topk(
     exploded token stream is pruned before the first shuffle.
     Returns (query_id, rank, doc_id, score).
     """
+    # Duplicates are KEPT: a query that repeats a term counts that
+    # term's contribution once per occurrence, matching the oracle's
+    # plain unnest of the split query text (ES multiplies the same
+    # way for repeated match-clause terms).
     qterms = sorted(
-        {(qid, t) for qid, qtext in queries for t in qtext.lower().split()}
+        (qid, t) for qid, qtext in queries for t in qtext.lower().split()
     )
     vocab = sorted({t for _, t in qterms})
 

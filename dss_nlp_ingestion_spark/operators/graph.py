@@ -12,10 +12,11 @@ Scale design: each iteration is one join + one aggregate, both
 shuffled on the node id — the classic large-star/small-star shape
 without an external graph library.  The driver-side loop inspects
 only a changed-count aggregate (never row data), and iterations are
-capped: k supersteps propagate labels across any component of
-diameter <= k, and near-dup clusters are denser than chains by
-construction.  On pathological chain graphs, raise ``max_iter`` or
-alternate with a star-contraction step.
+capped.  NON-CONVERGENCE IS NEVER SILENT: plain propagation that
+exhausts its cap switches to pointer-jumping rounds (distance covered
+doubles per round), and if even those exhaust, a RuntimeError is
+raised — wrong cluster labels (and therefore wrong canonical-document
+choices) must not leak out quietly.
 """
 
 from __future__ import annotations
@@ -24,11 +25,80 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _sym_edges(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+    """Symmetrized, deduped (u, v) edge list. Persisted by callers:
+    the upstream lineage may be an expensive pipeline (LSH candidate
+    generation) re-read every superstep."""
+    return (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
+        )
+        .distinct()
+    )
+
+
+def _seed_labels(sym: DataFrame) -> DataFrame:
+    """Superstep 0 for free: with identity labels the neighbor-min is
+    just min(v) per u, so the first round needs no label join — one
+    aggregate seeds label(v) = min(v, min neighbor), saving a full
+    join+shuffle round (most near-clique clusters then converge in a
+    single checked superstep)."""
+    return (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("_nmin0"))
+        .select(
+            F.col("u").alias("node"),
+            F.least(F.col("u"), F.col("_nmin0")).alias("label"),
+        )
+    )
+
+
+def _hop(sym: DataFrame, labels: DataFrame) -> DataFrame:
+    """One propagation superstep: (node, _old, _hop) where _hop =
+    min(label, min over neighbors' labels)."""
+    neighbor_min = (
+        sym.join(labels, sym["v"] == labels["node"])
+        .groupBy("u")
+        .agg(F.min("label").alias("_nmin"))
+    )
+    return (
+        labels.join(neighbor_min, labels["node"] == neighbor_min["u"], "left")
+        .select(
+            "node",
+            F.col("label").alias("_old"),
+            F.least(
+                F.col("label"), F.coalesce(F.col("_nmin"), F.col("label"))
+            ).alias("_hop"),
+        )
+    )
+
+
+def _jump(hopped: DataFrame) -> DataFrame:
+    """Pointer-jump: chase one level of indirection through the labels
+    table itself (label(v) <- label(label(v))). Valid because labels
+    always point at real nodes and are non-increasing, so the chase
+    only tightens. Rename-per-side: shared-lineage aliases are unsafe
+    for self-joins. Returns (node, _old, _new)."""
+    chase = hopped.select(F.col("node").alias("_cn"), F.col("_hop").alias("_cl"))
+    return (
+        hopped.join(chase, hopped["_hop"] == chase["_cn"], "left")
+        .select(
+            "node",
+            "_old",
+            F.least(F.col("_hop"), F.coalesce(F.col("_cl"), F.col("_hop"))).alias(
+                "_new"
+            ),
+        )
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 15,
+    jump_iter: int = 20,
 ) -> DataFrame:
     """Label every node reachable through ``edges`` with the minimum
     node id of its component.  Returns (node, label).
@@ -37,49 +107,22 @@ def connected_components(
     sets label(v) = min(label(v), min over neighbors' labels); stop
     when no label changes (checked via a count aggregate, not a
     collect).  Deterministic for any edge order.
+
+    Convergence contract: plain propagation needs diameter-many
+    supersteps — ample for near-clique duplicate clusters.  If
+    ``max_iter`` rounds exhaust without converging (a chain-shaped
+    component wider than ``max_iter``), the loop SWITCHES STRATEGY to
+    pointer-jumping rounds (covered distance doubles per round, so
+    ``jump_iter`` = 20 covers diameter ~2^20) rather than returning
+    wrong labels; if even those exhaust, it raises.
     """
-    # The edge list is read once per superstep and the upstream
-    # lineage may be an expensive pipeline (LSH candidate generation)
-    # — persist it, or every iteration re-runs the whole producer.
-    sym = (
-        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
-        .unionByName(
-            edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
-        )
-        .distinct()
-        .persist()
-    )
-    # Superstep 0 for free: with identity labels the neighbor-min is
-    # just min(v) per u, so the first round needs no label join —
-    # one aggregate seeds label(v) = min(v, min neighbor), saving a
-    # full join+shuffle round (most near-clique clusters then
-    # converge in a single checked superstep).
-    labels = (
-        sym.groupBy("u")
-        .agg(F.min("v").alias("_nmin0"))
-        .select(
-            F.col("u").alias("node"),
-            F.least(F.col("u"), F.col("_nmin0")).alias("label"),
-        )
-        .persist()
-    )
+    sym = _sym_edges(edges, src_col, dst_col).persist()
+    labels = _seed_labels(sym).persist()
+    changed = -1
     for _ in range(max_iter):
-        neighbor_min = (
-            sym.join(labels, sym["v"] == labels["node"])
-            .groupBy("u")
-            .agg(F.min("label").alias("_nmin"))
-        )
-        updated = (
-            labels.join(neighbor_min, labels["node"] == neighbor_min["u"], "left")
-            .select(
-                "node",
-                "label",
-                F.least(F.col("label"), F.coalesce(F.col("_nmin"), F.col("label"))).alias(
-                    "_new"
-                ),
-            )
-        )
-        changed = updated.filter(F.col("_new") < F.col("label")).count()
+        hopped = _hop(sym, labels)
+        updated = hopped.select("node", "_old", F.col("_hop").alias("_new"))
+        changed = updated.filter(F.col("_new") < F.col("_old")).count()
         prev = labels
         # localCheckpoint truncates the per-iteration lineage (plans
         # otherwise grow superlinearly) and materializes the new
@@ -88,7 +131,25 @@ def connected_components(
         prev.unpersist()
         if changed == 0:
             break
+    if changed != 0:
+        # Strategy switch: the component is wider than max_iter hops
+        # (chain-shaped, not near-clique) — continue with pointer
+        # jumping instead of silently returning wrong labels.
+        for _ in range(jump_iter):
+            jumped = _jump(_hop(sym, labels))
+            changed = jumped.filter(F.col("_new") < F.col("_old")).count()
+            labels = jumped.select(
+                "node", F.col("_new").alias("label")
+            ).localCheckpoint()
+            if changed == 0:
+                break
     sym.unpersist()
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} "
+            f"propagation + {jump_iter} pointer-jump supersteps "
+            f"({changed} labels still changing) — raise the caps"
+        )
     return labels
 
 
@@ -126,9 +187,10 @@ def connected_components_pj(
     Why it exists: plain min-label propagation needs diameter-many
     supersteps, fine for near-clique duplicate clusters but O(n)
     rounds on chain-shaped components (url redirect chains, quote
-    chains). With the jump, convergence is O(log diameter) — ~40
-    rounds cover any graph that fits on Earth — which is the
-    shape you want when each superstep is a full shuffle at 100 TB.
+    chains). With the jump, convergence is O(log diameter) — the
+    default ``max_iter`` = 10 covers diameter ~2^10; raising it to 40
+    covers any graph that fits on Earth — which is the shape you want
+    when each superstep is a full shuffle at 100 TB.
 
     The jump is valid because labels always point at real nodes
     (a label is the min of some reachable node set and every node is
@@ -136,63 +198,24 @@ def connected_components_pj(
     one level composes reachability information already paid for —
     two extra hash joins on the (node,label) table per round, far
     cheaper than the supersteps they eliminate.
+
+    Raises RuntimeError when ``max_iter`` exhausts with labels still
+    changing — non-convergence is never silent.
     """
-    sym = (
-        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
-        .unionByName(
-            edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
-        )
-        .distinct()
-        .persist()
-    )
-    # Free superstep 0 (same trick as connected_components): identity
-    # labels make the first neighbor-min a plain min(v) aggregate.
-    labels = (
-        sym.groupBy("u")
-        .agg(F.min("v").alias("_nmin0"))
-        .select(
-            F.col("u").alias("node"),
-            F.least(F.col("u"), F.col("_nmin0")).alias("label"),
-        )
-        .localCheckpoint()
-    )
+    sym = _sym_edges(edges, src_col, dst_col).persist()
+    labels = _seed_labels(sym).localCheckpoint()
+    changed = -1
     for _ in range(max_iter):
-        # Hop: min over neighbors' current labels.
-        neighbor_min = (
-            sym.join(labels, sym["v"] == labels["node"])
-            .groupBy("u")
-            .agg(F.min("label").alias("_nmin"))
-        )
-        hopped = (
-            labels.join(neighbor_min, labels["node"] == neighbor_min["u"], "left")
-            .select(
-                "node",
-                F.col("label").alias("_old"),
-                F.least(
-                    F.col("label"), F.coalesce(F.col("_nmin"), F.col("label"))
-                ).alias("_hop"),
-            )
-        )
-        # Jump: chase one level of indirection through the labels
-        # table itself (label is non-increasing, so this only ever
-        # tightens). Rename-per-side: shared-lineage aliases are
-        # unsafe for self-joins.
-        chase = hopped.select(
-            F.col("node").alias("_cn"), F.col("_hop").alias("_cl")
-        )
-        jumped = (
-            hopped.join(chase, hopped["_hop"] == chase["_cn"], "left")
-            .select(
-                "node",
-                "_old",
-                F.least(
-                    F.col("_hop"), F.coalesce(F.col("_cl"), F.col("_hop"))
-                ).alias("_new"),
-            )
-        )
+        jumped = _jump(_hop(sym, labels))
         changed = jumped.filter(F.col("_new") < F.col("_old")).count()
         labels = jumped.select("node", F.col("_new").alias("label")).localCheckpoint()
         if changed == 0:
             break
     sym.unpersist()
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components_pj did not converge within {max_iter} "
+            f"pointer-jump supersteps ({changed} labels still changing) "
+            f"— raise max_iter (each round doubles covered diameter)"
+        )
     return labels

@@ -39,27 +39,29 @@ def merge_into(
       INSERT *);
     - target rows with no match are kept.
 
-    ``source`` must have (at least) the target's columns. Matching is
-    decided by a non-null source key after the full-outer join, so
-    source values may legitimately be NULL without being mistaken for
-    "no match" (a plain ``coalesce`` per column would get that wrong).
+    ``source`` must have (at least) the target's columns. The join is
+    PLAIN equality, so NULL merge keys never match (SQL MERGE
+    semantics): a NULL-keyed source row falls out as an unmatched
+    source row and is INSERTED with its values intact. Which side a
+    joined row carries is decided by always-non-null presence markers
+    added before the join — never by key-null inspection, so NULL
+    source values are not mistaken for "no match".
     """
     cols = target.columns
-    src = source.select([F.col(c).alias(f"_s_{c}") for c in cols])
+    src = source.select(
+        [F.col(c).alias(f"_s_{c}") for c in cols]
+    ).withColumn("_s_present", F.lit(True))
+    tgt = target.withColumn("_t_present", F.lit(True))
     cond: Column = reduce(
-        lambda a, b: a & b, [target[k].eqNullSafe(src[f"_s_{k}"]) for k in key_cols]
+        lambda a, b: a & b, [tgt[k] == src[f"_s_{k}"] for k in key_cols]
     )
-    joined = target.join(src, cond, "full_outer")
-    matched = reduce(
-        lambda a, b: a & b, [src[f"_s_{k}"].isNotNull() for k in key_cols]
-    )
-    in_target = reduce(
-        lambda a, b: a & b, [target[k].isNotNull() for k in key_cols]
-    )
+    joined = tgt.join(src, cond, "full_outer")
+    has_source = src["_s_present"].isNotNull()
+    has_target = tgt["_t_present"].isNotNull()
     out = []
     for c in cols:
-        take_source = matched & (~in_target if insert_only else F.lit(True))
+        take_source = has_source & (~has_target if insert_only else F.lit(True))
         out.append(
-            F.when(take_source, src[f"_s_{c}"]).otherwise(target[c]).alias(c)
+            F.when(take_source, src[f"_s_{c}"]).otherwise(tgt[c]).alias(c)
         )
     return joined.select(*out)

@@ -23,6 +23,7 @@ from dss_nlp_ingestion_spark.operators.dedup import (
     simhash_banded_pairs,
     simhash_near_pairs,
 )
+from dss_nlp_ingestion_spark.functions.text import shingles_auto
 from dss_nlp_ingestion_spark.plans.registry import fround, fround_sql, register
 
 # DuckDB CTE fragments shared by the shingle-based oracles.
@@ -644,6 +645,127 @@ JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE greatest(CAST(shared AS DOUBLE) / sa.sz, CAST(shared AS DOUBLE) / sb.sz) >= 0.5
 """
+
+
+# ---------------------------------------------------------------------------
+# CJK near-dup family: character shingles over unsegmented text
+# ---------------------------------------------------------------------------
+
+# The synthetic corpus is ASCII, so the zh-labelled slice is mapped to
+# REAL unsegmented CJK text deterministically in BOTH engines:
+# letter->ideograph via translate() (identical delete-when-unmapped
+# semantics in Spark and DuckDB; the 27th 'from' char — space — has no
+# mapping and is removed, yielding boundary-free text, the shape of
+# the reference's aastocks/etnet/eastmoney corpora).
+_CJK26 = "的一是不了人我在有他这中大来上国个到说们为子和你地出"
+assert len(_CJK26) == 26 and len(set(_CJK26)) == 26
+_K_CHARS = 5
+
+_CJK_DSH_CTE = f"""
+zh AS (
+  SELECT doc_id,
+         translate(lower(text), 'abcdefghijklmnopqrstuvwxyz ', '{_CJK26}') AS ct
+  FROM documents WHERE lang = 'zh'
+), idx AS (
+  SELECT doc_id, ct, unnest(generate_series(1, length(ct) - {_K_CHARS - 1})) AS i
+  FROM zh WHERE length(ct) >= {_K_CHARS}
+), dsh AS (
+  SELECT DISTINCT doc_id, substr(ct, i, {_K_CHARS}) AS s FROM idx
+)"""
+
+_CJK_JACCARD_ORACLE = f"""
+WITH {_CJK_DSH_CTE},
+sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM dsh GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared
+  FROM dsh a JOIN dsh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, shared,
+       sa.sz + sb.sz - shared AS union_sz,
+       {fround_sql('CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared)', 6)} AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.15
+"""
+
+
+def _cjk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The zh slice as real unsegmented CJK text (see CTE comment)."""
+    return (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("lang") == "zh")
+        .select(
+            "doc_id",
+            F.translate(
+                F.lower(F.col("text")), "abcdefghijklmnopqrstuvwxyz ", _CJK26
+            ).alias("ct"),
+        )
+    )
+
+
+@register("cjk_near_dups", _CJK_JACCARD_ORACLE)
+def cjk_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs over UNSEGMENTED CJK text via character 5-gram
+    Jaccard — whitespace word shingles see one giant "word" per
+    document here and silently degrade to near-exact matching; the
+    CJK-aware shingler (`shingles_auto`: per-row routing on CJK char
+    ratio) restores sub-sentence granularity.  Same one-shuffle
+    posting pipeline as the word form."""
+    pairs = ngram_jaccard_pairs(
+        _cjk_corpus(spark, sf_dir),
+        "doc_id",
+        "ct",
+        threshold=0.15,
+        shingler=lambda c: shingles_auto(c, k_chars=_K_CHARS),
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "shared",
+        "union_sz",
+        fround(F.col("shared").cast("double") / F.col("union_sz"), 6).alias("jaccard"),
+    )
+
+
+_cjk_minhash_cols = ",\n    ".join(
+    f"min(substr(h, {p * 8 + 1}, 8)) AS m{p}" for p in range(_NUM_PERM)
+)
+
+_CJK_LSH_ORACLE = f"""
+WITH {_CJK_DSH_CTE},
+sig AS (
+  SELECT doc_id,
+    {_cjk_minhash_cols}
+  FROM (SELECT doc_id, sha256(s) AS h FROM dsh)
+  GROUP BY doc_id
+), bands AS (
+{_band_selects}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+@register("cjk_lsh_candidates", _CJK_LSH_ORACLE)
+def cjk_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of CJK near-dup discovery: MinHash+LSH over
+    character 5-gram shingles (band-key equi-join, never all-pairs) —
+    :func:`cjk_near_dups` is its exact small-sf verifier.  One
+    ``shingler`` argument is the entire difference from the word-gram
+    pipeline; everything downstream (one-permutation hashing, banding,
+    bucket join) is shared."""
+    return lsh_candidate_pairs(
+        _cjk_corpus(spark, sf_dir),
+        "doc_id",
+        "ct",
+        num_perm=_NUM_PERM,
+        band_rows=_BAND_ROWS,
+        shingler=lambda c: shingles_auto(c, k_chars=_K_CHARS),
+    )
 
 
 @register("ngram_containment_pairs", _CONTAIN_ORACLE)

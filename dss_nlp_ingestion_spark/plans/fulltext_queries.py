@@ -30,6 +30,9 @@ FT_QUERIES: tuple[tuple[int, str], ...] = (
     (4, "stream batch sort"),
     (5, "slow table scan"),
     (6, "vector column data"),
+    # Repeated term: its contribution counts TWICE (once per
+    # occurrence) in both engines — the repeated-term parity case.
+    (7, "join join filter"),
 )
 
 _TOP_K = 10

@@ -15,11 +15,12 @@ from pyspark.sql import functions as F
 
 from dss_nlp_ingestion_spark.catalog import table
 from dss_nlp_ingestion_spark.operators.multimodal import (
+    decode_media_stats,
     extract_media_metadata,
     frame_sample_offsets,
     with_binary_payload,
 )
-from dss_nlp_ingestion_spark.plans.registry import register
+from dss_nlp_ingestion_spark.plans.registry import fround, fround_sql, register
 
 # ---------------------------------------------------------------------------
 
@@ -92,6 +93,56 @@ def frame_sample_offsets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = with_binary_payload(table(spark, sf_dir, "documents"))
     return frame_sample_offsets(docs, n_frames=4).withColumn(
         "frame_idx", F.col("frame_idx").cast("int")
+    )
+
+
+# ---------------------------------------------------------------------------
+
+# Real decode: each doc gets a REAL 24-bit BMP (deterministic content,
+# closed-form pixel values), which the pure-numpy BMP parser decodes
+# back — header fields, stride padding, bottom-up rows.  The oracle
+# recomputes the pixel sums from the closed form, so a hash match
+# proves the decoder read actual pixel data, not metadata.
+_DECODE_REAL_ORACLE = f"""
+WITH ids AS (
+  SELECT doc_id, 8 + doc_id % 9 AS w, 4 + doc_id % 5 AS h FROM documents
+), px AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, w * h * 3 - 1)) AS p FROM ids
+), sums AS (
+  SELECT doc_id, w, h,
+         CAST(sum((3 * doc_id + ((p // 3) % w) * 7 + ((p // 3) // w) * 11
+                   + (p % 3) * 13) % 256) AS BIGINT) AS px_sum
+  FROM px GROUP BY doc_id, w, h
+)
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       px_sum,
+       {fround_sql('CAST(px_sum AS DOUBLE) / (w * h * 3)', 4)} AS mean_px
+FROM sums
+"""
+
+
+@register("media_decode_real", _DECODE_REAL_ORACLE)
+def media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode in the Arrow stage: synthesize a
+    spec-conformant BMP per document, parse it back with the
+    pure-numpy BMP decoder (operators/multimodal.py:decode_bmp), and
+    reduce to per-image pixel statistics — no codec dependency, no
+    stub in the path. Both stages are bounded-batch mapInPandas."""
+    stats = decode_media_stats(table(spark, sf_dir, "documents"))
+    return stats.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_pixels",
+        "px_sum",
+        fround(
+            F.col("px_sum").cast("double")
+            / (F.col("n_pixels").cast("double") * F.lit(3.0)),
+            4,
+        ).alias("mean_px"),
     )
 
 

@@ -10,6 +10,9 @@ any pandas-UDF stage). On a real cluster the same settings apply; only
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
+from pathlib import Path
 
 from pyspark.sql import SparkSession
 
@@ -31,6 +34,37 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
 }
+
+
+# Sessions (by applicationId) that already have the package zip on
+# their Python-worker path — addPyFile is done once per session.
+_SHIPPED: set[str] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via ``addPyFile``.
+
+    Python workers resolve ``import dss_nlp_ingestion_spark`` through
+    their own ``sys.path``, which does NOT inherit the driver's
+    ``sys.path`` inserts — only its cwd. Any ``mapInPandas``/pandas-UDF
+    stage therefore breaks with ModuleNotFoundError when the driver
+    runs from a different working directory. Zipping the package and
+    registering it with ``addPyFile`` makes the session location-
+    independent — exactly what ``spark-submit --py-files`` does on a
+    real cluster."""
+    app_id = spark.sparkContext.applicationId
+    if app_id in _SHIPPED:
+        return
+    pkg_dir = Path(__file__).resolve().parent
+    zip_path = Path(tempfile.gettempdir()) / f"dss_nlp_ingestion_spark-{os.getpid()}.zip"
+    if not zip_path.exists():
+        tmp = zip_path.with_suffix(".tmp")
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_STORED) as zf:
+            for py in sorted(pkg_dir.rglob("*.py")):
+                zf.write(py, arcname=f"{pkg_dir.name}/{py.relative_to(pkg_dir)}")
+        tmp.rename(zip_path)
+    spark.sparkContext.addPyFile(str(zip_path))
+    _SHIPPED.add(app_id)
 
 
 def get_spark(
@@ -57,4 +91,6 @@ def get_spark(
         conf.update(extra_conf)
     for k, v in conf.items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    ship_package(spark)
+    return spark

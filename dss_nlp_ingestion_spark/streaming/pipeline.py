@@ -188,9 +188,15 @@ def stream_neardup_dedup(
         pairs = lsh_candidate_pairs(batch_df, id_col, text_col, num_perm, band_rows, k)
         comps = connected_components(pairs, "id_a", "id_b")
         canon = canonical_filter(batch_df, comps, id_col).persist()
-        # 2. probe the persisted index
+        # 2. probe the persisted index. The only legitimate "no index"
+        # state is the FIRST batch (path not created yet) — checked
+        # explicitly via the Hadoop FS, so a corrupt index or a
+        # transient read failure PROPAGATES (Spark retries the batch)
+        # instead of silently admitting near-duplicates to the store.
+        hadoop_path = spark._jvm.org.apache.hadoop.fs.Path(index_path)
+        fs = hadoop_path.getFileSystem(spark._jsc.hadoopConfiguration())
         bands = lsh_bands(canon, id_col, text_col, num_perm, band_rows, k)
-        try:
+        if fs.exists(hadoop_path):
             idx = spark.read.parquet(index_path).select("band", "band_key").distinct()
             hit = (
                 bands.join(idx, ["band", "band_key"], "left_semi")
@@ -198,7 +204,7 @@ def stream_neardup_dedup(
                 .distinct()
             )
             survivors = canon.join(hit, id_col, "left_anti").persist()
-        except Exception:  # first batch: no index yet
+        else:  # first batch: no index yet
             survivors = canon
         # 3. append documents + their bands
         survivors.write.mode("append").parquet(store_path)

@@ -338,3 +338,159 @@ def test_pointer_jumping_cc_matches_naive_on_chain(spark):
     assert pj == naive
     assert all(pj[n] == 100 for n in range(100, 141))
     assert pj[1] == pj[2] == pj[3] == 1 and pj[7] == pj[8] == 7
+
+
+def test_merge_into_null_keyed_source_inserts(spark):
+    from dss_nlp_ingestion_spark.operators.merge import merge_into
+
+    target = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    # NULL-keyed source row: SQL MERGE equality never matches NULL, so
+    # it must be INSERTED with its values intact — not collapsed into
+    # an all-NULL row, and not matched against NULL-keyed targets.
+    source = spark.createDataFrame([(None, "nullkey"), (2, "b2")], "k long, v string")
+    out = {r.k: r.v for r in merge_into(target, source, ["k"]).collect()}
+    assert out == {1: "a", 2: "b2", None: "nullkey"}
+
+
+def test_cc_switches_to_pointer_jumping_past_max_iter(spark):
+    from dss_nlp_ingestion_spark.operators.graph import connected_components
+
+    # Diameter-40 chain with max_iter=3: plain propagation cannot
+    # converge, so the kernel must switch to pointer jumping and still
+    # produce correct labels (never silently-wrong ones).
+    chain = [(i, i + 1) for i in range(200, 240)]
+    edges = spark.createDataFrame(chain, "id_a long, id_b long")
+    labels = {
+        r.node: r.label
+        for r in connected_components(edges, max_iter=3).collect()
+    }
+    assert all(labels[n] == 200 for n in range(200, 241))
+
+
+def test_cc_nonconvergence_raises_not_silent(spark):
+    import pytest as _pytest
+
+    from dss_nlp_ingestion_spark.operators.graph import (
+        connected_components,
+        connected_components_pj,
+    )
+
+    chain = [(i, i + 1) for i in range(300, 340)]
+    edges = spark.createDataFrame(chain, "id_a long, id_b long")
+    # pj with 2 rounds covers distance ~4 of a 40-diameter chain.
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_pj(edges, max_iter=2)
+    # Plain kernel with the jump fallback also capped too low.
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=1, jump_iter=1)
+
+
+def test_cjk_char_shingles_catch_mutated_twins(spark):
+    from pyspark.sql import functions as SF
+
+    from dss_nlp_ingestion_spark.functions.text import shingles, shingles_auto
+    from dss_nlp_ingestion_spark.operators.dedup import ngram_jaccard_pairs
+
+    a = "今天股市大涨科技股领涨市场情绪高涨成交量创出新高"
+    b = "今天股市大涨科技股领涨市场情绪高涨成交量创出新低"  # one-char mutation
+    c = "央行宣布降息利率下调房地产板块应声上涨投资者观望"
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    # Word (whitespace) shingles: unsegmented CJK is ONE giant token,
+    # no 3-gram exists -> the mutated twin is silently MISSED.
+    assert ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.1).count() == 0
+    # CJK-aware shingler: char 5-grams -> the twin pair IS caught,
+    # and the unrelated doc is not.
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.5, shingler=shingles_auto
+        ).collect()
+    }
+    assert pairs == {(1, 2)}
+    # On non-CJK text the auto shingler IS the word shingler (same
+    # arrays), so existing pipelines are unchanged by the routing.
+    en = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")], "id long, text string"
+    )
+    row = en.select(
+        shingles(SF.col("text"), 3).alias("w"),
+        shingles_auto(SF.col("text")).alias("a"),
+    ).head()
+    assert row.w == row.a and len(row.w) > 0
+
+
+def test_bmp_codec_hand_crafted_and_roundtrip():
+    import numpy as np
+
+    from dss_nlp_ingestion_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    # Hand-built 2x1 24bpp BMP, stride padded 6->8 bytes, bottom-up:
+    # single row with pixels (B,G,R) = (1,2,3), (4,5,6).
+    img = 54 + 8
+    hand = (
+        b"BM" + img.to_bytes(4, "little") + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + (2).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + (8).to_bytes(4, "little")
+        + (0).to_bytes(4, "little") * 4
+        + bytes([1, 2, 3, 4, 5, 6, 0, 0])
+    )
+    w, h, px = decode_bmp(hand)
+    assert (w, h) == (2, 1)
+    assert px.tolist() == [[[1, 2, 3], [4, 5, 6]]]
+
+    # Round-trip with an awkward width (stride padding) and >1 rows.
+    rng = np.random.default_rng(7)
+    orig = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)
+    w, h, back = decode_bmp(encode_bmp(orig))
+    assert (w, h) == (3, 5) and np.array_equal(back, orig)
+
+    # Spec guards: bad magic and unsupported bpp raise.
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="magic"):
+        decode_bmp(b"XX" + hand[2:])
+
+
+def test_decode_image_batch_sniffs_real_bmp():
+    import pandas as pd
+    import pytest as _pytest
+
+    from dss_nlp_ingestion_spark.operators.multimodal import (
+        decode_image_batch,
+        encode_bmp,
+        synth_pixels,
+    )
+
+    bmp = encode_bmp(synth_pixels(42))
+    pdf = pd.DataFrame({"doc_id": [42], "payload": [bmp]})
+    # fake=False must NOT raise for BMP — the real decoder handles it.
+    out = next(decode_image_batch(iter([pdf]), fake=False))
+    assert out.loc[0, "format"] == "bmp"
+    assert (out.loc[0, "width"], out.loc[0, "height"]) == (8 + 42 % 9, 4 + 42 % 5)
+    # Non-BMP without fake still raises at the documented plug point.
+    bad = pd.DataFrame({"doc_id": [1], "payload": [b"\xff\xd8jpegish"]})
+    with _pytest.raises(NotImplementedError):
+        next(decode_image_batch(iter([bad]), fake=False))
+
+
+def test_media_decode_real_pixel_stats(spark):
+    import numpy as np
+
+    from dss_nlp_ingestion_spark.operators.multimodal import (
+        decode_media_stats,
+        synth_pixels,
+    )
+
+    ids = spark.createDataFrame([(0,), (7,), (123,)], "doc_id long")
+    rows = {r.doc_id: r for r in decode_media_stats(ids).collect()}
+    for i in (0, 7, 123):
+        exp = synth_pixels(i).astype(np.int64)
+        r = rows[i]
+        assert (r.width, r.height) == (8 + i % 9, 4 + i % 5)
+        assert r.n_pixels == r.width * r.height
+        assert r.px_sum == int(exp.sum())
