@@ -124,6 +124,12 @@ def main() -> None:
     # parseable record (BENCH_r02.json lost its tail to exactly that).
     # Per-query cold timings are omitted for size; cold_total keeps
     # the compile-cost signal.
+    # Skew-guard demonstration (verdict r2 ask #6): synthetic hot-key
+    # fixtures, three arms each for the bucket self-join and the
+    # fact-dim join — see dss_nlp_ingestion_spark/bench_support.py.
+    from dss_nlp_ingestion_spark.bench_support import run_skew_demo
+
+    skew = run_skew_demo(spark)
     line = json.dumps(
         {
             "metric": "headline_queries_total_runtime",
@@ -134,6 +140,7 @@ def main() -> None:
             "headline": list(names),
             "cold_total": round(sum(cold.values()), 3),
             "all_queries_total": round(sum(timings.values()), 3),
+            "skew_demo": skew,
             "sf": _sf_from_dir(SF_DIR),
         },
         separators=(",", ":"),

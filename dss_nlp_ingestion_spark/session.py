@@ -19,6 +19,13 @@ from pyspark.sql import SparkSession
 DEFAULT_CONF: dict[str, str] = {
     # --- determinism / semantics ---
     "spark.sql.session.timeZone": "UTC",
+    # --- memory: local-mode driver hosts all executor threads in one
+    # JVM; the 1g default heap forces spills/GC on any persist or
+    # wide shuffle. -Xmx is a cap, not a reservation — safe for
+    # test sessions too. Only applies at JVM launch (getOrCreate on a
+    # live session ignores it, same as any cluster). ---
+    "spark.driver.memory": "48g",
+    "spark.driver.maxResultSize": "4g",
     # --- adaptive execution: runtime re-plan, skew splitting, coalesce ---
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",

@@ -494,3 +494,28 @@ def test_media_decode_real_pixel_stats(spark):
         assert (r.width, r.height) == (8 + i % 9, 4 + i % 5)
         assert r.n_pixels == r.width * r.height
         assert r.px_sum == int(exp.sum())
+
+
+def test_skew_demo_arms_agree(spark):
+    """The bench skew demo's guards must never change the answer:
+    every arm of both demos counts the identical result set (tiny
+    sizes here; bench.py runs the calibrated ones)."""
+    from dss_nlp_ingestion_spark.bench_support import run_skew_demo
+
+    out = run_skew_demo(
+        spark, n_uniform=500, n_hot=60, fact_rows=20_000, dim_keys=500
+    )
+    # run_skew_demo asserts arm-equality internally; spot-check shape.
+    assert out["pairs"] > 0
+    assert out["hot_bucket_rows"] == 60
+    assert all(
+        out[k] >= 0
+        for k in (
+            "bucket_unguarded_aqe_off_sec",
+            "bucket_guarded_aqe_off_sec",
+            "bucket_unguarded_aqe_on_sec",
+            "join_plain_aqe_off_sec",
+            "join_salted_aqe_off_sec",
+            "join_plain_aqe_on_sec",
+        )
+    )
