@@ -90,18 +90,29 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
 
     names = [n for n in BENCH_QUERIES if n in QUERIES]
+    # One broken query must never zero out the whole round's perf
+    # signal (r3: a single AnalysisException killed the process before
+    # the JSON line). Every timing call is fenced; errors are recorded
+    # (exception type + message, the part a truncated traceback loses)
+    # and the sweep continues.
+    errors: dict[str, str] = {}
+
+    def _time(name: str) -> float | None:
+        t0 = time.perf_counter()
+        try:
+            n = QUERIES[name](spark, SF_DIR).count()
+            assert n >= 0
+        except Exception as exc:  # noqa: BLE001 — record, keep sweeping
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            return None
+        return round(time.perf_counter() - t0, 3)
+
     # Warmup: one JVM query (codegen/JIT) and one trivial Arrow stage
     # (spawns the reusable python workers) so timings are steady-state.
-    QUERIES[names[0]](spark, SF_DIR).count()
+    _time(names[0])
     spark.range(0, 1000, 1, CPUS).mapInPandas(
         lambda it: it, schema="id long"
     ).count()
-
-    def _time(name: str) -> float:
-        t0 = time.perf_counter()
-        n = QUERIES[name](spark, SF_DIR).count()
-        assert n >= 0
-        return round(time.perf_counter() - t0, 3)
 
     # Headline queries are measured three times: the first run carries
     # per-plan codegen/compile cost (reported as cold_queries); the
@@ -112,13 +123,20 @@ def main() -> None:
     # query runs once so non-headline regressions stay visible
     # round-over-round.
     cold = {name: _time(name) for name in names}
-    steady_a = {name: _time(name) for name in names}
-    steady_b = {name: _time(name) for name in names}
-    timings = {name: min(steady_a[name], steady_b[name]) for name in names}
+    ok = [n for n in names if cold[n] is not None]
+    steady_a = {name: _time(name) for name in ok}
+    steady_b = {name: _time(name) for name in ok}
+    timings = {
+        name: min(t for t in (steady_a[name], steady_b[name]) if t is not None)
+        for name in ok
+        if steady_a[name] is not None or steady_b[name] is not None
+    }
     total = round(sum(timings.values()), 3)
     for name in QUERIES:
-        if name not in timings and not name.startswith("streaming_"):
-            timings[name] = _time(name)
+        if name not in timings and name not in errors and not name.startswith("streaming_"):
+            t = _time(name)
+            if t is not None:
+                timings[name] = t
     # ONE compact JSON line, and nothing printed before it — a
     # downstream capture that truncates long output must still get a
     # parseable record (BENCH_r02.json lost its tail to exactly that).
@@ -129,7 +147,10 @@ def main() -> None:
     # fact-dim join — see dss_nlp_ingestion_spark/bench_support.py.
     from dss_nlp_ingestion_spark.bench_support import run_skew_demo
 
-    skew = run_skew_demo(spark)
+    try:
+        skew = run_skew_demo(spark)
+    except Exception as exc:  # noqa: BLE001 — demo must not kill the record
+        skew = {"err": f"{type(exc).__name__}: {exc}"[:500]}
     line = json.dumps(
         {
             "metric": "headline_queries_total_runtime",
@@ -138,8 +159,9 @@ def main() -> None:
             "timing": "steady_state",
             "queries": timings,
             "headline": list(names),
-            "cold_total": round(sum(cold.values()), 3),
+            "cold_total": round(sum(t for t in cold.values() if t is not None), 3),
             "all_queries_total": round(sum(timings.values()), 3),
+            "errors": errors,
             "skew_demo": skew,
             "sf": _sf_from_dir(SF_DIR),
         },

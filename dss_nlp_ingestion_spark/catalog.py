@@ -46,6 +46,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
+    # The generator has shipped `ts` as both TIMESTAMP(NANOS) and plain
+    # timestamp[us] with isAdjustedToUTC=false; the latter would infer
+    # as TIMESTAMP_NTZ (pyspark >= 3.4), which `unix_millis`/windowing
+    # reject. Pin inference to TIMESTAMP so epoch math sees an instant
+    # (session tz is UTC, so the wall clock IS the oracle's instant).
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)

@@ -44,6 +44,17 @@ def ts_to_epoch(col: Column) -> Column:
     return F.unix_timestamp(col)
 
 
+def epoch_ms(col: Column | str) -> Column:
+    """Truncating epoch-milliseconds extraction, total over both
+    timestamp types: ``unix_millis`` rejects TIMESTAMP_NTZ (a
+    wall-clock with no instant), so cast to ``timestamp_ltz`` first —
+    the session timezone is pinned UTC (session.DEFAULT_CONF), making
+    the NTZ wall clock the same UTC instant the oracles hash. A plain
+    TIMESTAMP passes through the cast unchanged (no-op in the plan)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_millis(c.cast("timestamp_ltz"))
+
+
 def hour_bucket(col: Column) -> Column:
     """T7: tumbling 1-hour bucket start (batch form; the streaming
     twin uses ``F.window``)."""

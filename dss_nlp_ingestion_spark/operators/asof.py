@@ -18,6 +18,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from dss_nlp_ingestion_spark.functions.dates import epoch_ms
+
 
 def asof_join_union(
     left: DataFrame,
@@ -47,7 +49,7 @@ def asof_join_union(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in keys and c != ts_col],
         F.lit(0).alias("_is_left"),
         *[F.col(c).alias(f"_rv_{c}") for c in right_value_cols],
-        F.unix_millis(F.col(ts_col)).alias("_r_ms"),
+        epoch_ms(F.col(ts_col)).alias("_r_ms"),
     ).select(*[F.col(c) for c in l.columns])  # align column order
 
     unioned = l.unionByName(r)
@@ -69,7 +71,7 @@ def asof_join_union(
     )
     out = carried.filter(F.col("_is_left") == 1)
     if tolerance_ms is not None:
-        within = F.unix_millis(F.col(ts_col)) - F.col("_asof_ms") <= F.lit(tolerance_ms)
+        within = epoch_ms(F.col(ts_col)) - F.col("_asof_ms") <= F.lit(tolerance_ms)
         out = out.select(
             *lcols,
             *[

@@ -174,13 +174,16 @@ def ngram_jaccard_pairs(
     """Pairs with Jaccard similarity of distinct word-k-gram sets >=
     ``threshold``.
 
-    Pipeline: explode shingles -> ONE shuffle grouping doc-ids per
-    shingle (``collect_list``) -> bucket-local pair generation via a
-    double explode of the id list (no posting-list self-join, so the
-    pair stream is produced without a second shuffle of the token
-    stream) -> per-pair intersection counts -> set sizes via two
-    broadcast joins.  Returns (id_a, id_b, shared, union_sz) as exact
-    longs — callers derive the float.
+    Pipeline: explode shingles -> ONE shuffle grouping (doc-id, set
+    size) structs per shingle (``collect_list``) -> bucket-local pair
+    generation via a double explode of the struct list (no
+    posting-list self-join, so the pair stream is produced without a
+    second shuffle of the token stream) -> per-pair intersection
+    counts.  Set sizes ride INSIDE the posting structs, so no
+    per-document size table ever exists — the earlier design
+    broadcast one row per document to every executor, a guaranteed
+    OOM at corpus scale.  Returns (id_a, id_b, shared, union_sz) as
+    exact longs — callers derive the float.
 
     ``max_df`` is the 100 TB guard: a shingle appearing in d docs
     expands to d^2 pair rows, so over-cap shingles are removed BEFORE
@@ -199,8 +202,9 @@ def ngram_jaccard_pairs(
         .select(F.col(id_col).alias("id"), F.array_distinct(sh_expr).alias("_sh"))
         .filter(F.size("_sh") > 0)
     )
-    sizes = sh.select("id", F.size("_sh").cast("long").alias("sz"))
-    ex = sh.select("id", F.explode("_sh").alias("s"))
+    ex = sh.select(
+        "id", F.size("_sh").cast("long").alias("sz"), F.explode("_sh").alias("s")
+    )
     if max_df is not None:
         rare = (
             ex.groupBy("s")
@@ -209,27 +213,27 @@ def ngram_jaccard_pairs(
             .select("s")
         )
         ex = ex.join(rare, "s", "left_semi")
-    grp = ex.groupBy("s").agg(F.collect_list("id").alias("_ids"))
-    pairs = grp.select(F.explode("_ids").alias("id_a"), "_ids").select(
-        "id_a", F.explode("_ids").alias("id_b")
-    )
-    shared = (
-        pairs.filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
-    )
-    # Sizes are one row per doc — broadcast both lookups so the big
-    # pair-count stream never shuffles again.
-    out = (
-        shared.join(
-            F.broadcast(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a")),
-            "id_a",
+    grp = ex.groupBy("s").agg(F.collect_list(F.struct("id", "sz")).alias("_ids"))
+    pairs = (
+        grp.select(F.explode("_ids").alias("a"), "_ids")
+        .select("a", F.explode("_ids").alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("b.sz").alias("sz_b"),
         )
-        .join(
-            F.broadcast(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b")),
-            "id_b",
-        )
-        .withColumn("union_sz", F.col("sz_a") + F.col("sz_b") - F.col("shared"))
+    )
+    # sz_a/sz_b are functionally dependent on the ids — first() keeps
+    # the shuffle key narrow while avoiding any size lookup join.
+    shared = pairs.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).cast("long").alias("shared"),
+        F.first("sz_a").alias("sz_a"),
+        F.first("sz_b").alias("sz_b"),
+    )
+    out = shared.withColumn(
+        "union_sz", F.col("sz_a") + F.col("sz_b") - F.col("shared")
     )
     out = out.filter(F.col("shared") / F.col("union_sz") >= F.lit(threshold))
     cols = ["id_a", "id_b", "shared", "union_sz"] + (

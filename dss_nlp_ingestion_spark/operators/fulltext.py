@@ -44,10 +44,56 @@ BM25_B = 0.75
 #: ``[a-z0-9]+`` so Spark's and DuckDB's lower()/regex agree byte-wise.
 TOKEN_PATTERN = "[a-z0-9]+"
 
+#: Maximal runs of CJK ideographs (basic block — matches
+#: functions.text.CJK_CHAR_RE); runs are bigrammed by the CJK
+#: analyzer the way the ES ``cjk_bigram`` token filter does.
+CJK_RUN_PATTERN = "[一-鿿]+"
+
 
 def text_tokens(col: F.Column) -> F.Column:
     """Analyzer: lowercase, keep ASCII word characters."""
     return F.regexp_extract_all(F.lower(col), F.lit(TOKEN_PATTERN), 0)
+
+
+def text_tokens_cjk(col: F.Column) -> F.Column:
+    """CJK-aware analyzer: ASCII word tokens PLUS character bigrams
+    within each CJK run — the ES ``cjk_bigram`` shape the reference's
+    analyzed zh ``text`` fields rely on
+    (src/utils/elasticsearch_settings.md:78-116; three of its five
+    sources are Chinese, src/lurkers/etnet.py:183-289).  Unsegmented
+    text has no word boundaries, so ``[a-z0-9]+`` alone returns ZERO
+    terms for a CJK query; adjacent-character bigrams restore
+    sub-sentence match granularity.  An isolated single-ideograph run
+    emits its unigram so no run is silently dropped.  All regex work
+    is scan-side and stays in whole-stage codegen."""
+    ascii_toks = F.regexp_extract_all(F.lower(col), F.lit(TOKEN_PATTERN), 0)
+    runs = F.regexp_extract_all(col, F.lit(CJK_RUN_PATTERN), 0)
+    grams = F.flatten(
+        F.transform(
+            runs,
+            lambda r: F.when(F.length(r) == 1, F.array(r)).otherwise(
+                # lookahead-capture: one regex pass emits every
+                # overlapping bigram (same trick as char_shingles).
+                F.regexp_extract_all(r, F.lit("(?=(..))."), 1)
+            ),
+        )
+    )
+    return F.concat(ascii_toks, grams)
+
+
+def analyze_query_cjk(qtext: str) -> list[str]:
+    """Driver-side twin of :func:`text_tokens_cjk` for literal query
+    strings (query sets are tiny and known up front, so their terms
+    are computed once here and pushed into the scan as literals)."""
+    import re
+
+    toks = re.findall(TOKEN_PATTERN, qtext.lower())
+    for run in re.findall(CJK_RUN_PATTERN, qtext):
+        if len(run) == 1:
+            toks.append(run)
+        else:
+            toks.extend(run[i : i + 2] for i in range(len(run) - 1))
+    return toks
 
 
 def bm25_topk(
@@ -56,25 +102,33 @@ def bm25_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 10,
+    tokenizer=None,
+    query_tokenizer=None,
 ) -> DataFrame:
     """Top-``k`` documents per query by BM25.
 
     ``queries`` is a small literal set of (query_id, query_text); its
     terms are pushed into the scan as an ``isin`` filter so the
     exploded token stream is pruned before the first shuffle.
-    Returns (query_id, rank, doc_id, score).
+    ``tokenizer`` (Column -> array Column, default :func:`text_tokens`)
+    and ``query_tokenizer`` (str -> list[str], default lowercase
+    whitespace split) select the analyzer — pass
+    :func:`text_tokens_cjk` / :func:`analyze_query_cjk` for CJK
+    corpora. Returns (query_id, rank, doc_id, score).
     """
+    tokenizer = tokenizer or text_tokens
+    query_tokenizer = query_tokenizer or (lambda qtext: qtext.lower().split())
     # Duplicates are KEPT: a query that repeats a term counts that
     # term's contribution once per occurrence, matching the oracle's
     # plain unnest of the split query text (ES multiplies the same
     # way for repeated match-clause terms).
     qterms = sorted(
-        (qid, t) for qid, qtext in queries for t in qtext.lower().split()
+        (qid, t) for qid, qtext in queries for t in query_tokenizer(qtext)
     )
     vocab = sorted({t for _, t in qterms})
 
     base = ensure_parallelism(docs).select(
-        F.col(id_col).alias("doc_id"), text_tokens(F.col(text_col)).alias("_toks")
+        F.col(id_col).alias("doc_id"), tokenizer(F.col(text_col)).alias("_toks")
     )
     # Corpus scalars: one row, broadcast onto every later stage.
     stats = base.agg(

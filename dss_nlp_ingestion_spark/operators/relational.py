@@ -32,6 +32,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from dss_nlp_ingestion_spark.functions.dates import epoch_ms
+
 
 def majority_vote(
     df: DataFrame,
@@ -129,7 +131,7 @@ def ttl_dedup(
     if order_tiebreak:
         order.append(F.col(order_tiebreak).asc())
     w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(*order)
-    ms = F.unix_millis(F.col(time_col))
+    ms = epoch_ms(F.col(time_col))
     prev = F.lag(ms).over(w)
     return (
         df.withColumn("_prev_ms", prev)

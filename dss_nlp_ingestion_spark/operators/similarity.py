@@ -174,41 +174,67 @@ def ivf_topk(
     Training-free deterministic centroids (every ``centroid_mod``-th
     corpus vector) keep the operator reproducible in any engine — on
     a cluster, swap in k-means centroids without touching the plan
-    shape.  Scale story: the centroid set is broadcast twice (once to
-    assign, once to probe); the corpus is scanned once for assignment
-    (n·K scan-side dot products) and NEVER shuffled — the probe table
-    (queries × n_probe rows) broadcasts onto the assigned corpus, and
-    only the k-bounded per-query ranking windows shuffle.  Recall
-    knobs: ``n_probe`` up, ``centroid_mod`` down.
+    shape.  Scale story: centroids are MODEL PARAMETERS — a
+    catalog-sized set collected once at index-build time (exactly
+    where MLlib keeps k-means centers) and embedded as a literal
+    array, so corpus assignment is a pure scan-side projection:
+    argmax-of-cosine inside WholeStageCodegen, NO crossJoin, NO
+    window, NO Exchange on the corpus (the r3 version shuffled the
+    whole corpus through a row_number window here).  The probe table
+    (queries × n_probe rows) then broadcasts onto the assigned
+    corpus, and only the k-bounded per-query ranking windows shuffle.
+    Recall knobs: ``n_probe`` up, ``centroid_mod`` down.
 
     Returns (query_id, neighbor_id, score, rank).
     """
-    cents = F.broadcast(
-        corpus.filter(F.col(id_col) % centroid_mod == 0).select(
-            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("_cvec")
-        )
+    cent_rows = sorted(
+        corpus.filter(F.col(id_col) % centroid_mod == 0)
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("_cvec"))
+        .collect(),
+        key=lambda r: r["cent_id"],
     )
+    if not cent_rows:
+        raise ValueError("no centroids: lower centroid_mod or check id domain")
+    if len(cent_rows) > 4096:
+        raise ValueError(
+            f"{len(cent_rows)} centroids exceeds the broadcast-literal budget; "
+            "raise centroid_mod (or plug in trained k-means centers)"
+        )
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["cent_id"])).cast("long").alias("cent_id"),
+                F.array(*[F.lit(float(x)) for x in r["_cvec"]]).alias("cvec"),
+            )
+            for r in cent_rows
+        ]
+    )
+
+    def _best_cent(vec: Column) -> Column:
+        # max over structs = lexicographic: highest cosine first, then
+        # highest -cent_id (= lowest cent_id) — identical to the
+        # oracle's ORDER BY score DESC, cent_id ASC with rn = 1.
+        scored = F.transform(
+            cent_lit,
+            lambda c: F.struct(
+                cosine(vec, c["cvec"]).alias("s"),
+                (-c["cent_id"]).alias("nid"),
+            ),
+        )
+        return -F.array_max(scored)["nid"]
+
     base = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
-    w_assign = Window.partitionBy("neighbor_id").orderBy(
-        F.desc("_cscore"), F.asc("cent_id")
-    )
-    assigned = (
-        base.crossJoin(cents)
-        .select(
-            "neighbor_id", "_cv", "cent_id",
-            cosine(F.col("_cv"), F.col("_cvec")).alias("_cscore"),
-        )
-        .withColumn("_rn", F.row_number().over(w_assign))
-        .filter(F.col("_rn") == 1)
-        .select("neighbor_id", "_cv", "cent_id")
+    assigned = base.select(
+        "neighbor_id", "_cv", _best_cent(F.col("_cv")).alias("cent_id")
     )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     w_probe = Window.partitionBy("query_id").orderBy(F.desc("_pscore"), F.asc("cent_id"))
     probes = (
-        q.crossJoin(cents)
+        q.select("query_id", "_qv", F.explode(cent_lit).alias("_c"))
         .select(
-            "query_id", "_qv", "cent_id",
-            cosine(F.col("_qv"), F.col("_cvec")).alias("_pscore"),
+            "query_id", "_qv",
+            F.col("_c.cent_id").alias("cent_id"),
+            cosine(F.col("_qv"), F.col("_c.cvec")).alias("_pscore"),
         )
         .withColumn("_rn", F.row_number().over(w_probe))
         .filter(F.col("_rn") <= n_probe)

@@ -22,28 +22,43 @@ from dss_nlp_ingestion_spark.plans import sampling_queries  # noqa: F401,E402
 
 
 def _rotate_for_driver_sample() -> None:
-    """Order the registry so queries WITHOUT a driver correctness row
-    (CORRECTNESS_r*.json in the repo root) come first.
+    """Order the registry so queries WITHOUT a green driver
+    correctness row (CORRECTNESS_r*.json in the repo root) come first.
 
     The driver verifies a fixed-size sample of ``queries()`` per
-    round; surfacing never-sampled queries first rotates hard driver
+    round; surfacing not-yet-green queries first rotates hard driver
     coverage across rounds until every query has at least one green
-    row. Self-maintaining: each new round's file shrinks the
-    unsampled set. Order is otherwise registration order, and a
-    missing/unreadable file simply means no reordering."""
+    row. "Green" = the LATEST sampled row hash-matched (or, for
+    rows-only queries with no oracle, produced rows without error) —
+    keying on "sampled" alone would park a query that errored before
+    its oracle existed at the back forever (r3 lesson:
+    ``tryadd_exact_dedup``). Self-maintaining: each round's file
+    updates the green set; a missing/unreadable file means no
+    reordering."""
     import json
     from pathlib import Path
 
     root = Path(__file__).resolve().parents[2]
-    seen: set[str] = set()
+    latest: dict[str, dict] = {}
     for p in sorted(root.glob("CORRECTNESS_r*.json")):
         try:
-            seen |= set(json.loads(p.read_text()))
-        except (OSError, ValueError):
+            for name, row in json.loads(p.read_text()).items():
+                latest[name] = row
+        except (OSError, ValueError, AttributeError):
             pass
-    if not seen:
+    if not latest:
         return
-    order = sorted(QUERIES, key=lambda n: n in seen)  # stable sort
+
+    def _green(row: dict) -> bool:
+        if not isinstance(row, dict):
+            return False
+        if row.get("hash_match") is True:
+            return True
+        # rows-only queries (no oracle): green iff sampled cleanly.
+        return row.get("err") is None and row.get("spark_rows") is not None
+
+    green = {n for n, row in latest.items() if _green(row)}
+    order = sorted(QUERIES, key=lambda n: n in green)  # stable sort
     for d in (QUERIES, ORACLES):
         reordered = {n: d[n] for n in order if n in d}
         d.clear()

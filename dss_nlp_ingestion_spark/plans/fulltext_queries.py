@@ -11,6 +11,7 @@ query set over the documents corpus.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from dss_nlp_ingestion_spark.catalog import table
 from dss_nlp_ingestion_spark.operators.fulltext import (
@@ -100,3 +101,128 @@ def fulltext_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     safety)."""
     docs = table(spark, sf_dir, "documents")
     return bm25_topk(docs, FT_QUERIES, "doc_id", "text", k=_TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# CJK full-text: BM25 over unsegmented Chinese text via cjk_bigram
+# tokens (three of the reference's five sources are zh and its ES
+# mapping analyzes them, src/utils/elasticsearch_settings.md:78-116 +
+# src/lurkers/etnet.py:183-289 — a [a-z0-9]+ analyzer returns ZERO
+# hits for those corpora).  Same synthetic-zh construction as the CJK
+# dedup family: letter->ideograph translate() with space deleted
+# yields real boundary-free text deterministically in both engines.
+# ---------------------------------------------------------------------------
+
+from dss_nlp_ingestion_spark.operators.fulltext import (  # noqa: E402
+    CJK_RUN_PATTERN,
+    analyze_query_cjk,
+    text_tokens_cjk,
+)
+from dss_nlp_ingestion_spark.plans.dedup_queries import _CJK26  # noqa: E402
+
+_A2C = str.maketrans("abcdefghijklmnopqrstuvwxyz", _CJK26, " ")
+
+
+def _zh(q: str) -> str:
+    """A zh query string: the same translate() the corpus CTE applies,
+    so query bigrams land in the corpus vocabulary."""
+    return q.lower().translate(_A2C)
+
+
+FT_CJK_QUERIES: tuple[tuple[int, str], ...] = (
+    (1, _zh("spark window")),
+    (2, _zh("customer query")),
+    (3, _zh("hash join")),
+    (4, _zh("stream batch")),
+    # Mixed-script query: ASCII token + CJK bigrams in one query.
+    (5, "2024 " + _zh("vector data")),
+)
+
+# Query terms are analyzed ONCE driver-side and inlined as literals in
+# BOTH engines — only document tokenization needs a SQL twin.
+_cjk_qterms = sorted(
+    (qid, t) for qid, qtext in FT_CJK_QUERIES for t in analyze_query_cjk(qtext)
+)
+_cjk_qvalues = ", ".join(f"({qid}, '{t}')" for qid, t in _cjk_qterms)
+_cjk_vocab_sql = ", ".join(f"'{t}'" for t in sorted({t for _, t in _cjk_qterms}))
+
+_CJK_FULLTEXT_ORACLE = f"""
+WITH qt(query_id, tok) AS (VALUES {_cjk_qvalues}),
+zh AS (
+  SELECT doc_id,
+         translate(lower(text), 'abcdefghijklmnopqrstuvwxyz ', '{_CJK26}') AS ct
+  FROM documents WHERE lang = 'zh'
+), runs AS (
+  SELECT doc_id, unnest(regexp_extract_all(ct, '{CJK_RUN_PATTERN}')) AS run FROM zh
+), tokrows0 AS (
+  SELECT doc_id, substr(run, i, 2) AS tok
+  FROM (SELECT doc_id, run, unnest(generate_series(1, length(run) - 1)) AS i
+        FROM runs WHERE length(run) >= 2)
+  UNION ALL
+  SELECT doc_id, run AS tok FROM runs WHERE length(run) = 1
+  UNION ALL
+  SELECT doc_id, unnest(regexp_extract_all(lower(ct), '{TOKEN_PATTERN}')) AS tok
+  FROM zh
+), dls AS (
+  SELECT z.doc_id, CAST(count(t.tok) AS DOUBLE) AS dl
+  FROM zh z LEFT JOIN tokrows0 t ON z.doc_id = t.doc_id
+  GROUP BY z.doc_id
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dls
+), tf AS (
+  SELECT t.doc_id, t.tok, CAST(count(*) AS DOUBLE) AS tf, max(d.dl) AS dl
+  FROM tokrows0 t JOIN dls d ON t.doc_id = d.doc_id
+  WHERE t.tok IN ({_cjk_vocab_sql})
+  GROUP BY t.doc_id, t.tok
+), dfreq AS (
+  SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok
+), scored AS (
+  SELECT query_id, doc_id,
+    sum(CAST(floor(
+      (ln(CAST(1.0 AS DOUBLE) + (n_docs - df + 0.5) / (df + 0.5))
+       * ((tf * CAST('{_K1P1}' AS DOUBLE))
+          / (tf + CAST('{_K1}' AS DOUBLE)
+               * (CAST('{_1MB}' AS DOUBLE)
+                  + CAST('{_B}' AS DOUBLE) * dl / avgdl)))
+      ) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6))) AS score_d
+  FROM tf
+  JOIN dfreq USING (tok)
+  JOIN qt USING (tok)
+  CROSS JOIN stats
+  GROUP BY query_id, doc_id
+), ranked AS (
+  SELECT query_id, doc_id, score_d,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_d DESC, doc_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id,
+       CAST(score_d AS DOUBLE) AS score
+FROM ranked WHERE rnk <= {_TOP_K}
+"""
+
+
+@register("fulltext_topk_cjk", _CJK_FULLTEXT_ORACLE)
+def fulltext_topk_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 over the unsegmented zh corpus with CJK-bigram
+    analysis — same posting pipeline as :func:`fulltext_topk`, only
+    the analyzer pair changes (``text_tokens_cjk`` scan-side,
+    ``analyze_query_cjk`` for the literal query set). One query mixes
+    an ASCII year token with CJK bigrams to cover the multi-script
+    path."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("lang") == "zh")
+    zh = docs.select(
+        "doc_id",
+        F.translate(
+            F.lower(F.col("text")), "abcdefghijklmnopqrstuvwxyz ", _CJK26
+        ).alias("ct"),
+    )
+    return bm25_topk(
+        zh,
+        FT_CJK_QUERIES,
+        "doc_id",
+        "ct",
+        k=_TOP_K,
+        tokenizer=text_tokens_cjk,
+        query_tokenizer=analyze_query_cjk,
+    )

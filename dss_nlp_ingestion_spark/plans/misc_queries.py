@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dss_nlp_ingestion_spark.catalog import table
+from dss_nlp_ingestion_spark.functions.dates import epoch_ms
 from dss_nlp_ingestion_spark.plans.registry import register
 
 # ---------------------------------------------------------------------------
@@ -178,7 +179,7 @@ def tryadd_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.repartition("key")
         .sortWithinPartitions("key", "ts", "event_id")
         .mapInPandas(_scan, schema=TRYADD_OUTPUT_SCHEMA)
-        .select("key", "event_id", F.unix_millis("ts").alias("ts_ms"))
+        .select("key", "event_id", epoch_ms("ts").alias("ts_ms"))
     )
 
 
@@ -222,7 +223,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
-    gap_ms = F.unix_millis(F.col("ts")) - F.unix_millis(F.lag("ts").over(w))
+    gap_ms = epoch_ms(F.col("ts")) - epoch_ms(F.lag("ts").over(w))
     marked = ev.withColumn(
         "is_start",
         F.when(F.lag("ts").over(w).isNull() | (gap_ms >= 1_800_000), 1).otherwise(0),
@@ -387,7 +388,7 @@ def range_join_cooccurring(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("type_b"),
         F.col("ts").alias("ts_b"),
     )
-    gap = F.unix_millis(F.col("ts_b")) - F.unix_millis(F.col("ts_a"))
+    gap = epoch_ms(F.col("ts_b")) - epoch_ms(F.col("ts_a"))
     return (
         a.join(b, ["user_id"])
         .filter(
@@ -445,8 +446,8 @@ def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
         .select(
             "user_id",
-            F.unix_millis(F.col("session_window.start")).alias("session_start_ms"),
-            F.unix_millis(F.col("session_window.end")).alias("session_end_ms"),
+            epoch_ms(F.col("session_window.start")).alias("session_start_ms"),
+            epoch_ms(F.col("session_window.end")).alias("session_end_ms"),
             "n_events",
         )
     )

@@ -40,6 +40,12 @@ DEFAULT_CONF: dict[str, str] = {
     # --- parquet ---
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
+    # timestamp[us] with isAdjustedToUTC=false must read as TIMESTAMP,
+    # not TIMESTAMP_NTZ — epoch math (unix_millis, session_window) and
+    # the UTC-pinned session make the two numerically identical while
+    # keeping every chrono builtin applicable. Also set per-read in
+    # catalog.table() for sessions not built by this factory.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 

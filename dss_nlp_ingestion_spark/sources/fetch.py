@@ -10,11 +10,13 @@ stage over a URL/task DataFrame:
   bucket inside the worker process (the Tencent 20 req/s analog,
   tencent_api.py:4);
 - **bounded retries with backoff** per request;
-- **injectable transport**: the ``fetcher`` callable does the actual
-  I/O. Tests (and this container, which has no network) inject a fake;
-  production injects ``urllib``/``requests``. Spark-side wiring —
-  Arrow batches, task distribution, error rows instead of task
-  failures — is identical either way.
+- **injectable transport with a live default**: the ``fetcher``
+  callable does the actual I/O and defaults to the stdlib
+  :func:`urllib_fetcher` (so pointing the engine at a real source
+  needs zero transport code); tests — and this container, which has
+  no network beyond loopback — inject fakes through the same seam.
+  Spark-side wiring — Arrow batches, task distribution, error rows
+  instead of task failures — is identical either way.
 
 Scale note: fetch tasks are pure fan-out; the stage inherits the URL
 DataFrame's partitioning, so throughput = executors x slot-level
@@ -49,6 +51,46 @@ FETCH_RESULT_SCHEMA = StructType(
 
 Fetcher = Callable[[str], tuple[int, str]]
 
+#: The reference's production retry envelope (deploy/configmaps/
+#: configs.yaml:17 ``num_retries: 10``); the engine default stays a
+#: conservative 3 — callers opt into the reference's persistence.
+REFERENCE_NUM_RETRIES = 10
+
+
+def urllib_fetcher(
+    timeout_s: float = 10.0,
+    headers: dict[str, str] | None = None,
+    max_bytes: int = 8 * 1024 * 1024,
+) -> Fetcher:
+    """Default live transport: stdlib ``urllib`` GET returning
+    (status, body-text) — what the reference does with ``requests``
+    (src/lurkers/newsfilter.py:95-109). HTTP error statuses are
+    RETURNED, not raised, so the stage's 429-backoff path
+    (src/lurkers/reddit.py:148-150) engages; transport-level failures
+    (DNS, refused, timeout) raise and become error rows.
+
+    Built lazily per worker process (urllib imported inside the
+    closure) and capped at ``max_bytes`` per response so one huge
+    page cannot blow an Arrow batch. Tests keep injecting fakes; this
+    exists so a user pointing the engine at a live source needs zero
+    transport code."""
+    hdrs = {"User-Agent": "dss-nlp-ingestion-spark/1.0"} | (headers or {})
+
+    def _fetch(url: str) -> tuple[int, str]:
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(url, headers=hdrs)
+        try:
+            with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+                body = resp.read(max_bytes)
+                return resp.status, body.decode("utf-8", errors="replace")
+        except urllib.error.HTTPError as exc:
+            body = exc.read(max_bytes) if exc.fp is not None else b""
+            return exc.code, body.decode("utf-8", errors="replace")
+
+    return _fetch
+
 
 class _TokenBucket:
     """Per-worker rate limiter: ``rate`` requests/second, burst 1."""
@@ -67,7 +109,7 @@ class _TokenBucket:
 
 def fetch_stage(
     urls: DataFrame,
-    fetcher: Fetcher,
+    fetcher: Fetcher | None = None,
     url_col: str = "url",
     rate_per_slot: float = 20.0,
     max_retries: int = 3,
@@ -75,7 +117,11 @@ def fetch_stage(
 ) -> DataFrame:
     """Map a URL DataFrame through the rate-limited fetcher; returns
     FETCH_RESULT_SCHEMA rows (never raises — failures become error
-    rows so one dead URL can't burn a whole task's retries)."""
+    rows so one dead URL can't burn a whole task's retries).
+    ``fetcher`` defaults to the live :func:`urllib_fetcher` transport;
+    tests inject fakes through the same seam."""
+    if fetcher is None:
+        fetcher = urllib_fetcher()
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bucket = _TokenBucket(rate_per_slot)

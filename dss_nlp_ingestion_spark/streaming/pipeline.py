@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dss_nlp_ingestion_spark.functions.dates import epoch_ms
 from dss_nlp_ingestion_spark.sources.sinks import idempotent_append
 
 
@@ -137,8 +138,8 @@ def session_window_counts_stream(
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
         .select(
             F.col(key_col),
-            F.unix_millis(F.col("session_window.start")).alias("session_start_ms"),
-            F.unix_millis(F.col("session_window.end")).alias("session_end_ms"),
+            epoch_ms(F.col("session_window.start")).alias("session_start_ms"),
+            epoch_ms(F.col("session_window.end")).alias("session_end_ms"),
             "n_events",
         )
     )

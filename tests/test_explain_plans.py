@@ -108,14 +108,39 @@ def test_fulltext_broadcast_term_stats(spark):
 
 
 def test_ivf_broadcasts_centroids_and_probes(spark):
-    # IVF: centroid set and probe table ride broadcasts; the corpus
-    # is never shuffled for the candidate join (only the bounded
-    # ranking windows exchange).
+    # IVF: centroids are a literal array, so corpus assignment is a
+    # pure projection (argmax in codegen — no crossJoin, no window);
+    # the probe table broadcasts onto the assigned corpus.
     plan = _formatted(spark, "ivf_topk")
     assert "CartesianProduct" not in plan
     assert (
-        plan.count("BroadcastNestedLoopJoin") + plan.count("BroadcastHashJoin") >= 2
+        plan.count("BroadcastNestedLoopJoin") + plan.count("BroadcastHashJoin") >= 1
     )
+
+
+def test_ivf_corpus_never_shuffles_before_probe_join(spark):
+    # The r3 flaw: assignment ran row_number() over (partition by
+    # neighbor_id) — a full corpus Exchange the docstring denied.
+    # Now the only exchanges in the whole plan are the bounded
+    # per-query windows (probe selection + final ranking), both keyed
+    # on query_id; nothing partitions on the corpus id.
+    plan = _formatted(spark, "ivf_topk")
+    assert "hashpartitioning(neighbor_id" not in plan
+    assert "hashpartitioning(query_id" in plan
+
+
+def test_ngram_jaccard_no_per_document_broadcast(spark):
+    # Set sizes ride inside the posting-list structs, so the size
+    # lookup JOIN no longer exists — the r3 design broadcast a
+    # one-row-per-document sizes table twice (inner joins), an OOM at
+    # corpus scale. The only join that may remain is the df-cap
+    # LeftSemi on the shingle key (whose build side is an aggregate,
+    # not a per-document table; at tiny sf AQE may broadcast it).
+    for q in ("ngram_containment_pairs", "ngram_jaccard_dups_capped"):
+        plan = _formatted(spark, q)
+        for inner in ("Join Inner", "Join type: Inner"):
+            assert inner not in plan, q
+        assert "CartesianProduct" not in plan, q
 
 
 def test_session_window_single_shuffle(spark):

@@ -52,3 +52,65 @@ def test_fetch_rate_limit_spacing(spark):
     assert len(out) == 5
     # 5 requests at 50 req/s on one slot >= ~80ms of enforced spacing.
     assert elapsed >= 0.07
+
+
+def test_default_urllib_transport_against_local_server(spark):
+    """The DEFAULT transport (no injected fetcher) exercised end-to-end
+    against an in-process HTTP server: success body, 404 returned as a
+    status row (not an exception), 429-then-200 retry recovery, and a
+    refused-connection error row."""
+    import http.server
+    import threading
+
+    hits = {"n429": 0}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path == "/ok":
+                body = b"hello-from-server"
+                self.send_response(200)
+            elif self.path == "/flaky":
+                hits["n429"] += 1
+                if hits["n429"] < 3:
+                    body = b"slow down"
+                    self.send_response(429)
+                else:
+                    body = b"recovered"
+                    self.send_response(200)
+            else:
+                body = b"nope"
+                self.send_response(404)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # keep test output quiet
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        urls = spark.createDataFrame(
+            [(f"{base}/ok",), (f"{base}/missing",), (f"{base}/flaky",),
+             ("http://127.0.0.1:9/refused",)],
+            ["url"],
+        )
+        # Single partition: the flaky counter needs ordered hits.
+        rows = {
+            r.url.rsplit("/", 1)[-1]: r
+            for r in fetch_stage(
+                urls.coalesce(1), max_retries=4, backoff_s=0.0
+            ).collect()
+        }
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    assert rows["ok"].status == 200
+    assert rows["ok"].payload == "hello-from-server"
+    assert rows["missing"].status == 404 and rows["missing"].error is None
+    assert rows["flaky"].status == 200 and rows["flaky"].payload == "recovered"
+    assert rows["flaky"].attempts == 3
+    assert rows["refused"].error is not None and rows["refused"].attempts == 4
