@@ -252,6 +252,95 @@ def merge_insert_only_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Partition-scoped copy-on-write MERGE — the store-level twin of
+# merge_upsert_orders: same merge relation, but executed against a
+# partitioned parquet store where ONLY delta-touched partitions are
+# read and rewritten (sources.sinks.merge_into_partitioned_store).
+# ---------------------------------------------------------------------------
+
+_COW_HOT = "('1-URGENT', '2-HIGH')"
+
+_MERGE_COW_ORACLE = f"""
+WITH src AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         CAST(o_totalprice + 100 AS DECIMAL(15,2)) AS o_totalprice,
+         o_orderpriority
+  FROM orders
+  WHERE o_orderkey % 7 = 0 AND o_orderpriority IN {_COW_HOT}
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_custkey, 'N', o_totalprice, o_orderpriority
+  FROM orders
+  WHERE o_orderkey % 1000 = 0 AND o_orderpriority IN {_COW_HOT}
+)
+SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+       CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_custkey
+            ELSE t.o_custkey END AS o_custkey,
+       CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+            ELSE t.o_orderstatus END AS o_orderstatus,
+       {fround_sql("CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice ELSE t.o_totalprice END", 2)} AS o_totalprice,
+       CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderpriority
+            ELSE t.o_orderpriority END AS o_orderpriority
+FROM orders t FULL JOIN src s ON t.o_orderkey = s.o_orderkey
+"""
+
+
+@register("merge_cow_orders", _MERGE_COW_ORACLE)
+def merge_cow_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE as a STORE write-path with partition-scoped copy-on-write:
+    orders materialized as a parquet store partitioned by
+    o_orderpriority; a delta touching only the two hot priorities is
+    merged via dynamic partition overwrite, so 2 of 5 partitions are
+    read+rewritten and 3 are never opened (the full-table-rewrite
+    MERGE of r3 is retired as the write path; the relational
+    `merge_upsert_orders` form remains the pure transform). The delta
+    bumps prices by an exact +100.00 so the store schema stays
+    decimal(15,2) across touched and untouched partitions. Returned
+    relation = the store read back after the merge."""
+    import tempfile
+
+    from dss_nlp_ingestion_spark.sources.sinks import (
+        merge_into_partitioned_store,
+        read_store,
+    )
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority"]
+    orders = table(spark, sf_dir, "orders").select(*cols)
+    hot = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    updates = orders.filter((F.col("o_orderkey") % 7 == 0) & hot).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + F.lit(100)).cast("decimal(15,2)").alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    inserts = orders.filter((F.col("o_orderkey") % 1000 == 0) & hot).select(
+        (F.col("o_orderkey") + F.lit(100_000_000)).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+        "o_orderpriority",
+    )
+    store = tempfile.mkdtemp(prefix="dss_cow_store_")
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(store)
+    merge_into_partitioned_store(
+        spark,
+        store,
+        updates.unionByName(inserts),
+        key_cols=("o_orderkey",),
+        partition_by=("o_orderpriority",),
+    )
+    out = read_store(spark, store)
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        fround(F.col("o_totalprice"), 2).alias("o_totalprice"),
+        "o_orderpriority",
+    )
+
+
 _PROBE_LIST = ", ".join(["bucket"] + [f"xor(bucket, {1 << p})" for p in range(_N_PLANES)])
 
 _MULTIPROBE_ORACLE = f"""

@@ -57,6 +57,92 @@ def idempotent_append(
     return n
 
 
+def merge_into_partitioned_store(
+    spark: SparkSession,
+    store_path: str,
+    source: DataFrame,
+    key_cols: tuple[str, ...],
+    partition_by: tuple[str, ...] = ("source",),
+    insert_only: bool = False,
+    validate_partition_stability: bool = False,
+) -> dict:
+    """Partition-scoped copy-on-write MERGE into a partitioned parquet
+    store — the 100 TB upsert story without a transaction log: only
+    the partitions the ``source`` delta touches are read, merged
+    (:func:`dss_nlp_ingestion_spark.operators.merge.merge_into`) and
+    atomically swapped via Spark's DYNAMIC partition-overwrite mode;
+    every other partition's files are never opened, let alone
+    rewritten.  A delta touching 3 of 10,000 date partitions costs 3
+    partition rewrites, not a table rewrite (the previous engine-level
+    MERGE rewrote the full table — fine as a relational transform,
+    wrong as a store write-path).  This is precisely the
+    copy-on-write plan Delta/Iceberg MERGE lowers to, with the
+    partition directory standing in for the file-level manifest.
+
+    INVARIANT (same as Hive-style dynamic-partition upserts): the
+    merge key must not move across partitions — a matched source row
+    must carry its target row's partition values, else the stale copy
+    in the old partition survives untouched.  Key-derived or
+    immutable partition columns (source, ingest date) satisfy this by
+    construction; ``validate_partition_stability=True`` verifies it
+    with a key-join against the full store (a full shuffle — debug
+    tool, not the scale path).
+
+    Returns {"rows_written", "partitions_touched"}.
+    """
+    from dss_nlp_ingestion_spark.operators.merge import merge_into
+
+    if not os.path.exists(store_path):
+        src = source.cache()
+        n = src.count()
+        bulk_append(src, store_path, partition_by)
+        parts = src.select(*partition_by).distinct().count()
+        src.unpersist()
+        return {"rows_written": n, "partitions_touched": parts}
+
+    target = read_store(spark, store_path)
+    part_rows = source.select(*partition_by).distinct().collect()
+    # OR-of-ANDs over partition-column literals: evaluated against
+    # directory values only (PartitionFilters), so untouched
+    # partitions are pruned before a single data file is read.
+    cond = F.lit(False)
+    for row in part_rows:
+        c = F.lit(True)
+        for p in partition_by:
+            c = c & (F.col(p) == F.lit(row[p]))
+        cond = cond | c
+    affected = target.filter(cond)
+
+    if validate_partition_stability:
+        moved = (
+            target.select(*key_cols, *partition_by)
+            .join(source.select(*key_cols, *partition_by), list(key_cols))
+            .filter(
+                ~F.concat_ws("\x00", *[target[p] for p in partition_by]).eqNullSafe(
+                    F.concat_ws("\x00", *[source[p] for p in partition_by])
+                )
+            )
+            .count()
+        )
+        if moved:
+            raise ValueError(
+                f"{moved} source rows move keys across partitions; "
+                "partition-scoped MERGE requires stable partition values"
+            )
+
+    merged = merge_into(affected, source, key_cols, insert_only)
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy(*partition_by).parquet(store_path)
+    finally:
+        if old_mode is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    return {"rows_written": None, "partitions_touched": len(part_rows)}
+
+
 def retention_delete(
     spark: SparkSession,
     store_path: str,
