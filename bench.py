@@ -73,6 +73,10 @@ BENCH_QUERIES = (
     "quality_curriculum_bins",
     "corpus_build_e2e",
     "quality_report_by_source",
+    # Round 4: CJK-analyzed BM25 and the partition-scoped COW merge
+    # (a store write-path measured end-to-end: write, merge, read).
+    "fulltext_topk_cjk",
+    "merge_cow_orders",
 )
 
 

@@ -200,32 +200,50 @@ def ivf_topk(
             f"{len(cent_rows)} centroids exceeds the broadcast-literal budget; "
             "raise centroid_mod (or plug in trained k-means centers)"
         )
+    def _py_norm(vec) -> float:
+        # Python twin of l2_norm's sequential fold: float64 products
+        # summed left-to-right from 0.0, then a correctly-rounded
+        # sqrt — bit-identical to the Spark/DuckDB expression, so
+        # embedding it as a literal changes no cosine value.
+        import math
+
+        acc = 0.0
+        for x in vec:
+            acc += float(x) * float(x)
+        return math.sqrt(acc)
+
     cent_lit = F.array(
         *[
             F.struct(
                 F.lit(int(r["cent_id"])).cast("long").alias("cent_id"),
                 F.array(*[F.lit(float(x)) for x in r["_cvec"]]).alias("cvec"),
+                F.lit(_py_norm(r["_cvec"])).alias("cnorm"),
             )
             for r in cent_rows
         ]
     )
 
-    def _best_cent(vec: Column) -> Column:
+    def _best_cent(vec: Column, vec_norm: Column) -> Column:
         # max over structs = lexicographic: highest cosine first, then
         # highest -cent_id (= lowest cent_id) — identical to the
         # oracle's ORDER BY score DESC, cent_id ASC with rn = 1.
+        # The row norm is hoisted (computed once per row, not once
+        # per centroid) and centroid norms are literals, so the
+        # per-row cost is K dot products + 1 norm, not 3K folds.
         scored = F.transform(
             cent_lit,
             lambda c: F.struct(
-                cosine(vec, c["cvec"]).alias("s"),
+                (dot_exact(vec, c["cvec"]) / (vec_norm * c["cnorm"])).alias("s"),
                 (-c["cent_id"]).alias("nid"),
             ),
         )
         return -F.array_max(scored)["nid"]
 
     base = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
-    assigned = base.select(
-        "neighbor_id", "_cv", _best_cent(F.col("_cv")).alias("cent_id")
+    assigned = base.withColumn("_vnorm", l2_norm(F.col("_cv"))).select(
+        "neighbor_id",
+        "_cv",
+        _best_cent(F.col("_cv"), F.col("_vnorm")).alias("cent_id"),
     )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     w_probe = Window.partitionBy("query_id").orderBy(F.desc("_pscore"), F.asc("cent_id"))

@@ -100,6 +100,11 @@ def blocked_self_pairs(
     Returns the joined pairs with every ``df`` column suffixed _a/_b
     (ids NOT normalized on off-diagonal blocks: callers with
     symmetric payloads normalize with least/greatest).
+
+    Caller contract: the broadcast below is one row per GROUP (e.g.
+    ≤2^n_planes LSH buckets), never per input row — callers with an
+    unbounded group domain should pre-aggregate or accept a shuffle
+    join by removing the hint.
     """
     sizes = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
     with_g = F.broadcast(
