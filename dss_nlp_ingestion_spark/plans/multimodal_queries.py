@@ -146,6 +146,31 @@ def media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("media_decode_png", _DECODE_REAL_ORACLE)
+def media_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode in the Arrow stage: each document
+    gets a genuine zlib-compressed PNG of the same closed-form pixel
+    content (scanline filters cycle None/Sub/Up/Average/Paeth per
+    row), which operators/multimodal.py:decode_png parses back —
+    chunk CRCs, DEFLATE inflate, full unfilter reconstruction. Same
+    oracle as the BMP path: a hash match proves the decompressed
+    pixels are exact, so the 'compressed codec' slot is a real
+    decoder, not a stub."""
+    stats = decode_media_stats(table(spark, sf_dir, "documents"), codec="png")
+    return stats.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_pixels",
+        "px_sum",
+        fround(
+            F.col("px_sum").cast("double")
+            / (F.col("n_pixels").cast("double") * F.lit(3.0)),
+            4,
+        ).alias("mean_px"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 # Feature extraction: 8-bin byte histogram (bin = byte >> 5).  The

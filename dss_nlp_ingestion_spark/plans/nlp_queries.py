@@ -249,3 +249,51 @@ def text_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[fround(comps[j], 6).alias(f"e{j}") for j in range(N.EMBED_DIM)],
         fround(cos, 6).alias("anchor_cos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical LM quality scoring (perplexity-style training-data gate)
+# ---------------------------------------------------------------------------
+
+_LM_ORACLE = """
+WITH base AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+  WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 2
+), bi AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM base)
+), c12 AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bi GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1
+), vocab AS (
+  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+  FROM (SELECT unnest(t) AS tok FROM base)
+), stats AS (
+  SELECT w1, w2,
+         CAST(floor(ln(CAST(c12 + 1 AS DOUBLE) / (c1 + v)) * 1000000.0 + 0.5)
+              / 1000000.0 AS DECIMAL(18,6)) AS contrib
+  FROM c12 JOIN c1 USING (w1) CROSS JOIN vocab
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(floor(CAST(sum(contrib) AS DOUBLE) / count(*) * 1000000.0 + 0.5)
+            / 1000000.0 AS DOUBLE) AS avg_logprob
+FROM bi JOIN stats USING (w1, w2)
+GROUP BY doc_id
+"""
+
+
+@register("lm_bigram_scores", _LM_ORACLE)
+def lm_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality scoring: mean add-one-smoothed bigram
+    log-probability per document under the corpus's own bigram model
+    (operators/lm.py) — the CCNet/Gopher-style LM gate next to the
+    rule-based quality signals. Bigrams are scan-side (array
+    zip-shift, no window); only count tables and the stats join
+    shuffle; contributions are floor-rounded and decimal-summed so
+    the score is exact under any partial-agg order."""
+    from dss_nlp_ingestion_spark.operators.lm import bigram_logprob_scores
+
+    return bigram_logprob_scores(table(spark, sf_dir, "documents"))

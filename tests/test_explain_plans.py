@@ -268,3 +268,13 @@ def test_chunk_windows_is_scan_side(spark):
     plan = _formatted(spark, "chunk_windows")
     assert "Exchange" not in plan
     assert "Generate" in plan  # the explode
+
+
+def test_lm_bigrams_are_scan_side(spark):
+    # Bigram extraction must be an array zip-shift on the scan — a
+    # Generate (explode) with NO Window anywhere; the vocabulary
+    # scalar rides a broadcast.
+    plan = _formatted(spark, "lm_bigram_scores")
+    assert "Generate" in plan
+    assert " Window (" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

@@ -519,3 +519,96 @@ def test_skew_demo_arms_agree(spark):
             "join_plain_aqe_on_sec",
         )
     )
+
+
+def test_png_codec_roundtrip_all_filters():
+    """Encode/decode round-trip over images tall enough that every
+    scanline filter (None/Sub/Up/Average/Paeth) appears; pixel-exact
+    reconstruction proves the unfilter math, not just header parsing."""
+    import numpy as np
+
+    from dss_nlp_ingestion_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+        synth_pixels,
+    )
+
+    for doc_id in (0, 1, 7, 42, 123):
+        orig = synth_pixels(doc_id)
+        if orig.shape[0] < 5:  # ensure all 5 filters are exercised
+            orig = np.tile(orig, (3, 1, 1))[:7]
+        w, h, back = decode_png(encode_png(orig))
+        assert (w, h) == (orig.shape[1], orig.shape[0])
+        assert np.array_equal(back, orig)
+
+
+def test_png_decoder_rejects_corruption():
+    import numpy as np
+    import pytest as _pytest
+
+    from dss_nlp_ingestion_spark.operators.multimodal import decode_png, encode_png
+
+    png = encode_png(np.zeros((6, 4, 3), dtype=np.uint8))
+    with _pytest.raises(ValueError, match="signature"):
+        decode_png(b"JUNK" + png[4:])
+    # Flip one byte inside the IDAT payload -> CRC must catch it.
+    corrupt = bytearray(png)
+    corrupt[len(png) // 2] ^= 0xFF
+    with _pytest.raises(ValueError):
+        decode_png(bytes(corrupt))
+
+
+def test_decode_image_batch_sniffs_real_png():
+    import pandas as pd
+
+    from dss_nlp_ingestion_spark.operators.multimodal import (
+        decode_image_batch,
+        encode_png,
+        synth_pixels,
+    )
+
+    png = encode_png(synth_pixels(42))
+    out = pd.concat(
+        decode_image_batch(
+            iter([pd.DataFrame({"doc_id": [42], "payload": [png]})]), fake=False
+        )
+    )
+    row = out.iloc[0]
+    assert row["format"] == "png"
+    assert (row["width"], row["height"]) == (42 % 9 + 8, 42 % 5 + 4)
+
+
+def test_bigram_logprob_matches_pure_python(spark):
+    """operators/lm.py vs a direct python reference on a tiny corpus."""
+    import math
+    import re
+    from collections import Counter
+
+    from dss_nlp_ingestion_spark.operators.lm import bigram_logprob_scores
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the cat ran",
+        3: "dogs bark",
+        4: "x",  # single token -> excluded
+    }
+    df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    out = {r.doc_id: r for r in bigram_logprob_scores(df).collect()}
+
+    toks = {i: re.findall("[a-z0-9]+", t.lower()) for i, t in texts.items()}
+    toks = {i: t for i, t in toks.items() if len(t) >= 2}
+    bigrams = [(t[j], t[j + 1]) for t in toks.values() for j in range(len(t) - 1)]
+    c12, c1 = Counter(bigrams), Counter(b[0] for b in bigrams)
+    v = len({w for t in toks.values() for w in t})
+
+    def contrib(b):
+        raw = math.log((c12[b] + 1) / (c1[b[0]] + v))
+        return math.floor(raw * 1e6 + 0.5) / 1e6
+
+    assert 4 not in out
+    for i, t in toks.items():
+        bs = [(t[j], t[j + 1]) for j in range(len(t) - 1)]
+        total = sum(contrib(b) for b in bs)
+        expected = math.floor(total / len(bs) * 1e6 + 0.5) / 1e6
+        assert out[i].n_bigrams == len(bs)
+        assert abs(out[i].avg_logprob - expected) < 1e-9, i
