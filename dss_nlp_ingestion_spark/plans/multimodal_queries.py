@@ -207,3 +207,36 @@ def media_byte_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = with_binary_payload(table(spark, sf_dir, "documents"))
     return media_byte_features(docs)
+
+
+# ---------------------------------------------------------------------------
+
+# Real audio decode: each doc gets a REAL RIFF/PCM WAV (deterministic
+# samples, closed form), which the pure-numpy RIFF parser decodes
+# back; the oracle recomputes the sample sums from the closed form,
+# so a hash match proves actual PCM data was parsed.
+_DECODE_WAV_ORACLE = """
+WITH ids AS (
+  SELECT doc_id, 256 + doc_id % 97 AS n, 8000 + 1000 * (doc_id % 5) AS rate
+  FROM documents
+), s AS (
+  SELECT doc_id, n, rate, unnest(generate_series(0, n - 1)) AS i FROM ids
+)
+SELECT doc_id,
+       CAST(rate AS INT) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(sum((7 * doc_id + 13 * i) % 65536 - 32768) AS BIGINT) AS sample_sum
+FROM s GROUP BY doc_id, n, rate
+"""
+
+
+@register("media_decode_wav", _DECODE_WAV_ORACLE)
+def media_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode in the Arrow stage: synthesize a RIFF/PCM WAV
+    per document (varying sample rates), parse it back with the
+    pure-numpy RIFF chunk walker (operators/multimodal.py:decode_wav)
+    and reduce to sample statistics — the audio modality's decoder is
+    real, like BMP/PNG for images."""
+    from dss_nlp_ingestion_spark.operators.multimodal import decode_audio_stats
+
+    return decode_audio_stats(table(spark, sf_dir, "documents"))

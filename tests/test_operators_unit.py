@@ -612,3 +612,31 @@ def test_bigram_logprob_matches_pure_python(spark):
         expected = math.floor(total / len(bs) * 1e6 + 0.5) / 1e6
         assert out[i].n_bigrams == len(bs)
         assert abs(out[i].avg_logprob - expected) < 1e-9, i
+
+
+def test_wav_codec_roundtrip_and_chunk_walk():
+    import numpy as np
+    import pytest as _pytest
+
+    from dss_nlp_ingestion_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+        synth_samples,
+    )
+
+    samples = synth_samples(42)
+    rate, ch, back = decode_wav(encode_wav(samples, 11025))
+    assert (rate, ch) == (11025, 1)
+    assert np.array_equal(back, samples)
+
+    # Unknown chunks (e.g. LIST metadata) must be skipped, not fatal.
+    wav = bytearray(encode_wav(samples, 8000))
+    extra = b"LIST" + (4).to_bytes(4, "little") + b"INFO"
+    patched = wav[:12] + extra + wav[12:]
+    new_len = len(patched) - 8
+    patched[4:8] = new_len.to_bytes(4, "little")
+    rate2, _, back2 = decode_wav(bytes(patched))
+    assert rate2 == 8000 and np.array_equal(back2, samples)
+
+    with _pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"nope" + bytes(wav)[4:])
