@@ -105,6 +105,69 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("dss_streaming_hourly")
 
 
+@register("streaming_session_counts")  # rows-only: streaming engine state
+def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 SESSION windows through the real Structured Streaming
+    engine: file source -> watermark -> session_window merge (engine
+    state, watermark-evicted) -> availableNow drain. Batch twin:
+    ``session_window_counts`` (oracle-checked); stream==batch parity
+    is asserted in tests/test_sinks_streaming.py — the driver's
+    rows-only check covers the drain path itself."""
+    from dss_nlp_ingestion_spark.catalog import table as _table
+    from dss_nlp_ingestion_spark.streaming.pipeline import (
+        read_events_stream,
+        run_complete_available_now,
+        session_window_counts_stream,
+    )
+
+    events = _table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="dss_stream_sess_src_")
+    events.write.mode("overwrite").parquet(src)
+    stream = read_events_stream(spark, src, schema=events.schema)
+    agg = session_window_counts_stream(stream, gap="30 minutes", watermark="2 hours")
+    run_complete_available_now(agg, "dss_streaming_sessions")
+    return spark.table("dss_streaming_sessions")
+
+
+# ---------------------------------------------------------------------------
+
+_SALTED_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM events GROUP BY event_type
+"""
+
+
+@register("salted_event_stats", _SALTED_ORACLE)
+def salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-safe two-phase aggregation (operators/skew.py:
+    salted_aggregate) under the full oracle hash gate: counts and
+    decimal-exact value sums per event_type computed through a salted
+    intermediate key (32 buckets), which must equal the plain GROUP
+    BY — decimal sums make the equality exact, not approximate, so
+    the hash check proves salting is semantically transparent. At
+    100 TB this is the shape that saves a mega-hot key's reducer."""
+    from dss_nlp_ingestion_spark.operators.skew import salted_aggregate
+
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    out = salted_aggregate(
+        ev,
+        ["event_type"],
+        {
+            "n": (F.count(F.lit(1)), F.sum("n").cast("long")),
+            "total": (
+                F.sum(F.col("value").cast("decimal(18,2)")),
+                F.sum("total"),
+            ),
+        },
+        salt_buckets=32,
+    )
+    return out.select(
+        "event_type", "n", F.col("total").cast("double").alias("total")
+    )
+
+
 # Accept-anchored TTL is iterative per key, but the iteration count is
 # bounded by span/TTL — expressible as a recursive CTE: the anchor is
 # each key's earliest event; each recursion step accepts the earliest
