@@ -168,6 +168,39 @@ def salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SALTED_JOIN_ORACLE = """
+SELECT o.o_orderkey, c.c_name, c.c_mktsegment
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_acctbal > 0
+"""
+
+
+@register("salted_join_orders", _SALTED_JOIN_ORACLE)
+def salted_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-safe salted fact⋈dim join (operators/skew.py:
+    salted_join) under the full oracle gate: the dim side replicates
+    into 8 salted copies, each fact row takes one deterministic salt,
+    and the (key, salt) equi-join must produce exactly the plain
+    join's rows — salting redistributes work, never results, and the
+    hash gate proves it. (At tiny sf Catalyst may still broadcast the
+    salted dim; the salt structure — explode + composite key — is in
+    the plan either way, and result equality is what's asserted. The
+    physical shuffle-spread arms are measured in bench_support.py's
+    skew demo.)"""
+    from dss_nlp_ingestion_spark.operators.skew import salted_join
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("c_custkey")
+    )
+    cust = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+    out = salted_join(orders, cust, on="c_custkey", salt_buckets=8)
+    return out.select("o_orderkey", "c_name", "c_mktsegment")
+
+
 # Accept-anchored TTL is iterative per key, but the iteration count is
 # bounded by span/TTL — expressible as a recursive CTE: the anchor is
 # each key's earliest event; each recursion step accepts the earliest
