@@ -247,24 +247,31 @@ def decode_png(data: bytes):
             recon = line
         elif ftype == 2:
             recon = (line + prev) % 256
-        elif ftype in (1, 3, 4):
-            # left-neighbor dependence -> sequential along the row
-            # (rows here are small; a production decoder vectorizes
-            # Sub with a prefix trick — semantics identical).
-            recon = np.zeros(stride, dtype=np.int32)
-            for i in range(stride):
-                a = int(recon[i - bpp]) if i >= bpp else 0
-                b = int(prev[i])
-                c = int(prev[i - bpp]) if i >= bpp else 0
-                if ftype == 1:
-                    pred = a
-                elif ftype == 3:
+        elif ftype == 1:
+            # Sub is a per-lane prefix sum: recon_l = cumsum(line_l)
+            # mod 256 (mod distributes over the sum) — vectorized.
+            recon = np.cumsum(line.reshape(w, bpp), axis=0).reshape(stride) % 256
+        elif ftype in (3, 4):
+            # left-neighbor dependence -> sequential along the row,
+            # but per PIXEL (3-lane numpy ops), not per byte.
+            line2 = line.reshape(w, bpp)
+            prev2 = prev.reshape(w, bpp)
+            recon2 = np.zeros((w, bpp), dtype=np.int32)
+            zero = np.zeros(bpp, dtype=np.int32)
+            for x in range(w):
+                a = recon2[x - 1] if x else zero
+                b = prev2[x]
+                if ftype == 3:
                     pred = (a + b) // 2
                 else:
+                    c = prev2[x - 1] if x else zero
                     p = a + b - c
-                    pa, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc_) else (b if pb <= pc_ else c)
-                recon[i] = (line[i] + pred) % 256
+                    pa, pb, pc_ = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc_), a, np.where(pb <= pc_, b, c)
+                    )
+                recon2[x] = (line2[x] + pred) % 256
+            recon = recon2.reshape(stride)
         else:
             raise ValueError(f"bad scanline filter {ftype}")
         out[y] = recon.astype(np.uint8)
