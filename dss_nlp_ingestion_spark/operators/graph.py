@@ -120,14 +120,15 @@ def connected_components(
     labels = _seed_labels(sym).persist()
     changed = -1
     for _ in range(max_iter):
-        hopped = _hop(sym, labels)
-        updated = hopped.select("node", "_old", F.col("_hop").alias("_new"))
-        changed = updated.filter(F.col("_new") < F.col("_old")).count()
+        # Checkpoint FIRST (one execution, lineage truncated, result
+        # materialized), then derive both the convergence count and
+        # the next labels from the materialized blocks — the earlier
+        # order (count, then eager checkpoint) ran every superstep's
+        # join twice.
+        ck = _hop(sym, labels).localCheckpoint()
+        changed = ck.filter(F.col("_hop") < F.col("_old")).count()
         prev = labels
-        # localCheckpoint truncates the per-iteration lineage (plans
-        # otherwise grow superlinearly) and materializes the new
-        # labels so `prev` can be released.
-        labels = updated.select("node", F.col("_new").alias("label")).localCheckpoint()
+        labels = ck.select("node", F.col("_hop").alias("label"))
         prev.unpersist()
         if changed == 0:
             break
@@ -136,11 +137,9 @@ def connected_components(
         # (chain-shaped, not near-clique) — continue with pointer
         # jumping instead of silently returning wrong labels.
         for _ in range(jump_iter):
-            jumped = _jump(_hop(sym, labels))
-            changed = jumped.filter(F.col("_new") < F.col("_old")).count()
-            labels = jumped.select(
-                "node", F.col("_new").alias("label")
-            ).localCheckpoint()
+            ck = _jump(_hop(sym, labels)).localCheckpoint()
+            changed = ck.filter(F.col("_new") < F.col("_old")).count()
+            labels = ck.select("node", F.col("_new").alias("label"))
             if changed == 0:
                 break
     sym.unpersist()
@@ -206,9 +205,11 @@ def connected_components_pj(
     labels = _seed_labels(sym).localCheckpoint()
     changed = -1
     for _ in range(max_iter):
-        jumped = _jump(_hop(sym, labels))
-        changed = jumped.filter(F.col("_new") < F.col("_old")).count()
-        labels = jumped.select("node", F.col("_new").alias("label")).localCheckpoint()
+        # Checkpoint first, then count + relabel off the materialized
+        # blocks (one execution per superstep, not two).
+        ck = _jump(_hop(sym, labels)).localCheckpoint()
+        changed = ck.filter(F.col("_new") < F.col("_old")).count()
+        labels = ck.select("node", F.col("_new").alias("label"))
         if changed == 0:
             break
     sym.unpersist()
