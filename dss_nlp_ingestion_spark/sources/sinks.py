@@ -28,8 +28,21 @@ def bulk_append(df: DataFrame, store_path: str, partition_by: tuple[str, ...] = 
     df.write.mode("append").partitionBy(*partition_by).parquet(store_path)
 
 
-def read_store(spark: SparkSession, store_path: str) -> DataFrame:
-    return spark.read.parquet(store_path)
+def read_store(
+    spark: SparkSession, store_path: str, merge_schema: bool = False
+) -> DataFrame:
+    """Scan the store. ``merge_schema=True`` unions the schemas of all
+    parquet footers (Spark's mergeSchema), so a store whose batches
+    gained columns over time reads as the superset with NULLs for
+    files written before a column existed — the additive half of
+    schema evolution, which is the only half append-only ingestion
+    needs (drops/renames are a rewrite, see compact_store). Off by
+    default: footer-merging lists every file's schema, which costs at
+    100 TB — production pins an explicit contract schema instead."""
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(store_path)
 
 
 def idempotent_append(

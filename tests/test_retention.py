@@ -114,3 +114,34 @@ def test_training_shard_store_prunes(spark, tmp_path):
     sizes = {r.shard_id: r.tot for r in back.groupBy("shard_id").agg(
         F.sum("n_tokens").alias("tot")).collect()}
     assert len(sizes) >= 2
+
+
+def test_store_schema_evolution_additive(spark, tmp_path):
+    """Append-only stores gain columns over time: old files lack the
+    new column, and a merge-schema read returns the superset with
+    NULLs for pre-evolution rows (the additive half of schema
+    evolution; idempotent_append keeps working on the shared key)."""
+    from dss_nlp_ingestion_spark.sources.sinks import (
+        bulk_append,
+        idempotent_append,
+        read_store,
+    )
+
+    store = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame(
+        [("a", 1, "s1")], ["unique_identifier", "v", "source"]
+    )
+    bulk_append(v1, store)
+    v2 = spark.createDataFrame(
+        [("b", 2, "s1", "en")], ["unique_identifier", "v", "source", "lang"]
+    )
+    bulk_append(v2, store)
+
+    out = read_store(spark, store, merge_schema=True)
+    assert set(out.columns) == {"unique_identifier", "v", "source", "lang"}
+    rows = {r.unique_identifier: r for r in out.collect()}
+    assert rows["a"].lang is None and rows["b"].lang == "en"
+
+    # Idempotence still holds across the evolution boundary.
+    n = idempotent_append(spark, v2, store)
+    assert n == 0
