@@ -201,6 +201,33 @@ def salted_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("o_orderkey", "c_name", "c_mktsegment")
 
 
+_ZORDER_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+"""
+
+
+@register("zorder_roundtrip_orders", _ZORDER_ORACLE)
+def zorder_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout maintenance under the hash gate: orders written
+    clustered along the Morton curve of (o_custkey, o_totalprice)
+    (sources/layout.py:zorder_write — broadcast min/max
+    normalization, codegen bit interleave, range-partitioned write)
+    and read back must be content-identical to the source — layout
+    changes physical order and file boundaries, never rows. The
+    skipping effectiveness itself is measured in
+    tests/test_layout.py."""
+    import tempfile
+
+    from dss_nlp_ingestion_spark.sources.layout import zorder_write
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="dss_zorder_") + "/orders"
+    zorder_write(orders, path, ["o_custkey", "o_totalprice"], n_files=8)
+    return spark.read.parquet(path)
+
+
 # Accept-anchored TTL is iterative per key, but the iteration count is
 # bounded by span/TTL — expressible as a recursive CTE: the anchor is
 # each key's earliest event; each recursion step accepts the earliest
