@@ -790,3 +790,82 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(cb, 6).alias("contain_b"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Canonical selection by QUALITY: keep the best member of each
+# near-dup cluster (not the min id) — the policy real training-data
+# dedup wants: among near-duplicates, retain the longest/highest-
+# quality copy and drop truncated or boilerplate-padded twins.
+# ---------------------------------------------------------------------------
+
+_CANON_BEST_ORACLE = f"""
+WITH RECURSIVE {_WS_CTE},
+hashed AS (
+  SELECT doc_id, list_transform(sh, s -> sha256(s)) AS hsh FROM sh
+), sig AS (
+  SELECT doc_id,
+    {_minhash_cols}
+  FROM hashed
+), bands AS (
+{_band_selects}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+), walk AS (
+  SELECT u AS node, v AS reach FROM edges
+  UNION
+  SELECT w.node, e.v AS reach FROM walk w JOIN edges e ON w.reach = e.u
+), labels AS (
+  SELECT node, least(node, min(reach)) AS label FROM walk GROUP BY node
+)
+SELECT cluster_id, canonical_id, n_chars FROM (
+  SELECT COALESCE(l.label, d.doc_id) AS cluster_id,
+         d.doc_id AS canonical_id,
+         CAST(length(d.text) AS BIGINT) AS n_chars,
+         row_number() OVER (
+           PARTITION BY COALESCE(l.label, d.doc_id)
+           ORDER BY length(d.text) DESC, d.doc_id ASC) AS rn
+  FROM documents d LEFT JOIN labels l ON d.doc_id = l.node
+) WHERE rn = 1
+"""
+
+
+@register("dup_canonical_best", _CANON_BEST_ORACLE)
+def dup_canonical_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked canonical selection: connected components over
+    the LSH candidate pairs assign every document a cluster
+    (singletons cluster with themselves), then each cluster keeps its
+    LONGEST member (tie-break min id) — `canonical_filter`'s min-id
+    policy upgraded to the keep-best policy training-data dedup
+    actually wants. One window over the cluster key after the
+    components join; the corpus is never expanded."""
+    from pyspark.sql import Window
+
+    from dss_nlp_ingestion_spark.operators.graph import connected_components
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(
+        docs, "doc_id", "text", num_perm=_NUM_PERM, band_rows=_BAND_ROWS, k=3
+    )
+    comps = connected_components(pairs, "id_a", "id_b").select(
+        F.col("node").alias("doc_id"), F.col("label").alias("_label")
+    )
+    clustered = (
+        docs.select("doc_id", F.length("text").cast("long").alias("n_chars"))
+        .join(comps, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce(F.col("_label"), F.col("doc_id")))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        clustered.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("cluster_id", F.col("doc_id").alias("canonical_id"), "n_chars")
+    )
