@@ -163,3 +163,68 @@ def test_kmv_exact_below_k(spark, nkeys, k):
         assert row.n_est == float(nkeys)
     else:
         assert row.n_est > 0
+
+
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 12),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(**_SETTINGS)
+def test_png_codec_roundtrip_property(w, h, seed):
+    """Any 8-bit RGB image round-trips bit-exactly through the PNG
+    codec — every width (exercising stride math) and height
+    (exercising the filter-type cycle) and arbitrary pixel content."""
+    import numpy as np
+
+    from dss_nlp_ingestion_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.RandomState(seed % (2**31))
+    pixels = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+    got_w, got_h, back = decode_png(encode_png(pixels))
+    assert (got_w, got_h) == (w, h)
+    assert np.array_equal(back, pixels)
+
+
+@given(
+    n=st.integers(0, 2000),
+    rate=st.sampled_from([8000, 11025, 16000, 44100]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(**_SETTINGS)
+def test_wav_codec_roundtrip_property(n, rate, seed):
+    import numpy as np
+
+    from dss_nlp_ingestion_spark.operators.multimodal import decode_wav, encode_wav
+
+    rng = np.random.RandomState(seed % (2**31))
+    samples = rng.randint(-32768, 32768, size=n).astype(np.int16)
+    got_rate, ch, back = decode_wav(encode_wav(samples, rate))
+    assert (got_rate, ch) == (rate, 1)
+    assert np.array_equal(back, samples)
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc ", min_size=0, max_size=40), min_size=1, max_size=12
+    )
+)
+@settings(**_SETTINGS)
+def test_bigram_lm_total_and_bounds(spark, texts):
+    """LM scores exist iff a doc has >= 2 tokens; every score is a
+    negative log-probability (add-one smoothing: P < 1 whenever the
+    vocabulary has > 1 entry, P <= 1 always)."""
+    import re
+
+    from dss_nlp_ingestion_spark.operators.lm import bigram_logprob_scores
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    out = {r.doc_id: r for r in bigram_logprob_scores(df).collect()}
+    for i, t in enumerate(texts):
+        toks = re.findall("[a-z0-9]+", t.lower())
+        if len(toks) >= 2:
+            assert i in out
+            assert out[i].n_bigrams == len(toks) - 1
+            assert out[i].avg_logprob <= 1e-9  # log P <= 0
+        else:
+            assert i not in out
