@@ -438,6 +438,61 @@ def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFra
     return out.select("user_id", "event_id", "asof_click_id", "asof_click_value")
 
 
+_ASOF_TOL_ORACLE = """
+WITH purchases AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, event_id AS click_id, value AS click_value, ts
+  FROM events WHERE event_type = 'click'
+), m AS (
+  SELECT p.user_id, p.event_id, p.ts AS pts, c.ts AS cts,
+         c.click_id, c.click_value
+  FROM purchases p
+  ASOF LEFT JOIN clicks c
+    ON p.user_id = c.user_id AND p.ts > c.ts
+)
+SELECT user_id, event_id,
+       CASE WHEN cts IS NOT NULL AND epoch_ms(pts) - epoch_ms(cts) <= 1800000
+            THEN click_id END AS asof_click_id,
+       CASE WHEN cts IS NOT NULL AND epoch_ms(pts) - epoch_ms(cts) <= 1800000
+            THEN click_value END AS asof_click_value
+FROM m
+"""
+
+
+@register("asof_click_within_window", _ASOF_TOL_ORACLE)
+def asof_click_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH TOLERANCE: the latest strictly-earlier click
+    counts only when it happened within 30 minutes of the purchase —
+    stale matches are nulled, rows are kept (attribution-window
+    semantics). Exercises the tolerance branch of
+    operators/asof.py:asof_join_union, which the plain as-of query
+    never reaches; DuckDB's native ASOF JOIN + an epoch-difference
+    gate is the oracle."""
+    from dss_nlp_ingestion_spark.operators.asof import asof_join_union
+
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+        "ts",
+    )
+    out = asof_join_union(
+        purchases,
+        clicks,
+        ["user_id"],
+        "ts",
+        ["click_id", "click_value"],
+        tolerance_ms=1_800_000,
+        strict=True,
+    )
+    return out.select("user_id", "event_id", "asof_click_id", "asof_click_value")
+
+
 # ---------------------------------------------------------------------------
 # Pivot: event-type counts per user as columns
 # ---------------------------------------------------------------------------
