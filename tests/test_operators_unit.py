@@ -640,3 +640,28 @@ def test_wav_codec_roundtrip_and_chunk_walk():
 
     with _pytest.raises(ValueError, match="RIFF"):
         decode_wav(b"nope" + bytes(wav)[4:])
+
+
+def test_asof_join_strict_vs_nonstrict_same_instant(spark):
+    """strict=True excludes a right row at the exact same timestamp;
+    strict=False matches it (<= semantics). The equal-instant
+    tie-break is the entire difference between the two modes."""
+    import datetime
+
+    from dss_nlp_ingestion_spark.operators.asof import asof_join_union
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    earlier = datetime.datetime(2024, 1, 1, 11, 0, 0)
+    left = spark.createDataFrame([(1, 100, t0)], ["user_id", "event_id", "ts"])
+    right = spark.createDataFrame(
+        [(1, 7, 0.5, earlier), (1, 9, 0.9, t0)],
+        ["user_id", "click_id", "click_value", "ts"],
+    )
+    strict = asof_join_union(
+        left, right, ["user_id"], "ts", ["click_id"], strict=True
+    ).collect()[0]
+    loose = asof_join_union(
+        left, right, ["user_id"], "ts", ["click_id"], strict=False
+    ).collect()[0]
+    assert strict.asof_click_id == 7   # same-instant row excluded
+    assert loose.asof_click_id == 9    # same-instant row matched
