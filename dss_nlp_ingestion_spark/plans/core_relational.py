@@ -521,3 +521,57 @@ def json_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).cast("long").alias("total_k"),
         fround(F.sum(k).cast("double") / F.count(F.lit(1)), 4).alias("avg_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q18 shape: large-volume customers (HAVING subquery + 3-way join)
+# ---------------------------------------------------------------------------
+
+_Q18_ORACLE = f"""
+WITH big AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       {dsum_sql('l_quantity')} AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+@register("q18_large_volume_customers", _Q18_ORACLE)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q18 shape: orders whose total quantity exceeds a
+    threshold (HAVING subquery -> left-semi join), joined back to
+    customer detail, top-100 by price. Scale shape: the HAVING
+    aggregate partial-aggregates map-side and produces only
+    qualifying order keys; the semi-join prunes lineitem/orders
+    before the wide join; the decimal quantity sum makes the
+    threshold and output exact under any partial-agg order; the
+    LIMIT compiles to TakeOrderedAndProject (no global sort)."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_q"))
+        .filter(F.col("_q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum(F.col("l_quantity")).alias("total_qty"))
+        .orderBy(
+            F.desc("o_totalprice"), F.asc("o_orderdate"), F.asc("o_orderkey")
+        )
+        .limit(100)
+    )
