@@ -697,3 +697,52 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage("click_after_view", c))
         .unionByName(stage("purchase_after_click", p))
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-range rolling window: per-event trailing-hour activity
+# ---------------------------------------------------------------------------
+
+_ROLLING_ORACLE = """
+SELECT event_id,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+         PARTITION BY user_id ORDER BY epoch(ts)
+         RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS trailing_1h_value,
+       CAST(count(*) OVER (
+         PARTITION BY user_id ORDER BY epoch(ts)
+         RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS trailing_1h_events
+FROM events
+"""
+
+
+@register("rolling_hour_user_activity", _ROLLING_ORACLE)
+def rolling_hour_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame rolling window: each event carries its user's
+    trailing-one-hour value sum and event count. The frame is bounded
+    by the TIME VALUE (rangeBetween over epoch seconds), not row
+    position, so simultaneous events are frame-peers in both engines
+    and the result is deterministic under any tie order; the decimal
+    sum keeps it exact under any partition layout. One shuffle on
+    user_id."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("_es"))
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return (
+        ev.withColumn("_es", epoch_ms("ts") / F.lit(1000))
+        .withColumn("_es", F.floor(F.col("_es")).cast("long"))
+        .select(
+            "event_id",
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .over(w)
+            .cast("double")
+            .alias("trailing_1h_value"),
+            F.count(F.lit(1)).over(w).cast("long").alias("trailing_1h_events"),
+        )
+    )
