@@ -529,3 +529,38 @@ def pit_join_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_acctbal"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT (melt): wide metrics -> long (entity, metric, value) rows
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_ORACLE = """
+WITH wide AS (
+  SELECT c_nationkey,
+         CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS balance_total,
+         CAST(count(*) AS DOUBLE) AS customer_count
+  FROM customer GROUP BY c_nationkey
+)
+SELECT c_nationkey, 'balance_total' AS metric, balance_total AS value FROM wide
+UNION ALL
+SELECT c_nationkey, 'customer_count' AS metric, customer_count AS value FROM wide
+"""
+
+
+@register("unpivot_nation_metrics", _UNPIVOT_ORACLE)
+def unpivot_nation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt — the inverse of pivot_event_counts: per-nation
+    wide metrics (decimal-exact balance total, customer count) melted
+    into long (entity, metric, value) rows with Spark's native
+    ``unpivot``; the oracle is the UNION ALL it desugars to."""
+    cust = table(spark, sf_dir, "customer")
+    wide = cust.groupBy("c_nationkey").agg(
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("balance_total"),
+        F.count(F.lit(1)).cast("double").alias("customer_count"),
+    )
+    return wide.unpivot(
+        ["c_nationkey"], ["balance_total", "customer_count"], "metric", "value"
+    )

@@ -740,3 +740,36 @@ def quality_report_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pct_en"),
         fround(F.sum("toks").cast("double") / n, 6).alias("mean_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Higher-order array functions: filter / exists / forall over tokens
+# ---------------------------------------------------------------------------
+
+_HOF_ORACLE = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(list_filter(toks, x -> length(x) > 5)) AS BIGINT) AS n_long,
+       len(list_filter(toks, x -> regexp_matches(x, '^[0-9]+$'))) > 0 AS has_number,
+       len(list_filter(toks, x -> length(x) < 12)) = len(toks) AS all_short
+FROM t
+"""
+
+
+@register("array_hof_suite", _HOF_ORACLE)
+def array_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions in the hot path — F.filter,
+    F.exists, F.forall over the token array, all inside whole-stage
+    codegen (no UDF): long-word counts, digit-token detection, and a
+    length invariant. DuckDB's list_filter forms are the oracle."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda x: F.length(x) > 5)).cast("long").alias("n_long"),
+        F.exists(toks, lambda x: x.rlike("^[0-9]+$")).alias("has_number"),
+        F.forall(toks, lambda x: F.length(x) < 12).alias("all_short"),
+    )
