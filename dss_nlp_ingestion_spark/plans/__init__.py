@@ -21,35 +21,91 @@ from dss_nlp_ingestion_spark.plans import fulltext_queries  # noqa: F401,E402
 from dss_nlp_ingestion_spark.plans import sampling_queries  # noqa: F401,E402
 
 
-def _rotate_for_driver_sample() -> None:
-    """Order the registry so queries WITHOUT a green driver
-    correctness row (CORRECTNESS_r*.json in the repo root) come first.
+def _query_code_hash(name: str) -> str:
+    """Hash of a query's implementation source + oracle SQL — the
+    identity the greenness cache is keyed on, so a rewritten query
+    cannot inherit its pre-rewrite green row (r4 advice: ivf_topk /
+    ngram_jaccard_pairs sorted to the back of the sample on stale
+    greens after heavy rewrites)."""
+    import hashlib
+    import inspect
 
-    The driver verifies a fixed-size sample of ``queries()`` per
-    round; surfacing not-yet-green queries first rotates hard driver
-    coverage across rounds until every query has at least one green
-    row. "Green" = the LATEST sampled row hash-matched (or, for
-    rows-only queries with no oracle, produced rows without error) —
-    keying on "sampled" alone would park a query that errored before
-    its oracle existed at the back forever (r3 lesson:
-    ``tryadd_exact_dedup``). Self-maintaining: each round's file
-    updates the green set; a missing/unreadable file means no
-    reordering."""
+    try:
+        src = inspect.getsource(QUERIES[name])
+    except (OSError, TypeError):
+        src = name
+    return hashlib.sha256(
+        (src + "\x00" + ORACLES.get(name, "")).encode()
+    ).hexdigest()[:16]
+
+
+def _rotate_for_driver_sample() -> None:
+    """Order the registry so the driver's fixed-size sample verifies
+    what most needs verifying, in priority order:
+
+    1. queries with NO green row, or whose CODE CHANGED since their
+       last green row (tracked via QUERY_HASHES.json: each entry
+       records the source hash and the round from which a green row
+       may count; a hash change bumps ``as_of_round`` past every
+       existing CORRECTNESS file, invalidating stale greens);
+    2. green queries, LEAST-recently-sampled first (stale greens get
+       re-verified on a rolling basis instead of never).
+
+    "Green" = the latest sampled row hash-matched (or, for rows-only
+    queries, produced rows without error) AND that row is from a
+    round >= the query's hash ``as_of_round``. Self-maintaining:
+    QUERY_HASHES.json is refreshed here (atomic rename, best-effort);
+    a missing/unreadable correctness file means no reordering."""
     import json
+    import os
+    import re
     from pathlib import Path
 
     root = Path(__file__).resolve().parents[2]
-    latest: dict[str, dict] = {}
+    latest: dict[str, tuple[int, dict]] = {}  # name -> (round, row)
+    max_round = 0
     for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)", p.name)
+        rnd = int(m.group(1)) if m else 0
+        max_round = max(max_round, rnd)
         try:
             for name, row in json.loads(p.read_text()).items():
-                latest[name] = row
+                latest[name] = (rnd, row)
         except (OSError, ValueError, AttributeError):
             pass
     if not latest:
         return
 
-    def _green(row: dict) -> bool:
+    # Load / refresh the code-hash cache. An entry's green rows count
+    # only from ``as_of_round`` onward; a changed hash sets that to
+    # max_round + 1 (the upcoming round), forcing re-verification.
+    hash_path = root / "QUERY_HASHES.json"
+    try:
+        cache = json.loads(hash_path.read_text())
+        assert isinstance(cache, dict)
+    except (OSError, ValueError, AssertionError):
+        cache = {}
+    changed = False
+    for name in QUERIES:
+        h = _query_code_hash(name)
+        ent = cache.get(name)
+        if not isinstance(ent, dict) or ent.get("hash") != h:
+            # New or rewritten: count greens only from the next round.
+            # (First-ever population grandfathers existing greens in —
+            # as_of_round 0 — so the cache bootstrap doesn't mark the
+            # whole registry dirty at once.)
+            cache[name] = {"hash": h, "as_of_round": 0 if ent is None and not hash_path.exists() else max_round + 1}
+            changed = True
+    if changed:
+        try:
+            tmp = str(hash_path) + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(cache, fh, indent=0, sort_keys=True)
+            os.replace(tmp, hash_path)
+        except OSError:
+            pass
+
+    def _green_row(row: dict) -> bool:
         if not isinstance(row, dict):
             return False
         if row.get("hash_match") is True:
@@ -57,8 +113,14 @@ def _rotate_for_driver_sample() -> None:
         # rows-only queries (no oracle): green iff sampled cleanly.
         return row.get("err") is None and row.get("spark_rows") is not None
 
-    green = {n for n, row in latest.items() if _green(row)}
-    order = sorted(QUERIES, key=lambda n: n in green)  # stable sort
+    def _sort_key(name: str) -> tuple[int, int]:
+        rnd, row = latest.get(name, (0, None))
+        as_of = cache.get(name, {}).get("as_of_round", 0)
+        is_green = row is not None and _green_row(row) and rnd >= as_of
+        # Non-green first (0), then green ordered oldest-sample-first.
+        return (1, rnd) if is_green else (0, 0)
+
+    order = sorted(QUERIES, key=_sort_key)  # stable sort
     for d in (QUERIES, ORACLES):
         reordered = {n: d[n] for n in order if n in d}
         d.clear()

@@ -1,7 +1,7 @@
 """Remaining small operators from SURVEY.md §2 (W4 dryrun, A3
-counters, F5 search-DSL predicate) and the streaming drain exposed as
-a rows-only query (§2.12 — not SQL-expressible, so no oracle; the
-driver records the weaker rows-only check)."""
+counters, F5 search-DSL predicate) and the streaming drains (§2.12) —
+oracle-checked against their batch twins' SQL: under availableNow over
+a static source the drained table equals the batch aggregate."""
 
 from __future__ import annotations
 
@@ -81,13 +81,29 @@ def search_dsl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("streaming_hourly_counts")  # rows-only: streaming is not DuckDB-expressible
+# The streaming drain IS oracle-checkable: under availableNow +
+# complete output over a static directory, the drained table equals
+# the batch aggregate — so the batch twin's SQL (sans the column the
+# streaming projection drops) is a legitimate full hash gate, not
+# just a rows-only check.
+_STREAMING_HOURLY_ORACLE = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+@register("streaming_hourly_counts", _STREAMING_HOURLY_ORACLE)
 def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.12 tumbling windows executed through the REAL Structured
     Streaming engine (file source -> watermark -> window agg ->
     availableNow drain into a memory sink); returns the drained
-    table. Batch twin: ``hourly_event_windows`` (oracle-checked) —
-    the streaming plan is certified by stream==batch parity in
+    table. Oracle = the batch twin ``hourly_event_windows``'s SQL
+    (minus total_value, which the streaming projection drops): with
+    availableNow over a static source the drained complete-mode table
+    is exactly the batch aggregate, so this is a full hash gate —
+    stream==batch parity is ALSO pytest-asserted in
     tests/test_sinks_streaming.py."""
     from dss_nlp_ingestion_spark.catalog import table as _table
     from dss_nlp_ingestion_spark.streaming.pipeline import (
@@ -105,14 +121,41 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("dss_streaming_hourly")
 
 
-@register("streaming_session_counts")  # rows-only: streaming engine state
+# Same oracle SQL as the batch twin ``session_window_counts`` (the
+# lag/island form below): identical output columns/aliases, and the
+# availableNow drain over a static source equals the batch aggregate.
+_STREAMING_SESSION_ORACLE = """
+WITH marked AS (
+  SELECT user_id, epoch_ms(ts) AS ms,
+         CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                   OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w >= 1800000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), numbered AS (
+  SELECT user_id, ms,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ms ASC
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       min(ms) AS session_start_ms,
+       max(ms) + 1800000 AS session_end_ms,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM numbered
+GROUP BY user_id, session_id
+"""
+
+
+@register("streaming_session_counts", _STREAMING_SESSION_ORACLE)
 def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.12 SESSION windows through the real Structured Streaming
     engine: file source -> watermark -> session_window merge (engine
-    state, watermark-evicted) -> availableNow drain. Batch twin:
-    ``session_window_counts`` (oracle-checked); stream==batch parity
-    is asserted in tests/test_sinks_streaming.py — the driver's
-    rows-only check covers the drain path itself."""
+    state, watermark-evicted) -> availableNow drain. Oracle = the
+    batch twin ``session_window_counts``'s island SQL (same aliases):
+    the drained table equals the batch aggregate under availableNow,
+    upgrading this from rows-only to a full hash gate; stream==batch
+    parity is ALSO asserted in tests/test_sinks_streaming.py."""
     from dss_nlp_ingestion_spark.catalog import table as _table
     from dss_nlp_ingestion_spark.streaming.pipeline import (
         read_events_stream,
@@ -706,12 +749,12 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ROLLING_ORACLE = """
 SELECT event_id,
        CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
-         PARTITION BY user_id ORDER BY epoch(ts)
-         RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW
+         PARTITION BY user_id ORDER BY epoch_ms(ts)
+         RANGE BETWEEN 3599999 PRECEDING AND CURRENT ROW
        ) AS DOUBLE) AS trailing_1h_value,
        CAST(count(*) OVER (
-         PARTITION BY user_id ORDER BY epoch(ts)
-         RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW
+         PARTITION BY user_id ORDER BY epoch_ms(ts)
+         RANGE BETWEEN 3599999 PRECEDING AND CURRENT ROW
        ) AS BIGINT) AS trailing_1h_events
 FROM events
 """
@@ -721,22 +764,24 @@ FROM events
 def rolling_hour_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-frame rolling window: each event carries its user's
     trailing-one-hour value sum and event count. The frame is bounded
-    by the TIME VALUE (rangeBetween over epoch seconds), not row
-    position, so simultaneous events are frame-peers in both engines
-    and the result is deterministic under any tie order; the decimal
-    sum keeps it exact under any partition layout. One shuffle on
-    user_id."""
+    by the TIME VALUE (rangeBetween over INTEGER epoch milliseconds —
+    both engines order by the exact same BIGINT, so sub-second
+    neighbors agree on frame membership; an earlier floor-to-seconds
+    form diverged from a fractional-epoch oracle on same-second
+    pairs), not row position, so simultaneous events are frame-peers
+    in both engines and the result is deterministic under any tie
+    order; the decimal sum keeps it exact under any partition layout.
+    One shuffle on user_id."""
     from pyspark.sql import Window
 
     ev = table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("_es"))
-        .rangeBetween(-3599, Window.currentRow)
+        .orderBy(F.col("_ems"))
+        .rangeBetween(-3_599_999, Window.currentRow)
     )
     return (
-        ev.withColumn("_es", epoch_ms("ts") / F.lit(1000))
-        .withColumn("_es", F.floor(F.col("_es")).cast("long"))
+        ev.withColumn("_ems", epoch_ms("ts"))
         .select(
             "event_id",
             F.sum(F.col("value").cast("decimal(18,2)"))

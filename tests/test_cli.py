@@ -9,7 +9,7 @@ def test_cli_list(capsys):
     assert main(["--list"]) == 0
     out = capsys.readouterr().out
     assert "q1_pricing_summary  [oracle]" in out
-    assert "streaming_hourly_counts  [rows-only]" in out
+    assert "streaming_hourly_counts  [oracle]" in out
 
 
 def test_cli_unknown_query(capsys):
