@@ -158,6 +158,19 @@ def bucketed_near_pairs(
     )
 
 
+#: Above this many literal cells (centroids x dims) the centroid
+#: table stops being embedded as a codegen literal: a 512x64 array is
+#: ~32k expression nodes (compiles in seconds); the old 4096-centroid
+#: ceiling would have been a ~1M-node tree that stalls janino long
+#: before memory is a concern. Past the cap, assignment switches to an
+#: Arrow-vectorized pandas UDF over the same broadcast centroids —
+#: still scan-side, still no corpus Exchange.
+_LITERAL_CELL_CAP = 512 * 64
+#: Driver-memory guard on the centroid collect itself (model
+#: parameters, k-means-center sized — never corpus sized).
+_CENTROID_HARD_CAP = 65536
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -166,6 +179,7 @@ def ivf_topk(
     centroid_mod: int = 31,
     n_probe: int = 2,
     k: int = 5,
+    literal_cell_cap: int = _LITERAL_CELL_CAP,
 ) -> DataFrame:
     """IVF-style approximate top-k: partition the corpus into inverted
     lists by nearest centroid, probe only the ``n_probe`` lists
@@ -176,14 +190,25 @@ def ivf_topk(
     a cluster, swap in k-means centroids without touching the plan
     shape.  Scale story: centroids are MODEL PARAMETERS — a
     catalog-sized set collected once at index-build time (exactly
-    where MLlib keeps k-means centers) and embedded as a literal
-    array, so corpus assignment is a pure scan-side projection:
-    argmax-of-cosine inside WholeStageCodegen, NO crossJoin, NO
-    window, NO Exchange on the corpus (the r3 version shuffled the
-    whole corpus through a row_number window here).  The probe table
-    (queries × n_probe rows) then broadcasts onto the assigned
-    corpus, and only the k-bounded per-query ranking windows shuffle.
-    Recall knobs: ``n_probe`` up, ``centroid_mod`` down.
+    where MLlib keeps k-means centers).  Assignment is ALWAYS a pure
+    scan-side projection — NO crossJoin, NO window, NO Exchange on
+    the corpus (the r3 version shuffled the whole corpus through a
+    row_number window here) — in one of two physical forms:
+
+    - ``<= literal_cell_cap`` literal cells (centroids x dims): the
+      centroid table embeds as a codegen literal and the argmax runs
+      inside WholeStageCodegen (bit-deterministic sequential folds —
+      the oracle-matched path);
+    - above the cap: an Arrow-vectorized pandas UDF holding the
+      centroid matrix in a numpy closure (one BLAS matmul per batch).
+      Same plan shape; float64 matmul may differ from the sequential
+      fold in the last ulp, so exact near-tie assignments can differ
+      — acceptable for an *approximate* index at the scale where
+      thousands of centroids exist.
+
+    The probe table (queries × n_probe rows) then broadcasts onto the
+    assigned corpus, and only the k-bounded per-query ranking windows
+    shuffle. Recall knobs: ``n_probe`` up, ``centroid_mod`` down.
 
     Returns (query_id, neighbor_id, score, rank).
     """
@@ -195,10 +220,15 @@ def ivf_topk(
     )
     if not cent_rows:
         raise ValueError("no centroids: lower centroid_mod or check id domain")
-    if len(cent_rows) > 4096:
+    if len(cent_rows) > _CENTROID_HARD_CAP:
         raise ValueError(
-            f"{len(cent_rows)} centroids exceeds the broadcast-literal budget; "
+            f"{len(cent_rows)} centroids exceeds the driver collect budget; "
             "raise centroid_mod (or plug in trained k-means centers)"
+        )
+    dim = len(cent_rows[0]["_cvec"])
+    if len(cent_rows) * dim > literal_cell_cap:
+        return _ivf_topk_pandas(
+            corpus, queries, cent_rows, id_col, vec_col, n_probe, k
         )
     def _py_norm(vec) -> float:
         # Python twin of l2_norm's sequential fold: float64 products
@@ -264,6 +294,73 @@ def ivf_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id", "neighbor_id",
+            cosine(F.col("_qv"), F.col("_cv")).alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _ivf_topk_pandas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cent_rows: list,
+    id_col: str,
+    vec_col: str,
+    n_probe: int,
+    k: int,
+) -> DataFrame:
+    """Large-centroid-set IVF assignment: the centroid matrix rides a
+    numpy closure into Arrow-batched pandas UDFs (one float64 BLAS
+    matmul per batch) instead of a codegen literal. Plan shape is
+    identical to the literal path — scan-side assignment, broadcast
+    probe join, k-bounded ranking windows — and the FINAL candidate
+    scores still use the bit-deterministic ``cosine`` expression;
+    only centroid argmax/probe selection is BLAS-ordered."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cent_ids = np.array([int(r["cent_id"]) for r in cent_rows], dtype=np.int64)
+    cent_mat = np.array(
+        [[float(x) for x in r["_cvec"]] for r in cent_rows], dtype=np.float64
+    )
+    cnorms = np.sqrt((cent_mat * cent_mat).sum(axis=1))
+
+    def _scores(vs):
+        mat = np.array([[float(x) for x in v] for v in vs], dtype=np.float64)
+        vnorms = np.sqrt((mat * mat).sum(axis=1))
+        return (mat @ cent_mat.T) / np.outer(vnorms, cnorms)
+
+    def _assign_fn(vs):
+        if len(vs) == 0:
+            return pd.Series([], dtype="int64")
+        # argmax picks the FIRST max; cent_ids are sorted ascending,
+        # so ties break to the lowest cent_id like the literal path.
+        return pd.Series(cent_ids[np.argmax(_scores(vs), axis=1)])
+
+    def _probe_fn(vs):
+        if len(vs) == 0:
+            return pd.Series([], dtype="object")
+        order = np.argsort(-_scores(vs), axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([cent_ids[row].tolist() for row in order])
+
+    _assign = pandas_udf(_assign_fn, "long")
+    _probe = pandas_udf(_probe_fn, "array<long>")
+
+    assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    ).withColumn("cent_id", _assign(F.col("_cv")))
+    probes = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    ).select("query_id", "_qv", F.explode(_probe(F.col("_qv"))).alias("cent_id"))
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        assigned.join(F.broadcast(probes), "cent_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
             cosine(F.col("_qv"), F.col("_cv")).alias("score"),
         )
         .withColumn("rank", F.row_number().over(w_rank).cast("long"))

@@ -118,9 +118,20 @@ def fetch_stage(
     """Map a URL DataFrame through the rate-limited fetcher; returns
     FETCH_RESULT_SCHEMA rows (never raises — failures become error
     rows so one dead URL can't burn a whole task's retries).
-    ``fetcher`` defaults to the live :func:`urllib_fetcher` transport;
-    tests inject fakes through the same seam."""
+
+    The live :func:`urllib_fetcher` transport is OPT-IN: pass it
+    explicitly, or set ``DSS_SPARK_LIVE_FETCH=1`` to make it the
+    default. With neither, a missing ``fetcher`` raises — a batch/CI
+    caller must never silently start real HTTP GETs from executors."""
     if fetcher is None:
+        import os
+
+        if os.environ.get("DSS_SPARK_LIVE_FETCH") != "1":
+            raise ValueError(
+                "fetch_stage needs an explicit fetcher (e.g. "
+                "fetcher=urllib_fetcher()) — or set DSS_SPARK_LIVE_FETCH=1 "
+                "to opt into the live default transport"
+            )
         fetcher = urllib_fetcher()
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

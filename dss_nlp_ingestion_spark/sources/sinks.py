@@ -70,6 +70,66 @@ def idempotent_append(
     return n
 
 
+class ConcurrentMergeError(RuntimeError):
+    """Another merge holds the store's advisory lock."""
+
+
+class _merge_lock:
+    """Advisory single-merger lock for a parquet store: an O_EXCL
+    lock file next to the store root, holder-stamped, with stale-lock
+    takeover after ``stale_after_s`` (a crashed merger must not brick
+    the store forever).
+
+    LIMITATION (documented, by design): raw parquet has no transaction
+    log, so this is writer-DISCIPLINE, not isolation — two mergers
+    racing past a stale takeover are last-writer-wins at the partition
+    level, and O_EXCL atomicity is only as good as the filesystem
+    (true on POSIX/HDFS create-exclusive; on S3 use a real table
+    format — Delta/Iceberg — for concurrent writers)."""
+
+    def __init__(self, store_path: str, stale_after_s: float = 3600.0):
+        self.path = store_path.rstrip("/") + ".merge.lock"
+        self.stale_after_s = stale_after_s
+
+    def __enter__(self):
+        import time
+
+        for attempt in (0, 1):
+            try:
+                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, f"pid={os.getpid()} t={time.time()}".encode())
+                os.close(fd)
+                return self
+            except FileExistsError:
+                try:
+                    age = time.time() - os.path.getmtime(self.path)
+                except OSError:
+                    continue  # holder released between open and stat — retry
+                if age > self.stale_after_s and attempt == 0:
+                    try:  # stale: crashed holder — take over
+                        os.remove(self.path)
+                    except OSError:
+                        pass
+                    continue
+                try:
+                    with open(self.path) as fh:
+                        holder = fh.read(200)
+                except OSError:
+                    holder = "?"
+                raise ConcurrentMergeError(
+                    f"merge lock {self.path} held ({holder}); concurrent "
+                    "merges into one store are not supported on raw parquet"
+                ) from None
+        raise ConcurrentMergeError(f"could not acquire merge lock {self.path}")
+
+    def __exit__(self, *exc):
+        try:
+            os.remove(self.path)
+        except OSError:
+            pass
+        return False
+
+
 def merge_into_partitioned_store(
     spark: SparkSession,
     store_path: str,
@@ -78,6 +138,7 @@ def merge_into_partitioned_store(
     partition_by: tuple[str, ...] = ("source",),
     insert_only: bool = False,
     validate_partition_stability: bool = False,
+    lock_stale_after_s: float = 3600.0,
 ) -> dict:
     """Partition-scoped copy-on-write MERGE into a partitioned parquet
     store — the 100 TB upsert story without a transaction log: only
@@ -101,8 +162,34 @@ def merge_into_partitioned_store(
     with a key-join against the full store (a full shuffle — debug
     tool, not the scale path).
 
+    Concurrency: the whole merge runs under :class:`_merge_lock` —
+    a second concurrent merge raises :class:`ConcurrentMergeError`
+    instead of silently interleaving partition overwrites (see the
+    lock's documented limitation: discipline, not isolation).
+
     Returns {"rows_written", "partitions_touched"}.
     """
+    with _merge_lock(store_path, lock_stale_after_s):
+        return _merge_unlocked(
+            spark,
+            store_path,
+            source,
+            key_cols,
+            partition_by,
+            insert_only,
+            validate_partition_stability,
+        )
+
+
+def _merge_unlocked(
+    spark: SparkSession,
+    store_path: str,
+    source: DataFrame,
+    key_cols: tuple[str, ...],
+    partition_by: tuple[str, ...],
+    insert_only: bool,
+    validate_partition_stability: bool,
+) -> dict:
     from dss_nlp_ingestion_spark.operators.merge import merge_into
 
     if not os.path.exists(store_path):

@@ -54,13 +54,30 @@ def test_fetch_rate_limit_spacing(spark):
     assert elapsed >= 0.07
 
 
-def test_default_urllib_transport_against_local_server(spark):
-    """The DEFAULT transport (no injected fetcher) exercised end-to-end
-    against an in-process HTTP server: success body, 404 returned as a
-    status row (not an exception), 429-then-200 retry recovery, and a
-    refused-connection error row."""
+def test_live_transport_is_opt_in(spark):
+    """No injected fetcher and no DSS_SPARK_LIVE_FETCH=1 must raise at
+    plan-build time — a batch/CI caller never silently starts real
+    HTTP GETs from executors."""
+    import os
+
+    import pytest
+
+    urls = spark.createDataFrame([("http://127.0.0.1:9/x",)], ["url"])
+    assert os.environ.get("DSS_SPARK_LIVE_FETCH") != "1"
+    with pytest.raises(ValueError, match="DSS_SPARK_LIVE_FETCH"):
+        fetch_stage(urls)
+
+
+def test_default_urllib_transport_against_local_server(spark, monkeypatch):
+    """The DEFAULT transport (opted in via DSS_SPARK_LIVE_FETCH=1, no
+    injected fetcher) exercised end-to-end against an in-process HTTP
+    server: success body, 404 returned as a status row (not an
+    exception), 429-then-200 retry recovery, and a refused-connection
+    error row."""
     import http.server
     import threading
+
+    monkeypatch.setenv("DSS_SPARK_LIVE_FETCH", "1")
 
     hits = {"n429": 0}
 

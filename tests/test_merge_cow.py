@@ -8,6 +8,7 @@ from __future__ import annotations
 import glob
 import hashlib
 import os
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -114,3 +115,39 @@ def test_cow_merge_validator_rejects_partition_moves(spark, tmp_path):
             spark, store, delta, key_cols=("id",), partition_by=("part",),
             validate_partition_stability=True,
         )
+
+
+def test_cow_merge_conflict_raises(spark, tmp_path):
+    """A held advisory lock makes a concurrent merge fail fast instead
+    of interleaving partition overwrites."""
+    from dss_nlp_ingestion_spark.sources.sinks import ConcurrentMergeError
+
+    store = _mk_store(spark, tmp_path)
+    lock = store.rstrip("/") + ".merge.lock"
+    with open(lock, "w") as fh:
+        fh.write("pid=held-by-test")
+    delta = spark.createDataFrame([(2, "a", 99.0)], ["id", "part", "val"])
+    with pytest.raises(ConcurrentMergeError, match="held"):
+        merge_into_partitioned_store(
+            spark, store, delta, key_cols=("id",), partition_by=("part",)
+        )
+    os.remove(lock)
+
+
+def test_cow_merge_stale_lock_taken_over_and_released(spark, tmp_path):
+    """A lock older than stale_after_s belongs to a crashed merger:
+    the merge takes it over, proceeds, and removes it afterward."""
+    store = _mk_store(spark, tmp_path)
+    lock = store.rstrip("/") + ".merge.lock"
+    with open(lock, "w") as fh:
+        fh.write("pid=crashed")
+    old = time.time() - 7200
+    os.utime(lock, (old, old))
+    delta = spark.createDataFrame([(2, "a", 99.0)], ["id", "part", "val"])
+    merge_into_partitioned_store(
+        spark, store, delta, key_cols=("id",), partition_by=("part",),
+        lock_stale_after_s=3600.0,
+    )
+    assert not os.path.exists(lock)  # released after the merge
+    rows = {r.id: r for r in read_store(spark, store).collect()}
+    assert rows[2].val == 99.0

@@ -665,3 +665,51 @@ def test_asof_join_strict_vs_nonstrict_same_instant(spark):
     ).collect()[0]
     assert strict.asof_click_id == 7   # same-instant row excluded
     assert loose.asof_click_id == 9    # same-instant row matched
+
+
+def test_ivf_pandas_fallback_matches_literal_path(spark):
+    """Above the literal-cell cap, IVF assignment switches to the
+    Arrow/numpy path; on tie-free data the two paths must produce
+    IDENTICAL results (same assignments, same probes, and the final
+    scores go through the same exact cosine expression either way)."""
+    import random
+
+    from dss_nlp_ingestion_spark.operators.similarity import ivf_topk
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1.0, 1.0) for _ in range(8)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id < 5")
+    lit = ivf_topk(df, q, centroid_mod=7, n_probe=2, k=3)
+    pnd = ivf_topk(df, q, centroid_mod=7, n_probe=2, k=3, literal_cell_cap=1)
+    norm = lambda d: sorted(
+        (r.query_id, r.neighbor_id, repr(r.score), r.rank) for r in d.collect()
+    )
+    assert norm(lit) == norm(pnd)
+    assert len(norm(lit)) > 0
+
+
+def test_ivf_literal_cap_512_centroids_compiles(spark):
+    """The literal path at its cap — 512 centroids x 64 dims = 32k
+    literal cells — must codegen and execute in bounded time (the old
+    4096-centroid ceiling was a ~1M-node expression tree that stalls
+    janino; this pins the guard at a size that demonstrably works)."""
+    import random
+    import time
+
+    from dss_nlp_ingestion_spark.operators.similarity import ivf_topk
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1.0, 1.0) for _ in range(64)]) for i in range(512)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id IN (3, 17)")
+    t0 = time.monotonic()
+    out = ivf_topk(df, q, centroid_mod=1, n_probe=2, k=3)
+    n = out.count()
+    elapsed = time.monotonic() - t0
+    assert n > 0
+    assert elapsed < 120, f"512-centroid literal plan took {elapsed:.0f}s"
