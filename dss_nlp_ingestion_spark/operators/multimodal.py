@@ -362,13 +362,18 @@ def decode_image_batch(
             elif b[:8] == PNG_SIG:
                 w, h, _px = decode_png(b)
                 metas.append((w, h, 3, "png"))
+            elif b[:2] == b"\xff\xd8":
+                from dss_nlp_ingestion_spark.operators.jpeg import decode_jpeg
+
+                w, h, px = decode_jpeg(b)
+                metas.append((w, h, 1 if px.ndim == 2 else 3, "jpeg"))
             elif fake:
                 metas.append(_fake_decode(b))
             else:
                 raise NotImplementedError(
-                    "built-in decoders cover uncompressed BMP and 8-bit "
-                    "truecolor PNG; JPEG/video need pillow/ffmpeg (or run "
-                    "with fake=True)"
+                    "built-in decoders cover uncompressed BMP, 8-bit "
+                    "truecolor PNG, and baseline JPEG (operators/jpeg.py); "
+                    "video needs ffmpeg (or run with fake=True)"
                 )
         yield pd.DataFrame(
             {
@@ -539,6 +544,42 @@ def synth_png_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+def synth_jpeg_pixels(doc_id: int):
+    """Deterministic BLOCKWISE-CONSTANT grayscale content for
+    ``doc_id``: width = 8*(2 + id%3), height = 8*(1 + id%4); every
+    pixel of 8x8 block (bx, by) is (5*id + 17*bx + 29*by) mod 256.
+    Blockwise-constant content has DC-only DCT blocks, so with the
+    flat quantization table the lossy JPEG pipeline round-trips
+    EXACTLY — the closed form a SQL oracle can hash-check (see
+    operators/jpeg.py module docstring)."""
+    import numpy as np
+
+    wb, hb = 2 + doc_id % 3, 1 + doc_id % 4
+    bx = 17 * np.arange(wb, dtype=np.int64)[None, :]
+    by = 29 * np.arange(hb, dtype=np.int64)[:, None]
+    k = ((5 * doc_id + bx + by) % 256).astype(np.uint8)
+    return np.kron(k, np.ones((8, 8), dtype=np.uint8))
+
+
+def synth_jpeg_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage: (doc_id) -> (doc_id, payload) where payload
+    is a REAL baseline JPEG (SOI/DQT/SOF0/DHT/SOS markers, Huffman
+    entropy coding) of the deterministic blockwise-constant content,
+    encoded with the flat quant table so decode is exact."""
+    from dss_nlp_ingestion_spark.operators.jpeg import QUANT_FLAT, encode_jpeg
+
+    for pdf in batches:
+        ids = pdf["doc_id"].astype("int64")
+        yield pd.DataFrame(
+            {
+                "doc_id": ids,
+                "payload": [
+                    encode_jpeg(synth_jpeg_pixels(int(i)), QUANT_FLAT) for i in ids
+                ],
+            }
+        )
+
+
 PIXEL_STATS_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -560,7 +601,14 @@ def bmp_pixel_stats_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
         out = {"doc_id": [], "width": [], "height": [], "n_pixels": [], "px_sum": []}
         for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
             b = bytes(p)
-            w, h, px = decode_png(b) if b[:8] == PNG_SIG else decode_bmp(b)
+            if b[:8] == PNG_SIG:
+                w, h, px = decode_png(b)
+            elif b[:2] == b"\xff\xd8":
+                from dss_nlp_ingestion_spark.operators.jpeg import decode_jpeg
+
+                w, h, px = decode_jpeg(b)
+            else:
+                w, h, px = decode_bmp(b)
             out["doc_id"].append(int(doc_id))
             out["width"].append(w)
             out["height"].append(h)
@@ -658,7 +706,11 @@ def decode_media_stats(df: DataFrame, codec: str = "bmp") -> DataFrame:
     mapInPandas — blobs never aggregate, never hit the driver."""
     from dss_nlp_ingestion_spark.catalog import ensure_parallelism
 
-    synth = {"bmp": synth_bmp_batch, "png": synth_png_batch}[codec]
+    synth = {
+        "bmp": synth_bmp_batch,
+        "png": synth_png_batch,
+        "jpeg": synth_jpeg_batch,
+    }[codec]
     ids = ensure_parallelism(df.select("doc_id"))
     blobs = ids.mapInPandas(synth, schema=BINARY_DOC_SCHEMA)
     return blobs.mapInPandas(bmp_pixel_stats_batch, schema=PIXEL_STATS_SCHEMA)

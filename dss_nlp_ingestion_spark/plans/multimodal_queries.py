@@ -173,6 +173,58 @@ def media_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 
+# Real JPEG decode: blockwise-constant grayscale content (DC-only DCT
+# blocks) encoded with the flat quant table round-trips EXACTLY through
+# the lossy baseline pipeline — Huffman entropy decode, dequantize,
+# IDCT and all — so the oracle's closed-form block sums hash-check the
+# decoder's actual pixel output (see operators/jpeg.py docstring).
+_DECODE_JPEG_ORACLE = f"""
+WITH ids AS (
+  SELECT doc_id, 2 + doc_id % 3 AS wb, 1 + doc_id % 4 AS hb FROM documents
+), blocks AS (
+  SELECT doc_id, wb, hb, unnest(generate_series(0, wb * hb - 1)) AS bi FROM ids
+), sums AS (
+  SELECT doc_id, wb, hb,
+         CAST(sum(64 * ((5 * doc_id + 17 * (bi % wb) + 29 * (bi // wb)) % 256))
+              AS BIGINT) AS px_sum
+  FROM blocks GROUP BY doc_id, wb, hb
+)
+SELECT doc_id,
+       CAST(wb * 8 AS INT) AS width,
+       CAST(hb * 8 AS INT) AS height,
+       CAST(wb * hb * 64 AS BIGINT) AS n_pixels,
+       px_sum,
+       {fround_sql('CAST(px_sum AS DOUBLE) / (wb * hb * 64)', 4)} AS mean_px
+FROM sums
+"""
+
+
+@register("media_decode_jpeg", _DECODE_JPEG_ORACLE)
+def media_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossy-codec decode in the Arrow stage: each document gets
+    a genuine baseline JPEG (marker segments, Annex-K Huffman tables,
+    DC-differential + run-length entropy coding) of blockwise-constant
+    grayscale content, which operators/jpeg.py:decode_jpeg parses back
+    — Huffman decode with byte de-stuffing, dequantization, inverse
+    zigzag, 2-D IDCT. Blockwise-constant + flat quantization makes the
+    lossy pipeline exact, so the hash match proves the full codec path
+    (the reference ships no image decoding; this fills the
+    LLM-pipeline multimodal slot alongside BMP/PNG/WAV)."""
+    stats = decode_media_stats(table(spark, sf_dir, "documents"), codec="jpeg")
+    return stats.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_pixels",
+        "px_sum",
+        fround(
+            F.col("px_sum").cast("double") / F.col("n_pixels").cast("double"), 4
+        ).alias("mean_px"),
+    )
+
+
+# ---------------------------------------------------------------------------
+
 # Feature extraction: 8-bin byte histogram (bin = byte >> 5).  The
 # payload is UTF-8 of an ASCII corpus, so DuckDB reproduces the byte
 # stream from the character codes.

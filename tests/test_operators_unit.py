@@ -713,3 +713,106 @@ def test_ivf_literal_cap_512_centroids_compiles(spark):
     elapsed = time.monotonic() - t0
     assert n > 0
     assert elapsed < 120, f"512-centroid literal plan took {elapsed:.0f}s"
+
+
+def test_jpeg_codec_blockwise_constant_exact():
+    """DC-only blocks + flat quant table round-trip BIT-EXACTLY
+    through the full lossy pipeline (FDCT -> quantize -> zigzag ->
+    Huffman -> de-stuff -> Huffman decode -> dequantize -> IDCT) —
+    the invariant the media_decode_jpeg oracle relies on."""
+    import numpy as np
+
+    from dss_nlp_ingestion_spark.operators.jpeg import (
+        QUANT_FLAT,
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from dss_nlp_ingestion_spark.operators.multimodal import synth_jpeg_pixels
+
+    for doc_id in (0, 1, 7, 11, 100, 1234):
+        img = synth_jpeg_pixels(doc_id)
+        w, h, back = decode_jpeg(encode_jpeg(img, QUANT_FLAT))
+        assert (w, h) == (img.shape[1], img.shape[0])
+        assert np.array_equal(back, img)
+
+
+def test_jpeg_codec_near_lossless_and_crop():
+    """Arbitrary grayscale content with the flat quant table decodes
+    within ±2 of the original (float DCT/IDCT rounding only), and
+    non-multiple-of-8 dims are padded at encode / cropped at decode
+    per the SOF true-dimension rule."""
+    import numpy as np
+
+    from dss_nlp_ingestion_spark.operators.jpeg import (
+        QUANT_FLAT,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, (13, 21)).astype(np.uint8)
+    w, h, back = decode_jpeg(encode_jpeg(img, QUANT_FLAT))
+    assert (w, h) == (21, 13) and back.shape == (13, 21)
+    assert np.abs(back.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_jpeg_codec_color_and_default_quant():
+    """3-component 4:4:4 color path (YCbCr conversion + per-component
+    Huffman tables) decodes a smooth gradient within a small epsilon;
+    the Annex-K luminance quant table (real lossy compression) stays
+    within coarse-quantization bounds."""
+    import numpy as np
+
+    from dss_nlp_ingestion_spark.operators.jpeg import (
+        QUANT_FLAT,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    y, x = np.mgrid[0:16, 0:24]
+    img = np.stack([(x * 3) % 256, (y * 5) % 256, ((x + y) * 2) % 256], axis=-1)
+    img = img.astype(np.uint8)
+    w, h, back = decode_jpeg(encode_jpeg(img, QUANT_FLAT))
+    assert back.shape == (16, 24, 3)
+    assert np.abs(back.astype(int) - img.astype(int)).max() <= 4  # color rounding
+
+    flat = np.full((16, 16), 128, dtype=np.uint8)
+    w, h, back = decode_jpeg(encode_jpeg(flat))  # Annex-K table
+    assert np.array_equal(back, flat)  # constant image survives any quant
+
+
+def test_jpeg_decoder_rejects_unsupported():
+    import numpy as np
+    import pytest
+
+    from dss_nlp_ingestion_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"nope")
+    # progressive (SOF2) must raise, not mis-decode
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xc2\x00\x08\x08\x00\x10\x00\x10\x01")
+    # truncated entropy stream must raise
+    data = encode_jpeg(np.arange(64, dtype=np.uint8).reshape(8, 8))
+    with pytest.raises(ValueError):
+        decode_jpeg(data[: len(data) - 10] + b"\xff\xd9")
+
+
+def test_decode_image_batch_sniffs_real_jpeg():
+    import pandas as pd
+
+    from dss_nlp_ingestion_spark.operators.jpeg import QUANT_FLAT, encode_jpeg
+    from dss_nlp_ingestion_spark.operators.multimodal import (
+        decode_image_batch,
+        synth_jpeg_pixels,
+    )
+
+    jpg = encode_jpeg(synth_jpeg_pixels(5), QUANT_FLAT)
+    out = next(
+        decode_image_batch(
+            iter([pd.DataFrame({"doc_id": [5], "payload": [jpg]})]), fake=False
+        )
+    )
+    row = out.iloc[0]
+    assert row["format"] == "jpeg"
+    assert (row["width"], row["height"], row["channels"]) == (32, 16, 1)
