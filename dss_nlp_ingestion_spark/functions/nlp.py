@@ -172,6 +172,127 @@ def sentiment_model_udf(model: dict):
     return _score
 
 
+def _sum_bow_counts(text: str, dim: int):
+    """Hashed bag-of-words with an ENGINE-PORTABLE hash: token bucket
+    = (sum of character codepoints) mod ``dim``. Weaker than crc32 as
+    a hash but exactly reproducible in ANSI SQL (DuckDB: list_sum of
+    ascii codes), which is what puts the served model under the
+    oracle gate. Returns (bucket-count int64 vector, n_tokens)."""
+    import numpy as np
+
+    counts = np.zeros(dim, dtype=np.int64)
+    toks = text.strip().lower().split()
+    for t in toks:
+        counts[sum(map(ord, t)) % dim] += 1
+    return counts, len(toks)
+
+
+def train_quantized_sentiment(
+    texts: list[str],
+    labels: list[int],
+    dim: int = 128,
+    epochs: int = 400,
+    lr: float = 0.5,
+    scale: int = 1_000_000,
+) -> dict:
+    """Train the SHIPPED sentiment model: logistic regression over
+    the portable codepoint-sum featurizer (deterministic numpy batch
+    GD, zero init, no RNG), with the learned weights QUANTIZED to
+    integers at ``1/scale`` resolution. Quantization is what makes
+    serving cross-engine exact: the score's pre-activation is
+    ``(b_q*n + sum_j w_q[j]*c_j) / (n*scale)`` — an integer dot
+    product (order-independent, overflow-free at any realistic doc
+    length) followed by ONE float division, so Spark and a SQL oracle
+    compute bit-identical z and only exp() can differ (last-ulp,
+    absorbed by fround). Artifact: {"w_q": int64[dim], "b_q": int,
+    "dim", "scale"} — numpy.savez-able."""
+    import numpy as np
+
+    feats = np.stack(
+        [
+            (lambda cn: cn[0] / max(cn[1], 1))(_sum_bow_counts(t, dim))
+            for t in texts
+        ]
+    )
+    y = np.asarray(labels, dtype="float64")
+    w = np.zeros(dim)
+    b = 0.0
+    for _ in range(epochs):
+        z = feats @ w + b
+        p = 1.0 / (1.0 + np.exp(-z))
+        grad = p - y
+        w -= lr * (feats.T @ grad) / len(y)
+        b -= lr * float(grad.mean())
+    return {
+        "w_q": np.rint(w * scale).astype(np.int64),
+        "b_q": int(np.rint(b * scale)),
+        "dim": dim,
+        "scale": scale,
+    }
+
+
+def save_sentiment_artifact(model: dict, path: str) -> None:
+    import numpy as np
+
+    np.savez(
+        path,
+        w_q=model["w_q"],
+        b_q=np.int64(model["b_q"]),
+        dim=np.int64(model["dim"]),
+        scale=np.int64(model["scale"]),
+    )
+
+
+def load_sentiment_artifact(path: str) -> dict:
+    import numpy as np
+
+    with np.load(path) as z:
+        return {
+            "w_q": z["w_q"].astype(np.int64),
+            "b_q": int(z["b_q"]),
+            "dim": int(z["dim"]),
+            "scale": int(z["scale"]),
+        }
+
+
+#: Path of the committed default artifact (trained from
+#: tests/fixtures/sentiment_corpus.json; provenance pinned by
+#: tests/test_functions_unit.py::test_committed_sentiment_artifact).
+DEFAULT_SENTIMENT_ARTIFACT = __file__.replace("nlp.py", "sentiment_model_v1.npz")
+
+
+def quantized_sentiment_udf(model: dict):
+    """Serve a :func:`train_quantized_sentiment` artifact as an
+    Arrow-vectorized pandas UDF returning fround-6 P(positive). The
+    integer weight vector rides the UDF closure to executors; scoring
+    is the exact integer dot product described in the trainer — the
+    same number a SQL oracle computes, which is how a LEARNED model
+    (not a heuristic) sits under the driver's hash gate."""
+    import numpy as np
+
+    w_q = np.asarray(model["w_q"], dtype=np.int64)
+    b_q = int(model["b_q"])
+    dim = int(model["dim"])
+    scale = int(model["scale"])
+
+    @pandas_udf("double")
+    def _score(text: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = np.empty(len(text), dtype="float64")
+        for i, t in enumerate(text):
+            counts, n = _sum_bow_counts(t or "", dim)
+            if n == 0:
+                z = b_q / scale
+            else:
+                s = b_q * n + int(counts @ w_q)  # exact int64 arithmetic
+                z = s / (n * scale)  # one float division, both engines
+            out[i] = np.floor(1.0 / (1.0 + np.exp(-z)) * 1e6 + 0.5) / 1e6
+        return pd.Series(out)
+
+    return _score
+
+
 def summarize(col: Column, max_words: int = 12) -> Column:
     """N6: leading ``max_words`` words."""
     return F.array_join(F.slice(ws_tokens(col), 1, max_words), " ")

@@ -63,6 +63,66 @@ def sentiment_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# N1/N2 model-backed variant: the SHIPPED learned sentiment model
+# ---------------------------------------------------------------------------
+
+def _model_oracle() -> str:
+    """Build the oracle SQL from the committed artifact: the score's
+    pre-activation is an integer dot product (quantized weights, raw
+    bucket counts) divided once by n*scale, so both engines compute
+    bit-identical z; only exp() can differ in the last ulp, absorbed
+    by fround-6. Only nonzero weights become VALUES rows."""
+    m = N.load_sentiment_artifact(N.DEFAULT_SENTIMENT_ARTIFACT)
+    rows = ", ".join(
+        f"({j}, {int(w)})" for j, w in enumerate(m["w_q"]) if w != 0
+    )
+    dim, scale, b_q = m["dim"], m["scale"], m["b_q"]
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''
+), bt AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(1, length(tok) + 1),
+                                      i -> ascii(tok[i]))) % {dim} AS BIGINT) AS bucket
+  FROM toks WHERE tok <> ''
+), n AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM bt GROUP BY doc_id
+), counts AS (
+  SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS c
+  FROM bt GROUP BY doc_id, bucket
+), wt(bucket, w) AS (VALUES {rows}),
+dot AS (
+  SELECT counts.doc_id, CAST(sum(wt.w * counts.c) AS BIGINT) AS s
+  FROM counts JOIN wt USING (bucket) GROUP BY counts.doc_id
+)
+SELECT n.doc_id,
+       {fround_sql(f'1.0 / (1.0 + exp(-(CAST({b_q} * n.n + coalesce(dot.s, 0) AS DOUBLE) / (n.n * {scale}.0))))', 6)} AS model_score
+FROM n LEFT JOIN dot ON n.doc_id = dot.doc_id
+"""
+
+
+@register("sentiment_model_scores", _model_oracle())
+def sentiment_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The model slot SERVING REAL LEARNED WEIGHTS as the default: a
+    logistic regression trained on the committed labeled corpus
+    (tests/fixtures/sentiment_corpus.json), quantized and shipped as
+    functions/sentiment_model_v1.npz, scored by an Arrow-vectorized
+    pandas UDF (functions/nlp.py:quantized_sentiment_udf). Unlike the
+    reference's API-backed sentiment (baidu_api.py:108-121, not
+    reproducible cross-engine), the quantized integer scoring path is
+    exact, so a LEARNED model sits under the driver's hash gate —
+    r4 ask #5."""
+    model = N.load_sentiment_artifact(N.DEFAULT_SENTIMENT_ARTIFACT)
+    docs = table(spark, sf_dir, "documents").where(F.trim(F.col("text")) != "")
+    return docs.select(
+        "doc_id",
+        N.quantized_sentiment_udf(model)(F.col("text")).alias("model_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # N3/N4 + W2: per-doc TF top-k keywords
 # ---------------------------------------------------------------------------
 

@@ -125,3 +125,67 @@ def test_sentiment_model_slot_carries_real_weights(spark):
     assert rows[1].s_heur > 0 > rows[2].s_heur
     # (c) scores are probabilities.
     assert all(0.0 <= r.s_model <= 1.0 for r in rows.values())
+
+
+def test_committed_sentiment_artifact_provenance_and_quality():
+    """The shipped artifact (functions/sentiment_model_v1.npz) is
+    exactly what deterministic training on the committed corpus
+    produces (no-RNG GD -> bit-reproducible), and the learned weights
+    actually separate the classes (>=90% train accuracy) — real
+    learned parameters, not a heuristic in disguise."""
+    import json
+
+    import numpy as np
+
+    from dss_nlp_ingestion_spark.functions import nlp as N
+
+    corpus = json.load(open("tests/fixtures/sentiment_corpus.json"))
+    retrained = N.train_quantized_sentiment(
+        [t for t, _ in corpus], [l for _, l in corpus], dim=512, epochs=800
+    )
+    shipped = N.load_sentiment_artifact(N.DEFAULT_SENTIMENT_ARTIFACT)
+    assert shipped["dim"] == 512 and shipped["scale"] == retrained["scale"]
+    assert shipped["b_q"] == retrained["b_q"]
+    assert np.array_equal(shipped["w_q"], retrained["w_q"])
+    assert int((shipped["w_q"] != 0).sum()) > 100
+
+    ok = 0
+    for t, label in corpus:
+        c, n = N._sum_bow_counts(t, shipped["dim"])
+        z = (shipped["b_q"] * n + int(c @ shipped["w_q"])) / (n * shipped["scale"])
+        ok += int((1.0 / (1.0 + np.exp(-z)) > 0.5) == bool(label))
+    assert ok / len(corpus) >= 0.9
+
+
+def test_quantized_sentiment_udf_scores(spark):
+    """Arrow-vectorized serving of the shipped artifact: positive
+    fixture text scores above negative, empty text falls back to the
+    bias term, and scores are fround-6 doubles in [0, 1]."""
+    import numpy as np
+
+    from dss_nlp_ingestion_spark.functions import nlp as N
+    from pyspark.sql import functions as F
+
+    model = N.load_sentiment_artifact(N.DEFAULT_SENTIMENT_ARTIFACT)
+    df = spark.createDataFrame(
+        [
+            (1, "the plot was wonderful and the acting superb"),
+            (2, "the plot was terrible and the acting wooden"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id", N.quantized_sentiment_udf(model)(F.col("text")).alias("s")
+        ).collect()
+    }
+    assert 0.0 <= rows[2] < 0.5 < rows[1] <= 1.0
+    expected_bias = float(
+        np.floor(
+            1.0 / (1.0 + np.exp(-model["b_q"] / model["scale"])) * 1e6 + 0.5
+        )
+        / 1e6
+    )
+    assert rows[3] == expected_bias
