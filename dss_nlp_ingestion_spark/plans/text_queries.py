@@ -773,3 +773,47 @@ def array_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.exists(toks, lambda x: x.rlike("^[0-9]+$")).alias("has_number"),
         F.forall(toks, lambda x: F.length(x) < 12).alias("all_short"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S13: article extraction (text-density boilerplate removal)
+# ---------------------------------------------------------------------------
+
+_ARTICLE_ORACLE = """
+SELECT doc_id,
+       CASE WHEN length(trim(text)) >= 80 THEN trim(text) ELSE '' END AS article
+FROM documents
+"""
+
+
+@register("article_extraction", _ARTICLE_ORACLE)
+def article_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 (google_utils.py:76-93's newspaper3k slot): wrap each
+    document's text in a full synthesized page — link-only nav,
+    related-links rail, short newsletter teaser, footer — then run
+    the text-density extractor (sources/extract.py). A hash match
+    means the extractor recovered the article body EXACTLY while
+    dropping every boilerplate block (nav/related die on link
+    density, teaser/footer on minimum prose length); docs under 80
+    chars are the miss signal (empty string), also oracle-checked.
+    Pure codegen: regexp block scan + higher-order filters, no
+    Python in the path."""
+    from dss_nlp_ingestion_spark.sources.extract import extract_article
+
+    nav = (
+        '<div class="nav"><a href="/">Home</a> <a href="/m">Markets</a> '
+        '<a href="/t">Technology</a> <a href="/s">Subscribe today</a></div>'
+    )
+    related = (
+        '<div class="rel">Related: <a href="/a/1">Fees cut</a> '
+        '<a href="/a/2">Upgrade</a> <a href="/a/3">Reshuffle</a></div>'
+    )
+    teaser = "<p>Sign up for our daily briefing.</p>"
+    footer = '<div class="foot">(c) 2026 Example News Network.</div>'
+    page = F.concat(
+        F.lit(nav + "<p>"), F.col("text"), F.lit("</p>" + related + teaser + footer)
+    )
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", extract_article(page).alias("article")
+    )

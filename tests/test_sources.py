@@ -234,3 +234,71 @@ def test_baidu_two_step_lookup_both_paths(spark):
     assert rows["mi corp"].via == "two_step"
     assert rows["mi corp"].url.endswith("小米集团")
     assert rows["mi corp"].content.startswith("成立于2010年。")
+
+
+def test_extract_article_text_density(spark):
+    """S13 article extraction (google_utils.py:76-93's newspaper3k
+    slot, re-expressed as JVM text-density scoring): the article
+    paragraphs survive, every nav/related/newsletter/footer block is
+    dropped (short or link-dominated)."""
+    from dss_nlp_ingestion_spark.sources.extract import extract_article
+
+    raw = _raw(spark, "raw_article.html")
+    body = raw.select(
+        extract_article(F.col("payload")).alias("article")
+    ).first()["article"]
+
+    for frag in (
+        "extend its trading session by ninety minutes",
+        "closing auction will shift to late afternoon",
+        "raising costs for market makers",
+    ):
+        assert frag in body
+    for boiler in (
+        "Subscribe today",
+        "Related:",
+        "daily briefing",
+        "Example News Network",
+        "Markets desk",
+    ):
+        assert boiler not in body
+
+
+def test_extract_article_block_scoring(spark):
+    """Both filter dimensions individually: a long pure-link block is
+    dropped by link density, a short prose block by min length, a
+    long prose block with a minor inline link survives (link chars
+    below the density cut)."""
+    from dss_nlp_ingestion_spark.sources.extract import extract_article
+
+    prose = (
+        "The committee weighed the proposal for several weeks before "
+        "publishing a detailed assessment of its costs and benefits, "
+        "which ran to more than forty pages."
+    )
+    linky = " ".join(
+        f'<a href="/l{i}">A fairly descriptive navigation label {i}</a>'
+        for i in range(12)
+    )
+    page = (
+        f'<div class="menu">{linky}</div>'
+        f"<p>Short teaser line.</p>"
+        f'<p>{prose} See the <a href="/report">full report</a> for details.</p>'
+    )
+    df = spark.createDataFrame([(page,)], ["payload"])
+    body = df.select(extract_article(F.col("payload")).alias("a")).first()["a"]
+    assert prose in body
+    assert "full report" in body  # inline link text is kept, not cut
+    assert "navigation label" not in body
+    assert "Short teaser" not in body
+
+
+def test_extract_article_empty_miss(spark):
+    from dss_nlp_ingestion_spark.sources.extract import extract_article
+
+    df = spark.createDataFrame(
+        [('<div class="nav"><a href="/">Home</a></div>',), ("no markup at all",)],
+        ["payload"],
+    )
+    rows = df.select(extract_article(F.col("payload")).alias("a")).collect()
+    assert [r["a"] for r in rows] == ["", ""]
