@@ -278,3 +278,43 @@ def test_lm_bigrams_are_scan_side(spark):
     assert "Generate" in plan
     assert " Window (" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q4_exists_is_semi_join(spark):
+    """EXISTS compiles to a LEFT SEMI join (no row multiplication,
+    one shuffle on the order key), and the date window reaches the
+    orders scan as pushed filters."""
+    plan = _formatted(spark, "q4_order_priority")
+    assert "LeftSemi" in plan
+    assert "o_orderdate" in plan.split("PushedFilters:")[1].split("\n")[0]
+
+
+def test_q6_all_predicates_pushed(spark):
+    """Every Q6 predicate reaches the parquet scan; the plan is
+    scan -> partial agg -> 1-row exchange -> final agg, which is the
+    same plan at 100 TB."""
+    plan = _formatted(spark, "q6_forecast_revenue")
+    pushed = plan.split("PushedFilters:")[1].split("\n")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q22_not_exists_is_anti_join(spark):
+    """NOT EXISTS compiles to LEFT ANTI; the scalar average arrives
+    as a broadcast, never a cartesian blow-up."""
+    plan = _formatted(spark, "q22_idle_rich_customers")
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q19_bracket_predicates_split_below_join(spark):
+    """The OR'd brackets' single-side conjuncts are CNF-extracted and
+    pushed below the join: the part scan carries a p_brand filter,
+    the lineitem scan a l_quantity filter."""
+    plan = _formatted(spark, "q19_bracket_revenue")
+    assert "p_brand" in plan and "l_quantity" in plan
+    # both scans carry pushed filters (the extracted OR-of-ANDs)
+    assert plan.count("PushedFilters: [") == 2
+    assert "PushedFilters: []" not in plan
