@@ -302,36 +302,47 @@ def encode_jpeg(pixels: np.ndarray, quant: np.ndarray | None = None) -> bytes:
 
 
 class _BitReader:
+    """Entropy-stream bit cursor over a pre-unpacked numpy bit array
+    (one unpackbits per image beats a Python-level per-bit byte/shift
+    dance ~3x — the decode loop is the only per-symbol Python in the
+    whole pipeline)."""
+
     def __init__(self, data: bytes) -> None:
-        self.data = data
+        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8)).tolist()
         self.pos = 0
-        self.acc = 0
-        self.nbits = 0
 
     def read_bit(self) -> int:
-        if self.nbits == 0:
-            if self.pos >= len(self.data):
-                raise ValueError("entropy stream exhausted")
-            self.acc = self.data[self.pos]
-            self.pos += 1
-            self.nbits = 8
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+        try:
+            b = self.bits[self.pos]
+        except IndexError:
+            raise ValueError("entropy stream exhausted") from None
+        self.pos += 1
+        return b
 
     def read_bits(self, n: int) -> int:
+        end = self.pos + n
+        if end > len(self.bits):
+            raise ValueError("entropy stream exhausted")
         v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        for b in self.bits[self.pos : end]:
+            v = (v << 1) | b
+        self.pos = end
         return v
 
 
 def _read_huff(rd: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    bits, pos, n = rd.bits, rd.pos, len(rd.bits)
     code, ln = 0, 0
+    get = table.get
     while ln < 17:
-        code = (code << 1) | rd.read_bit()
+        if pos >= n:
+            raise ValueError("entropy stream exhausted")
+        code = (code << 1) | bits[pos]
+        pos += 1
         ln += 1
-        sym = table.get((ln, code))
+        sym = get((ln, code))
         if sym is not None:
+            rd.pos = pos
             return sym
     raise ValueError("invalid Huffman code")
 

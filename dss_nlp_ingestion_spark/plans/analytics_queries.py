@@ -1,0 +1,231 @@
+"""Analytics surface: full window-function suite, exact grouped
+statistics (variance/stddev/median without float-order hazards), and
+int8 embedding quantization (the storage-compression step of an
+embedding pipeline).
+
+Determinism notes (registry.py rules): every window has a total
+order (unique key tie-break); variance comes from exact decimal
+Σx/Σx² so only the final division/sqrt are float; the disc-median is
+row_number-based (no interpolation arithmetic — Spark and DuckDB
+disagree on quantile_cont's float expression, so we don't use it);
+quantization codes are integers from an identical IEEE expression
+tree on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dss_nlp_ingestion_spark.catalog import table
+from dss_nlp_ingestion_spark.plans.registry import fround, fround_sql, register
+
+# ---------------------------------------------------------------------------
+# W-suite: lag/lead/ntile/percent_rank/cume_dist/first_value in one pass
+# ---------------------------------------------------------------------------
+
+_WINDOW_SUITE = """
+WITH w AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice,
+         lag(o_totalprice) OVER win AS prev_price,
+         lead(o_totalprice) OVER win AS next_price,
+         ntile(4) OVER win AS quartile,
+         percent_rank() OVER win AS pct_rank,
+         cume_dist() OVER win AS cume,
+         first_value(o_orderkey) OVER win AS first_key,
+         row_number() OVER win AS rn
+  FROM orders
+  WINDOW win AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey)
+)
+SELECT o_orderkey, o_orderpriority, o_totalprice, prev_price, next_price,
+       CAST(quartile AS INT) AS quartile,
+       {pct} AS pct_rank, {cume} AS cume,
+       first_key, CAST(rn AS BIGINT) AS rn
+FROM w WHERE o_orderkey % 5 = 0
+""".format(pct=fround_sql("pct_rank", 6), cume=fround_sql("cume", 6))
+
+
+@register("window_function_suite", _WINDOW_SUITE)
+def window_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking/navigation window family in ONE window spec (one
+    sort, one shuffle on the partition key — Spark reuses the
+    ordering for all eight functions; a per-function window would
+    re-sort). Total order via (o_orderdate, o_orderkey) so every
+    offset function is deterministic."""
+    o = table(spark, sf_dir, "orders")
+    win = Window.partitionBy("o_orderpriority").orderBy("o_orderdate", "o_orderkey")
+    out = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.lag("o_totalprice").over(win).alias("prev_price"),
+        F.lead("o_totalprice").over(win).alias("next_price"),
+        F.ntile(4).over(win).cast("int").alias("quartile"),
+        fround(F.percent_rank().over(win), 6).alias("pct_rank"),
+        fround(F.cume_dist().over(win), 6).alias("cume"),
+        F.first("o_orderkey").over(win).alias("first_key"),
+        F.row_number().over(win).cast("long").alias("rn"),
+    )
+    return out.filter(F.col("o_orderkey") % 5 == 0)
+
+
+# ---------------------------------------------------------------------------
+# Exact grouped statistics: mean/var/stddev from decimal power sums
+# ---------------------------------------------------------------------------
+
+_GROUP_STATS = f"""
+WITH s AS (
+  SELECT c_mktsegment,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(c_acctbal AS DECIMAL(18,2))) AS s1,
+         sum(CAST(c_acctbal AS DECIMAL(18,2)) * CAST(c_acctbal AS DECIMAL(18,2))) AS s2
+  FROM customer GROUP BY c_mktsegment
+), med AS (
+  SELECT c_mktsegment, c_acctbal AS median_bal FROM (
+    SELECT c_mktsegment, c_acctbal,
+           row_number() OVER (PARTITION BY c_mktsegment
+                              ORDER BY c_acctbal, c_custkey) AS rn,
+           count(*) OVER (PARTITION BY c_mktsegment) AS cnt
+    FROM customer
+  ) WHERE rn = (cnt + 1) // 2
+)
+SELECT s.c_mktsegment, s.n,
+       {fround_sql('CAST(s.s1 AS DOUBLE) / s.n', 4)} AS mean_bal,
+       {fround_sql('sqrt((CAST(s.s2 AS DOUBLE) - CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE) / s.n) / (s.n - 1))', 4)} AS stddev_bal,
+       med.median_bal
+FROM s JOIN med ON med.c_mktsegment = s.c_mktsegment
+"""
+
+
+@register("grouped_stats_exact", _GROUP_STATS)
+def grouped_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped mean/stddev/median WITHOUT float-order hazards: the
+    power sums Σx and Σx² aggregate as exact decimals (partial-agg
+    order can't change a bit), variance derives in one fixed float
+    expression, and the median is the DISC definition via
+    row_number (engines disagree on quantile_cont's interpolation
+    arithmetic, so interpolation is off the table). At scale: one
+    shuffle for the sums, one sort for the median — both on the
+    group key."""
+    c = table(spark, sf_dir, "customer")
+    d = F.col("c_acctbal").cast("decimal(18,2)")
+    s = c.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(d).alias("s1"),
+        F.sum(d * d).alias("s2"),
+    )
+    win = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    cw = Window.partitionBy("c_mktsegment")
+    med = (
+        c.select(
+            "c_mktsegment",
+            "c_acctbal",
+            F.row_number().over(win).alias("rn"),
+            F.count("*").over(cw).alias("cnt"),
+        )
+        .filter(F.col("rn") == F.floor((F.col("cnt") + 1) / 2))
+        .select("c_mktsegment", F.col("c_acctbal").alias("median_bal"))
+    )
+    s1d, s2d = F.col("s1").cast("double"), F.col("s2").cast("double")
+    out = s.join(med, "c_mktsegment").select(
+        "c_mktsegment",
+        "n",
+        fround(s1d / F.col("n"), 4).alias("mean_bal"),
+        fround(
+            F.sqrt((s2d - s1d * s1d / F.col("n")) / (F.col("n") - 1)), 4
+        ).alias("stddev_bal"),
+        "median_bal",
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Embedding int8 scalar quantization (storage compression step)
+# ---------------------------------------------------------------------------
+
+_QUANT = f"""
+WITH base AS (
+  SELECT vec_id,
+         CAST(list_min(embedding) AS DOUBLE) AS mn,
+         CAST(list_max(embedding) AS DOUBLE) AS mx,
+         embedding
+  FROM embeddings
+), coded AS (
+  SELECT vec_id, mn, mx,
+         list_transform(embedding, x ->
+           CAST(CASE WHEN mx = mn THEN 0 ELSE
+             least(255, greatest(0, CAST(floor((CAST(x AS DOUBLE) - mn) * 255.0 / (mx - mn) + 0.5) AS BIGINT)))
+           END AS BIGINT)) AS codes,
+         list_transform(embedding, x ->
+           CAST(CASE WHEN mx = mn THEN CAST(0 AS DOUBLE) ELSE
+             (CAST(x AS DOUBLE) - (mn + least(255, greatest(0, CAST(floor((CAST(x AS DOUBLE) - mn) * 255.0 / (mx - mn) + 0.5) AS BIGINT))) * (mx - mn) / 255.0))
+             * (CAST(x AS DOUBLE) - (mn + least(255, greatest(0, CAST(floor((CAST(x AS DOUBLE) - mn) * 255.0 / (mx - mn) + 0.5) AS BIGINT))) * (mx - mn) / 255.0))
+           END AS DECIMAL(30,25))) AS errs
+  FROM base
+)
+SELECT vec_id,
+       {fround_sql('mn', 6)} AS qmin,
+       {fround_sql('mx', 6)} AS qmax,
+       list_aggregate(list_transform(codes, c -> CAST(c AS VARCHAR)), 'string_agg', ',') AS codes,
+       {fround_sql('CAST(list_sum(errs) AS DOUBLE)', 10)} AS recon_err
+FROM coded
+"""
+
+
+@register("embedding_int8_quantization", _QUANT)
+def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization — the 4x storage
+    compression every 100 TB embedding corpus applies before ANN
+    serving: code_i = round255((x_i - min) / (max - min)), plus the
+    reconstruction squared error. All array math is higher-order
+    transforms (JVM codegen, no Python, no explode-shuffle); the
+    code expression is the identical IEEE tree on both engines so
+    the integer codes hash-match exactly, and the error terms ride
+    DECIMAL so the 64-term sum is order-independent."""
+    e = table(spark, sf_dir, "embeddings")
+    mn = F.array_min("embedding").cast("double")
+    mx = F.array_max("embedding").cast("double")
+    base = e.select("vec_id", mn.alias("mn"), mx.alias("mx"), "embedding")
+
+    def code(x):
+        raw = F.floor(
+            (x.cast("double") - F.col("mn")) * 255.0 / (F.col("mx") - F.col("mn"))
+            + 0.5
+        ).cast("long")
+        bounded = F.least(F.lit(255).cast("long"), F.greatest(F.lit(0).cast("long"), raw))
+        return F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("long")).otherwise(
+            bounded
+        )
+
+    def err(x):
+        recon = F.col("mn") + code(x) * (F.col("mx") - F.col("mn")) / 255.0
+        diff = x.cast("double") - recon
+        return F.when(
+            F.col("mx") == F.col("mn"), F.lit(0).cast("double")
+        ).otherwise(diff * diff).cast("decimal(30,25)")
+
+    coded = base.select(
+        "vec_id",
+        "mn",
+        "mx",
+        F.transform("embedding", code).alias("codes"),
+        F.transform("embedding", err).alias("errs"),
+    )
+    return coded.select(
+        "vec_id",
+        fround(F.col("mn"), 6).alias("qmin"),
+        fround(F.col("mx"), 6).alias("qmax"),
+        F.array_join(
+            F.transform("codes", lambda c: c.cast("string")), ","
+        ).alias("codes"),
+        fround(
+            F.aggregate(
+                "errs",
+                F.lit(0).cast("decimal(30,25)"),
+                # decimal + widens to (31,25); cast back so the fold
+                # type-checks — headroom is ample (terms < 4, 64 of them)
+                lambda acc, x: (acc + x).cast("decimal(30,25)"),
+            ).cast("double"),
+            10,
+        ).alias("recon_err"),
+    )

@@ -791,3 +791,148 @@ def rolling_hour_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).over(w).cast("long").alias("trailing_1h_events"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Transaction-log table format (sources/txlog.py) under the hash gate
+# ---------------------------------------------------------------------------
+
+_TXLOG_SNAPSHOT_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+UNION ALL
+SELECT o_orderkey + 10000000, o_custkey, o_totalprice * 2
+FROM orders WHERE o_orderkey % 997 = 0
+"""
+
+
+@register("txlog_snapshot_orders", _TXLOG_SNAPSHOT_ORACLE)
+def txlog_snapshot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACID-lite table format end-to-end: create a tx table from
+    orders (version 0), APPEND a derived delta through the O_EXCL
+    log-commit protocol (version 1), snapshot-read the result. The
+    hash match proves the log fold exposes exactly committed files —
+    the multi-writer/idempotence story the raw-parquet sinks lacked
+    (reference's analog: ES _op_type='create',
+    src/res/models/datamodels.py:32). Doubling the price keeps the
+    delta float-exact (power of two)."""
+    import tempfile
+
+    from dss_nlp_ingestion_spark.sources import txlog
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="dss_txlog_") + "/orders"
+    txlog.create_table(orders, path)
+    delta = orders.filter(F.col("o_orderkey") % 997 == 0).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        "o_custkey",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+    )
+    txlog.append(delta, path)
+    return txlog.read(spark, path)
+
+
+_TXLOG_TRAVEL_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+"""
+
+
+@register("txlog_time_travel_orders", _TXLOG_TRAVEL_ORACLE)
+def txlog_time_travel_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel on the tx table: after an append AND a full
+    rewrite (compaction) on top of it, version 0 still reads the
+    original rows bit-for-bit — removed files stay on disk and
+    reachable through the log, they're just not in newer snapshots."""
+    import os
+    import tempfile
+
+    from dss_nlp_ingestion_spark.sources import txlog
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="dss_txtravel_") + "/orders"
+    txlog.create_table(orders, path)
+    txlog.append(
+        orders.limit(0), path
+    )  # empty append still commits a version
+    base = [
+        os.path.relpath(f, os.path.join(path, "data"))
+        for f in txlog.snapshot_files(path, version=0)
+    ]
+    txlog.rewrite(
+        orders.withColumn("o_totalprice", F.col("o_totalprice") * 4),
+        path,
+        base,
+        expect_version=1,
+        op="compact",
+    )
+    return txlog.read(spark, path, version=0)
+
+
+# ---------------------------------------------------------------------------
+# Sliding (hopping) windows — batch twin + real streaming engine path
+# ---------------------------------------------------------------------------
+
+# Every event lands in duration/slide = 4 overlapping windows whose
+# starts are slot - k*slide (slot = ts floored to the slide grid) —
+# integer ms arithmetic both engines reproduce bit-for-bit.
+_SLIDING_ORACLE = """
+WITH slides AS (
+  SELECT event_type, epoch_ms(ts) AS ms, unnest(generate_series(0, 3)) AS k
+  FROM events
+)
+SELECT ms - ms % 900000 - k * 900000 AS window_start_ms,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM slides GROUP BY 1, 2
+"""
+
+
+@register("sliding_hour_windows", _SLIDING_ORACLE)
+def sliding_hour_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour/15-minute windows as a BATCH expression:
+    explode each event into its 4 overlapping windows (the same
+    window assignment Spark's streaming F.window(duration, slide)
+    computes), then count per (window_start, type). At scale this is
+    a controlled 4x row amplification BEFORE the shuffle — partial
+    aggregation collapses it map-side, so the exchange still carries
+    one row per (window, type) group."""
+    from dss_nlp_ingestion_spark.functions.dates import epoch_ms as _ems
+
+    ev = table(spark, sf_dir, "events")
+    ms = _ems(F.col("ts")).alias("ms")
+    k = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("k")
+    slides = ev.select("event_type", ms, k)
+    ws = (
+        F.col("ms") - F.col("ms") % 900000 - F.col("k") * F.lit(900000)
+    ).alias("window_start_ms")
+    return slides.groupBy(ws, "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+
+
+@register("streaming_sliding_counts", _SLIDING_ORACLE)
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same sliding windows through the REAL Structured Streaming
+    engine (file source -> watermark -> window(duration, slide) agg
+    -> availableNow drain): under availableNow over a static source
+    the drained complete-mode table equals the batch twin, so the
+    batch oracle is a full hash gate on the streaming plan."""
+    from dss_nlp_ingestion_spark.catalog import table as _table
+    from dss_nlp_ingestion_spark.streaming.pipeline import (
+        read_events_stream,
+        run_complete_available_now,
+        sliding_window_counts,
+    )
+
+    events = _table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="dss_stream_slide_src_")
+    events.write.mode("overwrite").parquet(src)
+    stream = read_events_stream(spark, src, schema=events.schema)
+    agg = sliding_window_counts(
+        stream, duration="1 hour", slide="15 minutes", watermark="2 hours"
+    )
+    run_complete_available_now(agg, "dss_streaming_sliding")
+    return spark.table("dss_streaming_sliding")

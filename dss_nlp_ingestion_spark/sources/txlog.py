@@ -1,0 +1,215 @@
+"""Minimal transaction-log table format (ACID-lite over raw parquet).
+
+The reference gets write idempotence from Elasticsearch's
+``_op_type='create'`` (src/res/models/datamodels.py:32) and has no
+multi-writer table story at all. A 100 TB Spark pipeline needs one:
+Delta/Iceberg aren't in this container, so this module implements the
+log-structured core those formats share, pure stdlib + Spark:
+
+- A table is ``<path>/data/*.parquet`` plus an append-only log
+  ``<path>/_txlog/{version:08d}.json``. Each log entry lists data
+  files ADDED and REMOVED by that commit. The table's state at
+  version V is the fold of entries 0..V — data files are immutable
+  and INVISIBLE until a log entry references them.
+- Commit = write data files first, then create the next numbered log
+  entry with ``O_CREAT | O_EXCL`` — the filesystem arbitrates exactly
+  one winner per version (same primitive the advisory-locked COW
+  merge uses, but here losers RETRY against the new snapshot instead
+  of failing: blind appends always merge cleanly).
+- Rewrites (compaction / COW merge) declare the files they replace;
+  if a concurrent commit touched any of them the rewrite raises
+  ``TxConflictError`` (optimistic concurrency, writer must re-read).
+- Readers are never blocked and never see partial writes: a reader
+  folds whatever log prefix exists — a crashed writer leaves only
+  orphan data files (cleaned by ``vacuum``), never a torn table.
+- ``read(..., version=N)`` is time travel; ``history`` lists commits.
+
+Scale note: the log is O(commits) tiny JSON files; state folding is
+driver-side metadata work (like Delta's log replay), while data stays
+distributed parquet — readers hand Spark an explicit file list, so
+partition pruning/pushdown behave exactly as for plain parquet.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class TxConflictError(RuntimeError):
+    """A concurrent commit invalidated this transaction's base
+    snapshot (rewrite/replace of files another commit removed)."""
+
+
+def _log_dir(path: str) -> str:
+    return os.path.join(path, "_txlog")
+
+
+def _entry_path(path: str, version: int) -> str:
+    return os.path.join(_log_dir(path), f"{version:08d}.json")
+
+
+def _versions(path: str) -> list[int]:
+    try:
+        names = os.listdir(_log_dir(path))
+    except FileNotFoundError:
+        return []
+    return sorted(
+        int(n[:-5]) for n in names if n.endswith(".json") and n[:-5].isdigit()
+    )
+
+
+def _read_entry(path: str, version: int) -> dict:
+    with open(_entry_path(path, version)) as fh:
+        return json.load(fh)
+
+
+def snapshot_files(path: str, version: int | None = None) -> list[str]:
+    """Data files visible at ``version`` (latest when None): fold the
+    log's add/remove sets in commit order."""
+    versions = _versions(path)
+    if version is not None:
+        versions = [v for v in versions if v <= version]
+        if not versions or versions[-1] != version:
+            raise ValueError(f"version {version} does not exist at {path}")
+    live: dict[str, None] = {}
+    for v in versions:
+        e = _read_entry(path, v)
+        for f in e.get("add", []):
+            live[f] = None
+        for f in e.get("remove", []):
+            live.pop(f, None)
+    return [os.path.join(path, "data", f) for f in live]
+
+
+def history(path: str) -> list[dict]:
+    """Commit log, oldest first (op, add/remove counts, version)."""
+    out = []
+    for v in _versions(path):
+        e = _read_entry(path, v)
+        out.append(
+            {
+                "version": v,
+                "op": e.get("op", "?"),
+                "n_add": len(e.get("add", [])),
+                "n_remove": len(e.get("remove", [])),
+            }
+        )
+    return out
+
+
+def _write_data_files(df: DataFrame, path: str) -> list[str]:
+    """Stage the DataFrame as parquet under data/<txn>/ — invisible
+    until a log entry references the files."""
+    txn = uuid.uuid4().hex[:12]
+    staged = os.path.join(path, "data", txn)
+    df.write.mode("errorifexists").parquet(staged)
+    return [
+        os.path.join(txn, n)
+        for n in sorted(os.listdir(staged))
+        if n.endswith(".parquet")
+    ]
+
+
+def _try_commit(path: str, version: int, entry: dict) -> bool:
+    """Atomically claim ``version``: O_EXCL create arbitrates one
+    winner; anyone else sees EEXIST and retries on a fresh snapshot."""
+    os.makedirs(_log_dir(path), exist_ok=True)
+    try:
+        fd = os.open(_entry_path(path, version), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        return False
+    with os.fdopen(fd, "w") as fh:
+        json.dump(entry, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    return True
+
+
+def create_table(df: DataFrame, path: str) -> int:
+    """Initialize a tx table at ``path`` with ``df`` as version 0."""
+    if _versions(path):
+        raise FileExistsError(f"tx table already exists at {path}")
+    files = _write_data_files(df, path)
+    if not _try_commit(path, 0, {"op": "create", "add": files, "remove": []}):
+        raise FileExistsError(f"concurrent create at {path}")
+    return 0
+
+
+def append(df: DataFrame, path: str, max_retries: int = 10) -> int:
+    """Append rows. Blind appends commute, so on version contention
+    the commit retries against the new head (no data rewrite needed —
+    the staged files are version-independent)."""
+    files = _write_data_files(df, path)
+    entry = {"op": "append", "add": files, "remove": []}
+    for _ in range(max_retries):
+        head = (_versions(path) or [-1])[-1]
+        if _try_commit(path, head + 1, entry):
+            return head + 1
+    raise TxConflictError(f"append lost {max_retries} commit races at {path}")
+
+
+def rewrite(
+    df: DataFrame,
+    path: str,
+    replace: list[str],
+    expect_version: int,
+    op: str = "rewrite",
+) -> int:
+    """Replace ``replace`` (relative file names from the snapshot the
+    caller read) with ``df`` — the COW-merge/compaction commit. NOT
+    retryable: if any concurrent commit advanced the table past
+    ``expect_version`` AND removed one of the files being replaced,
+    the base snapshot is stale -> TxConflictError (caller re-reads).
+    Concurrent APPENDS don't conflict (disjoint files) — the rewrite
+    commits on top of them."""
+    files = _write_data_files(df, path)
+    entry = {"op": op, "add": files, "remove": list(replace)}
+    while True:
+        head = (_versions(path) or [-1])[-1]
+        if head > expect_version:
+            # someone committed since our snapshot: conflict iff they
+            # removed any file we're replacing
+            still_live = {
+                os.path.relpath(f, os.path.join(path, "data"))
+                for f in snapshot_files(path)
+            }
+            gone = [f for f in replace if f not in still_live]
+            if gone:
+                raise TxConflictError(
+                    f"rewrite base is stale: {gone} removed by a concurrent commit"
+                )
+        if _try_commit(path, head + 1, entry):
+            return head + 1
+
+
+def read(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+    """Snapshot (or time-travel) read: hand Spark the exact file
+    list, so pushdown/pruning work as on plain parquet."""
+    files = snapshot_files(path, version)
+    if not files:
+        raise ValueError(f"empty snapshot at {path} version={version}")
+    return spark.read.parquet(*files)
+
+
+def vacuum(path: str) -> list[str]:
+    """Delete orphan data files no log entry references (crashed
+    writers' staging leftovers). Never touches referenced files, so
+    time travel to every committed version keeps working."""
+    referenced: set[str] = set()
+    for v in _versions(path):
+        e = _read_entry(path, v)
+        referenced.update(e.get("add", []))
+    data_root = os.path.join(path, "data")
+    removed = []
+    for dirpath, _dirs, names in os.walk(data_root):
+        for n in names:
+            full = os.path.join(dirpath, n)
+            rel = os.path.relpath(full, data_root)
+            if n.endswith(".parquet") and rel not in referenced:
+                os.remove(full)
+                removed.append(rel)
+    return removed

@@ -231,3 +231,26 @@ def run_neardup_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def sliding_window_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding (hopping) windows: every event lands in
+    duration/slide overlapping windows (4 here). Output keys on the
+    window-start epoch millis — the exact value the batch twin
+    reproduces with integer slot arithmetic."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), duration, slide), F.col("event_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            epoch_ms(F.col("window.start")).alias("window_start_ms"),
+            "event_type",
+            "n_events",
+        )
+    )

@@ -472,8 +472,14 @@ def test_decode_image_batch_sniffs_real_bmp():
     out = next(decode_image_batch(iter([pdf]), fake=False))
     assert out.loc[0, "format"] == "bmp"
     assert (out.loc[0, "width"], out.loc[0, "height"]) == (8 + 42 % 9, 4 + 42 % 5)
-    # Non-BMP without fake still raises at the documented plug point.
-    bad = pd.DataFrame({"doc_id": [1], "payload": [b"\xff\xd8jpegish"]})
+    # A JPEG-magic payload now routes to the REAL decoder, which
+    # rejects malformed input with ValueError (not the plug point).
+    bad_jpeg = pd.DataFrame({"doc_id": [1], "payload": [b"\xff\xd8jpegish"]})
+    with _pytest.raises(ValueError):
+        next(decode_image_batch(iter([bad_jpeg]), fake=False))
+    # Unknown formats without fake still raise at the documented
+    # plug point (video and the remaining image codecs).
+    bad = pd.DataFrame({"doc_id": [1], "payload": [b"GIF87a......"]})
     with _pytest.raises(NotImplementedError):
         next(decode_image_batch(iter([bad]), fake=False))
 
