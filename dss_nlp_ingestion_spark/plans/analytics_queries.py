@@ -229,3 +229,81 @@ def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
             10,
         ).alias("recon_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog under the oracle gate (operators/sketches.py)
+# ---------------------------------------------------------------------------
+
+def _hll_oracle(key_sql: str, src: str) -> str:
+    """DuckDB twin of operators/sketches.py:hll_estimate — the same
+    sha256 nibble arithmetic, register fold, exact-decimal harmonic
+    sum and correction constants, generated from one place so the
+    two engines can't drift."""
+    m, p_hex, rho_nibbles = 256, 2, 6
+    alpha_m2 = 0.7213 / (1.0 + 1.079 / m) * m * m
+    nv = lambda i: f"(strpos('0123456789abcdef', substr(hx, {i}, 1)) - 1)"
+    # first nonzero nibble of the rho window (positions p_hex+1 ..)
+    first_nz = "0"
+    for i in range(rho_nibbles, 0, -1):
+        first_nz = f"CASE WHEN {nv(p_hex + i)} > 0 THEN {i} ELSE {first_nz} END"
+    nib_at = f"(strpos('0123456789abcdef', substr(hx, {p_hex} + first_nz, 1)) - 1)"
+    in_lz = (
+        f"CASE WHEN {nib_at} >= 8 THEN 0 WHEN {nib_at} >= 4 THEN 1 "
+        f"WHEN {nib_at} >= 2 THEN 2 ELSE 3 END"
+    )
+    bucket = " + ".join(
+        f"{nv(i + 1)} * {16 ** (p_hex - 1 - i)}" for i in range(p_hex)
+    )
+    return f"""
+WITH h AS (
+  SELECT sha256(CAST({key_sql} AS VARCHAR)) AS hx FROM {src}
+), fz AS (
+  SELECT hx, {bucket} AS bucket, ({first_nz}) AS first_nz FROM h
+), br AS (
+  SELECT bucket,
+         CASE WHEN first_nz = 0 THEN {4 * rho_nibbles + 1}
+              ELSE (first_nz - 1) * 4 + {in_lz} + 1 END AS rho
+  FROM fz
+), regs AS (
+  SELECT bucket, max(rho) AS m_reg FROM br GROUP BY bucket
+), agg AS (
+  SELECT sum(CAST(1.0 / (CAST(1 AS BIGINT) << m_reg) AS DECIMAL(38,28))) AS s,
+         CAST(count(*) AS BIGINT) AS present,
+         CAST(sum(CASE WHEN m_reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zp
+  FROM regs
+), est AS (
+  SELECT {alpha_m2!r} / (CAST(s AS DOUBLE) + ({m} - present)) AS raw,
+         ({m} - present + zp) AS n_zero
+  FROM agg
+)
+SELECT {fround_sql(f'CASE WHEN raw <= {2.5 * m!r} AND n_zero > 0 THEN {float(m)!r} * ln({float(m)!r} / n_zero) ELSE raw END', 4)} AS hll_estimate,
+       CAST(n_zero AS BIGINT) AS n_zero_registers,
+       (SELECT CAST(count(DISTINCT {key_sql}) AS BIGINT) FROM {src}) AS exact_distinct
+FROM est
+"""
+
+
+@register("hll_distinct_custkeys", _hll_oracle("o_custkey", "orders"))
+def hll_distinct_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed cardinality sketch UNDER THE HASH GATE: the
+    built-in approx_count_distinct can never cross-check against
+    DuckDB (different sketches), so this HLL derives its registers
+    from sha256 nibbles both engines compute identically
+    (operators/sketches.py). One shuffle of <= 256 rows regardless
+    of input size — at 100 TB that's the difference between a sketch
+    and the exact count's O(distinct) exchange. The exact distinct
+    rides along to show the estimate lands (~2% typical error at
+    m=256)."""
+    from dss_nlp_ingestion_spark.operators.sketches import hll_estimate
+
+    o = table(spark, sf_dir, "orders")
+    est = hll_estimate(o, F.col("o_custkey"))
+    exact = o.agg(
+        F.count_distinct(F.col("o_custkey")).cast("long").alias("exact_distinct")
+    )
+    return est.crossJoin(exact).select(
+        fround(F.col("hll_raw"), 4).alias("hll_estimate"),
+        "n_zero_registers",
+        "exact_distinct",
+    )

@@ -822,3 +822,28 @@ def test_decode_image_batch_sniffs_real_jpeg():
     row = out.iloc[0]
     assert row["format"] == "jpeg"
     assert (row["width"], row["height"], row["channels"]) == (32, 16, 1)
+
+
+def test_hll_sketch_error_bounds(spark):
+    """HLL over n distinct keys: estimate within the ~3/sqrt(m)
+    envelope (m=256 -> ~6%; allow 10% for small-n noise), registers
+    bounded by m regardless of input size, and duplicate rows don't
+    move the estimate (cardinality, not count)."""
+    from dss_nlp_ingestion_spark.operators.sketches import hll_estimate
+    from pyspark.sql import functions as F
+
+    n = 20000
+    df = spark.range(n).select(F.col("id").alias("k"))
+    est = hll_estimate(df, F.col("k")).first()
+    assert abs(est["hll_raw"] - n) / n < 0.10
+
+    # duplicates: union the same keys 3x -> same registers
+    dup = df.union(df).union(df)
+    est_dup = hll_estimate(dup, F.col("k")).first()
+    assert est_dup["hll_raw"] == est["hll_raw"]
+
+    # low range: linear counting kicks in and is near-exact
+    small = spark.range(50).select(F.col("id").alias("k"))
+    est_small = hll_estimate(small, F.col("k")).first()
+    assert abs(est_small["hll_raw"] - 50) / 50 < 0.08
+    assert est_small["n_zero_registers"] > 0
