@@ -109,3 +109,51 @@ def hll_estimate(
         corrected.alias("hll_raw"),
         n_zero.alias("n_zero_registers"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (heavy-hitter frequency estimation)
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def cms_cell(key: Column, row: Column) -> Column:
+    """Column index of ``key`` in sketch row ``row``: first 2 nibbles
+    of sha256(row || ':' || key) — an independent hash per row, pure
+    integer arithmetic, identical in ANSI SQL."""
+    h = F.sha2(F.concat(row.cast("string"), F.lit(":"), key.cast("string")), 256)
+    return (
+        (_nibble_val(F.substring(h, 1, 1)) * 16 + _nibble_val(F.substring(h, 2, 1)))
+        % CMS_WIDTH
+    )
+
+
+def cms_build(df: DataFrame, key: Column) -> DataFrame:
+    """Build the sketch: (row, col, n) counters. The shuffle carries
+    at most DEPTH*WIDTH = 1024 rows no matter how many TB stream in
+    (map-side partial aggregation collapses everything first) — the
+    count-min contract. All-integer, so the sketch is bit-exact
+    cross-engine, unlike a sampled frequency table."""
+    rows = df.select(
+        key.alias("k"),
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("r"),
+    )
+    cells = rows.select("r", cms_cell(F.col("k"), F.col("r")).alias("c"))
+    return cells.groupBy("r", "c").agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+def cms_point_query(sketch: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
+    """Estimate each key's frequency: min over the DEPTH counters the
+    key hashes to. Overestimates only (collisions add, never
+    subtract) — the classic CMS guarantee, asserted in tests. The
+    sketch side is bounded (<= 1024 rows) so the join broadcasts."""
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("r"),
+    ).select(key_col, "r", cms_cell(F.col(key_col), F.col("r")).alias("c"))
+    joined = probes.join(F.broadcast(sketch), ["r", "c"], "left").fillna(
+        {"n": 0}
+    )
+    return joined.groupBy(key_col).agg(F.min("n").cast("long").alias("cms_estimate"))

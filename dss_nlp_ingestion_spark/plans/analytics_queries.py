@@ -307,3 +307,123 @@ def hll_distinct_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_zero_registers",
         "exact_distinct",
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch under the oracle gate (all-integer -> bit-exact)
+# ---------------------------------------------------------------------------
+
+def _cms_oracle() -> str:
+    cell = lambda r, k: (
+        f"((strpos('0123456789abcdef', substr(sha256(CAST({r} AS VARCHAR) || ':' || CAST({k} AS VARCHAR)), 1, 1)) - 1) * 16"
+        f" + (strpos('0123456789abcdef', substr(sha256(CAST({r} AS VARCHAR) || ':' || CAST({k} AS VARCHAR)), 2, 1)) - 1)) % 256"
+    )
+    return f"""
+WITH items AS (
+  SELECT user_id AS k, unnest(generate_series(0, 3)) AS r FROM events
+), cells AS (
+  SELECT r, {cell('r', 'k')} AS c FROM items
+), sketch AS (
+  SELECT r, c, CAST(count(*) AS BIGINT) AS n FROM cells GROUP BY r, c
+), keys AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id < 20
+), probes AS (
+  SELECT user_id, g.r, {cell('g.r', 'user_id')} AS c
+  FROM keys, (SELECT unnest(generate_series(0, 3)) AS r) g
+), est AS (
+  SELECT user_id, min(coalesce(n, 0)) AS cms_estimate
+  FROM probes LEFT JOIN sketch USING (r, c) GROUP BY user_id
+), exact AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n
+  FROM events WHERE user_id < 20 GROUP BY user_id
+)
+SELECT est.user_id, CAST(est.cms_estimate AS BIGINT) AS cms_estimate, exact.exact_n
+FROM est JOIN exact USING (user_id)
+"""
+
+
+@register("cms_user_frequencies", _cms_oracle())
+def cms_user_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (operators/sketches.py): frequency estimates
+    for the probed user keys from a DEPTH x WIDTH = 4x256 counter
+    table. The build shuffle carries <= 1024 rows at ANY input size
+    (map-side partials do the heavy counting), the probe join
+    broadcasts the sketch, and everything is integer arithmetic off
+    sha256 — bit-exact cross-engine, estimates >= exact by
+    construction (collisions only add). The exact counts ride along
+    to expose the overestimate."""
+    from dss_nlp_ingestion_spark.operators.sketches import (
+        cms_build,
+        cms_point_query,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    sketch = cms_build(ev, F.col("user_id"))
+    keys = ev.filter(F.col("user_id") < 20).select("user_id").distinct()
+    est = cms_point_query(sketch, keys, "user_id")
+    exact = (
+        ev.filter(F.col("user_id") < 20)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+    )
+    return est.join(exact, "user_id")
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS + pivot (SQL-surface breadth beyond ROLLUP/CUBE/UNPIVOT)
+# ---------------------------------------------------------------------------
+
+# Identical SQL text runs on spark.sql and DuckDB (the sql_surface
+# pattern): the oracle string IS the Spark query.
+_GROUPING_SETS = """
+SELECT c_mktsegment, n_name,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(grouping(c_mktsegment) AS INT) AS g_seg,
+       CAST(grouping(n_name) AS INT) AS g_nat
+FROM customer JOIN nation ON n_nationkey = c_nationkey
+GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
+"""
+
+
+@register("grouping_sets_customers", _GROUPING_SETS)
+def grouping_sets_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS (the general form ROLLUP/CUBE sugar over):
+    three aggregation grains in ONE scan + ONE expand+shuffle
+    (Catalyst's Expand emits a row per grouping set before the
+    partial agg — cheaper than 3 scans at any scale), with
+    grouping() flags disambiguating real NULLs from subtotal rows.
+    Same SQL text on both engines."""
+    from dss_nlp_ingestion_spark.catalog import load_all
+
+    load_all(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS)
+
+
+_PIVOT_ORACLE = """
+SELECT n_name,
+       CAST(count(*) FILTER (WHERE c_mktsegment = 'AUTOMOBILE') AS BIGINT) AS automobile,
+       CAST(count(*) FILTER (WHERE c_mktsegment = 'BUILDING') AS BIGINT) AS building,
+       CAST(count(*) FILTER (WHERE c_mktsegment = 'FURNITURE') AS BIGINT) AS furniture,
+       CAST(count(*) FILTER (WHERE c_mktsegment = 'HOUSEHOLD') AS BIGINT) AS household,
+       CAST(count(*) FILTER (WHERE c_mktsegment = 'MACHINERY') AS BIGINT) AS machinery
+FROM customer JOIN nation ON n_nationkey = c_nationkey
+GROUP BY n_name
+"""
+
+
+@register("pivot_segment_counts", _PIVOT_ORACLE)
+def pivot_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame pivot with an EXPLICIT value list — the at-scale
+    discipline: without it Spark runs a blocking distinct scan to
+    discover pivot columns before planning. With the list, the pivot
+    lowers to the same one-pass conditional aggregation the oracle
+    spells as FILTER clauses."""
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    c = table(spark, sf_dir, "customer")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    j = c.join(n, c.c_nationkey == n.n_nationkey)
+    out = j.groupBy("n_name").pivot("c_mktsegment", segs).count()
+    cols = [F.col("n_name")] + [
+        F.coalesce(F.col(s), F.lit(0)).cast("long").alias(s.lower()) for s in segs
+    ]
+    return out.select(*cols)

@@ -936,3 +936,36 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_complete_available_now(agg, "dss_streaming_sliding")
     return spark.table("dss_streaming_sliding")
+
+
+_STREAM_TXLOG_ORACLE = """
+SELECT event_id, user_id, event_type FROM events
+"""
+
+
+@register("streaming_txlog_sink", _STREAM_TXLOG_ORACLE)
+def streaming_txlog_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming drained into the TRANSACTION-LOG table
+    (file source -> foreachBatch -> txlog create/append commits ->
+    snapshot read): the hash match proves every micro-batch's rows
+    landed exactly once through the atomic commit protocol — the
+    streaming twin of txlog_snapshot_orders, and the upgraded form
+    of the reference's create-if-absent ES sink."""
+    from dss_nlp_ingestion_spark.catalog import table as _table
+    from dss_nlp_ingestion_spark.sources import txlog
+    from dss_nlp_ingestion_spark.streaming.pipeline import (
+        read_events_stream,
+        stream_to_txlog_table,
+    )
+
+    events = _table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    base = tempfile.mkdtemp(prefix="dss_stream_txlog_")
+    src = base + "/src"
+    events.write.mode("overwrite").parquet(src)
+    stream = read_events_stream(spark, src, schema=events.schema).select(
+        "event_id", "user_id", "event_type"
+    )
+    stream_to_txlog_table(stream, base + "/table", base + "/ckpt")
+    return txlog.read(spark, base + "/table")

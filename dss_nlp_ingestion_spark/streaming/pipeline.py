@@ -254,3 +254,33 @@ def sliding_window_counts(
             "n_events",
         )
     )
+
+
+def stream_to_txlog_table(
+    stream: DataFrame, path: str, checkpoint: str, query_name: str = "tx_sink"
+) -> None:
+    """foreachBatch sink committing every micro-batch through the
+    transaction log (sources/txlog.py): batch 0 creates the table,
+    later batches append via the O_EXCL commit protocol. Exactly-once
+    lands for free: a replayed micro-batch re-runs append, but the
+    checkpoint pins batch boundaries and the log makes each commit
+    atomic — a crash between data staging and log commit leaves only
+    orphan files (vacuumed), never partial rows. This is the
+    reference's create-if-absent ES sink (datamodels.py:32) upgraded
+    to a table format with time travel."""
+    from dss_nlp_ingestion_spark.sources import txlog
+
+    def _commit(batch_df: DataFrame, _batch_id: int) -> None:
+        try:
+            txlog.create_table(batch_df, path)
+        except FileExistsError:
+            txlog.append(batch_df, path)
+
+    q = (
+        stream.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -847,3 +847,32 @@ def test_hll_sketch_error_bounds(spark):
     est_small = hll_estimate(small, F.col("k")).first()
     assert abs(est_small["hll_raw"] - 50) / 50 < 0.08
     assert est_small["n_zero_registers"] > 0
+
+
+def test_cms_overestimates_never_under(spark):
+    """Count-min guarantee: estimate >= true count for every key
+    (collisions only add), exact for keys that dodge collisions, and
+    the sketch is bounded by DEPTH*WIDTH cells."""
+    from dss_nlp_ingestion_spark.operators.sketches import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        cms_build,
+        cms_point_query,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(k,) for k in range(30) for _ in range(k + 1)]  # key k appears k+1x
+    df = spark.createDataFrame(rows, "k long")
+    sketch = cms_build(df, F.col("k"))
+    assert sketch.count() <= CMS_DEPTH * CMS_WIDTH
+    keys = df.select("k").distinct()
+    est = {
+        r["k"]: r["cms_estimate"]
+        for r in cms_point_query(sketch, keys, "k").collect()
+    }
+    for k in range(30):
+        assert est[k] >= k + 1, f"undercount for {k}"
+    # an absent key still gets a (possibly zero) overestimate, never an error
+    ghost = spark.createDataFrame([(999999,)], "k long")
+    g = cms_point_query(sketch, ghost, "k").first()["cms_estimate"]
+    assert g >= 0
