@@ -969,3 +969,37 @@ def streaming_txlog_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stream_to_txlog_table(stream, base + "/table", base + "/ckpt")
     return txlog.read(spark, base + "/table")
+
+
+_ZONEMAP_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE o_custkey BETWEEN 100 AND 200
+"""
+
+
+@register("zonemap_pruned_orders", _ZONEMAP_ORACLE)
+def zonemap_pruned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File skipping via an explicit zone map: orders written
+    Z-ordered (so file min/max ranges are tight on both clustered
+    columns), a file-level min/max stats table built once, then a
+    selective read that opens ONLY overlapping files
+    (sources/layout.py:zonemap_pruned_read). Hash match vs the full
+    filtered table proves pruning loses nothing; the
+    fewer-files-opened effect itself is asserted in
+    tests/test_layout.py. At 100 TB this is the driver-side coarse
+    prune in front of parquet's own row-group stats."""
+    import tempfile
+
+    from dss_nlp_ingestion_spark.sources.layout import (
+        build_zonemap,
+        zonemap_pruned_read,
+        zorder_write,
+    )
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="dss_zonemap_") + "/orders"
+    zorder_write(orders, path, ["o_custkey", "o_totalprice"], n_files=8)
+    zm = build_zonemap(spark, path, ["o_custkey"])
+    return zonemap_pruned_read(spark, path, zm, "o_custkey", 100, 200)

@@ -817,3 +817,56 @@ def article_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", extract_article(page).alias("article")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE training step under the oracle gate (operators/bpe.py)
+# ---------------------------------------------------------------------------
+
+_BPE_PAIRS_ORACLE = """
+WITH words AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+  FROM documents
+), vocab AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS n
+  FROM words WHERE word <> '' GROUP BY word
+), pos AS (
+  SELECT word, n, unnest(generate_series(1, length(word) - 1)) AS i
+  FROM vocab WHERE length(word) > 1
+), inner_pairs AS (
+  SELECT substr(word, i, 1) AS a, substr(word, i + 1, 1) AS b, n FROM pos
+), eow_pairs AS (
+  SELECT substr(word, length(word), 1) AS a, '</w>' AS b, n FROM vocab
+), all_pairs AS (
+  SELECT * FROM inner_pairs UNION ALL SELECT * FROM eow_pairs
+)
+SELECT a, b, CAST(sum(n) AS BIGINT) AS total
+FROM all_pairs GROUP BY a, b
+ORDER BY total DESC, a, b
+LIMIT 20
+"""
+
+
+@register("bpe_top_pairs", _BPE_PAIRS_ORACLE)
+def bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE training step (operators/bpe.py) under the hash
+    gate: frequency-weighted adjacent-pair counts over the corpus
+    vocabulary (chars + end-of-word marker), top-20 with the
+    training argmax's exact tie-break. The iterative trainer's later
+    steps reuse this same counting plan per merge
+    (hand-derivation-pinned in tests/test_operators_unit.py); pair
+    counting is the only full-vocabulary work per step, and the
+    vocabulary — not the corpus — is what each iteration touches."""
+    from dss_nlp_ingestion_spark.operators.bpe import (
+        pair_counts,
+        symbolize,
+        word_counts,
+    )
+
+    vocab = word_counts(table(spark, sf_dir, "documents"))
+    counts = pair_counts(symbolize(vocab, []))
+    return (
+        counts.orderBy(F.col("total").desc(), F.col("a"), F.col("b"))
+        .limit(20)
+        .select("a", "b", F.col("total").cast("long").alias("total"))
+    )

@@ -86,3 +86,46 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def build_zonemap(
+    spark: "SparkSession", path: str, stat_cols: Sequence[str]
+) -> DataFrame:
+    """File-level zone map: one row per parquet file with min/max of
+    ``stat_cols`` — the skipping index parquet keeps per row group,
+    lifted to file granularity so the DRIVER can prune the file list
+    before Spark even plans the scan (parquet row-group pruning then
+    still applies inside each surviving file). One scan builds it;
+    amortized over every subsequent selective query. The zone map is
+    O(files) rows — catalog-sized, fine to collect."""
+    df = spark.read.parquet(path).withColumn("_file", F.input_file_name())
+    aggs = []
+    for c in stat_cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    return df.groupBy("_file").agg(*aggs)
+
+
+def zonemap_pruned_read(
+    spark: "SparkSession",
+    path: str,
+    zonemap: DataFrame,
+    col: str,
+    lo,
+    hi,
+) -> DataFrame:
+    """Read only the files whose [min, max] range overlaps [lo, hi],
+    then apply the exact predicate. Equivalent to the full scan +
+    filter by construction (a file outside the range can't hold a
+    matching row); the win is that non-overlapping files are never
+    opened. Returns the filtered DataFrame; the pruned file count is
+    observable via ``zonemap`` for tests/monitoring."""
+    keep = [
+        r["_file"]
+        for r in zonemap.filter(
+            (F.col(f"max_{col}") >= F.lit(lo)) & (F.col(f"min_{col}") <= F.lit(hi))
+        ).collect()
+    ]
+    if not keep:
+        return spark.read.parquet(path).filter(F.lit(False))
+    return spark.read.parquet(*keep).filter(F.col(col).between(lo, hi))

@@ -83,3 +83,36 @@ def test_morton_interleave_known_values(spark):
         .alias("z")
     ).collect()[0].z
     assert out == 27
+
+
+def test_zonemap_prunes_files_and_loses_nothing(spark, tmp_path):
+    """Z-ordered layout + zone map: a selective range read opens a
+    strict subset of files, and returns exactly the full-scan-filter
+    rows."""
+    from pyspark.sql import functions as F
+
+    from dss_nlp_ingestion_spark.sources.layout import (
+        build_zonemap,
+        zonemap_pruned_read,
+        zorder_write,
+    )
+
+    df = spark.range(10000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    path = str(tmp_path / "zm")
+    zorder_write(df, path, ["k", "v"], n_files=8)
+    zm = build_zonemap(spark, path, ["k"])
+    assert zm.count() == 8
+
+    lo, hi = 2000, 2999
+    overlapping = zm.filter(
+        (F.col("max_k") >= lo) & (F.col("min_k") <= hi)
+    ).count()
+    assert 0 < overlapping < 8  # pruning actually happened
+
+    got = sorted(r["k"] for r in zonemap_pruned_read(spark, path, zm, "k", lo, hi).collect())
+    assert got == list(range(lo, hi + 1))
+
+    # empty overlap -> empty result, no files opened
+    assert zonemap_pruned_read(spark, path, zm, "k", 10**9, 2 * 10**9).count() == 0

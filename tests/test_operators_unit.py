@@ -876,3 +876,28 @@ def test_cms_overestimates_never_under(spark):
     ghost = spark.createDataFrame([(999999,)], "k long")
     g = cms_point_query(sketch, ghost, "k").first()["cms_estimate"]
     assert g >= 0
+
+
+def test_bpe_training_matches_hand_derivation(spark):
+    """Sennrich's classic corpus, merges hand-derived: pair counts
+    with EOW markers, (count desc, pair asc) tie-breaks. Pins both
+    the distributed counting and the deterministic argmax."""
+    from dss_nlp_ingestion_spark.operators.bpe import EOW, tokenize, train_bpe
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    merges = train_bpe(df, n_merges=5)
+    assert merges == [
+        ("e", "s"),
+        ("es", "t"),
+        ("est", EOW),
+        ("l", "o"),
+        ("lo", "w"),
+    ]
+
+    toks = tokenize(df, merges).orderBy("pos").collect()
+    by_word = {}
+    for r in toks:
+        by_word.setdefault(tuple(r["toks"]), 0)
+    assert ("lo" + "w", EOW) in by_word  # 'low' -> ['low', '</w>']
+    assert ("n", "e", "w", "est" + EOW) in by_word  # 'newest' fully merged tail
