@@ -427,3 +427,202 @@ def pivot_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col(s), F.lit(0)).cast("long").alias(s.lower()) for s in segs
     ]
     return out.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# Data-quality constraint suite (Deequ-style checks as one pass)
+# ---------------------------------------------------------------------------
+
+_DQ_ORACLE = f"""
+WITH o AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(o_custkey) AS BIGINT) AS nn_cust,
+         CAST(count(DISTINCT o_orderkey) AS BIGINT) AS uniq_key,
+         CAST(count(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT) AS bad_price,
+         CAST(count(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P')) AS BIGINT) AS bad_status
+  FROM orders
+), ri AS (
+  SELECT CAST(count(*) AS BIGINT) AS orphans
+  FROM orders LEFT JOIN customer ON c_custkey = o_custkey
+  WHERE c_custkey IS NULL
+)
+SELECT c.constraint, c.metric, c.passed FROM (
+  SELECT 'completeness(o_custkey)' AS constraint,
+         {fround_sql('CAST(nn_cust AS DOUBLE) / n', 6)} AS metric,
+         nn_cust = n AS passed FROM o
+  UNION ALL
+  SELECT 'uniqueness(o_orderkey)',
+         {fround_sql('CAST(uniq_key AS DOUBLE) / n', 6)},
+         uniq_key = n FROM o
+  UNION ALL
+  SELECT 'range(o_totalprice > 0)',
+         {fround_sql('1.0 - CAST(bad_price AS DOUBLE) / n', 6)},
+         bad_price = 0 FROM o
+  UNION ALL
+  SELECT 'accepted_values(o_orderstatus)',
+         {fround_sql('1.0 - CAST(bad_status AS DOUBLE) / n', 6)},
+         bad_status = 0 FROM o
+  UNION ALL
+  SELECT 'referential(o_custkey -> customer)',
+         {fround_sql('1.0 - CAST(ri.orphans AS DOUBLE) / o.n', 6)},
+         ri.orphans = 0 FROM o, ri
+) c
+"""
+
+
+@register("data_quality_report", _DQ_ORACLE)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style constraint verification as ONE pass per table:
+    completeness, key uniqueness, range, accepted values, and
+    referential integrity (anti-join orphan count) — the pre-training
+    data-contract gate a 100 TB pipeline runs before anything else.
+    All metrics are single-agg counts (map-side partials; the RI
+    check is the only join), emitted as (constraint, metric, passed)
+    rows."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    agg = o.agg(
+        F.count("*").cast("long").alias("n"),
+        F.count("o_custkey").cast("long").alias("nn_cust"),
+        F.count_distinct("o_orderkey").cast("long").alias("uniq_key"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("bad_price"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("bad_status"),
+    )
+    orphans = (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count("*").cast("long").alias("orphans"))
+    )
+    base = agg.crossJoin(orphans)
+    n = F.col("n").cast("double")
+
+    def row(name, metric, passed):
+        return base.select(
+            F.lit(name).alias("constraint"),
+            fround(metric, 6).alias("metric"),
+            passed.alias("passed"),
+        )
+
+    return (
+        row(
+            "completeness(o_custkey)",
+            F.col("nn_cust") / n,
+            F.col("nn_cust") == F.col("n"),
+        )
+        .unionAll(
+            row(
+                "uniqueness(o_orderkey)",
+                F.col("uniq_key") / n,
+                F.col("uniq_key") == F.col("n"),
+            )
+        )
+        .unionAll(
+            row(
+                "range(o_totalprice > 0)",
+                F.lit(1.0) - F.col("bad_price") / n,
+                F.col("bad_price") == 0,
+            )
+        )
+        .unionAll(
+            row(
+                "accepted_values(o_orderstatus)",
+                F.lit(1.0) - F.col("bad_status") / n,
+                F.col("bad_status") == 0,
+            )
+        )
+        .unionAll(
+            row(
+                "referential(o_custkey -> customer)",
+                F.lit(1.0) - F.col("orphans") / n,
+                F.col("orphans") == 0,
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantiles (fixed equi-width binning — the no-sort path)
+# ---------------------------------------------------------------------------
+
+_HIST_Q_ORACLE = f"""
+WITH stats AS (
+  SELECT CAST(min(o_totalprice) AS DOUBLE) AS mn,
+         CAST(max(o_totalprice) AS DOUBLE) AS mx,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders
+), binned AS (
+  SELECT least(19, CAST(floor((o_totalprice - mn) * 20.0 / (mx - mn)) AS BIGINT)) AS bin
+  FROM orders, stats
+), counts AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS c FROM binned GROUP BY bin
+), cum AS (
+  SELECT bin, sum(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum_n FROM counts
+), qs AS (
+  SELECT CAST(q AS DOUBLE) AS q FROM (VALUES (0.5), (0.9), (0.99)) t(q)
+), hit AS (
+  SELECT q, min(bin) AS bin
+  FROM qs JOIN cum ON cum_n >= CAST(ceil(q * (SELECT n FROM stats)) AS BIGINT)
+  GROUP BY q
+)
+SELECT hit.q, CAST(hit.bin AS BIGINT) AS bin,
+       {fround_sql('stats.mn + hit.bin * (stats.mx - stats.mn) / 20.0', 4)} AS bin_lo,
+       {fround_sql('stats.mn + (hit.bin + 1) * (stats.mx - stats.mn) / 20.0', 4)} AS bin_hi
+FROM hit, stats
+"""
+
+
+@register("histogram_quantiles", _HIST_Q_ORACLE)
+def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles WITHOUT a global sort: one pass builds a 20-bin
+    equi-width histogram (shuffle carries 20 rows), the quantile is
+    the first bin whose cumulative count crosses ceil(q*n). At 100 TB
+    an exact percentile means a full sort or a fat t-digest; the
+    fixed-bin histogram trades resolution (one bin width) for a plan
+    that's two tiny aggregates — and unlike percentile_approx, every
+    intermediate here is deterministic, so it hash-matches
+    cross-engine."""
+    o = table(spark, sf_dir, "orders")
+    stats = o.agg(
+        F.min("o_totalprice").cast("double").alias("mn"),
+        F.max("o_totalprice").cast("double").alias("mx"),
+        F.count("*").cast("long").alias("n"),
+    )
+    binned = o.crossJoin(F.broadcast(stats)).select(
+        F.least(
+            F.lit(19).cast("long"),
+            F.floor(
+                (F.col("o_totalprice") - F.col("mn"))
+                * 20.0
+                / (F.col("mx") - F.col("mn"))
+            ).cast("long"),
+        ).alias("bin")
+    )
+    counts = binned.groupBy("bin").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cum = counts.select(
+        "bin",
+        F.sum("c")
+        .over(Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_n"),
+    )
+    qs = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "q double")
+    hit = (
+        qs.crossJoin(F.broadcast(stats))
+        .join(
+            cum,
+            F.col("cum_n") >= F.ceil(F.col("q") * F.col("n")).cast("long"),
+        )
+        .groupBy("q")
+        .agg(F.min("bin").cast("long").alias("bin"))
+    )
+    width = (F.col("mx") - F.col("mn")) / 20.0
+    return hit.crossJoin(F.broadcast(stats)).select(
+        "q",
+        "bin",
+        fround(F.col("mn") + F.col("bin") * width, 4).alias("bin_lo"),
+        fround(F.col("mn") + (F.col("bin") + 1) * width, 4).alias("bin_hi"),
+    )

@@ -869,3 +869,46 @@ def dup_canonical_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .select("cluster_id", F.col("doc_id").alias("canonical_id"), "n_chars")
     )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance near-dup (blocked candidate pairs + exact Levenshtein)
+# ---------------------------------------------------------------------------
+
+_EDIT_DIST_ORACLE = """
+WITH blocked AS (
+  SELECT doc_id, text, substr(text, 1, 12) AS blk FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.text, b.text) <= 20
+"""
+
+
+@register("edit_distance_dups", _EDIT_DIST_ORACLE)
+def edit_distance_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup detection: prefix blocking bounds the
+    candidate set (one shuffle on the block key — the O(n^2) all-
+    pairs never materializes), then EXACT Levenshtein inside each
+    block. Both engines implement classic Levenshtein as pure
+    integer DP, so unlike similarity scores this near-dup measure
+    hash-matches exactly. Complements the MinHash/SimHash family
+    with a character-level metric (catches small edits long-shingle
+    methods can miss)."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.substring("text", 1, 12).alias("blk")
+    )
+    a = docs.alias("a")
+    b = docs.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    dist = F.levenshtein(F.col("a.text"), F.col("b.text"))
+    return pairs.filter(dist <= 20).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        dist.cast("long").alias("dist"),
+    )
