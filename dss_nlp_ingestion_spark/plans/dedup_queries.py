@@ -912,3 +912,67 @@ def edit_distance_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.doc_id").alias("id_b"),
         dist.cast("long").alias("dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle support on the near-dup graph (truss primitive)
+# ---------------------------------------------------------------------------
+
+_TRIANGLE_ORACLE = f"""
+WITH edges AS ({_LSH_ORACLE}),
+und AS (
+  SELECT id_a AS u, id_b AS v FROM edges
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM edges
+), wedge AS (
+  SELECT e.id_a, e.id_b, x.v AS c
+  FROM edges e JOIN und x ON x.u = e.id_a
+  JOIN und y ON y.u = e.id_b AND y.v = x.v
+  WHERE x.v <> e.id_a AND x.v <> e.id_b
+)
+SELECT e.id_a, e.id_b,
+       CAST(coalesce(w.support, 0) AS BIGINT) AS support
+FROM edges e
+LEFT JOIN (
+  SELECT id_a, id_b, count(*) AS support FROM wedge GROUP BY id_a, id_b
+) w ON w.id_a = e.id_a AND w.id_b = e.id_b
+"""
+
+
+@register("triangle_edge_support", _TRIANGLE_ORACLE)
+def triangle_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle support per edge of the MinHash-LSH near-dup graph —
+    the k-truss primitive (an edge inside a real duplicate CLUSTER
+    has many common neighbors; a chance LSH collision has none), the
+    standard quality signal before trusting transitive dup clusters.
+    Plan: edges -> symmetrized adjacency -> two joins counting common
+    neighbors, grouped per edge; at scale the joins shuffle on node
+    id, and the degree-ordered orientation (id_a < id_b from the LSH
+    pair builder) keeps wedge counts off the hub nodes."""
+    docs = table(spark, sf_dir, "documents")
+    edges = lsh_candidate_pairs(
+        docs, "doc_id", "text", num_perm=_NUM_PERM, band_rows=_BAND_ROWS, k=3
+    ).select("id_a", "id_b")
+    und = edges.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    ).unionAll(edges.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+    e = edges.alias("e")
+    x = und.alias("x")
+    y = und.alias("y")
+    wedge = (
+        e.join(x, F.col("x.u") == F.col("e.id_a"))
+        .join(
+            y,
+            (F.col("y.u") == F.col("e.id_b")) & (F.col("y.v") == F.col("x.v")),
+        )
+        .filter(
+            (F.col("x.v") != F.col("e.id_a")) & (F.col("x.v") != F.col("e.id_b"))
+        )
+        .groupBy(F.col("e.id_a").alias("id_a"), F.col("e.id_b").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    return edges.join(wedge, ["id_a", "id_b"], "left").select(
+        "id_a",
+        "id_b",
+        F.coalesce(F.col("support"), F.lit(0)).cast("long").alias("support"),
+    )

@@ -213,3 +213,12 @@ def vacuum(path: str) -> list[str]:
                 os.remove(full)
                 removed.append(rel)
     return removed
+
+
+def added_files_between(path: str, v_from: int, v_to: int) -> list[str]:
+    """Data files added by commits in (v_from, v_to] and still live at
+    v_to — the delta an incremental refresh scans instead of the whole
+    table (incremental view maintenance over the log)."""
+    before = set(snapshot_files(path, v_from))
+    after = snapshot_files(path, v_to)
+    return [f for f in after if f not in before]
