@@ -3,13 +3,15 @@
 Images/audio/video are opaque ``binary`` columns with typed metadata
 structs. The Spark-side machinery — schemas, Arrow batch shapes,
 ``mapInPandas`` stage wiring, partition sizing — is real and tested,
-and two REAL codecs ship with no external dependency: uncompressed
-24-bit BMP (pure numpy) and 8-bit truecolor PNG (stdlib zlib DEFLATE
-+ full scanline unfiltering). JPEG/audio/video codec work stays
-behind ``decode_image_batch``'s plug point (pillow/ffmpeg are not in
-this container): pass ``fake=True`` for a deterministic metadata
-synthesizer, ``fake=False`` raises ``NotImplementedError`` at the
-exact point such a decoder lands.
+and every modality ships a REAL codec with no external dependency:
+uncompressed 24-bit BMP (pure numpy), 8-bit truecolor PNG (stdlib
+zlib DEFLATE + full scanline unfiltering), baseline JPEG
+(``operators/jpeg.py`` — Huffman entropy coding + DCT), RIFF/PCM WAV,
+and MJPEG AVI video (``operators/video.py``). Formats beyond those
+(e.g. H.264, GIF) hit ``decode_image_batch``'s plug point: pass
+``fake=True`` for a deterministic metadata synthesizer, ``fake=False``
+raises ``NotImplementedError`` at the exact point such a decoder
+lands.
 
 At 100 TB the pattern matters more than the codec: binaries ride a
 parquet BINARY column, each ``mapInPandas`` batch is bounded by
@@ -714,3 +716,101 @@ def decode_media_stats(df: DataFrame, codec: str = "bmp") -> DataFrame:
     ids = ensure_parallelism(df.select("doc_id"))
     blobs = ids.mapInPandas(synth, schema=BINARY_DOC_SCHEMA)
     return blobs.mapInPandas(bmp_pixel_stats_batch, schema=PIXEL_STATS_SCHEMA)
+
+
+# --- real video pipeline: synthesize MJPEG AVIs, decode, frame stats ------
+
+VIDEO_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("fps", IntegerType()),
+        StructField("px_sum", LongType()),
+    ]
+)
+
+
+def synth_video_frames(doc_id: int):
+    """Deterministic video content: n_frames = 2 + id%3 grayscale
+    frames, dims (8*(2+id%3), 8*(1+id%4)); every pixel of 8x8 block
+    (bx, by) in frame f is (5*id + 17*bx + 29*by + 31*f) mod 256 —
+    blockwise-constant per frame, so the MJPEG path (flat quant) is
+    exact and a SQL oracle reproduces the per-frame pixel sums."""
+    import numpy as np
+
+    wb, hb = 2 + doc_id % 3, 1 + doc_id % 4
+    n_frames = 2 + doc_id % 3
+    bx = 17 * np.arange(wb, dtype=np.int64)[None, :]
+    by = 29 * np.arange(hb, dtype=np.int64)[:, None]
+    out = []
+    for f in range(n_frames):
+        k = ((5 * doc_id + bx + by + 31 * f) % 256).astype(np.uint8)
+        out.append(np.kron(k, np.ones((8, 8), dtype=np.uint8)))
+    return out
+
+
+def synth_avi_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage: (doc_id) -> (doc_id, payload) where payload
+    is a REAL playable MJPEG AVI (RIFF hdrl/strl/movi structure,
+    baseline-JPEG frames) of the deterministic content."""
+    from dss_nlp_ingestion_spark.operators.video import encode_avi_mjpeg
+
+    for pdf in batches:
+        ids = pdf["doc_id"].astype("int64")
+        yield pd.DataFrame(
+            {
+                "doc_id": ids,
+                "payload": [
+                    encode_avi_mjpeg(
+                        synth_video_frames(int(i)), fps=5 + int(i) % 5
+                    )
+                    for i in ids
+                ],
+            }
+        )
+
+
+def video_frame_stats_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage: (doc_id, payload) -> one row PER FRAME with
+    pixel stats via the REAL container walk + per-frame JPEG decode
+    (operators/video.py) — the video twin of the image/audio
+    proofs."""
+    import numpy as np
+
+    from dss_nlp_ingestion_spark.operators.video import decode_avi_mjpeg
+
+    for pdf in batches:
+        rows = {k: [] for k in ("doc_id", "frame_idx", "width", "height", "fps", "px_sum")}
+        for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, fps, frames = decode_avi_mjpeg(bytes(p))
+            for fi, px in enumerate(frames):
+                rows["doc_id"].append(int(doc_id))
+                rows["frame_idx"].append(fi)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["fps"].append(fps)
+                rows["px_sum"].append(int(px.astype(np.int64).sum()))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "frame_idx": pd.Series(rows["frame_idx"], dtype="int32"),
+                "width": pd.Series(rows["width"], dtype="int32"),
+                "height": pd.Series(rows["height"], dtype="int32"),
+                "fps": pd.Series(rows["fps"], dtype="int32"),
+                "px_sum": pd.Series(rows["px_sum"], dtype="int64"),
+            }
+        )
+
+
+def decode_video_stats(df: DataFrame) -> DataFrame:
+    """Encode-then-decode pipeline over real MJPEG AVI bytes (two
+    bounded Arrow stages, same shape as the image/audio pipelines)."""
+    from dss_nlp_ingestion_spark.catalog import ensure_parallelism
+
+    ids = ensure_parallelism(df.select("doc_id"))
+    avis = ids.mapInPandas(synth_avi_batch, schema=BINARY_DOC_SCHEMA)
+    return avis.mapInPandas(video_frame_stats_batch, schema=VIDEO_STATS_SCHEMA)

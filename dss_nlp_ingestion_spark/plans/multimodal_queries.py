@@ -292,3 +292,46 @@ def media_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dss_nlp_ingestion_spark.operators.multimodal import decode_audio_stats
 
     return decode_audio_stats(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+
+# Real VIDEO decode: per doc an MJPEG AVI of blockwise-constant
+# frames; the oracle recomputes each frame's pixel sums from the
+# closed form, so a hash match proves the container walk AND the
+# per-frame JPEG entropy decode both read actual pixel data.
+_DECODE_VIDEO_ORACLE = """
+WITH ids AS (
+  SELECT doc_id, 2 + doc_id % 3 AS wb, 1 + doc_id % 4 AS hb,
+         2 + doc_id % 3 AS nf, 5 + doc_id % 5 AS fps
+  FROM documents
+), fr AS (
+  SELECT doc_id, wb, hb, fps, unnest(generate_series(0, nf - 1)) AS f FROM ids
+), blocks AS (
+  SELECT doc_id, wb, hb, fps, f, unnest(generate_series(0, wb * hb - 1)) AS bi
+  FROM fr
+)
+SELECT doc_id,
+       CAST(f AS INT) AS frame_idx,
+       CAST(wb * 8 AS INT) AS width,
+       CAST(hb * 8 AS INT) AS height,
+       CAST(fps AS INT) AS fps,
+       CAST(sum(64 * ((5 * doc_id + 17 * (bi % wb) + 29 * (bi // wb) + 31 * f) % 256))
+            AS BIGINT) AS px_sum
+FROM blocks GROUP BY doc_id, f, wb, hb, fps
+"""
+
+
+@register("media_decode_video", _DECODE_VIDEO_ORACLE)
+def media_decode_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode in the Arrow stage: each document gets a
+    playable MJPEG AVI (RIFF hdrl/strl/movi container, one baseline
+    JPEG per frame), which operators/video.py walks and decodes
+    frame-by-frame — fourcc validation, word-aligned chunk walk,
+    full JPEG entropy decode per frame. Blockwise-constant frames +
+    flat quantization keep the lossy codec exact, so per-frame pixel
+    sums hash-match the closed form: the video modality's decoder is
+    real, completing BMP/PNG/JPEG/WAV."""
+    from dss_nlp_ingestion_spark.operators.multimodal import decode_video_stats
+
+    return decode_video_stats(table(spark, sf_dir, "documents"))
