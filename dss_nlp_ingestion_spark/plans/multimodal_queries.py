@@ -335,3 +335,43 @@ def media_decode_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dss_nlp_ingestion_spark.operators.multimodal import decode_video_stats
 
     return decode_video_stats(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+
+# Audio framing: the synth samples are (7*id + 13*i) % 65536 - 32768,
+# so each 64-sample frame's energy sum is a closed form — bit-exact
+# integer check of decode + framing (the first stage of any spectral
+# pipeline; the FFT stage itself is pytest-verified, float DSP being
+# outside the cross-engine hash gate by nature).
+_AUDIO_FRAMES_ORACLE = """
+WITH ids AS (
+  SELECT doc_id, 256 + doc_id % 97 AS n FROM documents
+), s AS (
+  SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM ids
+), samples AS (
+  SELECT doc_id, i // 64 AS frame_idx,
+         (7 * doc_id + 13 * i) % 65536 - 32768 AS v
+  FROM s
+)
+SELECT doc_id,
+       CAST(frame_idx AS INT) AS frame_idx,
+       CAST(count(*) AS INT) AS n,
+       CAST(sum(v * v) AS BIGINT) AS energy
+FROM samples GROUP BY doc_id, frame_idx
+"""
+
+
+@register("audio_frame_energy", _AUDIO_FRAMES_ORACLE)
+def audio_frame_energy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio analysis under the hash gate: real WAV decode -> 64-
+    sample framing -> exact integer energy per frame (sum of squared
+    int16 samples). Framing is the front half of every spectral
+    pipeline; the rFFT feature stage (spectral centroid, peak bin —
+    operators/multimodal.py:wav_spectral_batch) runs on the same
+    frames and is pytest-verified against closed-form sinusoids
+    (float FFT summation order is engine-local, so it stays outside
+    the oracle by design, not omission)."""
+    from dss_nlp_ingestion_spark.operators.multimodal import audio_frame_energy
+
+    return audio_frame_energy(table(spark, sf_dir, "documents"))

@@ -952,3 +952,29 @@ def test_video_frame_stats_stage(spark):
         assert r["px_sum"] == int(frames[r["frame_idx"]].astype(np.int64).sum())
     assert {r["doc_id"] for r in rows} == {3, 4}
     assert len(rows) == len(synth_video_frames(3)) + len(synth_video_frames(4))
+
+
+def test_wav_spectral_features_detect_tone(spark):
+    """Real DSP: a pure sine at a known frequency through encode ->
+    RIFF decode -> rFFT lands its peak at the right bin and pulls
+    the spectral centroid toward the tone."""
+    import numpy as np
+    import pandas as pd
+
+    from dss_nlp_ingestion_spark.operators.multimodal import (
+        encode_wav,
+        wav_spectral_batch,
+    )
+
+    rate, n, tone_hz = 8000, 1024, 1000
+    t = np.arange(n) / rate
+    sine = (20000 * np.sin(2 * np.pi * tone_hz * t)).astype(np.int16)
+    wav = encode_wav(sine, rate)
+    out = next(
+        wav_spectral_batch(
+            iter([pd.DataFrame({"doc_id": [1], "payload": [wav]})])
+        )
+    ).iloc[0]
+    bin_hz = rate / n
+    assert abs(out["peak_bin"] * bin_hz - tone_hz) < 2 * bin_hz
+    assert abs(out["centroid_hz"] - tone_hz) < 200  # leakage spreads a little
