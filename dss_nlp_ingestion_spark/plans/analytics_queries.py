@@ -626,3 +626,153 @@ def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.col("mn") + F.col("bin") * width, 4).alias("bin_lo"),
         fround(F.col("mn") + (F.col("bin") + 1) * width, 4).alias("bin_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap fill / resample (hourly, zero-fill + forward fill)
+# ---------------------------------------------------------------------------
+
+_RESAMPLE_ORACLE = """
+WITH ev AS (
+  SELECT user_id, epoch_ms(ts) - epoch_ms(ts) % 3600000 AS hr_ms,
+         event_type, epoch_ms(ts) AS ms, event_id
+  FROM events WHERE user_id < 50
+), agg AS (
+  SELECT user_id, hr_ms, CAST(count(*) AS BIGINT) AS n_events
+  FROM ev GROUP BY user_id, hr_ms
+), last_in_hour AS (
+  SELECT user_id, hr_ms, event_type AS last_type FROM (
+    SELECT user_id, hr_ms, event_type,
+           row_number() OVER (PARTITION BY user_id, hr_ms
+                              ORDER BY ms DESC, event_id DESC) AS rn
+    FROM ev
+  ) WHERE rn = 1
+), bounds AS (
+  SELECT user_id, min(hr_ms) AS lo, max(hr_ms) AS hi FROM agg GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, 3600000)) AS hr_ms FROM bounds
+)
+SELECT g.user_id, g.hr_ms,
+       CAST(coalesce(a.n_events, 0) AS BIGINT) AS n_events,
+       last_value(l.last_type IGNORE NULLS)
+         OVER (PARTITION BY g.user_id ORDER BY g.hr_ms
+               ROWS UNBOUNDED PRECEDING) AS last_type
+FROM grid g
+LEFT JOIN agg a ON a.user_id = g.user_id AND a.hr_ms = g.hr_ms
+LEFT JOIN last_in_hour l ON l.user_id = g.user_id AND l.hr_ms = g.hr_ms
+"""
+
+
+@register("resample_fill_gaps", _RESAMPLE_ORACLE)
+def resample_fill_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: per-user hourly resample over the
+    user's own [first, last] hour — empty hours zero-filled, the
+    last-seen event type forward-filled across them. The dense grid
+    comes from sequence+explode per user (bounded by that user's
+    span, never a global calendar cross join), the carry-forward is
+    last(ignorenulls) over an ordered window — one sort per user
+    partition. The standard prep step before windowed feature
+    extraction on irregular event data."""
+    from dss_nlp_ingestion_spark.functions.dates import epoch_ms as _ems
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 50)
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            _ems(F.col("ts")).alias("ms"),
+        )
+        .withColumn("hr_ms", F.col("ms") - F.col("ms") % 3600000)
+    )
+    agg = ev.groupBy("user_id", "hr_ms").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    rn_win = Window.partitionBy("user_id", "hr_ms").orderBy(
+        F.col("ms").desc(), F.col("event_id").desc()
+    )
+    last_in_hour = (
+        ev.withColumn("rn", F.row_number().over(rn_win))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "hr_ms", F.col("event_type").alias("last_type"))
+    )
+    grid = (
+        agg.groupBy("user_id")
+        .agg(F.min("hr_ms").alias("lo"), F.max("hr_ms").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.lit(3600000))
+            ).alias("hr_ms"),
+        )
+    )
+    fill_win = (
+        Window.partitionBy("user_id")
+        .orderBy("hr_ms")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(agg, ["user_id", "hr_ms"], "left")
+        .join(last_in_hour, ["user_id", "hr_ms"], "left")
+        .select(
+            "user_id",
+            "hr_ms",
+            F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+            F.last("last_type", ignorenulls=True).over(fill_win).alias("last_type"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANALYZE-style table stats (CBO inputs: per-column profile in one job)
+# ---------------------------------------------------------------------------
+
+_ANALYZE_COLS = ["o_custkey", "o_orderstatus", "o_orderpriority"]
+
+
+def _analyze_oracle() -> str:
+    parts = []
+    for c in _ANALYZE_COLS:
+        hll = _hll_oracle(c, "orders").strip().rstrip()
+        parts.append(
+            f"SELECT '{c}' AS column_name, CAST((SELECT count(*) FROM orders) AS BIGINT) AS n,\n"
+            f"       CAST((SELECT count(*) - count({c}) FROM orders) AS BIGINT) AS n_nulls,\n"
+            f"       h.hll_estimate AS ndv_estimate, h.exact_distinct AS ndv_exact\n"
+            f"FROM ({hll}) h"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@register("analyze_table_stats", _analyze_oracle())
+def analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE: the per-column profile a cost-based optimizer
+    feeds on — row count, null count, and distinct-count both exact
+    and via the deterministic HLL sketch (what you'd actually run at
+    100 TB: the sketch's register fold shuffles <= 256 rows per
+    column where the exact NDV shuffles every distinct value). One
+    row per profiled column."""
+    from dss_nlp_ingestion_spark.operators.sketches import hll_estimate
+
+    o = table(spark, sf_dir, "orders")
+    outs = []
+    for c in _ANALYZE_COLS:
+        est = hll_estimate(o, F.col(c))
+        counts = o.agg(
+            F.count("*").cast("long").alias("n"),
+            (F.count("*") - F.count(c)).cast("long").alias("n_nulls"),
+            F.count_distinct(F.col(c)).cast("long").alias("ndv_exact"),
+        )
+        outs.append(
+            est.crossJoin(counts).select(
+                F.lit(c).alias("column_name"),
+                "n",
+                "n_nulls",
+                fround(F.col("hll_raw"), 4).alias("ndv_estimate"),
+                "ndv_exact",
+            )
+        )
+    out = outs[0]
+    for df in outs[1:]:
+        out = out.unionAll(df)
+    return out

@@ -357,3 +357,22 @@ def lm_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dss_nlp_ingestion_spark.operators.lm import bigram_logprob_scores
 
     return bigram_logprob_scores(table(spark, sf_dir, "documents"))
+
+
+@register("sql_udf_sentiment", _model_oracle())
+def sql_udf_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The model slot through the SQL FRONT DOOR: the quantized
+    sentiment pandas UDF registered as a SQL function
+    (spark.udf.register) and invoked from query TEXT over catalog
+    views — how a SQL-only consumer calls the learned model. Same
+    oracle as sentiment_model_scores: registration must not change a
+    single scored bit."""
+    from dss_nlp_ingestion_spark.catalog import load_all
+
+    load_all(spark, sf_dir)
+    model = N.load_sentiment_artifact(N.DEFAULT_SENTIMENT_ARTIFACT)
+    spark.udf.register("sentiment_q", N.quantized_sentiment_udf(model))
+    return spark.sql(
+        "SELECT doc_id, sentiment_q(text) AS model_score "
+        "FROM documents WHERE trim(text) <> ''"
+    )
