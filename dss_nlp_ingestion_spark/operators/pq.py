@@ -1,0 +1,135 @@
+"""Product quantization (PQ) — the ANN-serving compression step.
+
+After int8 scalar quantization (plans/analytics_queries.py), PQ is
+the other standard embedding compressor: split each d-dim vector
+into ``m`` subvectors, learn a small k-means codebook per subspace,
+store each vector as ``m`` one-byte codes (Jégou et al., 2011).
+At 100 TB this is what makes billion-vector ANN serveable: 64 floats
+become 8 bytes, and distance evaluation against a query becomes m
+table lookups.
+
+Division of labor mirrors production systems (and this repo's IVF /
+sentiment-model pattern): codebooks are MODEL PARAMETERS — trained
+driver-side with deterministic numpy k-means on a bounded sample,
+shipped as a committed ``.npz`` artifact — while ASSIGNMENT is pure
+distributed column math: per subspace, the squared distance to each
+of the k centroids is a fixed left-associated IEEE expression tree,
+argmin with a first-match tie-break. Identical SQL reproduces every
+bit, so the encoder sits under the driver's hash gate.
+
+Training determinism: init = first k sample rows, Lloyd iterations
+with lowest-index tie-break, empty clusters keep their centroid —
+no RNG anywhere, so the committed artifact is exactly reproducible
+(pinned by a retrain-equality test).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: committed default artifact (trained on the deterministic synthetic
+#: sample below; provenance pinned by tests).
+DEFAULT_PQ_ARTIFACT = __file__.replace("pq.py", "pq_codebook_v1.npz")
+
+
+def synth_training_sample(n: int = 256, dim: int = 64) -> np.ndarray:
+    """Deterministic training sample (no dependence on the test
+    corpus, so the committed codebook never goes stale): row i,
+    component j = sin(0.7*i + 1.3*j) + 0.01*((i*37 + j*17) % 100)."""
+    i = np.arange(n, dtype=np.float64)[:, None]
+    j = np.arange(dim, dtype=np.float64)[None, :]
+    return np.sin(0.7 * i + 1.3 * j) + 0.01 * ((i * 37 + j * 17) % 100)
+
+
+def train_pq_codebooks(
+    sample: np.ndarray, m: int = 8, k: int = 16, iters: int = 8
+) -> dict:
+    """Deterministic Lloyd k-means per subspace. Returns
+    {"codebooks": (m, k, d/m) float64, "m": m, "k": k}."""
+    n, dim = sample.shape
+    sub = dim // m
+    books = np.zeros((m, k, sub))
+    for s in range(m):
+        x = sample[:, s * sub : (s + 1) * sub]
+        cent = x[:k].copy()  # deterministic init: first k rows
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)  # numpy argmin = first min (ties)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = x[mask].mean(axis=0)
+        books[s] = cent
+    return {"codebooks": books, "m": m, "k": k}
+
+
+def save_pq_artifact(model: dict, path: str) -> None:
+    np.savez(
+        path,
+        codebooks=model["codebooks"],
+        m=np.int64(model["m"]),
+        k=np.int64(model["k"]),
+    )
+
+
+def load_pq_artifact(path: str) -> dict:
+    with np.load(path) as z:
+        return {
+            "codebooks": z["codebooks"].astype(np.float64),
+            "m": int(z["m"]),
+            "k": int(z["k"]),
+        }
+
+
+def _sub_distance(emb: Column, s: int, sub: int, centroid) -> Column:
+    """Squared distance of subvector s to one centroid — a LEFT-
+    ASSOCIATED sum of per-component squares (Python sum() folds left,
+    matching SQL's '+' chain), doubles throughout."""
+    terms = []
+    for j in range(sub):
+        x = F.element_at(emb, s * sub + j + 1).cast("double")
+        c = F.lit(float(centroid[j]))
+        terms.append((x - c) * (x - c))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def pq_code_columns(model: dict, emb_col: str = "embedding", dim: int = 64):
+    """(codes_str, total_err) columns: per subspace the argmin
+    centroid index (first-match tie-break via array_position of the
+    array minimum) and the summed minimum distances."""
+    books = model["codebooks"]
+    m, k = model["m"], model["k"]
+    sub = dim // m
+    emb = F.col(emb_col)
+    code_cols = []
+    err_cols = []
+    for s in range(m):
+        dists = F.array(
+            *[_sub_distance(emb, s, sub, books[s][c]) for c in range(k)]
+        )
+        mind = F.array_min(dists)
+        code = (F.array_position(dists, mind) - 1).cast("long")
+        code_cols.append(code.cast("string"))
+        err_cols.append(mind)
+    total = err_cols[0]
+    for e in err_cols[1:]:
+        total = total + e
+    return F.concat_ws(",", *code_cols), total
+
+
+def pq_sub_distance_sql(
+    emb_sql: str, s: int, sub: int, centroid
+) -> str:
+    """DuckDB twin of :func:`_sub_distance` — same left-associated
+    expression tree, same literal centroids."""
+    terms = [
+        f"(CAST({emb_sql}[{s * sub + j + 1}] AS DOUBLE) - {float(centroid[j])!r})"
+        f" * (CAST({emb_sql}[{s * sub + j + 1}] AS DOUBLE) - {float(centroid[j])!r})"
+        for j in range(sub)
+    ]
+    return "(" + " + ".join(terms) + ")"

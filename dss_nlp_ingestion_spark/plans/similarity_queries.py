@@ -253,3 +253,67 @@ def ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", fround(F.col("score"), 6).alias("score"), "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization encode (operators/pq.py) under the hash gate
+# ---------------------------------------------------------------------------
+
+def _pq_oracle() -> str:
+    """DuckDB twin generated from the committed codebook artifact:
+    same left-associated distance expressions, list_position
+    first-match argmin, same literal centroids."""
+    from dss_nlp_ingestion_spark.operators.pq import (
+        DEFAULT_PQ_ARTIFACT,
+        load_pq_artifact,
+        pq_sub_distance_sql,
+    )
+
+    model = load_pq_artifact(DEFAULT_PQ_ARTIFACT)
+    books, m, k = model["codebooks"], model["m"], model["k"]
+    sub = 64 // m
+    code_exprs, err_exprs = [], []
+    for s in range(m):
+        dlist = ", ".join(
+            pq_sub_distance_sql("embedding", s, sub, books[s][c])
+            for c in range(k)
+        )
+        code_exprs.append(
+            f"CAST(list_position([{dlist}], list_min([{dlist}])) - 1 AS VARCHAR)"
+        )
+        err_exprs.append(f"list_min([{dlist}])")
+    codes = " || ',' || ".join(code_exprs)
+    total = " + ".join(err_exprs)
+    return f"""
+SELECT vec_id,
+       {codes} AS pq_codes,
+       {fround_sql(total, 8)} AS pq_err
+FROM embeddings
+"""
+
+
+@register("pq_encode_embeddings", _pq_oracle())
+def pq_encode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jégou et al.) — the compressor that
+    makes billion-vector ANN serveable (64 floats -> 8 codebook
+    bytes): codebooks are committed model parameters (deterministic
+    numpy Lloyd on a synthetic sample, operators/pq.py — the
+    train-driver-side / assign-distributed split production PQ
+    uses), assignment is pure codegen column math (fixed-order IEEE
+    distance expressions, first-match argmin), so the encoder
+    hash-matches the SQL twin bit-for-bit. pq_err rides along as the
+    summed per-subspace quantization error."""
+    from dss_nlp_ingestion_spark.operators.pq import (
+        DEFAULT_PQ_ARTIFACT,
+        load_pq_artifact,
+        pq_code_columns,
+    )
+
+    model = load_pq_artifact(DEFAULT_PQ_ARTIFACT)
+    codes, err = pq_code_columns(model)
+    e = table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        codes.alias("pq_codes"),
+        fround(err, 8).alias("pq_err"),
+    )

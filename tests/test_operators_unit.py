@@ -978,3 +978,36 @@ def test_wav_spectral_features_detect_tone(spark):
     bin_hz = rate / n
     assert abs(out["peak_bin"] * bin_hz - tone_hz) < 2 * bin_hz
     assert abs(out["centroid_hz"] - tone_hz) < 200  # leakage spreads a little
+
+
+def test_pq_artifact_provenance_and_assignment():
+    """The committed PQ codebook is exactly what deterministic
+    retraining produces, and numpy-side assignment agrees with the
+    argmin the Spark/SQL expressions implement (first-min
+    tie-break)."""
+    import numpy as np
+
+    from dss_nlp_ingestion_spark.operators.pq import (
+        DEFAULT_PQ_ARTIFACT,
+        load_pq_artifact,
+        synth_training_sample,
+        train_pq_codebooks,
+    )
+
+    shipped = load_pq_artifact(DEFAULT_PQ_ARTIFACT)
+    retrained = train_pq_codebooks(synth_training_sample())
+    assert shipped["m"] == retrained["m"] and shipped["k"] == retrained["k"]
+    assert np.array_equal(shipped["codebooks"], retrained["codebooks"])
+
+    # assignment sanity on the training sample: multiple codes in
+    # use per subspace (non-degenerate codebook), and the chosen
+    # centroid is never farther than centroid 0.
+    x = synth_training_sample()
+    books = shipped["codebooks"]
+    sub = x.shape[1] // shipped["m"]
+    for s in range(shipped["m"]):
+        xs = x[:, s * sub : (s + 1) * sub]
+        d2 = ((xs[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        assert len(set(assign.tolist())) > 4
+        assert (d2[np.arange(len(xs)), assign] <= d2[:, 0] + 1e-12).all()
