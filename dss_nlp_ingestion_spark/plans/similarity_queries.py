@@ -317,3 +317,43 @@ def pq_encode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes.alias("pq_codes"),
         fround(err, 8).alias("pq_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN quality evaluation: recall@k of IVF against brute force
+# ---------------------------------------------------------------------------
+
+_RECALL_ORACLE = f"""
+WITH bf AS ({_TOPK_ORACLE}),
+approx AS ({_IVF_ORACLE})
+SELECT bf.query_id,
+       CAST(count(approx.neighbor_id) AS BIGINT) AS n_hit,
+       {fround_sql('CAST(count(approx.neighbor_id) AS DOUBLE) / 5.0', 4)} AS recall_at_5
+FROM bf LEFT JOIN approx
+  ON approx.query_id = bf.query_id AND approx.neighbor_id = bf.neighbor_id
+GROUP BY bf.query_id
+"""
+
+
+@register("ann_recall_eval", _RECALL_ORACLE)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality measured IN the engine: recall@5 of the IVF
+    2-probe search against the exact brute-force baseline, per
+    query — the evaluation loop every production ANN deployment
+    runs before trusting an index (and the number that decides
+    n_probe/centroid-count tuning). Composes the two registered
+    pipelines; the oracle composes their SQL twins, so the metric
+    itself is hash-checked."""
+    bf = cosine_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    ap = ivf_topk_query(spark, sf_dir).select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
+    )
+    joined = bf.join(
+        ap,
+        (F.col("aq") == F.col("query_id")) & (F.col("an") == F.col("neighbor_id")),
+        "left",
+    )
+    return joined.groupBy("query_id").agg(
+        F.count("an").cast("long").alias("n_hit"),
+        fround(F.count("an").cast("double") / F.lit(5.0), 4).alias("recall_at_5"),
+    )
