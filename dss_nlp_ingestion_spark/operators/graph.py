@@ -220,3 +220,81 @@ def connected_components_pj(
             f"— raise max_iter (each round doubles covered diameter)"
         )
     return labels
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    iterations: int = 3,
+    damping: float = 0.85,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Fixed-iteration weighted PageRank as a chain of join+aggregate
+    supersteps — (node, rank) with ranks in INTEGER mass units of
+    ``1/scale`` so the result is bit-identical across engines.
+
+    Why integer mass: float PageRank sums incoming contributions, and
+    float addition is order-dependent — partial-agg order would make
+    the low bits engine- and partitioning-dependent. Here every
+    contribution is ``floor(rank * w / wout)`` (one IEEE division +
+    floor, identical everywhere), summed EXACTLY as BIGINT; the
+    damping step is again a single deterministic expression. The
+    floor drops at most 1 mass unit (1e-9) per edge per step —
+    irrelevant to ranking, decisive for reproducibility. Requires
+    ``rank * w < 2**53`` (holds for graphs up to ~millions of nodes
+    at the default scale; lower ``scale`` for bigger graphs).
+
+    Scale design: each iteration is one shuffle on src (contribution
+    join) + one on dst (the sum) over an edge list persisted WITH its
+    out-weight — the same superstep shape as connected_components,
+    no graph library. ``iterations`` is a fixed unroll (lineage
+    depth ~3 joins per step), appropriate for the handful of steps
+    ranking needs; dangling-node mass is dropped (standard
+    simplification), so ranks are comparative, not a distribution.
+    """
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
+    )
+    # Both frames are referenced every superstep; without persist the
+    # upstream edge lineage (often an expensive multi-join) re-executes
+    # 2x per iteration. They stay cached for the lazy result's
+    # lifetime — node+edge sized, the working set of the algorithm.
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    out = e.groupBy("src").agg(F.sum("w").alias("wout"))
+    ew = e.join(out, "src").persist()
+    base = int((1.0 - damping) * scale)
+    ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
+    for _ in range(iterations):
+        contrib = ew.join(ranks, ew.src == ranks.node).select(
+            "dst",
+            F.floor(F.col("rank") * F.col("w") / F.col("wout"))
+            .cast("long")
+            .alias("c"),
+        )
+        insum = contrib.groupBy("dst").agg(F.sum("c").alias("insum"))
+        ranks = (
+            nodes.join(insum, nodes.node == insum.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.floor(F.lit(damping) * F.coalesce("insum", F.lit(0)))
+                )
+                .cast("long")
+                .alias("rank"),
+            )
+            # Materialize each superstep (node-table-sized) so the
+            # final plan is ONE superstep deep, not iterations-deep —
+            # unbounded lineage is what kills iterative DataFrame
+            # algorithms long before data size does.
+            .localCheckpoint()
+        )
+    return ranks

@@ -776,3 +776,85 @@ def analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in outs[1:]:
         out = out.unionAll(df)
     return out
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the nation trade graph (iterative graph ranking)
+# ---------------------------------------------------------------------------
+
+def _pr_iter_sql(prev: str, i: str, cur: str) -> str:
+    """One integer-PageRank superstep as SQL (DOUBLE-cast damping so
+    DuckDB's decimal literal arithmetic can't diverge from Spark's
+    IEEE product — see operators/graph.py:pagerank)."""
+    return f"""
+{i} AS (
+  SELECT e.dst, sum(CAST(floor(r.rank * e.w / e.wout) AS BIGINT)) AS insum
+  FROM ew e JOIN {prev} r ON e.src = r.node GROUP BY e.dst
+),
+{cur} AS (
+  SELECT n.node,
+         CAST(150000000 + floor(CAST(0.85 AS DOUBLE) * coalesce(i.insum, 0))
+              AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN {i} i ON n.node = i.dst
+)"""
+
+
+_PAGERANK_ORACLE = f"""
+WITH edges AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+         CAST(count(*) AS BIGINT) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+),
+nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+  UNION
+  SELECT DISTINCT dst FROM edges
+),
+outw AS (SELECT src, sum(w) AS wout FROM edges GROUP BY src),
+ew AS (SELECT e.src, e.dst, e.w, o.wout FROM edges e JOIN outw o ON e.src = o.src),
+r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM nodes),
+{_pr_iter_sql("r0", "i1", "r1")},
+{_pr_iter_sql("r1", "i2", "r2")},
+{_pr_iter_sql("r2", "i3", "r3")}
+SELECT nn.n_name, r.rank
+FROM r3 r JOIN nation nn ON r.node = nn.n_nationkey
+ORDER BY rank DESC, n_name
+"""
+
+
+@register("pagerank_nation_trade", _PAGERANK_ORACLE)
+def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (3 unrolled supersteps) over the customer-
+    nation -> supplier-nation trade graph: which nations absorb the
+    most order flow, transitively. Exercises the iterative join+agg
+    graph pattern (operators/graph.py:pagerank) with an EXACT oracle:
+    integer mass units make each superstep bit-identical, so a full
+    fixed-point algorithm is hash-checkable cross-engine — the same
+    trick that would verify rank computations feeding a crawl-
+    frontier or dedup-authority pipeline at 100 TB."""
+    from dss_nlp_ingestion_spark.operators.graph import pagerank
+
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    ranks = pagerank(edges, "src", "dst", weight_col="w", iterations=3)
+    n = table(spark, sf_dir, "nation")
+    return (
+        ranks.join(F.broadcast(n), ranks.node == n.n_nationkey)
+        .select("n_name", "rank")
+        .orderBy(F.col("rank").desc(), F.col("n_name"))
+    )

@@ -976,3 +976,62 @@ def triangle_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_b",
         F.coalesce(F.col("support"), F.lit(0)).cast("long").alias("support"),
     )
+
+
+_SUBSTR_K = 5  # span length in tokens (short synthetic docs; see operator doc)
+
+_SUBSTRING_DUP_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest([{{'pos': i,
+                  'h': sha256(array_to_string(t[i:i+{_SUBSTR_K - 1}], ' '))}}
+                 for i in generate_series(1, greatest(len(t) - {_SUBSTR_K - 1}, 0))],
+                recursive := true)
+  FROM toks
+),
+dup AS (
+  SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+),
+cov AS (
+  SELECT doc_id, count(DISTINCT p) AS dup_tokens
+  FROM (
+    SELECT s.doc_id, unnest(generate_series(s.pos, s.pos + {_SUBSTR_K - 1})) AS p
+    FROM sh s JOIN dup USING (h)
+  ) GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(coalesce(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       {fround_sql("CASE WHEN len(t.t) > 0 THEN coalesce(c.dup_tokens, 0) / len(t.t) ELSE 0.0 END", 4)} AS dup_fraction
+FROM toks t LEFT JOIN cov c USING (doc_id)
+"""
+
+
+@register("substring_dup_fractions", _SUBSTRING_DUP_ORACLE)
+def substring_dup_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup (suffix-array dedup re-expressed as
+    a posting-list shuffle — operators/substring.py module doc): per
+    document, the fraction of tokens covered by some k-token span
+    that appears verbatim in >= 2 documents. Extends the reference's
+    whole-document hash dedup (src/base.py:210-218) to within-doc
+    granularity. The oracle replays the identical pipeline in SQL —
+    same tokenizer, same sha256 shingle keys, same interval union via
+    DISTINCT covered positions."""
+    from dss_nlp_ingestion_spark.operators.substring import (
+        duplicated_span_fractions,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    rep = duplicated_span_fractions(docs, k=_SUBSTR_K)
+    return rep.select(
+        "doc_id",
+        "n_tokens",
+        "dup_tokens",
+        fround(F.col("_frac"), 4).alias("dup_fraction"),
+    )

@@ -1062,3 +1062,87 @@ def txlog_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("_s").cast("double").alias("total"),
         )
     )
+
+
+_BLOOM_KEYS = (3, 411, 777, 902, 1100, 1402)
+
+_BLOOM_ORACLE = f"""
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE o_orderkey IN {_BLOOM_KEYS}
+"""
+
+
+@register("bloom_pruned_orders", _BLOOM_ORACLE)
+def bloom_pruned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-lookup file skipping via a Bloom index
+    (sources/layout.py:build_bloom_index): orders written HASH-
+    distributed on o_orderkey — the layout where zone maps prune
+    nothing (every file's min/max spans the whole key range) but a
+    per-file Bloom set prunes almost everything (each key lives in
+    exactly one file; false positives only cost an extra open). Hash
+    match vs the plain IN-filter proves no-false-negative pruning;
+    the fewer-files-opened effect is asserted in tests/test_layout.py.
+    At 100 TB this is the sidecar index in front of a needle-in-
+    haystack lookup that would otherwise scan every file."""
+    import tempfile
+
+    from dss_nlp_ingestion_spark.sources.layout import (
+        bloom_pruned_read,
+        build_bloom_index,
+    )
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="dss_bloom_") + "/orders"
+    orders.repartition(8, "o_orderkey").write.mode("overwrite").parquet(path)
+    idx = build_bloom_index(spark, path, "o_orderkey")
+    return bloom_pruned_read(spark, path, idx, "o_orderkey", list(_BLOOM_KEYS))
+
+
+# Full hash gate like the other streaming queries: availableNow over a
+# static source emits every qualifying pair exactly once (watermarks
+# only bound state/lateness), so the batch range-join SQL is the
+# exact oracle.
+_STREAM_JOIN_ORACLE = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+       epoch_ms(p.ts) - epoch_ms(c.ts) AS gap_ms
+FROM events p
+JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+ AND c.ts <= p.ts
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+
+@register("streaming_click_purchase_join", _STREAM_JOIN_ORACLE)
+def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 stream-stream join through the REAL streaming engine:
+    click and purchase streams (two file sources), watermarked on
+    both sides, inner-joined on user with a bounded event-time range
+    (streaming/pipeline.py:click_purchase_stream_join), drained
+    append-mode with availableNow. The two-sided time bound is what
+    lets the state store evict — the unbounded-input analogue of the
+    batch as-of/range join family."""
+    from dss_nlp_ingestion_spark.catalog import table as _table
+    from dss_nlp_ingestion_spark.streaming.pipeline import (
+        click_purchase_stream_join,
+        read_events_stream,
+        run_available_now,
+    )
+
+    events = _table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    base = tempfile.mkdtemp(prefix="dss_stream_join_")
+    events.filter(F.col("event_type") == "click").write.parquet(base + "/clicks")
+    events.filter(F.col("event_type") == "purchase").write.parquet(
+        base + "/purchases"
+    )
+    schema = events.schema
+    clicks = read_events_stream(spark, base + "/clicks", schema=schema)
+    purchases = read_events_stream(spark, base + "/purchases", schema=schema)
+    joined = click_purchase_stream_join(clicks, purchases)
+    run_available_now(joined, "dss_stream_join")
+    return spark.table("dss_stream_join")

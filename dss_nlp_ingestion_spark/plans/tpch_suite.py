@@ -1,12 +1,18 @@
 """TPC-H shape suite (SQL-surface breadth beyond q1/q3/q5/q18).
 
-Thirteen more canonical TPC-H query SHAPES — semi/anti joins,
+Eighteen more canonical TPC-H query SHAPES — semi/anti joins,
 correlated aggregates, scalar subqueries, case-sum pivots, ratio-of-
 sums, distribution-of-counts, bracketed OR predicates — adapted to
 the synthetic schema (no partsupp table, no ship/commit/receipt date
-triple, so q2/q11/q16/q20/q21's partsupp legs and q4/q12's date-pair
-predicates are re-expressed on the columns that exist; every query
-keeps its namesake's join/aggregation topology).
+triple, so q4/q12's date-pair predicates are re-expressed on the
+columns that exist; every query keeps its namesake's join/aggregation
+topology). q2/q11/q16/q20/q21's partsupp leg is re-expressed over the
+**lineitem-derived part-supplier association**: distinct
+``(l_partkey, l_suppkey)`` pairs with ``MIN(l_extendedprice)`` as the
+supply-cost surrogate (a pure MIN of a stored double — exact and
+order-independent, so the correlated-minimum comparisons in q2 are
+bit-identical cross-engine) and decimal-exact quantity/value sums as
+the availqty/value surrogates for q11/q20.
 
 Scale notes baked into each plan: region/nation are bounded (5/25
 rows at ANY scale factor) and always broadcast; supplier/part/
@@ -616,4 +622,334 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("c.c_acctbal").cast("decimal(18,2)"))
         .cast("double")
         .alias("totacctbal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q2: minimum-cost supplier per part within a region (correlated MIN)
+# ---------------------------------------------------------------------------
+
+_Q2 = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS supplycost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+eur AS (
+  SELECT ps.l_partkey AS pk, ps.supplycost, s.s_name, s.s_acctbal, n.n_name
+  FROM ps
+  JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+),
+j AS (
+  SELECT e.supplycost, e.s_name, e.s_acctbal, e.n_name,
+         p.p_partkey, p.p_type,
+         MIN(e.supplycost) OVER (PARTITION BY p.p_partkey) AS mincost
+  FROM eur e JOIN part p ON e.pk = p.p_partkey
+  WHERE p.p_size BETWEEN 10 AND 20 AND p.p_type <> 'PROMO'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_type, supplycost
+FROM j WHERE supplycost = mincost
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+@register("q2_min_cost_supplier", _Q2)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the correlated ``= (SELECT MIN(...))`` becomes a
+    MIN window over p_partkey — ONE shuffle on partkey instead of a
+    second aggregate + self-join. The partsupp surrogate is the
+    lineitem pair aggregate (module docstring); nation/region are
+    bounded dims and broadcast; supplier scales with SF and rides the
+    pair join. Comparing ``supplycost = mincost`` is exact: both are
+    the same stored double selected by MIN, no arithmetic."""
+    l = table(spark, sf_dir, "lineitem")
+    ps = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("supplycost")
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eur = (
+        ps.join(s, ps.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("l_partkey", "supplycost", "s_name", "s_acctbal", "n_name")
+    )
+    p = table(spark, sf_dir, "part").filter(
+        F.col("p_size").between(10, 20) & (F.col("p_type") != "PROMO")
+    )
+    j = eur.join(p, eur.l_partkey == p.p_partkey).select(
+        "supplycost", "s_name", "s_acctbal", "n_name", "p_partkey", "p_type"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("p_partkey")
+    j = j.withColumn("mincost", F.min("supplycost").over(w))
+    return (
+        j.filter(F.col("supplycost") == F.col("mincost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "supplycost")
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            F.col("n_name"),
+            F.col("s_name"),
+            F.col("p_partkey"),
+        )
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q11: important stock — group value vs a global-fraction threshold
+# ---------------------------------------------------------------------------
+
+_Q11 = """
+WITH eur AS (
+  SELECT l.l_partkey, l.l_extendedprice
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+),
+tot AS (
+  SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS t
+  FROM eur
+)
+SELECT l_partkey,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS part_value
+FROM eur, tot
+GROUP BY l_partkey, tot.t
+HAVING CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) > tot.t * 0.005
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+@register("q11_important_stock", _Q11)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: HAVING against a scalar subquery. The global
+    total is a 1-row aggregate cross-broadcast into the HAVING filter
+    (no second scan shuffle); per-part and total sums are decimal-
+    exact then cast to double, so ``> t * 0.005`` is the same IEEE
+    comparison in both engines. At 100 TB both aggregates are
+    map-side partials over one scan lineage."""
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eur = (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("l_partkey", "l_extendedprice")
+    )
+    tot = eur.agg(dsum(F.col("l_extendedprice")).alias("t"))
+    per_part = eur.groupBy("l_partkey").agg(
+        dsum(F.col("l_extendedprice")).alias("part_value")
+    )
+    return (
+        per_part.join(F.broadcast(tot))
+        .filter(F.col("part_value") > F.col("t") * 0.005)
+        .select("l_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), F.col("l_partkey"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q16: supplier count per part attribute with a NOT-IN exclusion
+# ---------------------------------------------------------------------------
+
+_Q16 = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(count(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part p ON p.p_partkey = ps.l_partkey
+WHERE p.p_brand <> 'Brand#45'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND ps.l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+"""
+
+
+@register("q16_supplier_part_counts", _Q16)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT IN over a key subquery becomes a LEFT ANTI
+    join (s_suppkey is non-null, so NOT IN == anti-join semantics);
+    the count is COUNT(DISTINCT) after the association distinct. The
+    complaints-comment exclusion is surrogated by an s_name pattern
+    (schema has no comment column). Part filter prunes at the scan;
+    the excluded-supplier set is tiny and broadcast-anti-joined."""
+    l = table(spark, sf_dir, "lineitem")
+    ps = l.select("l_partkey", "l_suppkey").distinct()
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    excluded = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_name").like("%7"))
+        .select("s_suppkey")
+    )
+    j = ps.join(
+        F.broadcast(excluded),
+        ps.l_suppkey == excluded.s_suppkey,
+        "left_anti",
+    ).join(p, ps.l_partkey == p.p_partkey)
+    return (
+        j.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand"),
+            F.col("p_type"),
+            F.col("p_size"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q20: suppliers with excess shipped quantity of a part family (nested IN)
+# ---------------------------------------------------------------------------
+
+_Q20 = """
+SELECT s.s_name, s.s_acctbal
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'EUROPE'
+  AND s.s_suppkey IN (
+    SELECT l.l_suppkey
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_name LIKE 'cold%'
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l.l_suppkey, l.l_partkey
+    HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 45.0)
+ORDER BY s.s_name
+"""
+
+
+@register("q20_excess_quantity_suppliers", _Q20)
+def q20_excess_quantity_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: the nested IN (parts of a name family whose
+    per-(supplier, part) shipped quantity exceeds the availqty
+    threshold) becomes aggregate -> HAVING -> LEFT SEMI join on
+    suppkey. Part-name filter prunes before the pair aggregate;
+    date range reaches the lineitem scan; decimal-exact quantity sum
+    keeps the threshold bit-identical cross-engine."""
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-01-01"))
+    )
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("cold%"))
+    qualifying = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(dsum(F.col("l_quantity")).alias("qty"))
+        .filter(F.col("qty") > 45.0)
+        .select("l_suppkey")
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(qualifying, s.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q21: suppliers who kept orders waiting (EXISTS + NOT EXISTS on lineitem)
+# ---------------------------------------------------------------------------
+
+_Q21 = """
+WITH lo AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 75 DAY
+              THEN 1 ELSE 0 END AS is_late
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+),
+per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS nsupp,
+         count(DISTINCT CASE WHEN is_late = 1 THEN l_suppkey END) AS nlate
+  FROM lo GROUP BY l_orderkey
+)
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM lo
+JOIN per_order po ON lo.l_orderkey = po.l_orderkey
+JOIN supplier s ON lo.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'EUROPE'
+  AND lo.is_late = 1 AND po.nsupp >= 2 AND po.nlate = 1
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 100
+"""
+
+
+@register("q21_waiting_suppliers", _Q21)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape re-planned without correlated subqueries: the
+    EXISTS (another supplier in the order) and NOT EXISTS (no OTHER
+    late supplier) legs collapse into ONE per-order aggregate —
+    nsupp >= 2 encodes EXISTS, nlate = 1 together with this row being
+    late encodes NOT EXISTS (the row's supplier IS the unique late
+    one). That turns the classic double self-join into a single
+    orderkey aggregate re-joined on the same key (co-partitioned
+    exchange reuse), which is the 100 TB-sane plan: lineitem is
+    touched twice on one key, never N times. 'Late' is a pure
+    timestamp comparison (no float math). The commit/receipt-date
+    pair is surrogated by shipdate vs orderdate + 75 days (schema has
+    one date per line)."""
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    lo = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 75 DAYS")
+            )
+            .cast("int")
+            .alias("is_late"),
+        )
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("nsupp"),
+        F.countDistinct(
+            F.when(F.col("is_late") == 1, F.col("l_suppkey"))
+        ).alias("nlate"),
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    waits = (
+        lo.filter(F.col("is_late") == 1)
+        .join(per_order, "l_orderkey")
+        .filter((F.col("nsupp") >= 2) & (F.col("nlate") == 1))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        waits.groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(100)
     )

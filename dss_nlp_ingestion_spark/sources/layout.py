@@ -129,3 +129,83 @@ def zonemap_pruned_read(
     if not keep:
         return spark.read.parquet(path).filter(F.lit(False))
     return spark.read.parquet(*keep).filter(F.col(col).between(lo, hi))
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter file skipping (point-lookup complement to the zone map)
+# ---------------------------------------------------------------------------
+
+#: Per-file bitset width / hash count. 4096 bits x 3 hashes holds ~500
+#: distinct keys per file at ~2% false-positive rate; FPs only cost an
+#: extra file open, never correctness.
+BLOOM_BITS = 4096
+BLOOM_HASHES = 3
+
+
+def _bloom_positions(col: Column, n_bits: int, n_hashes: int) -> Column:
+    """k bit positions for a value: xxhash64 under k seeds, folded to
+    [0, n_bits). Codegen'd integer expressions — the same expression
+    is used to build the index and to hash probe keys, so build/probe
+    can never disagree (pmod keeps negatives out)."""
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(n_bits))
+            for seed in range(n_hashes)
+        ]
+    )
+
+
+def build_bloom_index(
+    spark: "SparkSession",
+    path: str,
+    col: str,
+    n_bits: int = BLOOM_BITS,
+    n_hashes: int = BLOOM_HASHES,
+) -> DataFrame:
+    """File-level Bloom index: one row per parquet file with the SET
+    of bit positions its values light up (a sparse bitset — exact set
+    semantics, so membership tests are standard Bloom semantics: maybe
+    -> open file, definitely-not -> skip). Zone maps prune RANGE
+    predicates on clustered columns; the Bloom index prunes POINT
+    lookups on columns the layout is NOT sorted by — hash-distributed
+    files have full-range min/max (zone map useless) but each file
+    holds only ~1/n of the keys, which is exactly what a Bloom set
+    captures. O(files x n_bits) rows — catalog-sized."""
+    df = spark.read.parquet(path).withColumn("_file", F.input_file_name())
+    pos = df.select(
+        "_file",
+        F.explode(_bloom_positions(F.col(col), n_bits, n_hashes)).alias("_p"),
+    )
+    return pos.groupBy("_file").agg(F.collect_set("_p").alias("bits"))
+
+
+def bloom_pruned_read(
+    spark: "SparkSession",
+    path: str,
+    index: DataFrame,
+    col: str,
+    keys: Sequence,
+    n_bits: int = BLOOM_BITS,
+    n_hashes: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Read only the files whose Bloom set admits at least one probe
+    key, then apply the exact ``IN`` predicate. Equivalent to the full
+    scan + filter by construction (Bloom filters have no false
+    negatives). Probe keys are hashed by the SAME Spark expression
+    that built the index (a 1-job, len(keys)-row plan — typed from
+    the table schema so long/int hashing can't diverge)."""
+    field = next(f for f in spark.read.parquet(path).schema.fields if f.name == col)
+    from pyspark.sql.types import StructField, StructType
+
+    probe_df = spark.createDataFrame(
+        [(k,) for k in keys], StructType([StructField(col, field.dataType)])
+    ).select(_bloom_positions(F.col(col), n_bits, n_hashes).alias("pos"))
+    probes = [set(r["pos"]) for r in probe_df.collect()]
+    keep = [
+        r["_file"]
+        for r in index.collect()
+        if any(p <= set(r["bits"]) for p in probes)
+    ]
+    if not keep:
+        return spark.read.parquet(path).filter(F.lit(False))
+    return spark.read.parquet(*keep).filter(F.col(col).isin(list(keys)))

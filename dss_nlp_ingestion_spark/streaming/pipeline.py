@@ -284,3 +284,43 @@ def stream_to_txlog_table(
         .start()
     )
     q.awaitTermination()
+
+
+def click_purchase_stream_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream INNER join with an event-time range condition:
+    each purchase pairs with every click by the same user in the
+    preceding ``gap``. Both sides carry watermarks and the join
+    condition bounds event time in BOTH directions, so the state
+    store can evict rows once the other side's watermark passes —
+    the requirement for an unbounded-input join to run with bounded
+    state. Output is append-mode (matches emitted as soon as both
+    watermarks allow), the streaming twin of the batch range join."""
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {gap}"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    )
+    from dss_nlp_ingestion_spark.functions.dates import epoch_ms
+
+    return joined.select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        (epoch_ms(F.col("p_ts")) - epoch_ms(F.col("c_ts"))).alias("gap_ms"),
+    )

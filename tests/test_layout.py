@@ -116,3 +116,52 @@ def test_zonemap_prunes_files_and_loses_nothing(spark, tmp_path):
 
     # empty overlap -> empty result, no files opened
     assert zonemap_pruned_read(spark, path, zm, "k", 10**9, 2 * 10**9).count() == 0
+
+
+def test_bloom_index_prunes_files_and_loses_nothing(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dss_nlp_ingestion_spark.sources.layout import (
+        bloom_pruned_read,
+        build_bloom_index,
+    )
+
+    n = 20_000
+    df = spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") * 7 % 1000).alias("v")
+    )
+    path = str(tmp_path / "bloomed")
+    # Hash-distributed: every file's k min/max spans ~the full range,
+    # so a zone map would prune NOTHING here.
+    df.repartition(16, "k").write.mode("overwrite").parquet(path)
+
+    idx = build_bloom_index(spark, path, "k")
+    assert idx.count() == 16
+
+    keys = [3, 4111, 9777, 19_402]
+    got = bloom_pruned_read(spark, path, idx, "k", keys)
+    want = spark.read.parquet(path).filter(F.col("k").isin(keys))
+    assert sorted(r["k"] for r in got.collect()) == sorted(
+        r["k"] for r in want.collect()
+    )
+
+    # The pruning effect: 4 point keys live in <= 4 files; Bloom false
+    # positives can add a few opens but must not approach "all files".
+    opened = got.select(F.input_file_name()).distinct().count()
+    assert opened <= 8, f"bloom pruning opened {opened}/16 files"
+
+
+def test_bloom_misses_return_empty(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dss_nlp_ingestion_spark.sources.layout import (
+        bloom_pruned_read,
+        build_bloom_index,
+    )
+
+    df = spark.range(1000).select(F.col("id").alias("k"))
+    path = str(tmp_path / "bloomed2")
+    df.repartition(4, "k").write.mode("overwrite").parquet(path)
+    idx = build_bloom_index(spark, path, "k")
+    got = bloom_pruned_read(spark, path, idx, "k", [10_000_001, 10_000_002])
+    assert got.count() == 0

@@ -1011,3 +1011,45 @@ def test_pq_artifact_provenance_and_assignment():
         assign = d2.argmin(axis=1)
         assert len(set(assign.tolist())) > 4
         assert (d2[np.arange(len(xs)), assign] <= d2[:, 0] + 1e-12).all()
+
+
+def test_substring_dup_fractions_interval_union(spark):
+    """Two docs share one 3-token span; doc 3 shares nothing; doc 4 is
+    shorter than k. Overlapping duplicated spans must union, not
+    double-count."""
+    from dss_nlp_ingestion_spark.operators.substring import (
+        duplicated_span_fractions,
+    )
+
+    rows = [
+        # docs 1/2 share "red fox jumps" AND "fox jumps high" -> the
+        # union in doc 1 covers positions 2..5 (4 tokens), not 6.
+        (1, "the red fox jumps high today"),
+        (2, "red fox jumps high"),
+        (3, "completely different words here now"),
+        (4, "too short"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"])
+        for r in duplicated_span_fractions(docs, k=3).collect()
+    }
+    assert got[1] == (6, 4)
+    assert got[2] == (4, 4)
+    assert got[3] == (5, 0)
+    assert got[4] == (2, 0)
+
+
+def test_substring_dup_within_doc_not_flagged_by_default(spark):
+    """min_docs=2 counts DISTINCT documents: a span repeated twice
+    inside ONE doc is not cross-doc duplication."""
+    from dss_nlp_ingestion_spark.operators.substring import (
+        duplicated_span_fractions,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c x a b c"), (2, "nothing shared at all")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["dup_tokens"] for r in duplicated_span_fractions(docs, k=3).collect()}
+    assert got[1] == 0
