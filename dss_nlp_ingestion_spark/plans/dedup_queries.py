@@ -899,7 +899,14 @@ def edit_distance_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", "text", F.substring("text", 1, 12).alias("blk")
     )
-    a = docs.alias("a")
+    # The DP cost lives in the join-output stage; a small corpus scan
+    # arrives as ONE split, and a broadcast join inherits the probe
+    # side's partitioning — so without this the entire O(pairs x
+    # len^2) Levenshtein work runs on a single core (observed: 14 s
+    # single-task at sf0.1, ~0.6 s spread). At real scale the scan
+    # has plenty of splits and this no-ops.
+    n = spark.sparkContext.defaultParallelism
+    a = (docs.repartition(n, "blk") if docs.rdd.getNumPartitions() < n else docs).alias("a")
     b = docs.alias("b")
     pairs = a.join(
         b,

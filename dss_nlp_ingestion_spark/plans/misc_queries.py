@@ -1146,3 +1146,192 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
     joined = click_purchase_stream_join(clicks, purchases)
     run_available_now(joined, "dss_stream_join")
     return spark.table("dss_stream_join")
+
+
+# Drift injection for the reconcile demo: side B = orders with 1-in-499
+# rows repriced and 1-in-997 rows dropped — the oracle replays both
+# sides and the digest compare must localize exactly those buckets.
+_RECONCILE_ORACLE = """
+WITH a_rows AS (
+  SELECT o_orderkey % 64 AS bucket,
+         sha256(concat_ws('|', o_orderkey, o_orderstatus,
+                          CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                          CAST(epoch_ms(o_orderdate) AS VARCHAR))) AS d
+  FROM orders
+),
+b_rows AS (
+  SELECT o_orderkey % 64 AS bucket,
+         sha256(concat_ws('|', o_orderkey, o_orderstatus,
+                          CAST(CAST(CASE WHEN o_orderkey % 499 = 0
+                                         THEN o_totalprice + 1.0
+                                         ELSE o_totalprice END
+                                    AS DECIMAL(18,2)) AS VARCHAR),
+                          CAST(epoch_ms(o_orderdate) AS VARCHAR))) AS d
+  FROM orders WHERE o_orderkey % 997 <> 0
+),
+a_dig AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n_a,
+         sha256(string_agg(d, '' ORDER BY d)) AS da
+  FROM a_rows GROUP BY bucket
+),
+b_dig AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n_b,
+         sha256(string_agg(d, '' ORDER BY d)) AS db
+  FROM b_rows GROUP BY bucket
+)
+SELECT coalesce(a.bucket, b.bucket) AS bucket,
+       CAST(coalesce(a.n_a, 0) AS BIGINT) AS n_a,
+       CAST(coalesce(b.n_b, 0) AS BIGINT) AS n_b,
+       (a.da IS NOT NULL AND b.db IS NOT NULL AND a.da = b.db) AS match
+FROM a_dig a FULL OUTER JOIN b_dig b ON a.bucket = b.bucket
+"""
+
+
+@register("reconcile_orders_drift", _RECONCILE_ORACLE)
+def reconcile_orders_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy table compare (operators/reconcile.py): orders vs
+    a drifted copy (some rows repriced, some missing) reduced to
+    per-bucket Merkle digests and full-outer diffed. Each side costs
+    one scan + one bounded shuffle; only n_buckets digest rows ever
+    cross the network — how you verify a 100 TB migration without
+    joining two 100 TB tables. The oracle replays both digest trees
+    in SQL; the hash gate covers digest construction AND compare."""
+    from dss_nlp_ingestion_spark.functions.dates import epoch_ms
+    from dss_nlp_ingestion_spark.operators.reconcile import (
+        diff_buckets,
+        table_bucket_digests,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+
+    def repr_col(price: F.Column) -> F.Column:
+        return F.concat_ws(
+            "|",
+            F.col("o_orderkey"),
+            F.col("o_orderstatus"),
+            price.cast("decimal(18,2)").cast("string"),
+            epoch_ms(F.col("o_orderdate")).cast("string"),
+        )
+
+    a = table_bucket_digests(
+        orders, F.col("o_orderkey"), repr_col(F.col("o_totalprice")), 64
+    )
+    drifted = orders.filter(F.col("o_orderkey") % 997 != 0)
+    b = table_bucket_digests(
+        drifted,
+        F.col("o_orderkey"),
+        repr_col(
+            F.when(
+                F.col("o_orderkey") % 499 == 0, F.col("o_totalprice") + 1.0
+            ).otherwise(F.col("o_totalprice"))
+        ),
+        64,
+    )
+    return diff_buckets(a, b)
+
+
+_COGROUP_ORACLE = """
+WITH p AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'click'
+),
+pairs AS (
+  SELECT p.user_id, p.event_id,
+         epoch_ms(p.ts) - epoch_ms(max(c.ts)) AS gap_ms
+  FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+  GROUP BY p.user_id, p.event_id, p.ts
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(gap_ms) AS BIGINT) AS total_gap_ms
+FROM pairs GROUP BY user_id
+"""
+
+
+@register("cogrouped_conversion_stats", _COGROUP_ORACLE)
+def cogrouped_conversion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-grouped custom per-key logic: clicks and purchases are
+    cogrouped by user and an Arrow-batched pandas function computes,
+    per purchase, the gap to the LAST preceding click (a vectorized
+    searchsorted — the imperative form of the as-of join) and
+    per-user totals. This is the ``cogroup().applyInPandas`` escape
+    hatch for key-aligned dual-table logic the DataFrame algebra
+    can't express; both sides shuffle once on user_id and each group
+    is processed in one bounded pandas frame. The oracle replays the
+    semantics relationally (greatest-click-per-purchase aggregate),
+    so the hash gate proves the imperative and relational forms
+    agree."""
+    # Two INDEPENDENT scans: a self-cogroup over one shared plan
+    # dedups the clashing attribute ids and silently prunes the right
+    # side's frame down to the grouping key (observed: RIGHT cols =
+    # ['user_id'] only).
+    def side(kind: str) -> DataFrame:
+        return (
+            table(spark, sf_dir, "events")
+            .select("user_id", "event_id", "event_type", "ts")
+            .filter(F.col("event_type") == kind)
+        )
+
+    clicks = side("click")
+    purchases = side("purchase")
+
+    def stats(clicks_pdf, purchases_pdf):
+        import numpy as np
+        import pandas as pd
+
+        if purchases_pdf.empty or clicks_pdf.empty:
+            return pd.DataFrame(
+                {"user_id": [], "n_pairs": [], "total_gap_ms": []}
+            ).astype({"user_id": "int64", "n_pairs": "int64", "total_gap_ms": "int64"})
+        c_ms = np.sort(clicks_pdf["ts"].astype("datetime64[us]").astype("int64") // 1000)
+        p_ms = purchases_pdf["ts"].astype("datetime64[us]").astype("int64") // 1000
+        idx = np.searchsorted(c_ms, p_ms, side="right") - 1
+        ok = idx >= 0
+        if not ok.any():
+            return pd.DataFrame(
+                {"user_id": [], "n_pairs": [], "total_gap_ms": []}
+            ).astype({"user_id": "int64", "n_pairs": "int64", "total_gap_ms": "int64"})
+        gaps = p_ms[ok].to_numpy() - c_ms[idx[ok]]
+        return pd.DataFrame(
+            {
+                "user_id": [int(purchases_pdf["user_id"].iloc[0])],
+                "n_pairs": [int(ok.sum())],
+                "total_gap_ms": [int(gaps.sum())],
+            }
+        )
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            stats, schema="user_id long, n_pairs long, total_gap_ms long"
+        )
+    )
+
+
+_ORC_ORACLE = """
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+WHERE o_totalprice > 150000.0
+"""
+
+
+@register("orc_roundtrip_orders", _ORC_ORACLE)
+def orc_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-format breadth: the store write path also speaks ORC
+    (the other splittable columnar format Spark ships natively —
+    relevant when downstream consumers are Hive/Trino-flavored).
+    Round trip: write ORC, read it back with a selective predicate —
+    ORC carries its own min/max stride statistics, so the filter
+    pushes down exactly like parquet (PushedFilters in the scan).
+    Hash match vs the parquet-sourced oracle proves the format
+    conversion is lossless for every type it touches."""
+    import tempfile
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="dss_orc_") + "/orders"
+    orders.write.mode("overwrite").orc(path)
+    return spark.read.orc(path).filter(F.col("o_totalprice") > 150000.0)

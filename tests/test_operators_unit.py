@@ -1053,3 +1053,45 @@ def test_substring_dup_within_doc_not_flagged_by_default(spark):
     )
     got = {r["doc_id"]: r["dup_tokens"] for r in duplicated_span_fractions(docs, k=3).collect()}
     assert got[1] == 0
+
+
+def test_reconcile_digests_localize_drift(spark):
+    from dss_nlp_ingestion_spark.operators.reconcile import (
+        diff_buckets,
+        table_bucket_digests,
+    )
+
+    rows = [(i, f"v{i}") for i in range(100)]
+    t1 = spark.createDataFrame(rows, ["k", "v"])
+    # drift: k=7 modified, k=13 missing
+    rows2 = [(k, "CHANGED" if k == 7 else v) for k, v in rows if k != 13]
+    t2 = spark.createDataFrame(rows2, ["k", "v"])
+
+    def dig(df):
+        return table_bucket_digests(
+            df, F.col("k"), F.concat_ws("|", "k", "v"), n_buckets=10
+        )
+
+    diff = {r["bucket"]: r for r in diff_buckets(dig(t1), dig(t2)).collect()}
+    assert len(diff) == 10
+    bad = sorted(b for b, r in diff.items() if not r["match"])
+    assert bad == [3, 7]  # 13 % 10 and 7 % 10
+    assert diff[3]["n_a"] == diff[3]["n_b"] + 1  # the dropped row
+    assert diff[7]["n_a"] == diff[7]["n_b"]  # modified, same count
+
+
+def test_reconcile_identical_tables_all_match(spark):
+    from dss_nlp_ingestion_spark.operators.reconcile import (
+        diff_buckets,
+        table_bucket_digests,
+    )
+
+    t = spark.createDataFrame([(i, i * 2) for i in range(50)], ["k", "v"])
+    d1 = table_bucket_digests(
+        t, F.col("k"), F.concat_ws("|", "k", "v"), n_buckets=8
+    )
+    # independently re-derived (different partitioning) must agree:
+    d2 = table_bucket_digests(
+        t.repartition(7), F.col("k"), F.concat_ws("|", "k", "v"), n_buckets=8
+    )
+    assert all(r["match"] for r in diff_buckets(d1, d2).collect())
