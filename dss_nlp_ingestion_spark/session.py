@@ -107,3 +107,23 @@ def get_spark(
     spark = builder.getOrCreate()
     ship_package(spark)
     return spark
+
+
+def release_cached(spark: SparkSession) -> None:
+    """Drop every cached DataFrame and persisted/localCheckpointed RDD
+    in the session. Sequential multi-query harnesses (bench, the
+    driver's correctness sweep) need this between queries: iterative
+    operators persist working sets for the lifetime of their lazy
+    result, and localCheckpoint blocks survive until the JVM garbage-
+    collects the RDD reference — across a 160-query sweep the leaked
+    blocks accumulate into executor-memory pressure that shows up as
+    multi-x GC slowdowns on late queries. Only call BETWEEN queries:
+    unpersisting a localCheckpointed RDD that a still-live plan needs
+    would make that plan unrecomputable."""
+    spark.catalog.clearCache()
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for jrdd in list(jmap.values()):
+        try:
+            jrdd.unpersist(False)
+        except Exception:  # noqa: BLE001 — already-released is fine
+            pass

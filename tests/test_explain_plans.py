@@ -318,3 +318,30 @@ def test_q19_bracket_predicates_split_below_join(spark):
     # both scans carry pushed filters (the extracted OR-of-ANDs)
     assert plan.count("PushedFilters: [") == 2
     assert "PushedFilters: []" not in plan
+
+
+def test_edit_distance_join_stage_is_parallel(spark):
+    """The Levenshtein DP runs in the join-output stage; a broadcast
+    join over a single-split scan would put ALL of it on one core
+    (the observed 14 s single-task stage at sf0.1). The block-keyed
+    repartition must survive in the plan."""
+    df = QUERIES["edit_distance_dups"](spark, SF_DIR)
+    n = df.rdd.getNumPartitions()
+    target = spark.sparkContext.defaultParallelism
+    assert n >= min(target, 4), f"levenshtein stage has {n} partition(s)"
+
+
+def test_substring_dedup_no_cartesian(spark):
+    plan = _formatted(spark, "substring_dup_fractions")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pagerank_bounded_plan_depth(spark):
+    """localCheckpoint caps the unrolled-iteration lineage: the final
+    plan must hang off scanned checkpoint RDDs, not re-derive the
+    4-way trade-graph join per superstep."""
+    plan = _formatted(spark, "pagerank_nation_trade")
+    assert plan.count("Scan ExistingRDD") >= 1
+    # the edge-building joins must NOT appear 3x in the final plan
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") < 12
