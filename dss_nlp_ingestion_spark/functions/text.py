@@ -340,3 +340,36 @@ def chunk_starts(tokens: Column, stride: int) -> Column:
     """0-based start offsets of overlapping token windows: 0, stride,
     2*stride, ... while < token count (inclusive sequence to n-1)."""
     return F.sequence(F.lit(0), F.size(tokens) - 1, F.lit(stride))
+
+
+def normalize_url(col: Column) -> Column:
+    """Canonical URL form for link-level dedup (the reference dedups
+    scraped links by raw string only, src/base.py:210-218 via D3
+    distinct — so trivially different spellings of one URL slip
+    through). Normalization: strip fragment; lowercase scheme+host;
+    drop default ports (:80 http, :443 https); trim trailing path
+    slashes; sort query parameters. Pure codegen expressions with no
+    regex backreferences (Spark uses $1 where DuckDB uses \\1, so the
+    oracle twin stays literally parallel)."""
+    u = F.regexp_replace(F.trim(col), "#.*$", "")
+    base = F.regexp_extract(u, r"^([^?]*)", 1)
+    query = F.regexp_extract(u, r"\?(.*)$", 1)
+    sh = F.lower(F.regexp_extract(base, r"(?i)^(https?://[^/]*)", 1))
+    path = F.substr(base, F.length(sh) + F.lit(1), F.length(base))
+    sh = F.when(
+        sh.startswith("http://") & sh.endswith(":80"),
+        F.substr(sh, F.lit(1), F.length(sh) - F.lit(3)),
+    ).otherwise(sh)
+    sh = F.when(
+        sh.endswith(":443") & sh.startswith("https://"),
+        F.substr(sh, F.lit(1), F.length(sh) - F.lit(4)),
+    ).otherwise(sh)
+    path = F.regexp_replace(path, "/+$", "")
+    qsorted = F.array_join(
+        F.array_sort(F.filter(F.split(query, "&"), lambda x: x != "")), "&"
+    )
+    return F.concat(
+        sh,
+        path,
+        F.when(qsorted != "", F.concat(F.lit("?"), qsorted)).otherwise(F.lit("")),
+    )

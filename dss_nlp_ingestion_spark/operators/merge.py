@@ -65,3 +65,40 @@ def merge_into(
             F.when(take_source, src[f"_s_{c}"]).otherwise(tgt[c]).alias(c)
         )
     return joined.select(*out)
+
+
+def merge_into_with_delete(
+    target: DataFrame,
+    source: DataFrame,
+    key_cols: Sequence[str],
+    delete_col: str,
+) -> DataFrame:
+    """Full MERGE surface: WHEN MATCHED AND source.<delete_col> THEN
+    DELETE / WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN
+    INSERT *. ``delete_col`` is a boolean column on ``source``
+    (tombstone flag — the CDC convention); a flagged row whose key is
+    absent from the target is a no-op, matching Delta/Iceberg MERGE.
+    Same single full-outer join shape as :func:`merge_into` — the
+    delete clause adds a filter, not a stage."""
+    cols = target.columns
+    src = source.select(
+        [F.col(c).alias(f"_s_{c}") for c in cols]
+        + [F.col(delete_col).alias("_s_del")]
+    ).withColumn("_s_present", F.lit(True))
+    tgt = target.withColumn("_t_present", F.lit(True))
+    cond: Column = reduce(
+        lambda a, b: a & b, [tgt[k] == src[f"_s_{k}"] for k in key_cols]
+    )
+    joined = tgt.join(src, cond, "full_outer")
+    has_source = src["_s_present"].isNotNull()
+    has_target = tgt["_t_present"].isNotNull()
+    deleted = has_source & has_target & F.coalesce(src["_s_del"], F.lit(False))
+    insert_noop = has_source & ~has_target & F.coalesce(
+        src["_s_del"], F.lit(False)
+    )
+    kept = joined.filter(~deleted & ~insert_noop)
+    out = [
+        F.when(has_source, src[f"_s_{c}"]).otherwise(tgt[c]).alias(c)
+        for c in cols
+    ]
+    return kept.select(*out)

@@ -858,3 +858,62 @@ def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_name", "rank")
         .orderBy(F.col("rank").desc(), F.col("n_name"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Recursive-CTE shape: transitive ancestor closure (decimal-tree walk)
+# ---------------------------------------------------------------------------
+
+_CLOSURE_ORACLE = """
+WITH RECURSIVE anc AS (
+  SELECT c_custkey AS node, c_custkey // 10 AS anc, 1 AS depth
+  FROM customer WHERE c_custkey > 0
+  UNION ALL
+  SELECT node, anc // 10, depth + 1 FROM anc WHERE anc > 0
+)
+SELECT node, anc, CAST(depth AS INT) AS depth FROM anc
+"""
+
+
+@register("ancestor_closure_customers", _CLOSURE_ORACLE)
+def ancestor_closure_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE re-expressed as the engine's iterative-frontier
+    pattern: Spark has no recursive CTE, so the ancestor closure over
+    the decimal tree (parent(k) = k div 10) is an expand-until-empty
+    driver loop — each round derives the next frontier from the
+    localCheckpoint'd previous one (bounded lineage, one count per
+    round to detect exhaustion, never row data on the driver). Depth
+    is log10(max key), so the loop is ~6 rounds at ANY scale factor —
+    the hierarchy-walk analog of the dedup family's pointer-jumping
+    CC. The oracle runs DuckDB's native WITH RECURSIVE; the hash
+    match proves the loop computes exactly the fixpoint the SQL
+    standard defines."""
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_custkey") > 0)
+    frontier = cust.select(
+        F.col("c_custkey").alias("node"),
+        F.expr("c_custkey div 10").alias("anc"),
+        F.lit(1).cast("int").alias("depth"),
+    ).localCheckpoint()
+    tiers = [frontier]
+    # 64 is a safety cap (2^64 keys deep would exhaust BIGINT long
+    # before); the loop exits on an empty frontier in ~log10(max key).
+    for _ in range(64):
+        nxt = (
+            frontier.filter(F.col("anc") > 0)
+            .select(
+                "node",
+                F.expr("anc div 10").alias("anc"),
+                (F.col("depth") + 1).cast("int").alias("depth"),
+            )
+            .localCheckpoint()
+        )
+        if nxt.rdd.isEmpty():
+            break
+        tiers.append(nxt)
+        frontier = nxt
+    else:
+        raise RuntimeError("ancestor closure did not converge in 64 rounds")
+    out = tiers[0]
+    for t in tiers[1:]:
+        out = out.unionByName(t)
+    return out

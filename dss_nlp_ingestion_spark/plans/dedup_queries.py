@@ -1042,3 +1042,80 @@ def substring_dup_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_tokens",
         fround(F.col("_frac"), 4).alias("dup_fraction"),
     )
+
+
+_LSH_EVAL_ORACLE = f"""
+WITH {_WS_CTE},
+hashed AS (
+  SELECT doc_id, list_transform(sh, s -> sha256(s)) AS hsh FROM sh
+), sig AS (
+  SELECT doc_id,
+    {_minhash_cols}
+  FROM hashed
+), bands AS (
+{_band_selects}
+), lsh AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+), dsh AS (
+  SELECT doc_id, list_distinct(sh) AS sh FROM sh
+), sizes AS (
+  SELECT doc_id, CAST(len(sh) AS BIGINT) AS sz FROM dsh
+), ex AS (
+  SELECT doc_id, unnest(sh) AS s FROM dsh
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), exact AS (
+  SELECT id_a, id_b FROM shared
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.15
+), flags AS (
+  SELECT coalesce(l.in_lsh, 0) AS in_lsh, coalesce(e.in_ex, 0) AS in_ex
+  FROM (SELECT id_a, id_b, 1 AS in_lsh FROM lsh) l
+  FULL OUTER JOIN (SELECT id_a, id_b, 1 AS in_ex FROM exact) e
+    ON l.id_a = e.id_a AND l.id_b = e.id_b
+)
+SELECT CAST(sum(in_lsh) AS BIGINT) AS n_candidates,
+       CAST(sum(in_ex) AS BIGINT) AS n_exact,
+       CAST(sum(in_lsh * in_ex) AS BIGINT) AS n_hit,
+       {fround_sql('CAST(sum(in_lsh * in_ex) AS DOUBLE) / sum(in_lsh)', 6)} AS precision,
+       {fround_sql('CAST(sum(in_lsh * in_ex) AS DOUBLE) / sum(in_ex)', 6)} AS recall
+FROM flags
+"""
+
+
+@register("lsh_quality_eval", _LSH_EVAL_ORACLE)
+def lsh_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH quality measured IN the engine: precision/recall of the
+    MinHash-LSH candidate set against exact n-gram-Jaccard >= 0.15 —
+    the evaluation every production near-dup deployment runs before
+    trusting band/row parameters (the ANN twin is ann_recall_eval).
+    Composes the two registered pipelines and reduces the full-outer
+    pair compare to one summary row; the exact side is the small-sf
+    verifier (at 100 TB you run it on a sampled stratum, same
+    plan)."""
+    docs = table(spark, sf_dir, "documents")
+    lsh = lsh_candidate_pairs(
+        docs, "doc_id", "text", num_perm=_NUM_PERM, band_rows=_BAND_ROWS, k=3
+    ).select("id_a", "id_b").withColumn("in_lsh", F.lit(1))
+    exact = (
+        ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.15)
+        .select("id_a", "id_b")
+        .withColumn("in_ex", F.lit(1))
+    )
+    flags = lsh.join(exact, ["id_a", "id_b"], "full_outer").select(
+        F.coalesce("in_lsh", F.lit(0)).alias("in_lsh"),
+        F.coalesce("in_ex", F.lit(0)).alias("in_ex"),
+    )
+    hit = F.sum(F.col("in_lsh") * F.col("in_ex"))
+    return flags.agg(
+        F.sum("in_lsh").cast("long").alias("n_candidates"),
+        F.sum("in_ex").cast("long").alias("n_exact"),
+        hit.cast("long").alias("n_hit"),
+        fround(hit.cast("double") / F.sum("in_lsh"), 6).alias("precision"),
+        fround(hit.cast("double") / F.sum("in_ex"), 6).alias("recall"),
+    )

@@ -564,3 +564,65 @@ def unpivot_nation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         ["c_nationkey"], ["balance_total", "customer_count"], "metric", "value"
     )
+
+
+_MERGE_DEL_ORACLE = """
+WITH src AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         o_totalprice * 1.1 AS o_totalprice,
+         (o_orderkey % 13 = 0) AS is_delete
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_custkey, 'N', o_totalprice,
+         (o_orderkey % 3000 = 0)
+  FROM orders WHERE o_orderkey % 1000 = 0
+)
+SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+       CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_custkey
+            ELSE t.o_custkey END AS o_custkey,
+       CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+            ELSE t.o_orderstatus END AS o_orderstatus,
+       {price} AS o_totalprice
+FROM orders t FULL JOIN src s ON t.o_orderkey = s.o_orderkey
+WHERE NOT (s.o_orderkey IS NOT NULL AND s.is_delete)
+""".format(price=fround_sql(
+    "CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice ELSE t.o_totalprice END", 2
+))
+
+
+@register("merge_delete_orders", _MERGE_DEL_ORACLE)
+def merge_delete_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full three-clause MERGE: tombstone-flagged source rows
+    DELETE their matched target row (and no-op when unmatched — the
+    CDC convention), unflagged matched rows UPDATE, unmatched rows
+    INSERT (operators/merge.py:merge_into_with_delete). Still ONE
+    full-outer join on the merge key; the delete clause is a filter
+    on the joined relation, not an extra stage."""
+    from dss_nlp_ingestion_spark.operators.merge import merge_into_with_delete
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * F.lit(1.1)).alias("o_totalprice"),
+        (F.col("o_orderkey") % 13 == 0).alias("is_delete"),
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 1000 == 0).select(
+        (F.col("o_orderkey") + F.lit(100_000_000)).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+        (F.col("o_orderkey") % 3000 == 0).alias("is_delete"),
+    )
+    merged = merge_into_with_delete(
+        orders, updates.unionByName(inserts), ["o_orderkey"], "is_delete"
+    )
+    return merged.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        fround(F.col("o_totalprice"), 2).alias("o_totalprice"),
+    )

@@ -870,3 +870,77 @@ def bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("a", "b", F.col("total").cast("long").alias("total"))
     )
+
+
+# ---------------------------------------------------------------------------
+# D3 upgraded: canonical-URL link dedup
+# ---------------------------------------------------------------------------
+
+_URL_NORM_ORACLE = r"""
+WITH raw AS (
+  SELECT 'HTTP://News.Example.COM:80/articles/' || c_custkey || '/?utm=x&id=' || c_custkey || '#top' AS u FROM customer
+  UNION ALL
+  SELECT 'http://news.example.com/articles/' || c_custkey || '?id=' || c_custkey || '&utm=x' FROM customer
+  UNION ALL
+  SELECT 'http://news.example.com/articles/' || c_custkey || '/?id=' || c_custkey || '&utm=x' FROM customer
+),
+s1 AS (SELECT u, regexp_replace(trim(u), '#.*$', '') AS uu FROM raw),
+s2 AS (SELECT u, regexp_extract(uu, '^([^?]*)', 1) AS base,
+              regexp_extract(uu, '\?(.*)$', 1) AS query FROM s1),
+s3 AS (SELECT u, base, query,
+              lower(regexp_extract(base, '(?i)^(https?://[^/]*)', 1)) AS sh0 FROM s2),
+s4 AS (SELECT u, query, substr(base, len(sh0) + 1) AS path0,
+              CASE WHEN starts_with(sh0, 'http://') AND sh0 LIKE '%:80'
+                   THEN left(sh0, len(sh0) - 3)
+                   WHEN starts_with(sh0, 'https://') AND sh0 LIKE '%:443'
+                   THEN left(sh0, len(sh0) - 4)
+                   ELSE sh0 END AS sh FROM s3),
+s5 AS (SELECT u, sh || regexp_replace(path0, '/+$', '') ||
+              CASE WHEN array_to_string(list_sort(list_filter(string_split(query, '&'), x -> x <> '')), '&') <> ''
+                   THEN '?' || array_to_string(list_sort(list_filter(string_split(query, '&'), x -> x <> '')), '&')
+                   ELSE '' END AS url_norm FROM s4)
+SELECT url_norm,
+       CAST(count(*) AS BIGINT) AS n_raw,
+       CAST(count(DISTINCT u) AS BIGINT) AS n_distinct_raw
+FROM s5 GROUP BY url_norm
+"""
+
+
+@register("normalized_link_dedup", _URL_NORM_ORACLE)
+def normalized_link_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL link dedup (D3 upgraded): three spellings of
+    every article link — mixed-case host with default port, fragment,
+    shuffled query params, trailing slash — collapse to ONE canonical
+    form (functions/text.py:normalize_url, pure codegen). The
+    reference dedups raw link strings only (src/base.py:210-218), so
+    each spelling would be scraped again; at crawl scale the
+    normalization IS the dedup-key quality. Every group must count 3
+    raw variants, which the hash gate verifies row-by-row."""
+    cust = table(spark, sf_dir, "customer")
+    k = F.col("c_custkey").cast("string")
+    variants = [
+        F.concat(
+            F.lit("HTTP://News.Example.COM:80/articles/"), k,
+            F.lit("/?utm=x&id="), k, F.lit("#top"),
+        ),
+        F.concat(
+            F.lit("http://news.example.com/articles/"), k,
+            F.lit("?id="), k, F.lit("&utm=x"),
+        ),
+        F.concat(
+            F.lit("http://news.example.com/articles/"), k,
+            F.lit("/?id="), k, F.lit("&utm=x"),
+        ),
+    ]
+    raw = None
+    for v in variants:
+        part = cust.select(v.alias("u"))
+        raw = part if raw is None else raw.unionByName(part)
+    return (
+        raw.select("u", T.normalize_url(F.col("u")).alias("url_norm"))
+        .groupBy("url_norm")
+        .agg(
+            F.count("*").cast("long").alias("n_raw"),
+            F.countDistinct("u").cast("long").alias("n_distinct_raw"),
+        )
+    )

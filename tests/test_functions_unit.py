@@ -189,3 +189,29 @@ def test_quantized_sentiment_udf_scores(spark):
         / 1e6
     )
     assert rows[3] == expected_bias
+
+
+def test_normalize_url_edge_cases(spark):
+    from pyspark.sql import functions as F
+
+    from dss_nlp_ingestion_spark.functions.text import normalize_url
+
+    cases = {
+        # case + default port + fragment + trailing slash + param order
+        "HTTP://Ex.COM:80/a/?b=2&a=1#f": "http://ex.com/a?a=1&b=2",
+        # https default port
+        "https://Ex.com:443/p": "https://ex.com/p",
+        # NON-default port survives
+        "http://ex.com:8080/p": "http://ex.com:8080/p",
+        # bare host, no path, no query
+        "http://EX.com": "http://ex.com",
+        # empty query params dropped
+        "http://ex.com/p?&&a=1&": "http://ex.com/p?a=1",
+        # non-URL text passes through un-mangled
+        "not a url": "not a url",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], ["u"]).select(
+        "u", normalize_url(F.col("u")).alias("n")
+    )
+    got = {r["u"]: r["n"] for r in df.collect()}
+    assert got == cases

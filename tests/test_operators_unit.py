@@ -1095,3 +1095,25 @@ def test_reconcile_identical_tables_all_match(spark):
         t.repartition(7), F.col("k"), F.concat_ws("|", "k", "v"), n_buckets=8
     )
     assert all(r["match"] for r in diff_buckets(d1, d2).collect())
+
+
+def test_merge_with_delete_clauses(spark):
+    from dss_nlp_ingestion_spark.operators.merge import merge_into_with_delete
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+    )
+    source = spark.createDataFrame(
+        [
+            (2, "B", False),   # matched update
+            (3, "x", True),    # matched delete
+            (4, "d", False),   # unmatched insert
+            (5, "y", True),    # unmatched tombstone -> no-op
+        ],
+        ["k", "v", "dead"],
+    )
+    got = sorted(
+        (r["k"], r["v"])
+        for r in merge_into_with_delete(target, source, ["k"], "dead").collect()
+    )
+    assert got == [(1, "a"), (2, "B"), (4, "d")]
