@@ -217,3 +217,89 @@ def pack_shards(
         .cast("long")
         .alias("shard_id"),
     )
+
+
+def global_start_offsets(
+    df: DataFrame,
+    order_col: str,
+    weight_col: str,
+    range_size: int,
+) -> DataFrame:
+    """(order_col, _w, _start): each row's exclusive global prefix sum
+    of ``weight_col`` in ``order_col`` order — the same two-level
+    distributed prefix sum as :func:`pack_shards` (local in-range
+    running sums in parallel; only per-range totals cross the global
+    window), exposed for other packers."""
+    rng = (F.floor(F.col(order_col) / F.lit(range_size))).cast("long").alias("_rng")
+    rows = df.select(
+        F.col(order_col), F.col(weight_col).cast("long").alias("_w"), rng
+    )
+    in_range = Window.partitionBy("_rng").orderBy(F.col(order_col).asc())
+    local = rows.withColumn(
+        "_before",
+        F.coalesce(
+            F.sum("_w").over(in_range.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0).cast("long"),
+        ),
+    )
+    totals = rows.groupBy("_rng").agg(F.sum("_w").alias("_tot"))
+    offsets = totals.withColumn(
+        "_off",
+        F.coalesce(
+            F.sum("_tot").over(
+                Window.orderBy(F.col("_rng").asc()).rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0).cast("long"),
+        ),
+    ).select("_rng", "_off")
+    return local.join(F.broadcast(offsets), "_rng").select(
+        F.col(order_col),
+        F.col("_w"),
+        (F.col("_off") + F.col("_before")).alias("_start"),
+    )
+
+
+def pack_fixed_sequences(
+    df: DataFrame,
+    order_col: str,
+    weight_col: str,
+    seq_len: int,
+    range_size: int,
+) -> DataFrame:
+    """Fixed-length sequence packing manifest — the LLM-pretraining
+    data-prep step: documents are concatenated into one token stream
+    (in ``order_col`` order) and cut into back-to-back sequences of
+    exactly ``seq_len`` tokens; each output row maps a document to
+    one sequence it overlaps, with the overlap size:
+    ``(order_col, n_tokens, seq_id, tok_in_seq)``.
+
+    Built on the two-level prefix sum (no global single-partition
+    window); the per-document explode spans
+    ``ceil(n_tokens / seq_len) + 1`` sequences — bounded fan-out, so
+    the manifest is O(tokens / seq_len + docs) rows. Zero-token
+    documents contribute nothing. With the manifest, shard writers
+    read only their sequences' documents — the packing DECISION is
+    decoupled from the (heavy) token materialization."""
+    offs = global_start_offsets(df, order_col, weight_col, range_size)
+    first = F.floor(F.col("_start") / F.lit(seq_len)).cast("long")
+    last = F.floor((F.col("_start") + F.col("_w") - 1) / F.lit(seq_len)).cast(
+        "long"
+    )
+    spans = offs.filter(F.col("_w") > 0).select(
+        F.col(order_col),
+        F.col("_w"),
+        F.col("_start"),
+        F.explode(F.sequence(first, last)).alias("seq_id"),
+    )
+    lo = F.greatest(F.col("_start"), F.col("seq_id") * F.lit(seq_len))
+    hi = F.least(
+        F.col("_start") + F.col("_w"), (F.col("seq_id") + 1) * F.lit(seq_len)
+    )
+    return spans.select(
+        F.col(order_col),
+        F.col("_w").alias("n_tokens"),
+        "seq_id",
+        (hi - lo).cast("long").alias("tok_in_seq"),
+    )

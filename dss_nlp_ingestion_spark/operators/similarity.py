@@ -419,3 +419,100 @@ def multiprobe_bucket_topk(
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def collect_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_mod: int = 31,
+) -> list:
+    """Deterministic centroid seed set (every ``centroid_mod``-th
+    vector), collected driver-side — model parameters, never corpus
+    data; hard-capped like ivf_topk's collect."""
+    rows = sorted(
+        corpus.filter(F.col(id_col) % centroid_mod == 0)
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("_cvec"))
+        .collect(),
+        key=lambda r: r["cent_id"],
+    )
+    if not rows:
+        raise ValueError("no centroids: lower centroid_mod or check id domain")
+    if len(rows) > _CENTROID_HARD_CAP:
+        raise ValueError(
+            f"{len(rows)} centroids exceeds the driver collect budget"
+        )
+    return rows
+
+
+def kmeans_update_step(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_mod: int = 31,
+    scale: int = 10**6,
+) -> DataFrame:
+    """One distributed k-means (Lloyd) update: assign every vector to
+    its nearest seed centroid (cosine, scan-side literal argmax — the
+    exact assignment ivf_topk indexes with, NO corpus Exchange), then
+    recompute each centroid as the member mean, per dimension:
+    ``(cent_id, dim, n_members, mean_micro)``.
+
+    Means are computed in integer micro-units
+    (``floor(value * scale)`` summed exactly as BIGINT, one floored
+    division at the end) so the update is bit-identical across
+    engines and partitionings — float mean reductions are
+    order-dependent, and a training loop that cannot be replayed
+    cannot be regression-tested. Iterating = feeding the output back
+    as the next seed set; the per-step cost is one scan + one
+    (cent_id, dim)-keyed exchange of bounded size (centroids x dims
+    rows), which is the MLlib k-means superstep shape."""
+    cent_rows = collect_centroids(corpus, id_col, vec_col, centroid_mod)
+
+    import math
+
+    def _py_norm(vec) -> float:
+        acc = 0.0
+        for x in vec:
+            acc += float(x) * float(x)
+        return acc and math.sqrt(acc)
+
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["cent_id"])).cast("long").alias("cent_id"),
+                F.array(*[F.lit(float(x)) for x in r["_cvec"]]).alias("cvec"),
+                F.lit(_py_norm(r["_cvec"])).alias("cnorm"),
+            )
+            for r in cent_rows
+        ]
+    )
+
+    def _best_cent(vec: Column, vec_norm: Column) -> Column:
+        scored = F.transform(
+            cent_lit,
+            lambda c: F.struct(
+                (dot_exact(vec, c["cvec"]) / (vec_norm * c["cnorm"])).alias("s"),
+                (-c["cent_id"]).alias("nid"),
+            ),
+        )
+        return -F.array_max(scored)["nid"]
+
+    assigned = corpus.select(
+        F.col(vec_col).alias("_cv"), l2_norm(F.col(vec_col)).alias("_vn")
+    ).select("_cv", _best_cent(F.col("_cv"), F.col("_vn")).alias("cent_id"))
+    expl = assigned.select(
+        "cent_id", F.posexplode(F.col("_cv")).alias("_pos", "_x")
+    ).select(
+        "cent_id",
+        (F.col("_pos") + 1).cast("int").alias("dim"),
+        F.floor(F.col("_x").cast("double") * F.lit(float(scale)))
+        .cast("long")
+        .alias("_micro"),
+    )
+    return expl.groupBy("cent_id", "dim").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.floor(F.sum("_micro").cast("double") / F.count("*"))
+        .cast("long")
+        .alias("mean_micro"),
+    )

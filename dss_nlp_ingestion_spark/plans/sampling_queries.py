@@ -549,3 +549,63 @@ def temperature_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rate",
         F.coalesce(F.col("n_sampled"), F.lit(0).cast("long")).alias("n_sampled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-length sequence packing manifest (LLM pretrain data prep)
+# ---------------------------------------------------------------------------
+
+_SEQ_LEN = 256
+
+_SEQPACK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS w
+  FROM documents
+),
+offs AS (
+  SELECT doc_id, w,
+         CAST(coalesce(sum(w) OVER (ORDER BY doc_id ASC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS start
+  FROM t
+),
+spans AS (
+  SELECT doc_id, w, start,
+         unnest(generate_series(start // {_SEQ_LEN},
+                                (start + w - 1) // {_SEQ_LEN})) AS seq_id
+  FROM offs WHERE w > 0
+)
+SELECT seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(least(start + w, (seq_id + 1) * {_SEQ_LEN})
+                - greatest(start, seq_id * {_SEQ_LEN})) AS BIGINT) AS tok_filled
+FROM spans GROUP BY seq_id
+"""
+
+
+@register("pack_fixed_sequences_manifest", _SEQPACK_ORACLE)
+def pack_fixed_sequences_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing manifest: the corpus concatenated (doc_id
+    order) and cut into back-to-back {seq}-token sequences; one row
+    per sequence with how many documents feed it and how many tokens
+    it holds (= seq_len everywhere except the ragged tail — which the
+    hash gate verifies exactly). The Spark side uses the TWO-LEVEL
+    distributed prefix sum (operators/sampling.py:
+    global_start_offsets — no single-partition global window); the
+    oracle uses DuckDB's plain cumulative window, proving the
+    distributed decomposition bit-equals the sequential scan. This is
+    the packing DECISION layer of pretraining prep: shard writers
+    then materialize tokens per sequence independently.""".replace(
+        "{seq}", str(_SEQ_LEN)
+    )
+    from dss_nlp_ingestion_spark.operators.sampling import pack_fixed_sequences
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("w")
+    )
+    manifest = pack_fixed_sequences(docs, "doc_id", "w", _SEQ_LEN, 4096)
+    return manifest.groupBy("seq_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("tok_in_seq").cast("long").alias("tok_filled"),
+    )

@@ -357,3 +357,50 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("an").cast("long").alias("n_hit"),
         fround(F.count("an").cast("double") / F.lit(5.0), 4).alias("recall_at_5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means update step (IVF centroid training primitive)
+# ---------------------------------------------------------------------------
+
+_KM_ORACLE = f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+  WHERE vec_id % {_CENT_MOD} = 0
+), assigned AS (
+  SELECT v, cent_id FROM (
+    SELECT c.embedding AS v, cents.cent_id,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY {_CENT_SCORE} DESC, cents.cent_id ASC) AS rn
+    FROM embeddings c CROSS JOIN cents
+  ) WHERE rn = 1
+), expl AS (
+  SELECT cent_id,
+         CAST(generate_subscripts(v, 1) AS INT) AS dim,
+         CAST(floor(CAST(unnest(v) AS DOUBLE) * 1000000.0) AS BIGINT) AS micro
+  FROM assigned
+)
+SELECT cent_id, dim,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(floor(CAST(sum(micro) AS DOUBLE) / count(*)) AS BIGINT) AS mean_micro
+FROM expl GROUP BY cent_id, dim
+"""
+
+
+@register("kmeans_update_centroids", _KM_ORACLE)
+def kmeans_update_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd update over the embedding corpus
+    (operators/similarity.py:kmeans_update_step): nearest-centroid
+    assignment is the same scan-side literal argmax ivf_topk indexes
+    with (no corpus Exchange); the member means come back in exact
+    integer micro-units, so the training step — not just the final
+    index — is hash-verifiable cross-engine. The oracle replays
+    assignment as a cross-join window (fine at oracle SF) and the
+    identical integer mean."""
+    from dss_nlp_ingestion_spark.operators.similarity import kmeans_update_step
+
+    emb = table(spark, sf_dir, "embeddings")
+    return kmeans_update_step(
+        emb, "vec_id", "embedding", centroid_mod=_CENT_MOD
+    )

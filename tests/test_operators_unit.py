@@ -1117,3 +1117,24 @@ def test_merge_with_delete_clauses(spark):
         for r in merge_into_with_delete(target, source, ["k"], "dead").collect()
     )
     assert got == [(1, "a"), (2, "B"), (4, "d")]
+
+
+def test_pack_fixed_sequences_boundaries(spark):
+    from dss_nlp_ingestion_spark.operators.sampling import pack_fixed_sequences
+
+    # stream: doc1 (5 tok) fills [0,5); doc2 (3) [5,8); doc3 (8) [8,16)
+    # seq_len=8 -> seq0 = doc1+doc2, seq1 = doc3 exactly; doc4 (0 tok)
+    # contributes nothing; doc5 (9) spans seq2 fully + 1 into seq3.
+    rows = [(1, 5), (2, 3), (3, 8), (4, 0), (5, 9)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    got = sorted(
+        (r["doc_id"], r["seq_id"], r["tok_in_seq"])
+        for r in pack_fixed_sequences(df, "doc_id", "w", 8, 2).collect()
+    )
+    assert got == [
+        (1, 0, 5),
+        (2, 0, 3),
+        (3, 1, 8),
+        (5, 2, 8),
+        (5, 3, 1),
+    ]
