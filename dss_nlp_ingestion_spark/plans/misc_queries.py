@@ -1335,3 +1335,39 @@ def orc_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="dss_orc_") + "/orders"
     orders.write.mode("overwrite").orc(path)
     return spark.read.orc(path).filter(F.col("o_totalprice") > 150000.0)
+
+
+_FEDERATED_ORACLE = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@register("federated_union_agg", _FEDERATED_ORACLE)
+def federated_union_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-federated aggregation: one logical table physically
+    split across TWO stores in different formats (even orderkeys in
+    parquet, odd in ORC) and unioned at scan level — the lakehouse
+    reality where history lives in one format and fresh data in
+    another. The aggregate partial-aggregates on each leg BEFORE the
+    union's exchange, so federation adds no shuffle; the hash match
+    vs the single-table oracle proves the split+union is lossless."""
+    import tempfile
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    base = tempfile.mkdtemp(prefix="dss_fed_")
+    orders.filter(F.col("o_orderkey") % 2 == 0).write.parquet(base + "/even")
+    orders.filter(F.col("o_orderkey") % 2 == 1).write.orc(base + "/odd")
+    fed = spark.read.parquet(base + "/even").unionByName(
+        spark.read.orc(base + "/odd")
+    )
+    return fed.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+    )

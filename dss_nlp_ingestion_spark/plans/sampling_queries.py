@@ -609,3 +609,38 @@ def pack_fixed_sequences_manifest(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count("*").cast("long").alias("n_docs"),
         F.sum("tok_in_seq").cast("long").alias("tok_filled"),
     )
+
+
+_FIXED_N_GROUP_ORACLE = """
+WITH ranked AS (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY sha256('fixn|' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+         ) AS rn
+  FROM documents
+)
+SELECT lang, doc_id FROM ranked WHERE rn <= 20
+"""
+
+
+@register("fixed_n_per_group_sample", _FIXED_N_GROUP_ORACLE)
+def fixed_n_per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-n-per-stratum sampling (the per-group twin of
+    fixed_size_sample): rank rows inside each group by a deterministic
+    hash of the key and keep the first 20 — a seeded shuffle-order
+    without an RNG, reproducible in any engine. The rank-limit plan
+    is WindowGroupLimit-pushed (each map task ships at most n rows
+    per group before the exchange), so per-group sampling costs far
+    less than a group shuffle at 100 TB."""
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.sha2(F.concat(F.lit("fixn|"), F.col("doc_id").cast("string")), 256).asc(),
+        F.col("doc_id").asc(),
+    )
+    return (
+        docs.select("lang", "doc_id")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 20)
+        .select("lang", "doc_id")
+    )
