@@ -303,3 +303,93 @@ def pack_fixed_sequences(
         "seq_id",
         (hi - lo).cast("long").alias("tok_in_seq"),
     )
+
+
+def hash_order_key(key: Column, salt: str) -> Column:
+    """52-bit integer from ``sha2(salt || ':' || key)`` — the same
+    bits :func:`hash_fraction` uses, kept as an exact BIGINT for
+    deterministic ORDERING (a reproducible global pseudo-shuffle
+    without an RNG: sorting by this key is an engine-independent
+    random permutation of the rows)."""
+    h = F.sha2(F.concat_ws(":", F.lit(salt), key.cast("string")), 256)
+    return F.conv(F.substring(h, 1, HASH_HEX_CHARS), 16, 10).cast("long")
+
+
+def weighted_systematic_picks(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    n: int,
+    salt: str = "wsys",
+    range_size: int = 1 << 44,
+) -> DataFrame:
+    """Weighted systematic resampling: draw ``n`` picks where each
+    row's expected pick count is exactly ``n * w / total`` — the
+    corpus-mixing primitive behind temperature/domain re-weighting
+    (rows heavier than one stride get MULTIPLE picks, i.e. epochs).
+
+    Deterministic construction instead of an RNG: rows are laid on a
+    weight axis in :func:`hash_order_key` order (a reproducible
+    pseudo-shuffle, tie-broken by the key) and a comb of ``n``
+    equally-spaced teeth — tooth i at ``floor(i * total / n)`` — is
+    dropped on it; a row's picks = teeth landing in its interval
+    ``[start, start + w)``, computed as
+    ``(start+w)*n div total - start*n div total`` in pure BIGINT
+    arithmetic (exact in any engine; variance-free: systematic
+    sampling's pick counts never deviate from the expectation by
+    more than 1).
+
+    Scale: the exclusive prefix sum is the same two-level
+    decomposition as :func:`pack_shards` — per-range local windows in
+    parallel, only the per-range totals (data-size-independent) cross
+    the global window — and the grand total joins back as a broadcast
+    scalar, so nothing single-partition ever sees the data. Weights
+    must be integral; at scales where ``total * n`` would overflow 63
+    bits, pre-scale ``n`` down or widen to DECIMAL(38,0) on both
+    engines."""
+    keyed = df.select(
+        F.col(key_col),
+        F.col(weight_col).cast("long").alias("_w"),
+        hash_order_key(F.col(key_col), salt).alias("_okey"),
+    ).withColumn("_rng", (F.floor(F.col("_okey") / F.lit(range_size))).cast("long"))
+    in_range = Window.partitionBy("_rng").orderBy(
+        F.col("_okey").asc(), F.col(key_col).asc()
+    )
+    local = keyed.withColumn(
+        "_before",
+        F.coalesce(
+            F.sum("_w").over(in_range.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0).cast("long"),
+        ),
+    )
+    totals = keyed.groupBy("_rng").agg(F.sum("_w").alias("_tot"))
+    offsets = totals.withColumn(
+        "_off",
+        F.coalesce(
+            F.sum("_tot").over(
+                Window.orderBy(F.col("_rng").asc()).rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0).cast("long"),
+        ),
+    ).select("_rng", "_off")
+    grand = keyed.agg(F.sum("_w").cast("long").alias("_total"))
+    placed = (
+        local.join(F.broadcast(offsets), "_rng")
+        .withColumn("_start", F.col("_off") + F.col("_before"))
+        .crossJoin(F.broadcast(grand))
+    )
+    n_picks = F.expr(
+        f"((_start + _w) * CAST({int(n)} AS BIGINT)) div _total"
+        f" - (_start * CAST({int(n)} AS BIGINT)) div _total"
+    ).cast("long")
+    return (
+        placed.withColumn("_np", n_picks)
+        .filter(F.col("_np") > 0)
+        .select(
+            F.col(key_col),
+            F.col("_w").alias("weight"),
+            F.col("_np").alias("n_picks"),
+        )
+    )

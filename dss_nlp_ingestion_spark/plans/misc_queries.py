@@ -1371,3 +1371,103 @@ def federated_union_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total"),
     )
+
+
+_TXLOG_COMPACT_ORACLE = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@register("txlog_compaction_roundtrip", _TXLOG_COMPACT_ORACLE)
+def txlog_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE on the tx table: three trickle appends leave the
+    table as many small files (the streaming-ingest tax), then
+    ``txlog.compact`` rewrites the whole snapshot into ONE file in
+    one atomic commit. The query aggregates the compacted table with
+    merge_schema OFF (proving the compacted files alone carry the
+    full content) and the oracle aggregates the source directly, so
+    the hash match certifies compaction is content-preserving. The
+    row-count guard on the file list makes the small-file collapse
+    itself part of the gate."""
+    from dss_nlp_ingestion_spark.sources import txlog
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="dss_txopt_") + "/orders"
+    txlog.create_table(orders.filter(F.col("o_orderkey") % 3 == 0), path)
+    txlog.append(orders.filter(F.col("o_orderkey") % 3 == 1), path)
+    txlog.append(orders.filter(F.col("o_orderkey") % 3 == 2), path)
+    n_before = len(txlog.snapshot_files(path))
+    txlog.compact(spark, path, target_files=1)
+    n_after = len(txlog.snapshot_files(path))
+    if not (n_after == 1 and n_before > n_after):
+        raise AssertionError(f"compaction did not collapse files: {n_before}->{n_after}")
+    return (
+        txlog.read(spark, path, merge_schema=False)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+_TXLOG_EVOLVE_ORACLE = """
+WITH unioned AS (
+  SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_channel
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, o_orderpriority AS o_channel
+  FROM orders WHERE o_orderkey % 2 = 1
+)
+SELECT coalesce(o_channel, 'legacy') AS channel,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM unioned GROUP BY coalesce(o_channel, 'legacy')
+"""
+
+
+@register("txlog_schema_evolution", _TXLOG_EVOLVE_ORACLE)
+def txlog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution on the tx table: version 0 is the
+    narrow (o_orderkey, o_totalprice) schema, version 1 appends rows
+    carrying a NEW o_channel column. The snapshot read footer-merges
+    the live files, surfacing NULL o_channel for pre-evolution rows —
+    the reader-side resolution Delta/Iceberg do from logged schemas,
+    here from parquet footers of the live file list only. The oracle
+    replays the evolution as a NULL-padded UNION ALL, so the hash
+    match pins the widened read exactly."""
+    from dss_nlp_ingestion_spark.sources import txlog
+
+    orders = table(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="dss_txevo_") + "/orders"
+    txlog.create_table(
+        orders.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice"
+        ),
+        path,
+    )
+    txlog.append(
+        orders.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey",
+            "o_totalprice",
+            F.col("o_orderpriority").alias("o_channel"),
+        ),
+        path,
+    )
+    return (
+        txlog.read(spark, path)
+        .groupBy(F.coalesce(F.col("o_channel"), F.lit("legacy")).alias("channel"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )

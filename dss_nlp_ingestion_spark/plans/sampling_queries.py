@@ -644,3 +644,47 @@ def fixed_n_per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") <= 20)
         .select("lang", "doc_id")
     )
+
+
+_WSYS_N = 500
+
+_WSYS_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+         ('0x' || substr(sha256('wsys:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT AS okey
+  FROM documents
+),
+pref AS (
+  SELECT doc_id, w,
+         CAST(coalesce(sum(w) OVER (
+           ORDER BY okey ASC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s,
+         CAST(sum(w) OVER () AS BIGINT) AS total
+  FROM keyed
+)
+SELECT doc_id, w AS weight,
+       CAST((s + w) * {_WSYS_N} // total - (s * {_WSYS_N}) // total AS BIGINT) AS n_picks
+FROM pref
+WHERE (s + w) * {_WSYS_N} // total - (s * {_WSYS_N}) // total > 0
+"""
+
+
+@register("weighted_systematic_sample", _WSYS_ORACLE)
+def weighted_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted systematic resampling of documents by n_chars
+    (operators.sampling.weighted_systematic_picks): 500 picks whose
+    per-document expectation is exactly proportional to length —
+    the deterministic, variance-free form of the weighted draw
+    corpus temperature-mixing needs (heavy docs get multiple picks
+    = epochs). No RNG anywhere: hash-ordered weight axis + an
+    integer comb; the oracle replays the identical BIGINT
+    arithmetic over a single global window while the Spark side
+    uses the two-level distributed prefix sum — the hash match
+    proves the distributed decomposition equals the sequential
+    cumsum."""
+    from dss_nlp_ingestion_spark.operators.sampling import (
+        weighted_systematic_picks,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return weighted_systematic_picks(docs, "doc_id", "n_chars", _WSYS_N, salt="wsys")

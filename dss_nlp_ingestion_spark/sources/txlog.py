@@ -186,13 +186,60 @@ def rewrite(
             return head + 1
 
 
-def read(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+def read(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    merge_schema: bool = True,
+) -> DataFrame:
     """Snapshot (or time-travel) read: hand Spark the exact file
-    list, so pushdown/pruning work as on plain parquet."""
+    list, so pushdown/pruning work as on plain parquet.
+
+    ``merge_schema`` (default on) unions the live files' footers, so
+    a snapshot spanning an additive schema change (see :func:`append`)
+    reads as the widest schema with NULLs for pre-evolution rows —
+    the same reader-side resolution Delta/Iceberg perform from their
+    logged schemas. Footer merging is a metadata job over the live
+    file list only, not a data scan."""
     files = snapshot_files(path, version)
     if not files:
         raise ValueError(f"empty snapshot at {path} version={version}")
-    return spark.read.parquet(*files)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*files)
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_files: int = 1,
+    max_retries: int = 3,
+) -> int:
+    """OPTIMIZE: rewrite the current snapshot's (typically many,
+    small) data files into ``target_files`` compacted ones in ONE
+    atomic commit — readers see either the old file set or the new
+    one, never both, and time travel to pre-compaction versions keeps
+    working (replaced files stay on disk, reachable via the log).
+
+    Small files are the tax every log-structured table pays for
+    streaming/trickle appends; at 100 TB an uncompacted table turns
+    scans into open()-bound metadata storms. Concurrent APPENDS
+    commute with the rewrite (disjoint files); a concurrent rewrite
+    of the same base raises ``TxConflictError`` and is retried here
+    against the fresh snapshot."""
+    for _ in range(max_retries):
+        head = (_versions(path) or [-1])[-1]
+        if head < 0:
+            raise ValueError(f"no tx table at {path}")
+        live = snapshot_files(path, head)
+        rel = [os.path.relpath(f, os.path.join(path, "data")) for f in live]
+        df = read(spark, path, version=head).coalesce(target_files)
+        try:
+            return rewrite(df, path, rel, expect_version=head, op="compact")
+        except TxConflictError:
+            continue
+    raise TxConflictError(f"compaction lost {max_retries} rewrite races at {path}")
 
 
 def vacuum(path: str) -> list[str]:

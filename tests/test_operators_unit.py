@@ -1138,3 +1138,36 @@ def test_pack_fixed_sequences_boundaries(spark):
         (5, 2, 8),
         (5, 3, 1),
     ]
+
+
+def test_weighted_systematic_picks_exact_counts(spark):
+    """Systematic resampling invariants: total picks == n exactly,
+    every row's pick count within 1 of its exact expectation
+    n*w/total, and rows heavier than one stride get multiple picks."""
+    from dss_nlp_ingestion_spark.operators.sampling import (
+        weighted_systematic_picks,
+    )
+
+    rows = [(i, (i * 7) % 13 + 1) for i in range(1, 101)]  # weights 1..13
+    rows.append((999, 500))  # one dominant row -> multiple picks
+    df = spark.createDataFrame(rows, ["k", "w"])
+    total = sum(w for _, w in rows)
+    n = 40
+    got = {r["k"]: r["n_picks"] for r in
+           weighted_systematic_picks(df, "k", "w", n, salt="t").collect()}
+    assert sum(got.values()) == n
+    weights = dict(rows)
+    for k, w in rows:
+        exp = n * w / total
+        assert abs(got.get(k, 0) - exp) <= 1.0, (k, got.get(k, 0), exp)
+    assert got[999] >= 2
+    # deterministic: same call, same result
+    got2 = {r["k"]: r["n_picks"] for r in
+            weighted_systematic_picks(df, "k", "w", n, salt="t").collect()}
+    assert got == got2
+    # tiny range_size forces many ranges through the two-level sum:
+    # must equal the single-range answer
+    got3 = {r["k"]: r["n_picks"] for r in
+            weighted_systematic_picks(df, "k", "w", n, salt="t",
+                                      range_size=1 << 40).collect()}
+    assert got == got3

@@ -101,3 +101,67 @@ def test_rewrite_commutes_with_concurrent_append(spark):
     assert got == [(1, "a2"), (2, "b")]
     # time travel still sees every committed state
     assert sorted(r["k"] for r in txlog.read(spark, path, version=1).collect()) == [1, 2]
+
+
+def test_compact_merges_small_files_preserving_content(spark):
+    """OPTIMIZE: many small appended files collapse into one data
+    file in a single atomic commit; content is unchanged and time
+    travel to the pre-compaction snapshot still works."""
+    path = tempfile.mkdtemp(prefix="dss_tx_")
+    txlog.create_table(_tbl(spark, [(1, "a")]), path)
+    for i in range(2, 6):
+        txlog.append(_tbl(spark, [(i, f"v{i}")]), path)
+    assert len(txlog.snapshot_files(path)) >= 5
+    v = txlog.compact(spark, path, target_files=1)
+    assert len(txlog.snapshot_files(path)) == 1
+    got = sorted((r["k"], r["v"]) for r in txlog.read(spark, path).collect())
+    assert got == [(1, "a"), (2, "v2"), (3, "v3"), (4, "v4"), (5, "v5")]
+    # pre-compaction snapshot unchanged
+    assert sorted(r["k"] for r in txlog.read(spark, path, version=v - 1).collect()) == [
+        1,
+        2,
+        3,
+        4,
+        5,
+    ]
+    assert txlog.history(path)[-1]["op"] == "compact"
+
+
+def test_compact_retries_past_concurrent_append(spark):
+    """An append racing the compaction commits disjoint files, so the
+    compaction lands on top of it; the appended row is NOT folded
+    into the compacted files but stays visible in the snapshot."""
+    path = tempfile.mkdtemp(prefix="dss_tx_")
+    txlog.create_table(_tbl(spark, [(1, "a")]), path)
+    txlog.append(_tbl(spark, [(2, "b")]), path)
+    # interleave: stage an append AFTER compact reads its base
+    base_head = (txlog._versions(path))[-1]
+    files = txlog._write_data_files(_tbl(spark, [(3, "c")]), path)
+    assert txlog._try_commit(
+        path, base_head + 1, {"op": "append", "add": files, "remove": []}
+    )
+    txlog.compact(spark, path, target_files=1)
+    got = sorted(r["k"] for r in txlog.read(spark, path).collect())
+    assert got == [1, 2, 3]
+
+
+def test_schema_evolution_reads_nulls_for_old_rows(spark):
+    """Additive schema change: an append with an extra column merges
+    at read time — old rows surface NULL for the new column, and a
+    pre-evolution time travel still reads the narrow schema."""
+    path = tempfile.mkdtemp(prefix="dss_tx_")
+    txlog.create_table(_tbl(spark, [(1, "a")]), path)
+    wide = spark.createDataFrame([(2, "b", 9.5)], "k long, v string, score double")
+    txlog.append(wide, path)
+    df = txlog.read(spark, path)
+    assert set(df.columns) == {"k", "v", "score"}
+    got = sorted((r["k"], r["v"], r["score"]) for r in df.collect())
+    assert got == [(1, "a", None), (2, "b", 9.5)]
+    assert set(txlog.read(spark, path, version=0).columns) == {"k", "v"}
+    # compaction materializes the widest schema into the new files
+    txlog.compact(spark, path, target_files=1)
+    got2 = sorted(
+        (r["k"], r["v"], r["score"])
+        for r in txlog.read(spark, path, merge_schema=False).collect()
+    )
+    assert got2 == got
