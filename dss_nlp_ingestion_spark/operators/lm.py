@@ -98,3 +98,54 @@ def bigram_logprob_scores(
         .cast("double")
         .alias("avg_logprob"),
     )
+
+
+def common_ngram_coverage(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 2,
+    min_df: int = 5,
+) -> DataFrame:
+    """Corpus-common n-gram coverage — the boilerplate signal C4/
+    Gopher-class pipelines gate on: the fraction of a document's word
+    ``k``-grams that occur in >= ``min_df`` DISTINCT documents. High
+    coverage marks template/boilerplate text (navigation chrome,
+    licence blocks, mirrored articles) that exact- and near-dup
+    passes miss because the surrounding document differs.
+
+    Returns (id_col, n_ngrams, n_common) — n_common counts the doc's
+    n-gram OCCURRENCES whose gram is corpus-common; callers derive
+    the ratio. Docs with < k tokens emit no n-grams and are absent.
+
+    Scale shape: n-gram extraction is scan-side (compiled-regex
+    shingler, no shuffle); the doc-frequency table shuffles on the
+    gram key and is DISTINCT-GRAM-sized; the corpus rejoins it by
+    gram — a plain hash join, deliberately NOT a broadcast, since the
+    common-gram table grows with the corpus (the r3 Jaccard lesson).
+    Per-doc totals then partial-aggregate before their shuffle."""
+    from dss_nlp_ingestion_spark.functions.text import shingles
+
+    grams = docs.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("_g")
+    )
+    dfreq = (
+        grams.groupBy("_g", id_col)
+        .agg(F.lit(1))
+        .groupBy("_g")
+        .agg(F.count("*").cast("long").alias("_df"))
+    )
+    common = dfreq.filter(F.col("_df") >= F.lit(int(min_df))).select("_g")
+    per_doc = grams.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_ngrams")
+    )
+    hits = (
+        grams.join(common, "_g")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    return per_doc.join(hits, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_ngrams"),
+        F.coalesce(F.col("n_common"), F.lit(0).cast("long")).alias("n_common"),
+    )

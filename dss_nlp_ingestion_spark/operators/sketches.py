@@ -157,3 +157,56 @@ def cms_point_query(sketch: DataFrame, keys: DataFrame, key_col: str) -> DataFra
         {"n": 0}
     )
     return joined.groupBy(key_col).agg(F.min("n").cast("long").alias("cms_estimate"))
+
+
+def hll_estimate_grouped(
+    df: DataFrame,
+    group_col: str,
+    key: Column,
+    p_hex: int = 2,
+    rho_nibbles: int = 6,
+) -> DataFrame:
+    """Per-group HLL: (group_col, hll_raw, n_zero_registers) — the
+    GROUP BY form of :func:`hll_estimate` (distinct users per
+    segment, vocabulary per language, ...). Identical register
+    arithmetic; the sketch fold shuffles at most ``groups * m`` rows
+    (map-side max-combined), so per-group distinct counts cost a
+    bounded exchange instead of the exact count's O(groups *
+    distinct) one."""
+    m = 16**p_hex
+    h = F.sha2(key.cast("string"), 256)
+    bucket = sum(
+        (_nibble_val(F.substring(h, i + 1, 1)) * (16 ** (p_hex - 1 - i)))
+        for i in range(p_hex)
+    ).alias("bucket")
+    rho = hll_register_rho(
+        F.substring(h, p_hex + 1, rho_nibbles), rho_nibbles
+    ).alias("rho")
+    regs = (
+        df.select(F.col(group_col), bucket, rho)
+        .groupBy(group_col, "bucket")
+        .agg(F.max("rho").alias("m_reg"))
+    )
+    term = (
+        F.lit(1.0) / F.expr("shiftleft(CAST(1 AS BIGINT), m_reg)")
+    ).cast("decimal(38,28)")
+    agg = regs.groupBy(group_col).agg(
+        F.sum(term).alias("_s"),
+        F.count("*").cast("long").alias("_present"),
+        F.sum(F.when(F.col("m_reg") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("_zero_present"),
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    s_total = F.col("_s").cast("double") + (m - F.col("_present")).cast("double")
+    raw = F.lit(alpha * m * m) / s_total
+    n_zero = (m - F.col("_present") + F.col("_zero_present")).cast("long")
+    corrected = F.when(
+        (raw <= F.lit(2.5 * m)) & (n_zero > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / n_zero.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        F.col(group_col),
+        corrected.alias("hll_raw"),
+        n_zero.alias("n_zero_registers"),
+    )

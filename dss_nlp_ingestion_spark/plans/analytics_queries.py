@@ -917,3 +917,84 @@ def ancestor_closure_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in tiers[1:]:
         out = out.unionByName(t)
     return out
+
+
+def _hll_group_oracle(group_sql: str, key_sql: str, src: str) -> str:
+    """GROUP BY twin of ``_hll_oracle`` — same generated nibble/
+    register/correction arithmetic with the group key carried through
+    every stage, plus the exact per-group distinct joined back."""
+    m, p_hex, rho_nibbles = 256, 2, 6
+    alpha_m2 = 0.7213 / (1.0 + 1.079 / m) * m * m
+    nv = lambda i: f"(strpos('0123456789abcdef', substr(hx, {i}, 1)) - 1)"
+    first_nz = "0"
+    for i in range(rho_nibbles, 0, -1):
+        first_nz = f"CASE WHEN {nv(p_hex + i)} > 0 THEN {i} ELSE {first_nz} END"
+    nib_at = f"(strpos('0123456789abcdef', substr(hx, {p_hex} + first_nz, 1)) - 1)"
+    in_lz = (
+        f"CASE WHEN {nib_at} >= 8 THEN 0 WHEN {nib_at} >= 4 THEN 1 "
+        f"WHEN {nib_at} >= 2 THEN 2 ELSE 3 END"
+    )
+    bucket = " + ".join(
+        f"{nv(i + 1)} * {16 ** (p_hex - 1 - i)}" for i in range(p_hex)
+    )
+    return f"""
+WITH h AS (
+  SELECT {group_sql} AS grp, sha256(CAST({key_sql} AS VARCHAR)) AS hx FROM {src}
+), fz AS (
+  SELECT grp, hx, {bucket} AS bucket, ({first_nz}) AS first_nz FROM h
+), br AS (
+  SELECT grp, bucket,
+         CASE WHEN first_nz = 0 THEN {4 * rho_nibbles + 1}
+              ELSE (first_nz - 1) * 4 + {in_lz} + 1 END AS rho
+  FROM fz
+), regs AS (
+  SELECT grp, bucket, max(rho) AS m_reg FROM br GROUP BY grp, bucket
+), agg AS (
+  SELECT grp,
+         sum(CAST(1.0 / (CAST(1 AS BIGINT) << m_reg) AS DECIMAL(38,28))) AS s,
+         CAST(count(*) AS BIGINT) AS present,
+         CAST(sum(CASE WHEN m_reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zp
+  FROM regs GROUP BY grp
+), est AS (
+  SELECT grp, {alpha_m2!r} / (CAST(s AS DOUBLE) + ({m} - present)) AS raw,
+         ({m} - present + zp) AS n_zero
+  FROM agg
+), ex AS (
+  SELECT {group_sql} AS grp, CAST(count(DISTINCT {key_sql}) AS BIGINT) AS exact_distinct
+  FROM {src} GROUP BY {group_sql}
+)
+SELECT est.grp AS event_type,
+       {fround_sql(f'CASE WHEN raw <= {2.5 * m!r} AND n_zero > 0 THEN {float(m)!r} * ln({float(m)!r} / n_zero) ELSE raw END', 4)} AS hll_estimate,
+       CAST(n_zero AS BIGINT) AS n_zero_registers,
+       ex.exact_distinct
+FROM est JOIN ex ON ex.grp = est.grp
+"""
+
+
+@register(
+    "hll_distinct_users_by_type",
+    _hll_group_oracle("event_type", "user_id", "events"),
+)
+def hll_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group cardinality sketch: distinct users per event_type
+    via the GROUP BY HLL fold (operators/sketches.py:
+    hll_estimate_grouped). The sketch exchange is bounded at
+    groups x 256 rows regardless of input size — the per-segment
+    distinct-count pattern (DAU by surface, vocab by language) that
+    an exact count makes an O(groups x distinct) shuffle. Exact
+    per-group distincts ride along to show the estimates land."""
+    from dss_nlp_ingestion_spark.operators.sketches import (
+        hll_estimate_grouped,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    est = hll_estimate_grouped(ev, "event_type", F.col("user_id"))
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        fround(F.col("hll_raw"), 4).alias("hll_estimate"),
+        "n_zero_registers",
+        "exact_distinct",
+    )

@@ -944,3 +944,53 @@ def normalized_link_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("u").cast("long").alias("n_distinct_raw"),
         )
     )
+
+
+_NGRAM_MIN_DF = 2
+
+_NGRAM_COVERAGE_ORACLE = rf"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
+), gr AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws) - 1),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+  FROM w WHERE len(ws) >= 3
+), dfreq AS (
+  SELECT g FROM gr GROUP BY g HAVING count(DISTINCT doc_id) >= {_NGRAM_MIN_DF}
+), per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams FROM gr GROUP BY doc_id
+), hits AS (
+  SELECT gr.doc_id, CAST(count(*) AS BIGINT) AS n_common
+  FROM gr JOIN dfreq ON gr.g = dfreq.g
+  GROUP BY gr.doc_id
+)
+SELECT p.doc_id, p.n_ngrams,
+       CAST(coalesce(h.n_common, 0) AS BIGINT) AS n_common,
+       {fround_sql('CAST(coalesce(h.n_common, 0) AS DOUBLE) / p.n_ngrams', 6)} AS coverage
+FROM per_doc p LEFT JOIN hits h ON h.doc_id = p.doc_id
+"""
+
+
+@register("common_ngram_coverage", _NGRAM_COVERAGE_ORACLE)
+def common_ngram_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate coverage gate (operators.lm.common_ngram_coverage):
+    per document, the fraction of its word trigrams occurring in >= 2
+    distinct documents — the C4/Gopher-style template-text signal
+    that catches boilerplate near-dup passes miss (same chrome,
+    different article). Doc-frequency table shuffles on the gram key
+    (distinct-gram-sized) and rejoins by hash join — deliberately no
+    broadcast, the common set is corpus-sized at 100 TB."""
+    from dss_nlp_ingestion_spark.operators.lm import common_ngram_coverage
+
+    out = common_ngram_coverage(
+        table(spark, sf_dir, "documents"), k=3, min_df=_NGRAM_MIN_DF
+    )
+    return out.select(
+        "doc_id",
+        "n_ngrams",
+        "n_common",
+        fround(F.col("n_common").cast("double") / F.col("n_ngrams"), 6).alias(
+            "coverage"
+        ),
+    )

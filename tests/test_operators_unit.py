@@ -1171,3 +1171,61 @@ def test_weighted_systematic_picks_exact_counts(spark):
             weighted_systematic_picks(df, "k", "w", n, salt="t",
                                       range_size=1 << 40).collect()}
     assert got == got3
+
+
+def test_common_ngram_coverage_flags_boilerplate(spark):
+    """Docs sharing a boilerplate sentence score high coverage; a
+    unique doc scores zero; a doc too short for a trigram is absent."""
+    from dss_nlp_ingestion_spark.operators.lm import common_ngram_coverage
+
+    boiler = "all rights reserved contact us for details"
+    rows = [
+        (1, boiler + " alpha beta gamma"),
+        (2, boiler + " delta epsilon zeta"),
+        (3, boiler + " eta theta iota"),
+        (4, "completely unique document body nothing shared here"),
+        (5, "too short"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_ngrams"], r["n_common"])
+        for r in common_ngram_coverage(df, k=3, min_df=3).collect()
+    }
+    assert 5 not in got  # < 3 tokens -> no trigrams
+    assert got[4][1] == 0  # unique doc: zero common trigrams
+    # the 5 boilerplate-internal trigrams appear in all 3 docs
+    for d in (1, 2, 3):
+        n_ngrams, n_common = got[d]
+        assert n_ngrams == 8  # 10 tokens -> 8 trigrams
+        assert n_common == 5
+    # min_df above group size -> nothing is common
+    none = {
+        r["doc_id"]: r["n_common"]
+        for r in common_ngram_coverage(df, k=3, min_df=4).collect()
+    }
+    assert all(v == 0 for v in none.values())
+
+
+def test_hll_grouped_matches_global_per_group(spark):
+    """The grouped HLL fold equals running the global HLL on each
+    group's rows separately (same registers, same correction), and
+    estimates land near the exact distinct."""
+    from dss_nlp_ingestion_spark.operators.sketches import (
+        hll_estimate,
+        hll_estimate_grouped,
+    )
+
+    rows = [(f"g{u % 3}", u * 7919 % 1000) for u in range(3000)]
+    df = spark.createDataFrame(rows, ["grp", "uid"])
+    grouped = {
+        r["grp"]: (r["hll_raw"], r["n_zero_registers"])
+        for r in hll_estimate_grouped(df, "grp", F.col("uid")).collect()
+    }
+    assert set(grouped) == {"g0", "g1", "g2"}
+    for g in grouped:
+        solo = hll_estimate(
+            df.filter(F.col("grp") == g), F.col("uid")
+        ).collect()[0]
+        assert grouped[g] == (solo["hll_raw"], solo["n_zero_registers"])
+        exact = df.filter(F.col("grp") == g).select("uid").distinct().count()
+        assert abs(grouped[g][0] - exact) / exact < 0.25
