@@ -1119,3 +1119,111 @@ def lsh_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(hit.cast("double") / F.sum("in_lsh"), 6).alias("precision"),
         fround(hit.cast("double") / F.sum("in_ex"), 6).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental LSH dedup against a PERSISTED signature index
+# ---------------------------------------------------------------------------
+
+def _lsh_band_cte(p: str, src: str) -> str:
+    """The shingle->one-perm-minhash->band CTE chain (same arithmetic
+    as _LSH_ORACLE), name-prefixed so two sources can coexist in one
+    oracle query."""
+    cols = ",\n    ".join(
+        f"list_min(list_transform(hsh, h -> substr(h, {q * 8 + 1}, 8))) AS m{q}"
+        for q in range(_NUM_PERM)
+    )
+    bands = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, m{b * _BAND_ROWS} || '|' ||"
+        f" m{b * _BAND_ROWS + 1} AS band_key FROM {p}sig"
+        for b in range(_NUM_PERM // _BAND_ROWS)
+    )
+    return f"""{p}w AS ({src}),
+{p}sh AS (
+  SELECT doc_id,
+         list_transform(range(1, len(ws) - 1),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh
+  FROM {p}w WHERE len(ws) >= 3
+),
+{p}hashed AS (
+  SELECT doc_id, list_transform(sh, s -> sha256(s)) AS hsh FROM {p}sh
+),
+{p}sig AS (
+  SELECT doc_id, {cols} FROM {p}hashed
+),
+{p}bands AS (
+{bands}
+)"""
+
+
+_INCR_TAIL = " qq17 qq18 qq19"
+
+_INCR_CORPUS_SRC = (
+    r"SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents"
+)
+_INCR_BATCH_SRC = (
+    "SELECT doc_id + 10000000 AS doc_id, "
+    r"string_split_regex(trim(text || '" + _INCR_TAIL + r"'), '\s+') AS ws "
+    "FROM documents WHERE doc_id % 9 = 0"
+)
+
+_INCR_LSH_ORACLE = f"""
+WITH {_lsh_band_cte('c', _INCR_CORPUS_SRC)},
+{_lsh_band_cte('i', _INCR_BATCH_SRC)}
+SELECT DISTINCT i.doc_id AS new_id, c.doc_id AS dup_of
+FROM ibands i JOIN cbands c
+  ON i.band = c.band AND i.band_key = c.band_key
+"""
+
+
+@register("lsh_index_incremental_dedup", _INCR_LSH_ORACLE)
+def lsh_index_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup dedup — the daily-crawl-increment shape:
+    the corpus's LSH band signatures are PERSISTED as a tx-log table
+    (built once, maintained forever), and an incoming batch (here:
+    mutated copies of every 9th document, tail-perturbed so most
+    shingles survive) computes ONLY ITS OWN signatures and joins the
+    index on the band key. At 100 TB this replaces re-signing the
+    whole corpus per batch with O(batch) signature work + a
+    band-key-bucketed join against the index; the non-duplicate
+    newcomers' signatures are then APPENDED to the index through the
+    same O_EXCL commit protocol, keeping it current without a
+    rewrite. The oracle replays both signature chains from scratch —
+    the hash match proves the persisted-index path equals the
+    recompute-everything semantics."""
+    import tempfile
+
+    from dss_nlp_ingestion_spark.sources import txlog
+
+    docs = table(spark, sf_dir, "documents")
+    index = lsh_bands(
+        docs, "doc_id", "text", num_perm=_NUM_PERM, band_rows=_BAND_ROWS, k=3
+    )
+    path = tempfile.mkdtemp(prefix="dss_lshidx_") + "/index"
+    txlog.create_table(index, path)
+
+    incoming = docs.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 10000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_INCR_TAIL)).alias("text"),
+    )
+    # Both frames feed two consumers (the dup verdicts AND the index
+    # maintenance append) — persist so the signature chain runs once.
+    inc_bands = lsh_bands(
+        incoming, "doc_id", "text", num_perm=_NUM_PERM, band_rows=_BAND_ROWS, k=3
+    ).persist()
+    idx = txlog.read(spark, path)
+    dups = (
+        inc_bands.withColumnRenamed("id", "new_id")
+        .join(
+            idx.withColumnRenamed("id", "dup_of"), ["band", "band_key"]
+        )
+        .select("new_id", "dup_of")
+        .distinct()
+        .persist()
+    )
+    # Index maintenance: newcomers with no near-dup enter the index.
+    fresh = inc_bands.join(
+        dups.select(F.col("new_id").alias("id")).distinct(), "id", "left_anti"
+    )
+    txlog.append(fresh, path)
+    return dups
