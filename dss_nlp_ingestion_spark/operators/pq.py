@@ -122,6 +122,77 @@ def pq_code_columns(model: dict, emb_col: str = "embedding", dim: int = 64):
     return F.concat_ws(",", *code_cols), total
 
 
+def adc_lookup_table(model: dict, query_vec) -> list[list[float]]:
+    """ADC lookup tables for one query vector: lut[s][c] = squared
+    L2 distance between the query's subvector s and centroid c —
+    the m*k floats that replace all O(dim) arithmetic per database
+    vector at search time (Jégou et al., 2011 §III). Driver-side
+    numpy float64; model-parameter-sized (m*k values), shipped as
+    literals to both engines."""
+    books = model["codebooks"]
+    m, k = model["m"], model["k"]
+    sub = len(query_vec) // m
+    lut = []
+    for s in range(m):
+        q = [float(x) for x in query_vec[s * sub : (s + 1) * sub]]
+        row = []
+        for c in range(k):
+            d = 0.0
+            for j in range(sub):
+                t = q[j] - float(books[s][c][j])
+                d += t * t
+            row.append(d)
+        lut.append(row)
+    return lut
+
+
+def pq_adc_column(
+    model: dict, lut: list[list[float]], emb_col: str = "embedding", dim: int = 64
+) -> Column:
+    """Asymmetric-distance column: per subspace, the stored vector's
+    code is its argmin centroid (same first-match expression as
+    :func:`pq_code_columns`) and the query's distance contribution is
+    ONE literal-array lookup at that code — the scan-side ADC search
+    kernel. Left-associated sum of m lookups, doubles throughout, so
+    identical SQL reproduces every bit."""
+    books = model["codebooks"]
+    m, k = model["m"], model["k"]
+    sub = dim // m
+    emb = F.col(emb_col)
+    terms = []
+    for s in range(m):
+        dists = F.array(
+            *[_sub_distance(emb, s, sub, books[s][c]) for c in range(k)]
+        )
+        idx = F.array_position(dists, F.array_min(dists))  # 1-based
+        lut_lit = F.array(*[F.lit(float(v)) for v in lut[s]])
+        terms.append(F.element_at(lut_lit, idx.cast("int")))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def pq_adc_sql(
+    model: dict, lut: list[list[float]], emb_sql: str = "embedding", dim: int = 64
+) -> str:
+    """DuckDB twin of :func:`pq_adc_column` — same literal LUT, same
+    list_position argmin, same left-associated '+' chain."""
+    books = model["codebooks"]
+    m, k = model["m"], model["k"]
+    sub = dim // m
+    terms = []
+    for s in range(m):
+        dlist = ", ".join(
+            pq_sub_distance_sql(emb_sql, s, sub, books[s][c]) for c in range(k)
+        )
+        lut_lit = "[" + ", ".join(repr(float(v)) for v in lut[s]) + "]"
+        terms.append(
+            f"list_extract({lut_lit}, list_position([{dlist}], list_min([{dlist}])))"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
 def pq_sub_distance_sql(
     emb_sql: str, s: int, sub: int, centroid
 ) -> str:

@@ -1,0 +1,298 @@
+"""Corpus-curation queries: the document-gating / reweighting layer a
+training-data pipeline runs between raw ingest and shard packing.
+
+Three standard stages, each scan-side and oracle-gated:
+
+- ``gopher_quality_gate`` — the Gopher/C4 heuristic rule battery
+  (word-count bounds, mean word length, stopword presence, lexical
+  diversity) as one pure-projection pass (Rae et al. 2021 §A1.1).
+- ``chunk_dedup_docs`` — corpus-level exact dedup at sub-document
+  granularity (fixed word-window chunks), keep-first-occurrence, and
+  in-engine document reassembly — the line/paragraph dedup step of
+  C4/Dolma-style pipelines, generalized to windows because the
+  synthetic corpus has no newlines.
+- ``dsir_importance_weights`` — hashed-n-gram importance weighting
+  (Xie et al. 2023, DSIR): score every raw document by how target-like
+  its bigram distribution is. The classic form sums log-probability
+  ratios; ln() is not bit-reproducible across engines, so the score
+  here is the exact-integer difference-of-probabilities form
+  mean_g(p_target(g) - p_raw(g)), computed entirely in int64/decimal
+  arithmetic and divided once at the end — hash-stable by
+  construction, same ordering behavior for ranking/resampling.
+
+Reference scope note: the reference pipeline gates documents with
+hand rules at parse time (e.g. src/utils/newsfilter_utils.py form-type
+drops); these queries are the corpus-scale generalization of that
+gating stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dss_nlp_ingestion_spark.catalog import table
+from dss_nlp_ingestion_spark.functions import text as T
+from dss_nlp_ingestion_spark.plans.registry import fround, fround_sql, register
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rule battery
+# ---------------------------------------------------------------------------
+
+#: closed-class words of the synthetic vocabulary (stopword-presence
+#: rule; real deployments plug in a language-specific list).
+_STOPWORDS = ("the", "a")
+
+_MIN_WORDS, _MAX_WORDS = 50, 100_000
+_MIN_MWL, _MAX_MWL = 3.0, 10.0
+_MIN_STOP_FRAC = 0.005
+_MIN_UNIQUE_FRAC = 0.10
+
+_STOP_IN = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+_GOPHER_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(ws, x -> len(x))) AS BIGINT) AS n_word_chars,
+         CAST(list_max(list_transform(ws, x -> len(x))) AS BIGINT) AS max_word_len,
+         CAST(len(list_filter(ws, x -> x IN ({_STOP_IN}))) AS BIGINT) AS n_stop,
+         CAST(len(list_distinct(ws)) AS BIGINT) AS n_unique
+  FROM w
+)
+SELECT doc_id, n_words, max_word_len,
+       {fround_sql('CAST(n_word_chars AS DOUBLE) / n_words', 6)} AS mean_word_len,
+       {fround_sql('CAST(n_stop AS DOUBLE) / n_words', 6)} AS stop_frac,
+       {fround_sql('CAST(n_unique AS DOUBLE) / n_words', 6)} AS unique_frac,
+       CAST(CASE WHEN n_words BETWEEN {_MIN_WORDS} AND {_MAX_WORDS}
+                  AND CAST(n_word_chars AS DOUBLE) / n_words >= {_MIN_MWL}
+                  AND CAST(n_word_chars AS DOUBLE) / n_words <= {_MAX_MWL}
+                  AND CAST(n_stop AS DOUBLE) / n_words >= {_MIN_STOP_FRAC}
+                  AND CAST(n_unique AS DOUBLE) / n_words >= {_MIN_UNIQUE_FRAC}
+             THEN 1 ELSE 0 END AS BIGINT) AS passes
+FROM m
+"""
+
+
+@register("gopher_quality_gate", _GOPHER_ORACLE)
+def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule battery as ONE whole-stage-codegen projection: all
+    five per-document statistics come from a single tokenization
+    (higher-order array ops over the split array — no explode, no
+    shuffle, no Python), so at 100 TB this is a pure map pass whose
+    cost is the scan itself. Ratios are int/int divisions rounded
+    with the cross-engine floor formula; the verdict is re-derived
+    from the same raw integers on both sides."""
+    docs = table(spark, sf_dir, "documents")
+    ws = T.ws_tokens(F.col("text"))
+    lens = F.transform(ws, F.length)
+    n_words = F.size(ws).cast("long")
+    n_chars = F.aggregate(
+        lens, F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+    )
+    n_stop = F.size(
+        F.filter(ws, lambda x: x.isin(*_STOPWORDS))
+    ).cast("long")
+    n_unique = F.size(F.array_distinct(ws)).cast("long")
+    mwl = n_chars.cast("double") / n_words
+    stop_frac = n_stop.cast("double") / n_words
+    uniq_frac = n_unique.cast("double") / n_words
+    passes = (
+        n_words.between(_MIN_WORDS, _MAX_WORDS)
+        & (mwl >= _MIN_MWL)
+        & (mwl <= _MAX_MWL)
+        & (stop_frac >= _MIN_STOP_FRAC)
+        & (uniq_frac >= _MIN_UNIQUE_FRAC)
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.array_max(lens).cast("long").alias("max_word_len"),
+        fround(mwl, 6).alias("mean_word_len"),
+        fround(stop_frac, 6).alias("stop_frac"),
+        fround(uniq_frac, 6).alias("unique_frac"),
+        F.when(passes, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("passes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level chunk dedup + in-engine document reassembly
+# ---------------------------------------------------------------------------
+
+_CHUNK_W = 10  # words per chunk
+
+_CHUNK_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents
+), ch AS (
+  SELECT doc_id, k,
+         array_to_string(list_slice(ws, k * {_CHUNK_W} + 1, k * {_CHUNK_W} + {_CHUNK_W}), ' ') AS chunk
+  FROM w, UNNEST(range(CAST(ceil(len(ws) / {_CHUNK_W}.0) AS BIGINT))) AS t(k)
+), r AS (
+  SELECT doc_id, k, chunk,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, k) AS rn
+  FROM ch
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS total_chunks,
+       CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS kept_chunks,
+       sha256(coalesce(string_agg(chunk, ' ' ORDER BY k) FILTER (WHERE rn = 1), '')) AS rebuilt_sha
+FROM r GROUP BY doc_id
+"""
+
+
+@register("chunk_dedup_docs", _CHUNK_ORACLE)
+def chunk_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup (the C4/Dolma line-dedup stage over
+    {_CHUNK_W}-word windows): every chunk keeps only its FIRST corpus
+    occurrence (ordered by doc_id, then position), and documents are
+    reassembled in-engine from their surviving chunks — the output is
+    per-doc retention plus the sha256 of the rebuilt text, so the
+    reassembly itself sits under the hash gate.
+
+    Two shuffles total, both key-uniform: one on the chunk text for
+    the keep-first window (crypto-grade spread; duplicate-heavy
+    chunks are exactly the ones the window truncates to rank 1), one
+    on doc_id to reassemble. Chunking is a higher-order transform
+    over the split array — no Python, no per-row UDF."""
+    docs = table(spark, sf_dir, "documents")
+    ws = T.ws_tokens(F.col("text"))
+    n_chunks = F.floor((F.size(ws) + (_CHUNK_W - 1)) / _CHUNK_W).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda k: F.array_join(F.slice(ws, k * _CHUNK_W + 1, _CHUNK_W), " "),
+    )
+    exploded = docs.select(
+        "doc_id", F.posexplode(chunks).alias("k", "chunk")
+    )
+    w = Window.partitionBy("chunk").orderBy("doc_id", "k")
+    ranked = exploded.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(F.col("rn") == 1, F.struct("k", "chunk"))
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("total_chunks"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("kept_chunks"),
+        F.sha2(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ),
+            256,
+        ).alias("rebuilt_sha"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style hashed-n-gram importance weights
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 4096  # hash buckets
+_DSIR_SALT = "dsir"
+_TARGET_LANG = "en"
+
+
+def _bucket_sql(gram_expr: str) -> str:
+    return (
+        f"(('0x' || substr(sha256('{_DSIR_SALT}:' || {gram_expr}), 1, 13))::BIGINT"
+        f" % {_DSIR_B})"
+    )
+
+
+_DSIR_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS ws FROM documents
+), g AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS gram
+  FROM w
+), b AS (
+  SELECT doc_id, lang, {_bucket_sql('gram')} AS bucket FROM g
+), stats AS (
+  SELECT bucket,
+         CAST(count(*) FILTER (WHERE lang = '{_TARGET_LANG}') AS BIGINT) AS tc,
+         CAST(count(*) AS BIGINT) AS rc
+  FROM b GROUP BY bucket
+), tot AS (
+  SELECT CAST(sum(tc) AS BIGINT) AS t_total, CAST(sum(rc) AS BIGINT) AS r_total
+  FROM stats
+), terms AS (
+  SELECT b.doc_id, s.tc, s.rc FROM b JOIN stats s USING (bucket)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       {fround_sql(
+           'CAST(sum(CAST(tc * r_total - rc * t_total AS DECIMAL(38,0))) AS DOUBLE)'
+           ' / (CAST(count(*) AS DOUBLE) * CAST(t_total AS DOUBLE)'
+           ' * CAST(r_total AS DOUBLE))', 10)} AS imp_score
+FROM terms CROSS JOIN tot
+GROUP BY doc_id, t_total, r_total
+"""
+
+
+@register("dsir_importance_weights", _DSIR_ORACLE)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection: hash every word bigram into
+    {_DSIR_B} buckets (sha-derived — cross-engine identical), build
+    target (lang='{_TARGET_LANG}') vs raw bucket frequency tables,
+    and score each document by mean_g(p_target(g) - p_raw(g)) — the
+    exact-arithmetic surrogate of the DSIR log-likelihood ratio (ln
+    is not bit-stable across engines; the difference form preserves
+    the ranking signal and is int64/decimal-exact end to end,
+    divided once at the end).
+
+    Scale shape: the bucket table is MODEL-SIZED ({_DSIR_B} rows) and
+    broadcast to the per-gram join; corpus-side work is one explode +
+    one groupBy(doc_id) — the same one-shuffle profile as token
+    counting. At 100 TB the int64 products move to DECIMAL(38,0),
+    already the sum type here."""
+    docs = table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(T.shingles(F.col("text"), 2)).alias("gram"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.sha2(F.concat(F.lit(_DSIR_SALT + ":"), F.col("gram")), 256), 1, 13
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _DSIR_B
+    )
+    b = grams.select("doc_id", "lang", bucket.alias("bucket"))
+    stats = b.groupBy("bucket").agg(
+        F.sum(F.when(F.col("lang") == _TARGET_LANG, 1).otherwise(0))
+        .cast("long")
+        .alias("tc"),
+        F.count(F.lit(1)).cast("long").alias("rc"),
+    )
+    tot = stats.agg(
+        F.sum("tc").cast("long").alias("t_total"),
+        F.sum("rc").cast("long").alias("r_total"),
+    )
+    terms = (
+        b.join(F.broadcast(stats), "bucket")
+        .crossJoin(F.broadcast(tot))
+    )
+    num = F.sum(
+        (F.col("tc") * F.col("r_total") - F.col("rc") * F.col("t_total")).cast(
+            "decimal(38,0)"
+        )
+    ).cast("double")
+    den = (
+        F.count(F.lit(1)).cast("double")
+        * F.first("t_total").cast("double")
+        * F.first("r_total").cast("double")
+    )
+    return terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        fround(num / den, 10).alias("imp_score"),
+    )

@@ -1471,3 +1471,101 @@ def txlog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Tx-log change data feed + metadata-only statistics count
+# ---------------------------------------------------------------------------
+
+# Net CDF between v0 and head after: append (+10M keys, %997) then a
+# rewrite that deletes %991 keys from the whole snapshot. Rows the
+# rewrite merely copied cancel (+1 from the new file, -1 from the old);
+# appended-then-deleted rows cancel too — the oracle states the
+# surviving net directly from the base table.
+_TXLOG_CDF_ORACLE = """
+WITH appended AS (
+  SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+         o_totalprice * 2 AS o_totalprice
+  FROM orders WHERE o_orderkey % 997 = 0
+)
+SELECT 'insert' AS change, o_orderkey, o_custkey, o_totalprice,
+       CAST(1 AS BIGINT) AS n
+FROM appended WHERE o_orderkey % 991 <> 0
+UNION ALL
+SELECT 'delete', o_orderkey, o_custkey, o_totalprice, CAST(1 AS BIGINT)
+FROM orders WHERE o_orderkey % 991 = 0
+"""
+
+
+@register("txlog_cdf_net_changes", _TXLOG_CDF_ORACLE)
+def txlog_cdf_net_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed over the tx log: after an append (v1) and a
+    whole-snapshot rewrite that deletes o_orderkey % 991 == 0 (v2),
+    ``net_changes(v0 -> head)`` reads ONLY the log's changed files
+    and nets +/- row occurrences — copied rows cancel, so the feed
+    contains exactly the true inserts and deletes. This is the
+    incremental-consumer path (downstream sync, index maintenance)
+    that at 100 TB reads O(commit delta), never the snapshot."""
+    from dss_nlp_ingestion_spark.sources import txlog
+
+    import os
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="dss_txcdf_") + "/orders"
+    txlog.create_table(orders, path)
+    txlog.append(
+        orders.filter(F.col("o_orderkey") % 997 == 0).select(
+            (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+            "o_custkey",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        ),
+        path,
+    )
+    head = 1
+    live = txlog.snapshot_files(path, head)
+    rel = [os.path.relpath(f, os.path.join(path, "data")) for f in live]
+    txlog.rewrite(
+        txlog.read(spark, path, version=head).filter(
+            F.col("o_orderkey") % 991 != 0
+        ),
+        path,
+        rel,
+        expect_version=head,
+        op="delete",
+    )
+    return txlog.net_changes(spark, path, v_from=0)
+
+
+_TXLOG_STATS_ORACLE = """
+SELECT CAST(0 AS BIGINT) AS version,
+       CAST((SELECT count(*) FROM orders) AS BIGINT) AS total_rows
+UNION ALL
+SELECT CAST(1 AS BIGINT),
+       CAST((SELECT count(*) FROM orders)
+            + (SELECT count(*) FROM orders WHERE o_orderkey % 997 = 0) AS BIGINT)
+"""
+
+
+@register("txlog_stats_count", _TXLOG_STATS_ORACLE)
+def txlog_stats_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate pushdown to table STATISTICS: COUNT(*) per version
+    answered from parquet footer metadata over the log's file list —
+    no Spark job touches data pages (the implementation is pure
+    pyarrow footer reads, the lakehouse metadata-only count path).
+    The hash match proves the footers agree with a real scan."""
+    from dss_nlp_ingestion_spark.sources import txlog
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="dss_txstats_") + "/orders"
+    txlog.create_table(orders, path)
+    txlog.append(
+        orders.filter(F.col("o_orderkey") % 997 == 0), path
+    )
+    rows = [
+        (v, txlog.snapshot_row_count(path, version=v)) for v in (0, 1)
+    ]
+    return spark.createDataFrame(rows, "version long, total_rows long")

@@ -165,3 +165,52 @@ def test_schema_evolution_reads_nulls_for_old_rows(spark):
         for r in txlog.read(spark, path, merge_schema=False).collect()
     )
     assert got2 == got
+
+
+def test_net_changes_append_only_is_pure_inserts(spark):
+    path = tempfile.mkdtemp(prefix="dss_tx_")
+    txlog.create_table(_tbl(spark, [(1, "a"), (2, "b")]), path)
+    txlog.append(_tbl(spark, [(3, "c"), (3, "c")]), path)
+    feed = txlog.net_changes(spark, path, v_from=0).collect()
+    assert [(r["change"], r["k"], r["v"], r["n"]) for r in feed] == [
+        ("insert", 3, "c", 2)
+    ]
+
+
+def test_net_changes_compaction_cancels_to_empty_feed(spark):
+    path = tempfile.mkdtemp(prefix="dss_tx_")
+    txlog.create_table(_tbl(spark, [(1, "a"), (2, "b")]), path)
+    txlog.append(_tbl(spark, [(3, "c")]), path)
+    txlog.compact(spark, path)
+    # files changed (old removed, compacted added) but every row was
+    # merely copied -> the NET feed is empty
+    assert txlog.net_changes(spark, path, v_from=1).count() == 0
+
+
+def test_net_changes_rewrite_delete_yields_deletes(spark):
+    path = tempfile.mkdtemp(prefix="dss_tx_")
+    txlog.create_table(_tbl(spark, [(1, "a"), (2, "b"), (3, "c")]), path)
+    live = txlog.snapshot_files(path, 0)
+    rel = [os.path.relpath(f, os.path.join(path, "data")) for f in live]
+    kept = txlog.read(spark, path, version=0).filter("k <> 2")
+    txlog.rewrite(kept, path, rel, expect_version=0, op="delete")
+    feed = txlog.net_changes(spark, path, v_from=0).collect()
+    assert [(r["change"], r["k"], r["n"]) for r in feed] == [("delete", 2, 1)]
+
+
+def test_net_changes_no_commits_raises(spark):
+    path = tempfile.mkdtemp(prefix="dss_tx_")
+    txlog.create_table(_tbl(spark, [(1, "a")]), path)
+    with pytest.raises(ValueError):
+        txlog.net_changes(spark, path, v_from=0, v_to=0)
+
+
+def test_snapshot_row_count_is_metadata_exact(spark):
+    path = tempfile.mkdtemp(prefix="dss_tx_")
+    txlog.create_table(_tbl(spark, [(i, "x") for i in range(10)]), path)
+    txlog.append(_tbl(spark, [(i, "y") for i in range(7)]), path)
+    assert txlog.snapshot_row_count(path, version=0) == 10
+    assert txlog.snapshot_row_count(path) == 17
+    # stays correct across a compaction (footers of the new files)
+    txlog.compact(spark, path)
+    assert txlog.snapshot_row_count(path) == 17
