@@ -167,3 +167,109 @@ def tokenize(df: DataFrame, merges: list, text_col: str = "text") -> DataFrame:
         ]
     )
     return vocabish.mapInPandas(_run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Committed merge artifact + pure-expression (codegen) merge application
+# ---------------------------------------------------------------------------
+
+#: committed default merge table (trained by :func:`train_merges_local`
+#: on the deterministic corpus below; provenance pinned by tests).
+DEFAULT_MERGES_ARTIFACT = __file__.replace("bpe.py", "bpe_merges_v1.json")
+
+#: deterministic training corpus for the committed artifact — chosen,
+#: like the PQ codebook sample, to be independent of any test table so
+#: the artifact never goes stale. English-ish high-frequency word mix.
+SYNTH_WORDS: list[tuple[str, int]] = [
+    ("the", 60), ("then", 12), ("they", 10), ("there", 8),
+    ("data", 30), ("date", 9), ("day", 14),
+    ("merge", 22), ("merges", 8), ("merged", 7),
+    ("join", 25), ("joins", 9), ("joined", 6),
+    ("stream", 18), ("streams", 5),
+    ("batch", 17), ("batches", 4),
+    ("spark", 21), ("sparks", 3),
+    ("order", 16), ("orders", 11),
+    ("filter", 15), ("filters", 5),
+]
+
+
+def train_merges_local(
+    word_freqs: list[tuple[str, int]], n_merges: int = 24
+) -> list[list[str]]:
+    """Driver-side twin of :func:`train_bpe` over an explicit
+    (word, freq) list — same pair counting, same (count desc, pair
+    asc) deterministic argmax, no RNG, no Spark. Used to produce the
+    committed artifact; a retrain-equality test pins it."""
+    vocab = {w: (list(w) + [EOW], n) for w, n in word_freqs}
+    merges: list[list[str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, n in vocab.values():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + n
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        pair = best[0]
+        vocab = {
+            w: (_merge_word(syms, pair), n) for w, (syms, n) in vocab.items()
+        }
+        merges.append([pair[0], pair[1]])
+    return merges
+
+
+def load_merges(path: str = DEFAULT_MERGES_ARTIFACT) -> list[list[str]]:
+    import json
+
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def _sep_seq(word_col):
+    """Word -> double-space-delimited symbol string
+    ``"␣␣c1␣␣c2␣␣...␣␣</w>␣␣"``. The DOUBLE delimiter is what makes
+    literal ``replace()`` equal left-to-right BPE merging: the
+    replacement re-establishes one delimiter on each side, so
+    adjacent merge sites stay matchable (single-space delimiters
+    would be consumed by the previous match — the classic
+    non-overlapping-replace pitfall)."""
+    from pyspark.sql import functions as F
+
+    return F.concat(
+        F.lit("  "),
+        F.regexp_replace(word_col, "(.)", "$1  "),
+        F.lit(EOW + "  "),
+    )
+
+
+def merge_replace_chain(seq_col, merges: list) -> "Column":
+    """Apply the merge table as a chain of literal replaces — pure
+    whole-stage-codegen string ops, the scan-side fast path for
+    APPLYING a learned tokenizer (training stays in train_bpe /
+    train_merges_local). Each merge (a, b) rewrites
+    ``"␣a␣␣b␣"`` -> ``"␣ab␣"``; literal replace scans left-to-right
+    without overlap, which is exactly `_merge_word`'s semantics."""
+    from pyspark.sql import functions as F
+
+    out = seq_col
+    for a, b in merges:
+        out = F.replace(
+            out, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
+        )
+    return out
+
+
+def merge_replace_chain_sql(seq_sql: str, merges: list) -> str:
+    """DuckDB twin of :func:`merge_replace_chain` (same literal
+    chain, same non-overlapping left-to-right replace semantics)."""
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    out = seq_sql
+    for a, b in merges:
+        out = f"replace({out}, ' {q(a)}  {q(b)} ', ' {q(a)}{q(b)} ')"
+    return out

@@ -516,3 +516,90 @@ def kmeans_update_step(
         .cast("long")
         .alias("mean_micro"),
     )
+
+
+def semdedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_mod: int = 31,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup by clustering the
+    embedding space and pruning, WITHIN each cluster, every vector
+    that has a higher-priority near-twin (cosine > ``threshold``,
+    priority = smaller id — deterministic, unlike the paper's
+    arbitrary keep choice). Clustering is what makes the quadratic
+    comparison tractable: candidate pairs are only generated inside a
+    cluster, exactly the published algorithm's trick.
+
+    Scale shape: assignment is the scan-side literal-centroid argmax
+    ivf_topk/kmeans use (NO corpus exchange); the only shuffle is the
+    within-cluster self-join keyed on cent_id. Cluster size is the
+    knob bounding pair work (k ~ n/avg_size); a pathologically hot
+    cluster is handled like any hot join key (salt or split the
+    centroid — same playbook as operators/skew.py).
+
+    Returns (id, cent_id, pruned 0/1).
+    """
+    import math
+
+    cent_rows = collect_centroids(corpus, id_col, vec_col, centroid_mod)
+
+    def _py_norm(vec) -> float:
+        acc = 0.0
+        for x in vec:
+            acc += float(x) * float(x)
+        return acc and math.sqrt(acc)
+
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["cent_id"])).cast("long").alias("cent_id"),
+                F.array(*[F.lit(float(x)) for x in r["_cvec"]]).alias("cvec"),
+                F.lit(_py_norm(r["_cvec"])).alias("cnorm"),
+            )
+            for r in cent_rows
+        ]
+    )
+
+    def _best_cent(vec: Column, vec_norm: Column) -> Column:
+        scored = F.transform(
+            cent_lit,
+            lambda c: F.struct(
+                (dot_exact(vec, c["cvec"]) / (vec_norm * c["cnorm"])).alias("s"),
+                (-c["cent_id"]).alias("nid"),
+            ),
+        )
+        return -F.array_max(scored)["nid"]
+
+    assigned = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        l2_norm(F.col(vec_col)).alias("vn"),
+    ).withColumn("cent_id", _best_cent(F.col("v"), F.col("vn")))
+
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    cos = dot_exact(F.col("a.v"), F.col("b.v")) / (
+        F.col("a.vn") * F.col("b.vn")
+    )
+    pruned_ids = (
+        a.join(
+            b,
+            (F.col("a.cent_id") == F.col("b.cent_id"))
+            & (F.col("b.id") < F.col("a.id"))
+            & (cos > F.lit(threshold)),
+            "leftsemi",
+        )
+        .select(F.col("id"))
+        .withColumn("pruned", F.lit(1).cast("long"))
+    )
+    return (
+        assigned.join(pruned_ids, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("cent_id"),
+            F.coalesce(F.col("pruned"), F.lit(0)).cast("long").alias("pruned"),
+        )
+    )

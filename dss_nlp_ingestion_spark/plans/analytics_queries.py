@@ -998,3 +998,71 @@ def hll_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_zero_registers",
         "exact_distinct",
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed global ranking (no single-partition sort)
+# ---------------------------------------------------------------------------
+
+_GR_BUCKETS = 256
+
+_GLOBAL_RANK_ORACLE = """
+SELECT o_orderkey, o_totalprice,
+       CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC)
+            AS BIGINT) AS global_rank
+FROM orders
+"""
+
+
+@register("global_rank_orders", _GLOBAL_RANK_ORACLE)
+def global_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-order ranking WITHOUT a global sort: a naive
+    ``row_number() OVER (ORDER BY ...)`` collapses the table into one
+    partition — the classic 100 TB cliff. Here rank = two-level
+    prefix sum: (1) value-range bucket from a 1-row min/max aggregate
+    (monotone in the sort key, so bucket order == global order),
+    (2) per-bucket counts -> cumulative offsets over the tiny bucket
+    table, (3) within-bucket row_number under a bucket-partitioned
+    (i.e. parallel) window, (4) rank = offset + local rank. Same
+    decomposition as the shard-packing prefix sum; the only wide
+    exchange is bucket-keyed. The oracle is the naive global window,
+    so the hash match proves the decomposition is exact."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    mm = o.agg(
+        F.min("o_totalprice").alias("_lo"), F.max("o_totalprice").alias("_hi")
+    )
+    b = o.crossJoin(F.broadcast(mm)).withColumn(
+        "_bucket",
+        F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+            F.least(
+                F.floor(
+                    (F.col("_hi") - F.col("o_totalprice"))
+                    / (F.col("_hi") - F.col("_lo"))
+                    * _GR_BUCKETS
+                ),
+                F.lit(_GR_BUCKETS - 1),
+            )
+        ).cast("int"),
+    )
+    counts = b.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = (
+        Window.orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "_bucket",
+        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_offset"),
+    )
+    w_local = Window.partitionBy("_bucket").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        b.join(F.broadcast(offsets), "_bucket")
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            (F.col("_offset") + F.row_number().over(w_local))
+            .cast("long")
+            .alias("global_rank"),
+        )
+    )

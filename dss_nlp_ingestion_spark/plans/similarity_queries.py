@@ -404,3 +404,126 @@ def kmeans_update_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_update_step(
         emb, "vec_id", "embedding", centroid_mod=_CENT_MOD
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ asymmetric-distance (ADC) top-k search
+# ---------------------------------------------------------------------------
+
+_ADC_K = 20
+
+
+def _adc_query_and_oracle():
+    """Build the shared query vector, LUT, and the DuckDB twin from
+    the committed codebook artifact."""
+    from dss_nlp_ingestion_spark.operators.pq import (
+        DEFAULT_PQ_ARTIFACT,
+        adc_lookup_table,
+        load_pq_artifact,
+        pq_adc_sql,
+        synth_training_sample,
+    )
+
+    model = load_pq_artifact(DEFAULT_PQ_ARTIFACT)
+    qvec = synth_training_sample(1, 64)[0]
+    lut = adc_lookup_table(model, qvec)
+    adc_sql = pq_adc_sql(model, lut)
+    oracle = f"""
+WITH scored AS (
+  SELECT vec_id, {adc_sql} AS adc_exact FROM embeddings
+), top AS (
+  SELECT vec_id, adc_exact FROM scored
+  ORDER BY adc_exact ASC, vec_id ASC LIMIT {_ADC_K}
+)
+SELECT vec_id,
+       CAST(row_number() OVER (ORDER BY adc_exact ASC, vec_id ASC) AS BIGINT) AS rank,
+       {fround_sql('adc_exact', 8)} AS adc
+FROM top
+"""
+    return model, lut, oracle
+
+
+_ADC_MODEL, _ADC_LUT, _ADC_ORACLE = _adc_query_and_oracle()
+
+
+@register("pq_adc_topk", _ADC_ORACLE)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ search the way a billion-vector serving tier runs it
+    (Jégou et al. §III): the query is preprocessed driver-side into
+    m*k lookup tables (model-sized, literal-shipped), and each stored
+    vector costs m argmin-code derivations + m table lookups — no
+    per-pair O(dim) arithmetic, no shuffle before the global top-k
+    (TakeOrderedAndProject ships k rows per task). In a deployed
+    index the codes are precomputed (pq_encode_embeddings) and the
+    scan reads 8 bytes/vector instead of 256; here codes are derived
+    in the same scan so the whole kernel stays under the hash gate."""
+    from pyspark.sql import Window
+
+    from dss_nlp_ingestion_spark.operators.pq import pq_adc_column
+
+    emb = table(spark, sf_dir, "embeddings")
+    adc = pq_adc_column(_ADC_MODEL, _ADC_LUT)
+    top = (
+        emb.select("vec_id", adc.alias("adc_exact"))
+        .orderBy(F.col("adc_exact").asc(), F.col("vec_id").asc())
+        .limit(_ADC_K)
+    )
+    w = Window.orderBy(F.col("adc_exact").asc(), F.col("vec_id").asc())
+    return top.select(
+        "vec_id",
+        F.row_number().over(w).cast("long").alias("rank"),
+        fround(F.col("adc_exact"), 8).alias("adc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-scoped semantic dedup over the embedding corpus
+# ---------------------------------------------------------------------------
+
+_SEM_T = 0.4  # synthetic corpus has no planted twins; 0.4 exercises pruning
+
+_SEM_PAIR_COS = (
+    f"{_dot_sql('a.v', 'b.v')} / (sqrt({_dot_sql('a.v', 'a.v')}) * sqrt({_dot_sql('b.v', 'b.v')}))"
+)
+
+_SEM_ORACLE = f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+  WHERE vec_id % {_CENT_MOD} = 0
+), assigned AS (
+  SELECT vec_id, v, cent_id FROM (
+    SELECT c.vec_id, c.embedding AS v, cents.cent_id,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY {_CENT_SCORE} DESC, cents.cent_id ASC) AS rn
+    FROM embeddings c CROSS JOIN cents
+  ) WHERE rn = 1
+)
+, pruned AS (
+  SELECT DISTINCT a.vec_id
+  FROM assigned a JOIN assigned b
+    ON b.cent_id = a.cent_id AND b.vec_id < a.vec_id
+  WHERE {_SEM_PAIR_COS} > {_SEM_T}
+)
+SELECT s.vec_id, s.cent_id,
+       CAST(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS pruned
+FROM assigned s LEFT JOIN pruned p ON p.vec_id = s.vec_id
+"""
+
+
+@register("semdedup_prune", _SEM_ORACLE)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) end to end: cluster the embedding
+    space (scan-side literal-centroid argmax — the same no-Exchange
+    assignment the IVF index and k-means step use), then prune every
+    vector with a lower-id near-twin (cosine > {_SEM_T}) INSIDE its
+    cluster — clustering bounds the quadratic pair work, the paper's
+    core trick. Only shuffle: the cent_id-keyed self-join. The
+    oracle replays assignment as a cross-join window and pruning as
+    a correlated EXISTS over the same exact-fold cosine."""
+    from dss_nlp_ingestion_spark.operators.similarity import semdedup
+
+    emb = table(spark, sf_dir, "embeddings")
+    return semdedup(
+        emb, "vec_id", "embedding", centroid_mod=_CENT_MOD, threshold=_SEM_T
+    )

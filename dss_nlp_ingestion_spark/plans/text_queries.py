@@ -994,3 +994,71 @@ def common_ngram_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer APPLICATION from the committed merge artifact
+# ---------------------------------------------------------------------------
+
+def _bpe_apply_oracle() -> str:
+    from dss_nlp_ingestion_spark.operators.bpe import (
+        EOW,
+        load_merges,
+        merge_replace_chain_sql,
+    )
+
+    seq = rf"'  ' || regexp_replace(w, '(.)', '\1  ', 'g') || '{EOW}  '"
+    merged = merge_replace_chain_sql(seq, load_merges())
+    per_word = (
+        f"len(list_filter(string_split({merged}, ' '), x -> x <> ''))"
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents
+)
+SELECT doc_id,
+       CAST(len(ws) AS BIGINT) AS n_words,
+       CAST(list_sum(list_transform(ws, w -> {per_word})) AS BIGINT) AS n_bpe_tokens,
+       {fround_sql('CAST(list_sum(list_transform(ws, w -> ' + per_word + ')) AS DOUBLE) / len(ws)', 6)} AS tokens_per_word
+FROM w
+"""
+
+
+@register("bpe_tokenize_counts", _bpe_apply_oracle())
+def bpe_tokenize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the COMMITTED BPE merge table (operators/bpe.py — trained
+    by the deterministic no-RNG trainer, provenance pinned by a
+    retrain-equality test) to every document as pure codegen string
+    ops: each word becomes a double-space-delimited symbol string and
+    each learned merge is one literal replace (left-to-right
+    non-overlapping replace == BPE merge order; the double delimiter
+    keeps adjacent merge sites matchable). Token counting at 100 TB
+    is therefore a SCAN-SIDE projection — the Arrow/pandas path
+    (bpe.tokenize) is only needed when the token STRINGS must be
+    materialized per position. No shuffle at all."""
+    from dss_nlp_ingestion_spark.operators.bpe import (
+        _sep_seq,
+        load_merges,
+        merge_replace_chain,
+    )
+
+    merges = load_merges()
+    docs = table(spark, sf_dir, "documents")
+    ws = T.ws_tokens(F.col("text"))
+
+    def n_toks(w: F.Column) -> F.Column:
+        merged = merge_replace_chain(_sep_seq(w), merges)
+        return F.size(
+            F.filter(F.split(merged, " "), lambda x: x != F.lit(""))
+        ).cast("long")
+
+    n_bpe = F.aggregate(
+        F.transform(ws, n_toks), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    n_words = F.size(ws).cast("long")
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_bpe.alias("n_bpe_tokens"),
+        fround(n_bpe.cast("double") / n_words, 6).alias("tokens_per_word"),
+    )

@@ -1229,3 +1229,107 @@ def test_hll_grouped_matches_global_per_group(spark):
         assert grouped[g] == (solo["hll_raw"], solo["n_zero_registers"])
         exact = df.filter(F.col("grp") == g).select("uid").distinct().count()
         assert abs(grouped[g][0] - exact) / exact < 0.25
+
+
+def test_pq_adc_exact_on_codebook_vectors(spark):
+    """A vector lying exactly on per-subspace centroids quantizes with
+    zero error, so its ADC distance must equal the true squared L2
+    distance to the query — the identity that pins the LUT math."""
+    import numpy as np
+
+    import pytest
+
+    from dss_nlp_ingestion_spark.operators.pq import (
+        DEFAULT_PQ_ARTIFACT,
+        adc_lookup_table,
+        load_pq_artifact,
+        pq_adc_column,
+        synth_training_sample,
+    )
+
+    model = load_pq_artifact(DEFAULT_PQ_ARTIFACT)
+    books, m, k = model["codebooks"], model["m"], model["k"]
+    sub = 64 // m
+    qvec = synth_training_sample(1, 64)[0]
+    lut = adc_lookup_table(model, qvec)
+    # vector = centroid c in every subspace, for a few c
+    rows = []
+    for c in (0, 3, 7):
+        v = np.concatenate([books[s][c] for s in range(m)])
+        rows.append((c, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r["adc"]
+        for r in df.select(
+            "vec_id", pq_adc_column(model, lut).alias("adc")
+        ).collect()
+    }
+    for c in (0, 3, 7):
+        v = np.concatenate([books[s][c] for s in range(m)])
+        true_d2 = sum(
+            float(lut[s][c]) for s in range(m)
+        )  # zero quantization error -> LUT sum IS the distance
+        direct = float(((qvec - v) ** 2).sum())
+        assert got[c] == pytest.approx(true_d2, rel=0, abs=0)
+        assert got[c] == pytest.approx(direct, rel=1e-9)
+
+
+def test_semdedup_prunes_higher_id_twin_within_cluster(spark):
+    from dss_nlp_ingestion_spark.operators.similarity import semdedup
+
+    base = [1.0] * 64
+    twin = [1.0] * 63 + [1.001]   # cosine ~ 1 with base
+    far = [1.0] * 32 + [-1.0] * 32  # orthogonal-ish to base
+    rows = [
+        (0, base),       # centroid seed (0 % 31 == 0) and lowest id -> kept
+        (31, far),       # second centroid seed, its own cluster
+        (5, twin),       # near-twin of 0, same cluster -> pruned
+        (40, far),       # near-twin of 31 but HIGHER id -> pruned
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: (r["cent_id"], r["pruned"])
+        for r in semdedup(df, centroid_mod=31, threshold=0.9).collect()
+    }
+    assert out[0] == (0, 0)
+    assert out[5] == (0, 1)     # twin of a smaller id -> pruned
+    assert out[31] == (31, 0)   # cluster anchor keeps
+    assert out[40] == (31, 1)   # identical vector, larger id -> pruned
+
+
+def test_bpe_merge_artifact_retrains_identically():
+    """Committed merge table == deterministic retrain on the pinned
+    synthetic corpus (the PQ-codebook provenance pattern)."""
+    from dss_nlp_ingestion_spark.operators.bpe import (
+        SYNTH_WORDS,
+        load_merges,
+        train_merges_local,
+    )
+
+    assert train_merges_local(SYNTH_WORDS, n_merges=24) == load_merges()
+
+
+def test_bpe_replace_chain_matches_sequential_merge(spark):
+    """The codegen replace-chain tokenizer must agree with the
+    sequential pandas-path merge (_merge_word) on every word."""
+    from dss_nlp_ingestion_spark.operators.bpe import (
+        EOW,
+        _merge_word,
+        _sep_seq,
+        load_merges,
+        merge_replace_chain,
+    )
+    from pyspark.sql import functions as F
+
+    merges = load_merges()
+    words = ["the", "then", "data", "merges", "sparkstream", "aaa",
+             "joinjoined", "orderly", "x", "thethethe"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    merged = merge_replace_chain(_sep_seq(F.col("w")), merges)
+    toks = F.filter(F.split(merged, " "), lambda x: x != F.lit(""))
+    got = {r["w"]: r["t"] for r in df.select("w", toks.alias("t")).collect()}
+    for w in words:
+        syms = list(w) + [EOW]
+        for p in merges:
+            syms = _merge_word(syms, tuple(p))
+        assert got[w] == syms, w
