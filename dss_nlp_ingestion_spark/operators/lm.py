@@ -149,3 +149,131 @@ def common_ngram_coverage(
         F.col("n_ngrams"),
         F.coalesce(F.col("n_common"), F.lit(0).cast("long")).alias("n_common"),
     )
+
+
+def stupid_backoff_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train_mod: int = 2,
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Held-out trigram scoring with Stupid Backoff (Brants et al.
+    2007, the web-scale LM smoothing): the model is estimated on the
+    ``id % train_mod == 0`` half of the corpus and scores EVERY
+    document — the realistic CCNet-style setup (scoring with a model
+    trained elsewhere), and the one where backoff actually fires:
+
+        S(w3 | w1 w2) = c123/c12                  (trigram seen)
+                      = alpha * c23/c2            (bigram backoff)
+                      = alpha^2 * (c3+1)/(N+V)    (unigram, add-one)
+
+    Per-(n-gram) contributions ``ln S`` are floor-rounded to 6
+    decimals and decimal-summed (the bigram gate's determinism
+    recipe). Returns (id, n_trigrams, n_backoff, avg_logscore).
+
+    Scale shape: all count tables are distinct-n-gram-sized and built
+    once from the train half; contributions are PRE-COMPUTED per
+    distinct n-gram, so the corpus-sized work is three hash joins of
+    the trigram occurrence stream against those tables plus one
+    per-doc partial aggregation — no broadcast of anything that grows
+    with the corpus."""
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(LM_TOKEN_PATTERN), 0
+    )
+    base = (
+        ensure_parallelism(docs)
+        .select(F.col(id_col).alias("_id"), toks.alias("_t"))
+        .filter(F.size("_t") >= 3)
+    )
+    shift = lambda k, n: F.slice(F.col("_t"), F.lit(k), F.size("_t") - n)  # noqa: E731
+    tri_structs = F.zip_with(
+        F.zip_with(
+            shift(1, 2), shift(2, 2), lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))
+        ),
+        shift(3, 2),
+        lambda ab, c: F.struct(
+            ab["w1"].alias("w1"), ab["w2"].alias("w2"), c.alias("w3")
+        ),
+    )
+    tri = base.select("_id", F.explode(tri_structs).alias("_g")).select(
+        "_id",
+        F.col("_g.w1").alias("w1"),
+        F.col("_g.w2").alias("w2"),
+        F.col("_g.w3").alias("w3"),
+    )
+    train = tri.filter(F.col("_id") % train_mod == 0)
+    c123 = train.groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).cast("long").alias("c123")
+    )
+    c12 = c123.groupBy("w1", "w2").agg(F.sum("c123").cast("long").alias("c12"))
+    c23 = train.groupBy("w2", "w3").agg(
+        F.count(F.lit(1)).cast("long").alias("c23")
+    )
+    c2 = c23.groupBy("w2").agg(F.sum("c23").cast("long").alias("c2"))
+    train_toks = base.filter(F.col("_id") % train_mod == 0).select(
+        F.explode("_t").alias("tok")
+    )
+    c3 = train_toks.groupBy(F.col("tok").alias("w3")).agg(
+        F.count(F.lit(1)).cast("long").alias("c3")
+    )
+    nv = train_toks.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok"),
+        F.countDistinct("tok").cast("long").alias("v"),
+    )
+
+    def _q(raw: Column) -> Column:
+        return (F.floor(raw * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).cast(
+            "decimal(18,6)"
+        )
+
+    s123 = c123.join(c12, ["w1", "w2"]).select(
+        "w1", "w2", "w3",
+        _q(F.log(F.col("c123").cast("double") / F.col("c12"))).alias("k123"),
+    )
+    s23 = c23.join(c2, "w2").select(
+        "w2", "w3",
+        _q(F.log(F.lit(alpha) * F.col("c23").cast("double") / F.col("c2"))).alias("k23"),
+    )
+    s3 = c3.crossJoin(F.broadcast(nv)).select(
+        "w3",
+        _q(
+            F.log(
+                F.lit(alpha * alpha)
+                * (F.col("c3") + 1).cast("double")
+                / (F.col("n_tok") + F.col("v"))
+            )
+        ).alias("k3"),
+    )
+    oov = _q(
+        F.log(
+            F.lit(alpha * alpha)
+            * F.lit(1.0)
+            / (F.col("n_tok") + F.col("v"))
+        )
+    )
+    scored = (
+        tri.join(s123, ["w1", "w2", "w3"], "left")
+        .join(s23, ["w2", "w3"], "left")
+        .join(s3, "w3", "left")
+        .crossJoin(F.broadcast(nv))
+        .select(
+            "_id",
+            F.coalesce(F.col("k123"), F.col("k23"), F.col("k3"), oov).alias("_k"),
+            F.when(F.col("k123").isNull(), 1).otherwise(0).alias("_bo"),
+        )
+    )
+    per_doc = scored.groupBy("_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+        F.sum("_bo").cast("long").alias("n_backoff"),
+        F.sum("_k").alias("_total"),
+    )
+    avg = F.col("_total").cast("double") / F.col("n_trigrams")
+    return per_doc.select(
+        F.col("_id").alias(id_col),
+        "n_trigrams",
+        "n_backoff",
+        (F.floor(avg * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+        .cast("double")
+        .alias("avg_logscore"),
+    )

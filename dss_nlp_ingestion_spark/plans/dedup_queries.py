@@ -1227,3 +1227,87 @@ def lsh_index_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     txlog.append(fresh, path)
     return dups
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/valid/test splits (split by DUP CLUSTER, not doc)
+# ---------------------------------------------------------------------------
+
+_LSPLIT_SALT = "lsplit"
+
+_LSPLIT_FRAC = (
+    f"(('0x' || substr(sha256('{_LSPLIT_SALT}:' || CAST(cluster_id AS VARCHAR)), 1, 13))::BIGINT"
+    f" / {float(1 << 52)!r})"
+)
+
+_LSPLIT_ORACLE = f"""
+WITH RECURSIVE {_WS_CTE},
+hashed AS (
+  SELECT doc_id, list_transform(sh, s -> sha256(s)) AS hsh FROM sh
+), sig AS (
+  SELECT doc_id,
+    {_minhash_cols}
+  FROM hashed
+), bands AS (
+{_band_selects}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+), walk AS (
+  SELECT u AS node, v AS reach FROM edges
+  UNION
+  SELECT w.node, e.v AS reach FROM walk w JOIN edges e ON w.reach = e.u
+), labels AS (
+  SELECT node, least(node, min(reach)) AS label FROM walk GROUP BY node
+), assigned AS (
+  SELECT d.doc_id, coalesce(l.label, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN labels l ON l.node = d.doc_id
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN {_LSPLIT_FRAC} < 0.8 THEN 'train'
+            WHEN {_LSPLIT_FRAC} < 0.9 THEN 'valid'
+            ELSE 'test' END AS split
+FROM assigned
+"""
+
+
+@register("leakage_safe_splits", _LSPLIT_ORACLE)
+def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/valid/test assignment keyed on the NEAR-DUP CLUSTER id,
+    not the document id — the split-hygiene rule that stops a
+    near-duplicate of a training document from landing in the eval
+    split (hash splits on doc_id leak precisely through duplicates;
+    clustering first makes leakage structurally impossible, every
+    cluster member shares one split by construction). Pipeline: LSH
+    candidate pairs -> connected components -> canonical cluster id
+    (singletons = own id) -> salted-hash fraction on the CLUSTER.
+    Adds one broadcast-ish left join over the label table on top of
+    the dedup machinery the corpus already runs."""
+    from dss_nlp_ingestion_spark.operators.graph import connected_components
+    from dss_nlp_ingestion_spark.operators.sampling import hash_fraction
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(
+        docs, "doc_id", "text", num_perm=_NUM_PERM, band_rows=_BAND_ROWS, k=3
+    )
+    labels = connected_components(pairs, "id_a", "id_b")
+    assigned = docs.join(
+        labels, docs["doc_id"] == labels["node"], "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("label"), F.col("doc_id")).cast("long").alias("cluster_id"),
+    )
+    frac = hash_fraction(F.col("cluster_id"), _LSPLIT_SALT)
+    return assigned.select(
+        "doc_id",
+        "cluster_id",
+        F.when(frac < 0.8, F.lit("train"))
+        .when(frac < 0.9, F.lit("valid"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

@@ -1569,3 +1569,165 @@ def txlog_stats_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         (v, txlog.snapshot_row_count(path, version=v)) for v in (0, 1)
     ]
     return spark.createDataFrame(rows, "version long, total_rows long")
+
+
+_TXLOG_PRUNE_ORACLE = """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_orderkey BETWEEN 100 AND 700
+"""
+
+
+@register("txlog_pruned_scan_orders", _TXLOG_PRUNE_ORACLE)
+def txlog_pruned_scan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data skipping from COMMIT-LOGGED file statistics: the table is
+    created range-clustered on o_orderkey with per-file min/max
+    recorded in the log entry (Delta/Iceberg's data-skipping stats),
+    and the range read plans its file list from the LOG alone —
+    non-overlapping files are never opened (no footer reads either),
+    then the real filter enforces exact semantics. The pytest twin
+    asserts files are actually skipped; the hash gate here proves
+    skipping never loses rows. At 100 TB this is the difference
+    between a point-range query scanning O(matching files) and
+    scanning the table."""
+    from dss_nlp_ingestion_spark.sources import txlog
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="dss_txprune_") + "/orders"
+    txlog.create_table(
+        orders.repartitionByRange(8, "o_orderkey"),
+        path,
+        stats_cols=["o_orderkey"],
+    )
+    return txlog.read_pruned(spark, path, "o_orderkey", lo=100, hi=700)
+
+
+# Incremental view maintenance THROUGH deletes: the v0 aggregate plus
+# the signed CDF delta must equal the head aggregate the oracle
+# recomputes from scratch.
+_TXLOG_IVM_ORACLE = """
+WITH snap2 AS (
+  SELECT o_custkey, o_totalprice FROM orders WHERE o_orderkey % 991 <> 0
+  UNION ALL
+  SELECT o_custkey, o_totalprice * 2 FROM orders
+  WHERE o_orderkey % 997 = 0 AND (o_orderkey + 10000000) % 991 <> 0
+)
+SELECT o_custkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM snap2 GROUP BY o_custkey
+"""
+
+
+@register("txlog_ivm_with_deletes", _TXLOG_IVM_ORACLE)
+def txlog_ivm_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance over the change feed, WITH
+    deletes: a per-customer (count, sum) view is built at v0, the
+    table then takes an append AND a delete-rewrite, and the view is
+    brought to head by folding ONLY the net change feed (insert rows
+    add, delete rows subtract — decimal-exact, so subtraction is
+    lossless). The oracle recomputes the head aggregate from scratch;
+    the hash match proves base + delta == recompute, which is the
+    invariant every IVM/materialized-view engine must keep. At
+    100 TB the refresh cost is O(commit delta), not O(table)."""
+    import os
+
+    from dss_nlp_ingestion_spark.sources import txlog
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="dss_txivm_") + "/orders"
+    txlog.create_table(orders, path)
+    txlog.append(
+        orders.filter(F.col("o_orderkey") % 997 == 0).select(
+            (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+            "o_custkey",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        ),
+        path,
+    )
+    live = txlog.snapshot_files(path, 1)
+    rel = [os.path.relpath(f, os.path.join(path, "data")) for f in live]
+    txlog.rewrite(
+        txlog.read(spark, path, version=1).filter(
+            F.col("o_orderkey") % 991 != 0
+        ),
+        path,
+        rel,
+        expect_version=1,
+        op="delete",
+    )
+
+    base = (
+        txlog.read(spark, path, version=0)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_sum"),
+        )
+    )
+    feed = txlog.net_changes(spark, path, v_from=0)
+    sign = F.when(F.col("change") == "insert", F.lit(1)).otherwise(F.lit(-1))
+    delta = feed.groupBy("o_custkey").agg(
+        F.sum(sign * F.col("n")).cast("long").alias("d_n"),
+        F.sum(
+            sign.cast("decimal(18,2)")
+            * F.col("n").cast("decimal(18,2)")
+            * F.col("o_totalprice").cast("decimal(18,2)")
+        ).alias("d_sum"),
+    )
+    merged = base.join(delta, "o_custkey", "full_outer").select(
+        "o_custkey",
+        (F.coalesce(F.col("n_orders"), F.lit(0)) + F.coalesce(F.col("d_n"), F.lit(0)))
+        .cast("long")
+        .alias("n_orders"),
+        (
+            F.coalesce(F.col("_sum"), F.lit(0).cast("decimal(18,2)"))
+            + F.coalesce(F.col("d_sum"), F.lit(0).cast("decimal(18,2)"))
+        ).alias("_total"),
+    )
+    return merged.filter(F.col("n_orders") > 0).select(
+        "o_custkey",
+        "n_orders",
+        F.col("_total").cast("decimal(18,2)").cast("double").alias("total"),
+    )
+
+
+_TXLOG_DS_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+UNION ALL
+SELECT o_orderkey + 10000000, o_custkey, o_totalprice * 2
+FROM orders WHERE o_orderkey % 997 = 0
+"""
+
+
+@register("txlog_datasource_read", _TXLOG_DS_ORACLE)
+def txlog_datasource_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tx table through Spark's OWN source surface: a Python Data
+    Source (Spark 4 pyspark.sql.datasource) registered as
+    format('txlog') — snapshot isolation, version time travel, and a
+    versions-as-offsets readStream CDC feed all behind the standard
+    reader API (sources/txlog_datasource.py). The hash match proves
+    the Arrow-batch reader path returns bit-identical rows to the
+    explicit file-list reader; that explicit reader remains the raw
+    throughput path (JVM parquet scan vs Arrow-through-Python)."""
+    from dss_nlp_ingestion_spark.sources import txlog
+    from dss_nlp_ingestion_spark.sources.txlog_datasource import TxLogDataSource
+
+    spark.dataSource.register(TxLogDataSource)
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="dss_txds_") + "/orders"
+    txlog.create_table(orders, path)
+    txlog.append(
+        orders.filter(F.col("o_orderkey") % 997 == 0).select(
+            (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+            "o_custkey",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        ),
+        path,
+    )
+    return spark.read.format("txlog").option("path", path).load()

@@ -376,3 +376,88 @@ def sql_udf_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT doc_id, sentiment_q(text) AS model_score "
         "FROM documents WHERE trim(text) <> ''"
     )
+
+
+# ---------------------------------------------------------------------------
+# Stupid-Backoff trigram LM scoring (held-out model half)
+# ---------------------------------------------------------------------------
+
+_SB_ORACLE = """
+WITH base AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+  WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 3
+), tri AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM base)
+), c123 AS (
+  SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c123
+  FROM tri WHERE doc_id % 2 = 0 GROUP BY w1, w2, w3
+), c12 AS (
+  SELECT w1, w2, CAST(sum(c123) AS BIGINT) AS c12 FROM c123 GROUP BY w1, w2
+), c23 AS (
+  SELECT w2, w3, CAST(count(*) AS BIGINT) AS c23
+  FROM tri WHERE doc_id % 2 = 0 GROUP BY w2, w3
+), c2 AS (
+  SELECT w2, CAST(sum(c23) AS BIGINT) AS c2 FROM c23 GROUP BY w2
+), traintok AS (
+  SELECT unnest(t) AS tok FROM base WHERE doc_id % 2 = 0
+), c3 AS (
+  SELECT tok AS w3, CAST(count(*) AS BIGINT) AS c3 FROM traintok GROUP BY tok
+), nv AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_tok,
+         CAST(count(DISTINCT tok) AS BIGINT) AS v
+  FROM traintok
+), s123 AS (
+  SELECT w1, w2, w3,
+         CAST(floor(ln(CAST(c123 AS DOUBLE) / c12) * 1000000.0 + 0.5)
+              / 1000000.0 AS DECIMAL(18,6)) AS k123
+  FROM c123 JOIN c12 USING (w1, w2)
+), s23 AS (
+  SELECT w2, w3,
+         CAST(floor(ln(0.4 * CAST(c23 AS DOUBLE) / c2) * 1000000.0 + 0.5)
+              / 1000000.0 AS DECIMAL(18,6)) AS k23
+  FROM c23 JOIN c2 USING (w2)
+), s3 AS (
+  SELECT w3,
+         CAST(floor(ln(0.16000000000000003 * CAST(c3 + 1 AS DOUBLE) / (n_tok + v))
+              * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS k3
+  FROM c3 CROSS JOIN nv
+), scored AS (
+  SELECT tri.doc_id,
+         coalesce(
+           s123.k123, s23.k23, s3.k3,
+           CAST(floor(ln(0.16000000000000003 * 1.0 / (nv.n_tok + nv.v))
+                * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6))
+         ) AS k,
+         CASE WHEN s123.k123 IS NULL THEN 1 ELSE 0 END AS bo
+  FROM tri
+  LEFT JOIN s123 USING (w1, w2, w3)
+  LEFT JOIN s23 USING (w2, w3)
+  LEFT JOIN s3 USING (w3)
+  CROSS JOIN nv
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_trigrams,
+       CAST(sum(bo) AS BIGINT) AS n_backoff,
+       CAST(floor(CAST(sum(k) AS DOUBLE) / count(*) * 1000000.0 + 0.5)
+            / 1000000.0 AS DOUBLE) AS avg_logscore
+FROM scored GROUP BY doc_id
+"""
+
+
+@register("stupid_backoff_scores", _SB_ORACLE)
+def stupid_backoff_scores_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out LM gating with Stupid Backoff (Brants et al. 2007):
+    the trigram model is estimated on the even-doc_id half and scores
+    EVERY document, so backoff genuinely fires on unseen n-grams
+    (n_backoff reports how often). This is the web-scale smoothing —
+    no discount computation, just count ratios damped by alpha per
+    backoff level — and the realistic quality-gate setup (CCNet
+    scores with a model trained on reference text, not on itself).
+    All count tables are distinct-n-gram-sized; contributions are
+    precomputed per distinct n-gram, floor-rounded, decimal-summed
+    (operators/lm.py)."""
+    from dss_nlp_ingestion_spark.operators.lm import stupid_backoff_scores
+
+    return stupid_backoff_scores(table(spark, sf_dir, "documents"))

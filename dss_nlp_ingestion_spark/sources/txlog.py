@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -114,6 +115,37 @@ def _write_data_files(df: DataFrame, path: str) -> list[str]:
     ]
 
 
+def _collect_file_stats(path: str, files: list[str], cols: list[str]) -> dict:
+    """Per-file [min, max] for ``cols`` from the parquet footers the
+    writer just produced — logged with the commit (Delta/Iceberg's
+    data-skipping stats), so later readers plan file pruning from the
+    LOG alone, without touching any footer."""
+    import pyarrow.parquet as pq
+
+    stats: dict[str, dict] = {}
+    for rel in files:
+        md = pq.ParquetFile(os.path.join(path, "data", rel)).metadata
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        per: dict[str, list] = {}
+        for col in cols:
+            if col not in names:
+                continue
+            lo = hi = None
+            ok = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(names[col]).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if ok and lo is not None:
+                per[col] = [lo, hi]
+        if per:
+            stats[rel] = per
+    return stats
+
+
 def _try_commit(path: str, version: int, entry: dict) -> bool:
     """Atomically claim ``version``: O_EXCL create arbitrates one
     winner; anyone else sees EEXIST and retries on a fresh snapshot."""
@@ -122,6 +154,7 @@ def _try_commit(path: str, version: int, entry: dict) -> bool:
         fd = os.open(_entry_path(path, version), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except FileExistsError:
         return False
+    entry = dict(entry, ts=time.time())  # commit wall-clock, for AS OF reads
     with os.fdopen(fd, "w") as fh:
         json.dump(entry, fh)
         fh.flush()
@@ -129,22 +162,36 @@ def _try_commit(path: str, version: int, entry: dict) -> bool:
     return True
 
 
-def create_table(df: DataFrame, path: str) -> int:
-    """Initialize a tx table at ``path`` with ``df`` as version 0."""
+def create_table(
+    df: DataFrame, path: str, stats_cols: list[str] | None = None
+) -> int:
+    """Initialize a tx table at ``path`` with ``df`` as version 0.
+    ``stats_cols`` (numeric/string) logs per-file min/max with the
+    commit for data skipping (see :func:`read_pruned`)."""
     if _versions(path):
         raise FileExistsError(f"tx table already exists at {path}")
     files = _write_data_files(df, path)
-    if not _try_commit(path, 0, {"op": "create", "add": files, "remove": []}):
+    entry: dict = {"op": "create", "add": files, "remove": []}
+    if stats_cols:
+        entry["stats"] = _collect_file_stats(path, files, stats_cols)
+    if not _try_commit(path, 0, entry):
         raise FileExistsError(f"concurrent create at {path}")
     return 0
 
 
-def append(df: DataFrame, path: str, max_retries: int = 10) -> int:
+def append(
+    df: DataFrame,
+    path: str,
+    max_retries: int = 10,
+    stats_cols: list[str] | None = None,
+) -> int:
     """Append rows. Blind appends commute, so on version contention
     the commit retries against the new head (no data rewrite needed —
     the staged files are version-independent)."""
     files = _write_data_files(df, path)
-    entry = {"op": "append", "add": files, "remove": []}
+    entry: dict = {"op": "append", "add": files, "remove": []}
+    if stats_cols:
+        entry["stats"] = _collect_file_stats(path, files, stats_cols)
     for _ in range(max_retries):
         head = (_versions(path) or [-1])[-1]
         if _try_commit(path, head + 1, entry):
@@ -341,3 +388,118 @@ def snapshot_row_count(path: str, version: int | None = None) -> int:
     return sum(
         pq.ParquetFile(f).metadata.num_rows for f in snapshot_files(path, version)
     )
+
+
+def snapshot_file_stats(path: str, version: int | None = None) -> dict:
+    """{relative file -> {col: [min, max]}} for the snapshot's live
+    files, folded from the log entries' logged stats (files committed
+    without stats simply have no entry — they can never be pruned)."""
+    live = {
+        os.path.relpath(f, os.path.join(path, "data"))
+        for f in snapshot_files(path, version)
+    }
+    out: dict[str, dict] = {}
+    for v in _versions(path):
+        if version is not None and v > version:
+            break
+        for rel, per in _read_entry(path, v).get("stats", {}).items():
+            if rel in live:
+                out[rel] = per
+    return out
+
+
+def plan_pruned_files(
+    path: str,
+    col: str,
+    lo=None,
+    hi=None,
+    version: int | None = None,
+) -> tuple[list[str], int]:
+    """Data skipping from the LOG's per-file stats: keep a file iff
+    its [min, max] for ``col`` can overlap [lo, hi] — files without
+    logged stats are always kept, so pruning has NO false negatives.
+    Returns (files to scan, files skipped). Pure driver-side metadata
+    work: at 100 TB this turns a point/range query on a clustered
+    commit pattern into an O(matching files) scan, the same plan step
+    Delta/Iceberg data skipping performs."""
+    stats = snapshot_file_stats(path, version)
+    keep, skipped = [], 0
+    for f in snapshot_files(path, version):
+        rel = os.path.relpath(f, os.path.join(path, "data"))
+        per = stats.get(rel, {}).get(col)
+        if per is not None and (
+            (hi is not None and per[0] > hi) or (lo is not None and per[1] < lo)
+        ):
+            skipped += 1
+            continue
+        keep.append(f)
+    return keep, skipped
+
+
+def read_pruned(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo=None,
+    hi=None,
+    version: int | None = None,
+) -> DataFrame:
+    """Snapshot read planned through :func:`plan_pruned_files`. The
+    range predicate is ALSO applied as a real filter (pruning is a
+    superset guarantee, the filter is the semantics)."""
+    from pyspark.sql import functions as F
+
+    files, _ = plan_pruned_files(path, col, lo, hi, version)
+    if not files:
+        raise ValueError(f"no files overlap [{lo}, {hi}] at {path}")
+    df = spark.read.parquet(*files)
+    if lo is not None:
+        df = df.filter(F.col(col) >= lo)
+    if hi is not None:
+        df = df.filter(F.col(col) <= hi)
+    return df
+
+
+def version_at(path: str, ts: float) -> int:
+    """Latest version committed at or before wall-clock ``ts`` — the
+    ``AS OF TIMESTAMP`` resolution step (commit timestamps are logged
+    with each entry; pre-timestamp legacy entries count as t=0)."""
+    best = None
+    for v in _versions(path):
+        if _read_entry(path, v).get("ts", 0.0) <= ts:
+            best = v
+    if best is None:
+        raise ValueError(f"no commit at or before ts={ts} at {path}")
+    return best
+
+
+def read_as_of(spark: SparkSession, path: str, ts: float) -> DataFrame:
+    """Time travel by TIMESTAMP: snapshot as of wall-clock ``ts``."""
+    return read(spark, path, version=version_at(path, ts))
+
+
+class TxCheckViolation(RuntimeError):
+    """A CHECK constraint rejected the rows of an attempted commit."""
+
+
+def append_checked(
+    df: DataFrame,
+    path: str,
+    check: str,
+    max_retries: int = 10,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """Constraint-enforced append (Delta's CHECK constraints / write-path
+    expectations): the commit is REFUSED — nothing staged, nothing
+    logged — unless every incoming row satisfies the SQL predicate
+    ``check``. Validation is one distributed count of violations
+    (predicate pushdown applies), so the gate costs a scan of the
+    DELTA only, never the table."""
+    from pyspark.sql import functions as F
+
+    n_bad = df.filter(~F.expr(check)).count()
+    if n_bad:
+        raise TxCheckViolation(
+            f"{n_bad} row(s) violate CHECK ({check}); commit refused"
+        )
+    return append(df, path, max_retries=max_retries, stats_cols=stats_cols)

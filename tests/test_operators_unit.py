@@ -1333,3 +1333,20 @@ def test_bpe_replace_chain_matches_sequential_merge(spark):
         for p in merges:
             syms = _merge_word(syms, tuple(p))
         assert got[w] == syms, w
+
+
+def test_stupid_backoff_fires_and_penalizes_unseen(spark):
+    from dss_nlp_ingestion_spark.operators.lm import stupid_backoff_scores
+
+    rows = [
+        (2, "a b c a b c a b c"),  # train half (even id): model sees (a,b,c)
+        (1, "a b c"),              # seen trigram -> no backoff
+        (3, "x y z"),              # fully OOV -> unigram-level backoff
+        (5, "c b a"),              # unseen trigram, seen tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in stupid_backoff_scores(df).collect()}
+    assert out[1]["n_backoff"] == 0
+    assert out[3]["n_backoff"] == 1 and out[5]["n_backoff"] == 1
+    # seen text must outscore OOV text; OOV is the worst
+    assert out[1]["avg_logscore"] > out[5]["avg_logscore"] > out[3]["avg_logscore"]

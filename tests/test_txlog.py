@@ -214,3 +214,75 @@ def test_snapshot_row_count_is_metadata_exact(spark):
     # stays correct across a compaction (footers of the new files)
     txlog.compact(spark, path)
     assert txlog.snapshot_row_count(path) == 17
+
+
+def test_stats_pruning_skips_files_and_loses_nothing(spark):
+    path = tempfile.mkdtemp(prefix="dss_tx_")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "k long, v string"
+    ).repartitionByRange(5, "k")
+    txlog.create_table(df, path, stats_cols=["k"])
+    files, skipped = txlog.plan_pruned_files(path, "k", lo=10, hi=15)
+    assert skipped >= 3 and len(files) + skipped == 5
+    got = sorted(
+        r["k"] for r in txlog.read_pruned(spark, path, "k", 10, 15).collect()
+    )
+    assert got == list(range(10, 16))
+
+
+def test_stats_pruning_never_false_negative_without_stats(spark):
+    # files committed WITHOUT stats must always be scanned
+    path = tempfile.mkdtemp(prefix="dss_tx_")
+    txlog.create_table(_tbl(spark, [(1, "a")]), path)  # no stats
+    txlog.append(
+        spark.createDataFrame([(100, "z")], "k long, v string"),
+        path,
+        stats_cols=["k"],
+    )
+    files, skipped = txlog.plan_pruned_files(path, "k", lo=0, hi=2)
+    # stats file (k=100) pruned; statless file kept
+    assert skipped == 1
+    got = [r["k"] for r in txlog.read_pruned(spark, path, "k", 0, 2).collect()]
+    assert got == [1]
+
+
+def test_stats_survive_into_snapshot_view_across_appends(spark):
+    path = tempfile.mkdtemp(prefix="dss_tx_")
+    txlog.create_table(_tbl(spark, [(1, "a")]), path, stats_cols=["k"])
+    txlog.append(_tbl(spark, [(50, "b")]), path, stats_cols=["k"])
+    st = txlog.snapshot_file_stats(path)
+    mins = sorted(v["k"][0] for v in st.values())
+    assert mins == [1, 50]
+
+
+def test_read_as_of_timestamp(spark):
+    import time
+
+    path = tempfile.mkdtemp(prefix="dss_tx_")
+    txlog.create_table(_tbl(spark, [(1, "a")]), path)
+    t_between = time.time()
+    time.sleep(0.05)
+    txlog.append(_tbl(spark, [(2, "b")]), path)
+    assert txlog.version_at(path, t_between) == 0
+    got = sorted(r["k"] for r in txlog.read_as_of(spark, path, t_between).collect())
+    assert got == [1]
+    assert txlog.version_at(path, time.time()) == 1
+    with pytest.raises(ValueError):
+        txlog.version_at(path, 0.0)
+
+
+def test_append_checked_refuses_and_stages_nothing(spark):
+    import os as _os
+
+    path = tempfile.mkdtemp(prefix="dss_tx_")
+    txlog.create_table(_tbl(spark, [(1, "a")]), path)
+    with pytest.raises(txlog.TxCheckViolation):
+        txlog.append_checked(
+            _tbl(spark, [(2, "b"), (-7, "bad")]), path, check="k >= 0"
+        )
+    # nothing committed AND nothing staged (no orphan files to vacuum)
+    assert [h["op"] for h in txlog.history(path)] == ["create"]
+    assert txlog.vacuum(path) == []
+    # clean rows commit fine through the same gate
+    v = txlog.append_checked(_tbl(spark, [(2, "b")]), path, check="k >= 0")
+    assert v == 1 and txlog.snapshot_row_count(path) == 2
