@@ -98,24 +98,66 @@ def _sub_distance(emb: Column, s: int, sub: int, centroid) -> Column:
     return out
 
 
+def _sub_argmin(model: dict, s: int, emb, dim: int, payloads=None):
+    """Per-subspace argmin as ONE pass over a literal centroid array:
+    transform evaluates the distance lambda per element (compact
+    codegen — the unrolled per-centroid expression forest compiled
+    ~10x slower at tiny SF), array_min picks (dist, idx) with the
+    same first-match tie-break as array_position (smaller idx wins).
+    The fold starts at 0.0; 0.0 + t == t exactly for the non-negative
+    squared terms, so distances stay bit-identical to the SQL twin's
+    left-associated '+' chain. Returns the winning struct with fields
+    d (distance), i (index) and optionally p (payload[i])."""
+    books = model["codebooks"]
+    k = model["k"]
+    sub = dim // model["m"]
+    cents = F.array(
+        *[
+            F.struct(
+                F.array(*[F.lit(float(books[s][c][j])) for j in range(sub)]).alias(
+                    "cv"
+                ),
+                F.lit(c).cast("long").alias("i"),
+                F.lit(
+                    float(payloads[c]) if payloads is not None else 0.0
+                ).alias("p"),
+            )
+            for c in range(k)
+        ]
+    )
+    subvec = F.slice(emb, s * sub + 1, sub)
+
+    def _dist(c):
+        return F.aggregate(
+            F.zip_with(
+                subvec,
+                c["cv"],
+                lambda x, cc: (x.cast("double") - cc) * (x.cast("double") - cc),
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    scored = F.transform(
+        cents,
+        lambda c: F.struct(_dist(c).alias("d"), c["i"].alias("i"), c["p"].alias("p")),
+    )
+    return F.array_min(scored)
+
+
 def pq_code_columns(model: dict, emb_col: str = "embedding", dim: int = 64):
     """(codes_str, total_err) columns: per subspace the argmin
-    centroid index (first-match tie-break via array_position of the
-    array minimum) and the summed minimum distances."""
-    books = model["codebooks"]
-    m, k = model["m"], model["k"]
-    sub = dim // m
+    centroid index (first-match tie-break: array_min over (dist, idx)
+    structs == array_position of the minimum) and the summed minimum
+    distances."""
+    m = model["m"]
     emb = F.col(emb_col)
     code_cols = []
     err_cols = []
     for s in range(m):
-        dists = F.array(
-            *[_sub_distance(emb, s, sub, books[s][c]) for c in range(k)]
-        )
-        mind = F.array_min(dists)
-        code = (F.array_position(dists, mind) - 1).cast("long")
-        code_cols.append(code.cast("string"))
-        err_cols.append(mind)
+        best = _sub_argmin(model, s, emb, dim)
+        code_cols.append(best["i"].cast("string"))
+        err_cols.append(best["d"])
     total = err_cols[0]
     for e in err_cols[1:]:
         total = total + e
@@ -150,23 +192,17 @@ def pq_adc_column(
     model: dict, lut: list[list[float]], emb_col: str = "embedding", dim: int = 64
 ) -> Column:
     """Asymmetric-distance column: per subspace, the stored vector's
-    code is its argmin centroid (same first-match expression as
+    code is its argmin centroid (same first-match semantics as
     :func:`pq_code_columns`) and the query's distance contribution is
-    ONE literal-array lookup at that code — the scan-side ADC search
+    the LUT payload riding in the argmin struct — one pass over the
+    literal centroid array per subspace, the scan-side ADC search
     kernel. Left-associated sum of m lookups, doubles throughout, so
     identical SQL reproduces every bit."""
-    books = model["codebooks"]
-    m, k = model["m"], model["k"]
-    sub = dim // m
+    m = model["m"]
     emb = F.col(emb_col)
-    terms = []
-    for s in range(m):
-        dists = F.array(
-            *[_sub_distance(emb, s, sub, books[s][c]) for c in range(k)]
-        )
-        idx = F.array_position(dists, F.array_min(dists))  # 1-based
-        lut_lit = F.array(*[F.lit(float(v)) for v in lut[s]])
-        terms.append(F.element_at(lut_lit, idx.cast("int")))
+    terms = [
+        _sub_argmin(model, s, emb, dim, payloads=lut[s])["p"] for s in range(m)
+    ]
     out = terms[0]
     for t in terms[1:]:
         out = out + t

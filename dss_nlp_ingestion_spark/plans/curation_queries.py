@@ -296,3 +296,37 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_grams"),
         fround(num / den, 10).alias("imp_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR selection: pick the top-k most target-like documents
+# ---------------------------------------------------------------------------
+
+_DSIR_PICK_K = 100
+
+_DSIR_PICK_ORACLE = f"""
+WITH s AS ({_DSIR_ORACLE})
+SELECT doc_id, imp_score,
+       CAST(row_number() OVER (ORDER BY imp_score DESC, doc_id ASC) AS BIGINT) AS pick_rank
+FROM s ORDER BY imp_score DESC, doc_id ASC LIMIT {_DSIR_PICK_K}
+"""
+
+
+@register("dsir_top_selection", _DSIR_PICK_ORACLE)
+def dsir_top_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR SELECTION step: keep the {_DSIR_PICK_K} most
+    target-like documents by importance weight (deterministic
+    tie-break on doc_id) — the fixed-budget draw the paper performs
+    after weighting. Global top-k is TakeOrderedAndProject (k rows
+    per task ship to the driver-side heap, never a full sort); the
+    rank window then runs over the k-row result only."""
+    scores = dsir_importance_weights(spark, sf_dir)
+    top = scores.orderBy(
+        F.col("imp_score").desc(), F.col("doc_id").asc()
+    ).limit(_DSIR_PICK_K)
+    w = Window.orderBy(F.col("imp_score").desc(), F.col("doc_id").asc())
+    return top.select(
+        "doc_id",
+        "imp_score",
+        F.row_number().over(w).cast("long").alias("pick_rank"),
+    )

@@ -1731,3 +1731,29 @@ def txlog_datasource_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         path,
     )
     return spark.read.format("txlog").option("path", path).load()
+
+
+_TXLOG_ZORDER_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+"""
+
+
+@register("txlog_optimize_zorder", _TXLOG_ZORDER_ORACLE)
+def txlog_optimize_zorder_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER BY on a tx table, under the hash gate: after
+    the atomic Morton-recluster rewrite (which also logs per-file
+    min/max for BOTH clustered columns), the snapshot must read back
+    bit-identical to the original rows — reclustering is layout, not
+    semantics. The pytest twin (test_txlog.py) asserts the layout
+    effect: both dimensions now prune files from the log's stats."""
+    from dss_nlp_ingestion_spark.sources import txlog
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="dss_txzo_") + "/orders"
+    txlog.create_table(orders, path)
+    txlog.optimize_zorder(
+        spark, path, ["o_custkey", "o_totalprice"], target_files=8
+    )
+    return txlog.read(spark, path)

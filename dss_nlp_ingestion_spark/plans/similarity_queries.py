@@ -527,3 +527,85 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(
         emb, "vec_id", "embedding", centroid_mod=_CENT_MOD, threshold=_SEM_T
     )
+
+
+# ---------------------------------------------------------------------------
+# ADC quality eval: PQ top-k vs exact top-k for the same query
+# ---------------------------------------------------------------------------
+
+def _adc_query_vec() -> list[float]:
+    from dss_nlp_ingestion_spark.operators.pq import synth_training_sample
+
+    return [float(x) for x in synth_training_sample(1, 64)[0]]
+
+
+def _adc_exact_col():
+    """Exact squared-L2 distance of every vector to the same literal
+    query the ADC search uses (built lazily — Column construction
+    needs an active SparkContext)."""
+    q = _adc_query_vec()
+    qlit = F.array(*[F.lit(v) for v in q])
+    return F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            qlit,
+            lambda x, qq: (x.cast("double") - qq) * (x.cast("double") - qq),
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+
+def _adc_exact_sql() -> str:
+    q = _adc_query_vec()
+    terms = ", ".join(
+        f"(CAST(embedding[{i + 1}] AS DOUBLE) - {q[i]!r})"
+        f" * (CAST(embedding[{i + 1}] AS DOUBLE) - {q[i]!r})"
+        for i in range(64)
+    )
+    return f"list_reduce([CAST(0.0 AS DOUBLE), {terms}], (x, y) -> x + y)"
+
+
+_ADC_EXACT_SQL = _adc_exact_sql()
+
+_ADC_RECALL_ORACLE = f"""
+WITH approx AS ({_ADC_ORACLE}),
+exact AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, {_ADC_EXACT_SQL} AS d2 FROM embeddings
+  ) ORDER BY d2 ASC, vec_id ASC LIMIT {_ADC_K}
+)
+SELECT CAST(count(approx.vec_id) AS BIGINT) AS n_hit,
+       {fround_sql(f'CAST(count(approx.vec_id) AS DOUBLE) / {_ADC_K}', 4)} AS recall_at_k
+FROM exact LEFT JOIN approx ON approx.vec_id = exact.vec_id
+"""
+
+
+@register("pq_adc_recall_eval", _ADC_RECALL_ORACLE)
+def pq_adc_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC search quality measured IN the engine: recall@{_ADC_K} of
+    the PQ lookup-table search against the exact squared-L2 top-k for
+    the SAME query — the compression-loss eval that decides m/k
+    codebook sizing before trusting 8-byte codes at a billion
+    vectors. Composes the registered ADC pipeline with an exact leg
+    (same literal query, same fold); the oracle composes their SQL
+    twins, so the metric itself is hash-checked."""
+    emb = table(spark, sf_dir, "embeddings")
+    exact = (
+        emb.select("vec_id", _adc_exact_col().alias("d2"))
+        .orderBy(F.col("d2").asc(), F.col("vec_id").asc())
+        .limit(_ADC_K)
+        .select("vec_id")
+    )
+    approx = pq_adc_topk(spark, sf_dir).select(
+        F.col("vec_id").alias("a_vec")
+    )
+    joined = exact.join(
+        F.broadcast(approx), exact["vec_id"] == approx["a_vec"], "left"
+    )
+    return joined.agg(
+        F.count("a_vec").cast("long").alias("n_hit"),
+        fround(F.count("a_vec").cast("double") / F.lit(float(_ADC_K)), 4).alias(
+            "recall_at_k"
+        ),
+    )

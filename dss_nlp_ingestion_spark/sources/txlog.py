@@ -205,6 +205,7 @@ def rewrite(
     replace: list[str],
     expect_version: int,
     op: str = "rewrite",
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Replace ``replace`` (relative file names from the snapshot the
     caller read) with ``df`` — the COW-merge/compaction commit. NOT
@@ -214,7 +215,9 @@ def rewrite(
     Concurrent APPENDS don't conflict (disjoint files) — the rewrite
     commits on top of them."""
     files = _write_data_files(df, path)
-    entry = {"op": op, "add": files, "remove": list(replace)}
+    entry: dict = {"op": op, "add": files, "remove": list(replace)}
+    if stats_cols:
+        entry["stats"] = _collect_file_stats(path, files, stats_cols)
     while True:
         head = (_versions(path) or [-1])[-1]
         if head > expect_version:
@@ -503,3 +506,70 @@ def append_checked(
             f"{n_bad} row(s) violate CHECK ({check}); commit refused"
         )
     return append(df, path, max_retries=max_retries, stats_cols=stats_cols)
+
+
+def optimize_zorder(
+    spark: SparkSession,
+    path: str,
+    zorder_cols: list[str],
+    target_files: int = 8,
+    max_retries: int = 3,
+) -> int:
+    """OPTIMIZE ZORDER BY: one atomic rewrite that re-clusters the
+    snapshot along the Morton curve of ``zorder_cols`` AND logs
+    per-file min/max for them — after it, range predicates on ANY of
+    the clustered dimensions prune files from the log (a 1-d sort
+    only serves its leading column). Same optimistic-concurrency
+    story as ``compact``: concurrent appends commute, a lost rewrite
+    race retries on the fresh snapshot, and time travel to the
+    pre-optimize layout keeps working.
+
+    This is the recluster job a 100 TB table runs periodically so
+    that the dominant 2-3 predicate columns all get file-level
+    skipping; cost is one full read + range-partitioned write, all
+    distributed (the min/max normalization is a one-row aggregate)."""
+    from dss_nlp_ingestion_spark.sources.layout import (
+        ZORDER_BITS,
+        _normalize_to_bits,
+        morton_interleave,
+    )
+    from pyspark.sql import functions as F
+
+    for _ in range(max_retries):
+        head = (_versions(path) or [-1])[-1]
+        if head < 0:
+            raise ValueError(f"no tx table at {path}")
+        live = snapshot_files(path, head)
+        rel = [os.path.relpath(f, os.path.join(path, "data")) for f in live]
+        df = read(spark, path, version=head)
+        stats = df.agg(
+            *[F.min(c).alias(f"_min_{c}") for c in zorder_cols],
+            *[F.max(c).alias(f"_max_{c}") for c in zorder_cols],
+        ).collect()[0]
+        normed = [
+            _normalize_to_bits(
+                F.col(c),
+                F.lit(stats[f"_min_{c}"]),
+                F.lit(stats[f"_max_{c}"]),
+                ZORDER_BITS,
+            )
+            for c in zorder_cols
+        ]
+        clustered = (
+            df.withColumn("_z", morton_interleave(normed, ZORDER_BITS))
+            .repartitionByRange(target_files, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+        try:
+            return rewrite(
+                clustered,
+                path,
+                rel,
+                expect_version=head,
+                op="zorder",
+                stats_cols=list(zorder_cols),
+            )
+        except TxConflictError:
+            continue
+    raise TxConflictError(f"zorder lost {max_retries} rewrite races at {path}")

