@@ -346,3 +346,118 @@ def word_similarity(a: Column, b: Column, dim: int = EMBED_DIM) -> Column:
         nb = sb if nb is None else nb + sb
     denom = F.sqrt(na) * F.sqrt(nb)
     return F.when(denom > 0, dot / denom).otherwise(F.lit(0.0))
+
+
+# ---------------------------------------------------------------------------
+# Learned multi-class TOPIC model (the shipped-artifact pattern, N5)
+# ---------------------------------------------------------------------------
+
+TOPIC_CLASSES = ("query_engine", "streaming", "data_mgmt")
+
+#: Path of the committed default artifact (trained from
+#: tests/fixtures/topic_corpus.json; provenance pinned by a
+#: retrain-equality test).
+DEFAULT_TOPIC_ARTIFACT = __file__.replace("nlp.py", "topic_model_v1.npz")
+
+
+def train_quantized_topic(
+    texts: list[str],
+    labels: list[int],
+    n_classes: int,
+    dim: int = 128,
+    epochs: int = 400,
+    lr: float = 0.5,
+    scale: int = 1_000_000,
+) -> dict:
+    """Train the SHIPPED topic model: softmax regression over the
+    portable codepoint-sum featurizer (deterministic numpy batch GD,
+    zero init, no RNG), weights quantized to integers. Serving needs
+    NO exp at all: the predicted class is the integer argmax of
+    ``b_q[k]*n + sum_j w_q[k][j]*c_j`` (ties -> smaller class index)
+    and the margin is an integer difference with one float division —
+    the whole model is bit-exact cross-engine, not just ulp-close."""
+    import numpy as np
+
+    feats = np.stack(
+        [
+            (lambda cn: cn[0] / max(cn[1], 1))(_sum_bow_counts(t, dim))
+            for t in texts
+        ]
+    )
+    y = np.asarray(labels, dtype=np.int64)
+    onehot = np.eye(n_classes)[y]
+    w = np.zeros((n_classes, dim))
+    b = np.zeros(n_classes)
+    for _ in range(epochs):
+        z = feats @ w.T + b
+        z -= z.max(axis=1, keepdims=True)
+        p = np.exp(z)
+        p /= p.sum(axis=1, keepdims=True)
+        grad = p - onehot
+        w -= lr * (grad.T @ feats) / len(y)
+        b -= lr * grad.mean(axis=0)
+    return {
+        "w_q": np.rint(w * scale).astype(np.int64),
+        "b_q": np.rint(b * scale).astype(np.int64),
+        "dim": dim,
+        "scale": scale,
+        "n_classes": n_classes,
+    }
+
+
+def save_topic_artifact(model: dict, path: str) -> None:
+    import numpy as np
+
+    np.savez(
+        path,
+        w_q=model["w_q"],
+        b_q=model["b_q"],
+        dim=np.int64(model["dim"]),
+        scale=np.int64(model["scale"]),
+        n_classes=np.int64(model["n_classes"]),
+    )
+
+
+def load_topic_artifact(path: str) -> dict:
+    import numpy as np
+
+    with np.load(path) as z:
+        return {
+            "w_q": z["w_q"].astype(np.int64),
+            "b_q": z["b_q"].astype(np.int64),
+            "dim": int(z["dim"]),
+            "scale": int(z["scale"]),
+            "n_classes": int(z["n_classes"]),
+        }
+
+
+def quantized_topic_udf(model: dict, class_names: tuple = TOPIC_CLASSES):
+    """Serve the topic artifact as ONE Arrow-vectorized pandas UDF
+    returning (topic, margin): integer per-class scores, argmax with
+    smaller-index tie-break, margin = (best - runner_up)/(n*scale)
+    fround-6. Exactly the numbers the SQL oracle derives."""
+    import numpy as np
+
+    w_q = np.asarray(model["w_q"], dtype=np.int64)
+    b_q = np.asarray(model["b_q"], dtype=np.int64)
+    dim = int(model["dim"])
+    scale = int(model["scale"])
+
+    @pandas_udf("topic string, margin double")
+    def _score(text: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        topics = []
+        margins = np.empty(len(text), dtype="float64")
+        for i, t in enumerate(text):
+            counts, n = _sum_bow_counts(t or "", dim)
+            nn = max(n, 1)
+            s = b_q * nn + w_q @ counts  # int64 per-class scores
+            order = np.lexsort((np.arange(len(s)), -s))  # score desc, idx asc
+            best, second = order[0], order[1]
+            topics.append(class_names[int(best)])
+            m = float(int(s[best]) - int(s[second])) / (nn * scale)
+            margins[i] = np.floor(m * 1e6 + 0.5) / 1e6
+        return pd.DataFrame({"topic": topics, "margin": margins})
+
+    return _score

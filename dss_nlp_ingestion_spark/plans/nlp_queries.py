@@ -461,3 +461,86 @@ def stupid_backoff_scores_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dss_nlp_ingestion_spark.operators.lm import stupid_backoff_scores
 
     return stupid_backoff_scores(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# N5 model-backed variant: the SHIPPED learned topic classifier
+# ---------------------------------------------------------------------------
+
+def _topic_model_oracle() -> str:
+    """Oracle from the committed topic artifact. Unlike the sentiment
+    score there is NO transcendental anywhere: label = integer argmax
+    (ties -> smaller class index, replayed as a rank window), margin =
+    integer difference with one float division."""
+    m = N.load_topic_artifact(N.DEFAULT_TOPIC_ARTIFACT)
+    dim, scale = m["dim"], m["scale"]
+    wrows = ", ".join(
+        f"({k}, {j}, {int(w)})"
+        for k in range(m["n_classes"])
+        for j, w in enumerate(m["w_q"][k])
+        if w != 0
+    )
+    crows = ", ".join(
+        f"({k}, {int(m['b_q'][k])}, '{name}')"
+        for k, name in enumerate(N.TOPIC_CLASSES)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''
+), bt AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(1, length(tok) + 1),
+                                      i -> ascii(tok[i]))) % {dim} AS BIGINT) AS bucket
+  FROM toks WHERE tok <> ''
+), n AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM bt GROUP BY doc_id
+), counts AS (
+  SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS c
+  FROM bt GROUP BY doc_id, bucket
+), wt(cls, bucket, w) AS (VALUES {wrows}),
+cl(cls, b_q, name) AS (VALUES {crows}),
+dots AS (
+  SELECT counts.doc_id, wt.cls, CAST(sum(wt.w * counts.c) AS BIGINT) AS s
+  FROM counts JOIN wt USING (bucket) GROUP BY counts.doc_id, wt.cls
+), scores AS (
+  SELECT n.doc_id, cl.cls, cl.name, n.n,
+         CAST(cl.b_q * n.n + coalesce(d.s, 0) AS BIGINT) AS s
+  FROM n CROSS JOIN cl
+  LEFT JOIN dots d ON d.doc_id = n.doc_id AND d.cls = cl.cls
+), ranked AS (
+  SELECT doc_id, cls, name, n, s,
+         row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, cls ASC) AS rn
+  FROM scores
+)
+SELECT a.doc_id, a.name AS topic,
+       {fround_sql(f'CAST(a.s - b.s AS DOUBLE) / (a.n * {scale})', 6)} AS margin
+FROM ranked a JOIN ranked b
+  ON a.doc_id = b.doc_id AND a.rn = 1 AND b.rn = 2
+"""
+
+
+@register("topic_model_scores", _topic_model_oracle())
+def topic_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The N5 topic slot serving REAL LEARNED WEIGHTS: a softmax
+    regression trained on the committed labeled corpus
+    (tests/fixtures/topic_corpus.json — classes drawn from the
+    engine-domain vocabulary), quantized and shipped as
+    functions/topic_model_v1.npz, served by one Arrow-vectorized
+    struct-returning pandas UDF. Serving is transcendental-free:
+    label = integer argmax, margin = integer difference — the learned
+    CLASSIFIER (not just a score) sits bit-exactly under the hash
+    gate. Completes the model-backed NLP family next to
+    sentiment_model_scores (r4 'what's missing' #2)."""
+    model = N.load_topic_artifact(N.DEFAULT_TOPIC_ARTIFACT)
+    docs = table(spark, sf_dir, "documents").where(F.trim(F.col("text")) != "")
+    scored = docs.select(
+        "doc_id",
+        N.quantized_topic_udf(model)(F.col("text")).alias("_m"),
+    )
+    return scored.select(
+        "doc_id",
+        F.col("_m.topic").alias("topic"),
+        F.col("_m.margin").alias("margin"),
+    )

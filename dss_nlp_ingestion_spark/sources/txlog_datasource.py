@@ -131,6 +131,91 @@ class TxLogDataSource(DataSource):
     def simpleStreamReader(self, schema):
         return _TxLogStreamReader(self.options)
 
+    def writer(self, schema, overwrite: bool):
+        return _TxLogWriter(self.options, schema, overwrite)
+
 
 def register(spark) -> None:
     spark.dataSource.register(TxLogDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Writer: df.write.format("txlog").mode("append"|"overwrite").save(path)
+# ---------------------------------------------------------------------------
+# The Python writer API is EXACTLY the log's two-phase commit: each
+# task stages one parquet file and reports it in its commit message;
+# the driver's commit() writes the O_EXCL log entry referencing only
+# reported files. Speculative/retried task leftovers are never
+# referenced (vacuum cleans them) — the same crash story as the
+# library write path, now behind Spark's own writer surface.
+
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+@dataclass
+class _StagedFile(WriterCommitMessage):
+    rel: str  # staged file, relative to <path>/data/
+
+
+class _TxLogWriter(DataSourceWriter):
+    def __init__(self, options: dict, schema, overwrite: bool):
+        import uuid as _uuid
+
+        self.path = options["path"]
+        self.overwrite = overwrite
+        self.txn = _uuid.uuid4().hex[:12]
+        self.schema = schema
+
+    def write(self, iterator):  # executor-side
+        import os
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(self.schema)
+        rows = [r.asDict() for r in iterator]
+        staged_dir = os.path.join(self.path, "data", self.txn)
+        os.makedirs(staged_dir, exist_ok=True)
+        name = f"part-{_uuid.uuid4().hex[:12]}.parquet"
+        tbl = pa.Table.from_pylist(rows, schema=arrow_schema)
+        pq.write_table(tbl, os.path.join(staged_dir, name))
+        return _StagedFile(rel=f"{self.txn}/{name}")
+
+    def commit(self, messages):  # driver-side: the atomic log commit
+        files = [m.rel for m in messages if m is not None]
+        if self.overwrite:
+            for _ in range(10):
+                head = ([h["version"] for h in txlog.history(self.path)] or [-1])[-1]
+                if head < 0:
+                    remove: list[str] = []
+                else:
+                    import os
+
+                    remove = [
+                        os.path.relpath(f, os.path.join(self.path, "data"))
+                        for f in txlog.snapshot_files(self.path, head)
+                    ]
+                entry = {"op": "overwrite", "add": files, "remove": remove}
+                if txlog._try_commit(self.path, head + 1, entry):
+                    return
+            raise txlog.TxConflictError(f"overwrite lost commit races at {self.path}")
+        for _ in range(10):
+            head = ([h["version"] for h in txlog.history(self.path)] or [-1])[-1]
+            entry = {"op": "append", "add": files, "remove": []}
+            if txlog._try_commit(self.path, head + 1, entry):
+                return
+        raise txlog.TxConflictError(f"append lost commit races at {self.path}")
+
+    def abort(self, messages):  # nothing referenced -> nothing visible
+        import os
+
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self.path, "data", m.rel))
+                except OSError:
+                    pass

@@ -215,3 +215,46 @@ def test_normalize_url_edge_cases(spark):
     )
     got = {r["u"]: r["n"] for r in df.collect()}
     assert got == cases
+
+
+def test_committed_topic_artifact_retrains_identically():
+    """functions/topic_model_v1.npz == deterministic retrain on the
+    committed fixture corpus (same provenance pin as the sentiment
+    artifact)."""
+    import json
+
+    import numpy as np
+
+    from dss_nlp_ingestion_spark.functions import nlp as N
+
+    with open("tests/fixtures/topic_corpus.json") as fh:
+        rows = json.load(fh)
+    m = N.train_quantized_topic(
+        [r[0] for r in rows], [r[1] for r in rows], n_classes=3
+    )
+    disk = N.load_topic_artifact(N.DEFAULT_TOPIC_ARTIFACT)
+    assert np.array_equal(m["w_q"], disk["w_q"])
+    assert np.array_equal(m["b_q"], disk["b_q"])
+    assert (m["dim"], m["scale"], m["n_classes"]) == (
+        disk["dim"], disk["scale"], disk["n_classes"],
+    )
+
+
+def test_topic_udf_classifies_class_vocabulary(spark):
+    from dss_nlp_ingestion_spark.functions import nlp as N
+    from pyspark.sql import functions as F
+
+    model = N.load_topic_artifact(N.DEFAULT_TOPIC_ARTIFACT)
+    rows = [
+        (1, "filter query scan join optimizer plan"),
+        (2, "stream window watermark trigger checkpoint state"),
+        (3, "merge table snapshot commit vacuum schema"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["_m"]["topic"]
+        for r in df.select(
+            "doc_id", N.quantized_topic_udf(model)(F.col("text")).alias("_m")
+        ).collect()
+    }
+    assert out == {1: "query_engine", 2: "streaming", 3: "data_mgmt"}

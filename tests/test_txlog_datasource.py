@@ -75,3 +75,62 @@ def test_stream_reads_commits_exactly_once(spark, tmp_path):
     assert drain() == [(3, "c"), (4, "d")]
     # no new commits -> empty increment
     assert drain() == []
+
+
+def test_writer_append_and_overwrite_modes(spark):
+    _registered(spark)
+    path = tempfile.mkdtemp(prefix="dss_txds_") + "/t"
+    df1 = _tbl(spark, [(1, "a"), (2, "b")])
+    df1.write.format("txlog").mode("append").option("path", path).save()
+    _tbl(spark, [(3, "c")]).write.format("txlog").mode("append").option(
+        "path", path
+    ).save()
+    got = sorted(r["k"] for r in txlog.read(spark, path).collect())
+    assert got == [1, 2, 3]
+    ops = [h["op"] for h in txlog.history(path)]
+    assert ops == ["append", "append"]
+    # overwrite replaces the snapshot atomically; old versions travel
+    _tbl(spark, [(9, "z")]).write.format("txlog").mode("overwrite").option(
+        "path", path
+    ).save()
+    assert [r["k"] for r in txlog.read(spark, path).collect()] == [9]
+    assert sorted(
+        r["k"] for r in txlog.read(spark, path, version=1).collect()
+    ) == [1, 2, 3]
+
+
+def test_writer_commit_references_only_reported_files(spark):
+    _registered(spark)
+    path = tempfile.mkdtemp(prefix="dss_txds_") + "/t"
+    _tbl(spark, [(i, "x") for i in range(100)]).repartition(4).write.format(
+        "txlog"
+    ).mode("append").option("path", path).save()
+    h = txlog.history(path)
+    assert h[0]["n_add"] == 4  # one staged file per task, all reported
+    assert txlog.snapshot_row_count(path) == 100
+    assert txlog.vacuum(path) == []  # no unreferenced leftovers
+
+
+def test_stream_startingversion_skips_earlier_commits(spark, tmp_path):
+    _registered(spark)
+    path = tempfile.mkdtemp(prefix="dss_txds_") + "/t"
+    txlog.create_table(_tbl(spark, [(1, "a")]), path)
+    txlog.append(_tbl(spark, [(2, "b")]), path)
+    txlog.append(_tbl(spark, [(3, "c")]), path)
+    got: list[int] = []
+
+    def sink(batch_df, _bid):
+        got.extend(r["k"] for r in batch_df.collect())
+
+    q = (
+        spark.readStream.format("txlog")
+        .option("path", path)
+        .option("startingversion", "1")  # deliver commits AFTER v1
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(got) == [3]
