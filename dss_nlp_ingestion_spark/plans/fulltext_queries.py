@@ -226,3 +226,115 @@ def fulltext_topk_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokenizer=text_tokens_cjk,
         query_tokenizer=analyze_query_cjk,
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 + vector ANN fused by reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60        # standard RRF damping constant
+_RRF_TOP = 10
+_VEC_K = 10
+
+from dss_nlp_ingestion_spark.plans.similarity_queries import _dot_sql  # noqa: E402
+
+_HY_QIDS = ", ".join(str(qid) for qid, _ in FT_QUERIES)
+
+_VEC_LEG_SQL = f"""
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_dot_sql('q.embedding', 'c.embedding')}
+                      / (sqrt({_dot_sql('q.embedding', 'q.embedding')})
+                         * sqrt({_dot_sql('c.embedding', 'c.embedding')})) DESC,
+                      c.vec_id ASC) AS rank
+    FROM embeddings c
+    CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id IN ({_HY_QIDS})) q
+    WHERE c.vec_id <> q.vec_id
+  ) WHERE rank <= {_VEC_K}
+"""
+
+_HYBRID_ORACLE = f"""
+WITH text_leg AS ({_FULLTEXT_ORACLE}),
+vec_leg AS ({_VEC_LEG_SQL}),
+fused AS (
+  SELECT coalesce(t.query_id, v.query_id) AS query_id,
+         coalesce(t.doc_id, v.neighbor_id) AS doc_id,
+         coalesce(1.0 / ({_RRF_K} + t.rank), 0.0)
+           + coalesce(1.0 / ({_RRF_K} + v.rank), 0.0) AS rrf
+  FROM text_leg t
+  FULL OUTER JOIN vec_leg v
+    ON v.query_id = t.query_id AND v.neighbor_id = t.doc_id
+), ranked AS (
+  SELECT query_id, doc_id, rrf,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf DESC, doc_id ASC) AS rank
+  FROM fused
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+       CAST(floor(rrf * 100000000.0 + 0.5) / 100000000.0 AS DOUBLE) AS rrf
+FROM ranked WHERE rank <= {_RRF_TOP}
+"""
+
+
+@register("hybrid_rrf_retrieval", _HYBRID_ORACLE)
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern hybrid retrieval, end to end IN the engine: a lexical
+    leg (BM25 top-10, the ES match shape) and a dense leg (cosine
+    top-10 over the embeddings of the same query ids) fused with
+    reciprocal-rank fusion 1/(60+rank) — the standard zero-tuning
+    hybrid ranker (Cormack et al. 2009; what ES/Vespa/Weaviate call
+    RRF). Fusion consumes only the INTEGER ranks of two k-bounded
+    lists, so the fused score is deterministic by construction and
+    the whole pipeline hash-checks. Per-query cost: two k-row lists,
+    one full-outer join on (query, doc), one window over <= 2k rows —
+    at 100 TB the corpus-sized work stays inside the two legs (term-
+    pushdown scan; scan-side dense scoring), never in the fusion."""
+    from dss_nlp_ingestion_spark.operators.similarity import brute_force_topk
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    qids = [qid for qid, _ in FT_QUERIES]
+
+    text_leg = bm25_topk(docs, FT_QUERIES, "doc_id", "text", k=_TOP_K).select(
+        F.col("query_id").alias("t_q"),
+        F.col("doc_id").alias("t_d"),
+        F.col("rank").alias("t_rank"),
+    )
+    vec_leg = brute_force_topk(
+        emb, emb.filter(F.col("vec_id").isin(qids)), "vec_id", "embedding", k=_VEC_K
+    ).select(
+        F.col("query_id").alias("v_q"),
+        F.col("neighbor_id").alias("v_d"),
+        F.col("rank").alias("v_rank"),
+    )
+    fused = text_leg.join(
+        vec_leg,
+        (F.col("v_q") == F.col("t_q")) & (F.col("v_d") == F.col("t_d")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("t_q"), F.col("v_q")).alias("query_id"),
+        F.coalesce(F.col("t_d"), F.col("v_d")).alias("doc_id"),
+        (
+            F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("t_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("v_rank")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _RRF_TOP)
+        .select(
+            "query_id",
+            "rank",
+            "doc_id",
+            (F.floor(F.col("rrf") * 1e8 + F.lit(0.5)) / 1e8)
+            .cast("double")
+            .alias("rrf"),
+        )
+    )
