@@ -1066,3 +1066,152 @@ def global_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("global_rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention (product-analytics staple)
+# ---------------------------------------------------------------------------
+
+_COHORT_ORACLE = """
+WITH firsts AS (
+  SELECT user_id,
+         CAST(min(epoch_ms(ts) // 604800000) AS BIGINT) AS cohort_week
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT e.user_id,
+         f.cohort_week,
+         CAST(epoch_ms(ts) // 604800000 - f.cohort_week AS BIGINT) AS week_k
+  FROM events e JOIN firsts f USING (user_id)
+)
+SELECT cohort_week, week_k,
+       CAST(count(*) AS BIGINT) AS n_active
+FROM activity GROUP BY cohort_week, week_k
+"""
+
+
+@register("cohort_retention", _COHORT_ORACLE)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users are cohorted by the epoch week
+    of their FIRST event; each (cohort_week, week_k) cell counts
+    distinct users active k weeks later — the standard product-
+    analytics retention matrix. Integer epoch-week arithmetic on both
+    engines. Two shuffles (first-event agg; distinct-activity agg),
+    both user-keyed; the cohort join broadcasts nothing that grows
+    faster than the user dimension."""
+    from dss_nlp_ingestion_spark.functions.dates import epoch_ms
+
+    ev = table(spark, sf_dir, "events").withColumn(
+        "_wk", F.floor(epoch_ms("ts") / 604800000).cast("long")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("_wk").alias("cohort_week"))
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.col("_wk") - F.col("cohort_week")).cast("long").alias("week_k"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered event-sequence matching (CEP / MATCH_RECOGNIZE-lite)
+# ---------------------------------------------------------------------------
+
+_CEP_GAP_MS = 3_600_000  # each step within 1h of the previous
+
+_CEP_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, epoch_ms(ts) AS ms,
+         CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+              WHEN 'purchase' THEN 3 ELSE 0 END AS step
+  FROM events
+), seqs AS (
+  SELECT user_id,
+         list(struct_pack(ms := ms, step := step) ORDER BY ms, step) AS s
+  FROM ev GROUP BY user_id
+)
+SELECT user_id, CAST(list_reduce(
+  [struct_pack(stage := CAST(0 AS BIGINT), last := CAST(0 AS BIGINT),
+               cnt := CAST(0 AS BIGINT))] ||
+  list_transform(s, e -> struct_pack(stage := CAST(e.step AS BIGINT),
+                                     last := CAST(e.ms AS BIGINT),
+                                     cnt := CAST(0 AS BIGINT))),
+  (acc, e) -> CASE
+    WHEN e.stage = 1
+      THEN struct_pack(stage := CAST(1 AS BIGINT), last := e.last, cnt := acc.cnt)
+    WHEN e.stage = 2 AND acc.stage = 1 AND e.last - acc.last <= {_CEP_GAP_MS}
+      THEN struct_pack(stage := CAST(2 AS BIGINT), last := e.last, cnt := acc.cnt)
+    WHEN e.stage = 3 AND acc.stage = 2 AND e.last - acc.last <= {_CEP_GAP_MS}
+      THEN struct_pack(stage := CAST(0 AS BIGINT), last := CAST(0 AS BIGINT),
+                       cnt := acc.cnt + 1)
+    ELSE struct_pack(stage := acc.stage, last := acc.last, cnt := acc.cnt)
+  END
+).cnt AS BIGINT) AS n_matches
+FROM seqs
+"""
+
+
+@register("event_sequence_matches", _CEP_ORACLE)
+def event_sequence_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP-style ordered pattern matching (the MATCH_RECOGNIZE /
+    Flink-CEP family): count non-overlapping view -> click -> purchase
+    runs per user where each step follows the previous within 1 hour.
+    The matcher is a deterministic finite-state fold over the user's
+    time-ordered events — F.aggregate over a sorted struct array, so
+    the automaton runs INSIDE codegen (no UDF), and the DuckDB twin
+    replays the identical fold with list_reduce. 'view' always
+    (re)arms the pattern; gaps expire at transition time.
+
+    Scale shape: one user-keyed shuffle; per-user state is O(events
+    per user) — the same keyed-state bound Flink CEP carries. A
+    pattern over a pathological single user is a hot key, handled
+    like any other (salt by session / time-slice first)."""
+    from dss_nlp_ingestion_spark.functions.dates import epoch_ms
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        epoch_ms("ts").alias("ms"),
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "purchase", 3)
+        .otherwise(0)
+        .cast("long")
+        .alias("step"),
+    )
+    seqs = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("ms"), F.col("step")))
+        ).alias("s")
+    )
+
+    def _pack(stage, last, cnt):
+        return F.struct(
+            stage.cast("long").alias("stage"),
+            last.cast("long").alias("last"),
+            cnt.cast("long").alias("cnt"),
+        )
+
+    init = _pack(F.lit(0), F.lit(0), F.lit(0))
+
+    def fold(acc, e):
+        gap_ok_1 = (acc["stage"] == 1) & (e["ms"] - acc["last"] <= _CEP_GAP_MS)
+        gap_ok_2 = (acc["stage"] == 2) & (e["ms"] - acc["last"] <= _CEP_GAP_MS)
+        return (
+            F.when(e["step"] == 1, _pack(F.lit(1), e["ms"], acc["cnt"]))
+            .when((e["step"] == 2) & gap_ok_1, _pack(F.lit(2), e["ms"], acc["cnt"]))
+            .when(
+                (e["step"] == 3) & gap_ok_2,
+                _pack(F.lit(0), F.lit(0), acc["cnt"] + 1),
+            )
+            .otherwise(acc)
+        )
+
+    return seqs.select(
+        "user_id",
+        F.aggregate(F.col("s"), init, fold)["cnt"].cast("long").alias("n_matches"),
+    )

@@ -1350,3 +1350,38 @@ def test_stupid_backoff_fires_and_penalizes_unseen(spark):
     assert out[3]["n_backoff"] == 1 and out[5]["n_backoff"] == 1
     # seen text must outscore OOV text; OOV is the worst
     assert out[1]["avg_logscore"] > out[5]["avg_logscore"] > out[3]["avg_logscore"]
+
+
+def test_event_sequence_matcher_semantics(spark, tmp_path):
+    """Planted CEP cases: complete run matches; expired gap doesn't;
+    matches don't overlap; 'view' re-arms."""
+    import datetime as dt
+
+    from dss_nlp_ingestion_spark.plans.analytics_queries import (
+        event_sequence_matches,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    MIN = dt.timedelta(minutes=1)
+    HOURS2 = dt.timedelta(hours=2)
+    rows = [
+        # user 1: clean match, then an expired second attempt
+        (1, t0, "view"), (1, t0 + MIN, "click"), (1, t0 + 2 * MIN, "purchase"),
+        (1, t0 + 3 * MIN, "view"), (1, t0 + 3 * MIN + HOURS2, "click"),
+        # user 2: out of order -> no match
+        (2, t0, "click"), (2, t0 + MIN, "purchase"), (2, t0 + 2 * MIN, "view"),
+        # user 3: two back-to-back matches (non-overlapping count = 2)
+        (3, t0, "view"), (3, t0 + MIN, "click"), (3, t0 + 2 * MIN, "purchase"),
+        (3, t0 + 3 * MIN, "view"), (3, t0 + 4 * MIN, "click"),
+        (3, t0 + 5 * MIN, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        [(u, i, ts, et, 0.0, "{}") for i, (u, ts, et) in enumerate(rows)],
+        "user_id long, event_id long, ts timestamp, event_type string, value double, props string",
+    ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r["user_id"]: r["n_matches"]
+        for r in event_sequence_matches(spark, str(tmp_path)).collect()
+    }
+    assert out == {1: 1, 2: 0, 3: 2}
