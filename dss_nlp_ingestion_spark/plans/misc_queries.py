@@ -1757,3 +1757,56 @@ def txlog_optimize_zorder_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, path, ["o_custkey", "o_totalprice"], target_files=8
     )
     return txlog.read(spark, path)
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF surface (Spark 4): table function through the SQL front door
+# ---------------------------------------------------------------------------
+
+_UDTF_W = 10  # words per chunk — mirrors the curation chunker
+
+_UDTF_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+  FROM documents WHERE doc_id < 50
+)
+SELECT doc_id, CAST(k AS BIGINT) AS k,
+       array_to_string(list_slice(ws, k * {_UDTF_W} + 1, k * {_UDTF_W} + {_UDTF_W}), ' ') AS chunk,
+       CAST(least({_UDTF_W}, len(ws) - k * {_UDTF_W}) AS BIGINT) AS n_words
+FROM w, UNNEST(range(CAST(ceil(len(ws) / {_UDTF_W}.0) AS BIGINT))) AS t(k)
+"""
+
+
+@register("udtf_chunk_explode", _UDTF_ORACLE)
+def udtf_chunk_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF through the SQL front door (Spark 4
+    ``pyspark.sql.functions.udtf``): a table function that explodes a
+    document into {_UDTF_W}-word chunks, registered and invoked as
+    ``LATERAL chunker(doc_id, text)`` from query TEXT — the
+    row-generating twin of the scalar model UDF registration
+    (sql_udf_sentiment). The hash gate pins it to the same chunking
+    the codegen HOF path produces (chunk_dedup_docs), documenting the
+    trade: identical semantics, Python row path — use the HOF form in
+    the hot path, the UDTF where a SQL-only consumer needs custom
+    row generation."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, k bigint, chunk string, n_words bigint")
+    class ChunkExplode:
+        def eval(self, doc_id, text):  # noqa: ANN001
+            words = (text or "").strip().split()
+            for k in range(0, max((len(words) + _UDTF_W - 1) // _UDTF_W, 0)):
+                piece = words[k * _UDTF_W : (k + 1) * _UDTF_W]
+                yield int(doc_id), k, " ".join(piece), len(piece)
+
+    spark.udtf.register("chunk_explode", ChunkExplode)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT c.doc_id, c.k, c.chunk, c.n_words
+        FROM _udtf_docs d,
+             LATERAL chunk_explode(d.doc_id, d.text) c
+        WHERE d.doc_id < 50
+        """
+    )

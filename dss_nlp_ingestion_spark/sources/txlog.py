@@ -251,6 +251,11 @@ def read(
     the same reader-side resolution Delta/Iceberg perform from their
     logged schemas. Footer merging is a metadata job over the live
     file list only, not a data scan."""
+    if version is not None and version < _vacuum_horizon(path):
+        raise ValueError(
+            f"version {version} is below the vacuum horizon "
+            f"{_vacuum_horizon(path)} at {path}: its data files were reclaimed"
+        )
     files = snapshot_files(path, version)
     if not files:
         raise ValueError(f"empty snapshot at {path} version={version}")
@@ -573,3 +578,57 @@ def optimize_zorder(
         except TxConflictError:
             continue
     raise TxConflictError(f"zorder lost {max_retries} rewrite races at {path}")
+
+
+def vacuum_retain(path: str, horizon_version: int) -> dict:
+    """Retention VACUUM (the Delta `VACUUM RETAIN` semantics, by
+    version rather than wall-clock): physically delete data files
+    that are not live in ANY snapshot >= ``horizon_version``, and
+    record the horizon so time travel below it fails loudly instead
+    of returning a torn snapshot. Commits (the log itself) are kept —
+    history/audit stays readable; only pre-horizon DATA reachability
+    is given up. Returns {"removed": [...], "horizon": v}.
+
+    This is the storage-reclaim lever a 100 TB log-structured table
+    must have: without it every rewrite/compaction doubles storage
+    forever. Driver-side metadata fold + unlink; never touches files
+    any retained snapshot references."""
+    versions = _versions(path)
+    if horizon_version not in versions:
+        raise ValueError(f"horizon {horizon_version} is not a version at {path}")
+    keep: set[str] = set()
+    for v in versions:
+        if v >= horizon_version:
+            keep.update(
+                os.path.relpath(f, os.path.join(path, "data"))
+                for f in snapshot_files(path, v)
+            )
+    removed = []
+    data_root = os.path.join(path, "data")
+    for dirpath, _dirs, names in os.walk(data_root):
+        for n in names:
+            if not n.endswith(".parquet"):
+                continue
+            rel = os.path.relpath(os.path.join(dirpath, n), data_root)
+            if rel not in keep:
+                os.remove(os.path.join(dirpath, n))
+                removed.append(rel)
+    # persist the horizon (O_EXCL-free: monotone max, last writer wins)
+    hpath = os.path.join(_log_dir(path), "_vacuum_horizon")
+    prev = -1
+    try:
+        with open(hpath) as fh:
+            prev = int(fh.read().strip() or -1)
+    except (OSError, ValueError):
+        pass
+    with open(hpath, "w") as fh:
+        fh.write(str(max(prev, horizon_version)))
+    return {"removed": sorted(removed), "horizon": horizon_version}
+
+
+def _vacuum_horizon(path: str) -> int:
+    try:
+        with open(os.path.join(_log_dir(path), "_vacuum_horizon")) as fh:
+            return int(fh.read().strip() or -1)
+    except (OSError, ValueError):
+        return -1
