@@ -632,3 +632,80 @@ def _vacuum_horizon(path: str) -> int:
             return int(fh.read().strip() or -1)
     except (OSError, ValueError):
         return -1
+
+
+def tag(path: str, name: str, version: int | None = None) -> int:
+    """Create/overwrite a named TAG pointing at ``version`` (default
+    head) — the lakeFS/Nessie-style stable ref ('prod', 'eval-v2')
+    that decouples consumers from version numbers. Tags are tiny
+    files under _txlog/tags/; resolution is one read."""
+    import re
+
+    if not re.fullmatch(r"[A-Za-z0-9._-]{1,64}", name):
+        raise ValueError(f"invalid tag name {name!r}")
+    if version is None:
+        version = (_versions(path) or [-1])[-1]
+    if version < 0 or version not in _versions(path):
+        raise ValueError(f"version {version} does not exist at {path}")
+    tags_dir = os.path.join(_log_dir(path), "tags")
+    os.makedirs(tags_dir, exist_ok=True)
+    tmp = os.path.join(tags_dir, f".{name}.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(version))
+    os.replace(tmp, os.path.join(tags_dir, name))  # atomic overwrite
+    return version
+
+
+def resolve_tag(path: str, name: str) -> int:
+    try:
+        with open(os.path.join(_log_dir(path), "tags", name)) as fh:
+            return int(fh.read().strip())
+    except OSError as exc:
+        raise ValueError(f"no tag {name!r} at {path}") from exc
+
+
+def read_tag(spark: SparkSession, path: str, name: str) -> DataFrame:
+    """Snapshot read through a named tag."""
+    return read(spark, path, version=resolve_tag(path, name))
+
+
+def snapshot_col_minmax(path: str, col: str, version: int | None = None):
+    """Metadata-only MIN/MAX over the snapshot, served from the
+    commit-logged file stats (falling back to parquet footers for
+    statless files) — the other aggregate the lakehouse answers
+    without scanning data pages. Returns (min, max)."""
+    import pyarrow.parquet as pq
+
+    stats = snapshot_file_stats(path, version)
+    lo = hi = None
+    for f in snapshot_files(path, version):
+        rel = os.path.relpath(f, os.path.join(path, "data"))
+        per = stats.get(rel, {}).get(col)
+        if per is None:
+            if pq.ParquetFile(f).metadata.num_rows == 0:
+                continue  # empty part file: contributes nothing
+            per_map = _collect_file_stats(path, [rel], [col]).get(rel, {})
+            per = per_map.get(col)
+            if per is None:
+                raise ValueError(
+                    f"no min/max statistics derivable for {col!r} in {rel}"
+                )
+        lo = per[0] if lo is None else min(lo, per[0])
+        hi = per[1] if hi is None else max(hi, per[1])
+    if lo is None:
+        raise ValueError(f"empty snapshot at {path}")
+    return lo, hi
+
+
+def register_catalog(spark: SparkSession, tables: dict) -> None:
+    """SQL front door for tx tables: register each {view_name: path}
+    as a temp view through the format('txlog') data source, so
+    ``spark.sql`` consumers query log-structured tables by name with
+    snapshot isolation."""
+    from dss_nlp_ingestion_spark.sources.txlog_datasource import TxLogDataSource
+
+    spark.dataSource.register(TxLogDataSource)
+    for name, p in tables.items():
+        spark.read.format("txlog").option("path", p).load().createOrReplaceTempView(
+            name
+        )

@@ -357,3 +357,37 @@ def test_concurrent_appends_all_serialize_without_loss(spark):
     got = sorted(r["k"] for r in txlog.read(spark, path).collect())
     assert got == list(range(9))
     assert txlog.snapshot_row_count(path) == 9
+
+
+def test_tags_resolve_and_read(spark):
+    path = tempfile.mkdtemp(prefix="dss_tx_")
+    txlog.create_table(_tbl(spark, [(1, "a")]), path)
+    txlog.tag(path, "prod")  # head = v0
+    txlog.append(_tbl(spark, [(2, "b")]), path)
+    assert [r["k"] for r in txlog.read_tag(spark, path, "prod").collect()] == [1]
+    txlog.tag(path, "prod", version=1)  # promote
+    assert sorted(
+        r["k"] for r in txlog.read_tag(spark, path, "prod").collect()
+    ) == [1, 2]
+    with pytest.raises(ValueError):
+        txlog.resolve_tag(path, "nope")
+    with pytest.raises(ValueError):
+        txlog.tag(path, "bad/name")
+
+
+def test_snapshot_minmax_from_stats_and_footers(spark):
+    path = tempfile.mkdtemp(prefix="dss_tx_")
+    txlog.create_table(
+        _tbl(spark, [(5, "a"), (9, "b")]), path, stats_cols=["k"]
+    )
+    txlog.append(_tbl(spark, [(2, "c")]), path)  # NO logged stats
+    lo, hi = txlog.snapshot_col_minmax(path, "k")  # footer fallback works
+    assert (lo, hi) == (2, 9)
+
+
+def test_register_catalog_sql_front_door(spark):
+    path = tempfile.mkdtemp(prefix="dss_tx_")
+    txlog.create_table(_tbl(spark, [(1, "a"), (2, "b")]), path)
+    txlog.register_catalog(spark, {"tx_kv": path})
+    got = spark.sql("SELECT count(*) AS n FROM tx_kv WHERE k > 1").collect()
+    assert got[0]["n"] == 1
