@@ -461,3 +461,110 @@ def quantized_topic_udf(model: dict, class_names: tuple = TOPIC_CLASSES):
         return pd.DataFrame({"topic": topics, "margin": margins})
 
     return _score
+
+
+# ---------------------------------------------------------------------------
+# Learned text ENCODER (the third shipped-model slot, N8/N10)
+# ---------------------------------------------------------------------------
+
+#: Path of the committed default encoder artifact (trained from
+#: tests/fixtures/encoder_corpus.json; provenance pinned by a
+#: retrain-equality test).
+DEFAULT_ENCODER_ARTIFACT = __file__.replace("nlp.py", "encoder_model_v1.npz")
+
+ENCODER_DIM = 16
+
+
+def train_quantized_encoder(
+    texts: list[str],
+    labels: list[int],
+    emb_dim: int = ENCODER_DIM,
+    dim: int = 128,
+    epochs: int = 400,
+    lr: float = 0.5,
+    scale: int = 1_000_000,
+) -> dict:
+    """Train the SHIPPED text encoder: a softmax probe over
+    ``emb_dim`` synthetic topic clusters; the learned class-weight
+    matrix IS the embedding projection (class-direction encoder —
+    each output dimension measures affinity to one learned probe,
+    the classic linear-probe embedding). Quantized to integers, so
+    ENCODING is pure int64 arithmetic: e_k = b_q[k]*n + W_q[k]·c."""
+    m = train_quantized_topic(
+        texts, labels, n_classes=emb_dim, dim=dim, epochs=epochs, lr=lr, scale=scale
+    )
+    return {
+        "w_q": m["w_q"],
+        "b_q": m["b_q"],
+        "dim": m["dim"],
+        "scale": m["scale"],
+        "emb_dim": emb_dim,
+    }
+
+
+def save_encoder_artifact(model: dict, path: str) -> None:
+    import numpy as np
+
+    np.savez(
+        path,
+        w_q=model["w_q"],
+        b_q=model["b_q"],
+        dim=np.int64(model["dim"]),
+        scale=np.int64(model["scale"]),
+        emb_dim=np.int64(model["emb_dim"]),
+    )
+
+
+def load_encoder_artifact(path: str) -> dict:
+    import numpy as np
+
+    with np.load(path) as z:
+        return {
+            "w_q": z["w_q"].astype(np.int64),
+            "b_q": z["b_q"].astype(np.int64),
+            "dim": int(z["dim"]),
+            "scale": int(z["scale"]),
+            "emb_dim": int(z["emb_dim"]),
+        }
+
+
+def quantized_encoder_udf(model: dict):
+    """Serve the encoder as one Arrow-vectorized pandas UDF returning
+    (emb_sha, probe_cos): emb_sha = sha256 of the comma-joined RAW
+    int64 embedding (bit-exact identity of the vector), probe_cos =
+    cosine of the embedding against the first probe axis e_0 — exact
+    integer dot/norms, one sqrt+division at the end (IEEE sqrt is
+    correctly rounded, so both engines agree), fround-6."""
+    import numpy as np
+
+    w_q = np.asarray(model["w_q"], dtype=np.int64)
+    b_q = np.asarray(model["b_q"], dtype=np.int64)
+    dim = int(model["dim"])
+    k = int(model["emb_dim"])
+
+    @pandas_udf("emb_sha string, probe_cos double")
+    def _encode(text: pd.Series) -> pd.DataFrame:
+        import hashlib
+
+        import numpy as np
+
+        shas = []
+        cos = np.empty(len(text), dtype="float64")
+        for i, t in enumerate(text):
+            counts, n = _sum_bow_counts(t or "", dim)
+            nn = max(n, 1)
+            e = b_q * nn + w_q @ counts  # int64 embedding
+            shas.append(
+                hashlib.sha256(",".join(str(int(x)) for x in e).encode()).hexdigest()
+            )
+            # cosine against axis 0: e[0] / ||e||  (exact ints -> one sqrt)
+            sumsq = int((e.astype(object) ** 2).sum())  # exact big-int
+            if sumsq == 0:
+                cos[i] = 0.0
+            else:
+                c = float(int(e[0])) / float(np.sqrt(float(sumsq)))
+                cos[i] = np.floor(c * 1e6 + 0.5) / 1e6
+        return pd.DataFrame({"emb_sha": shas, "probe_cos": cos})
+
+    _ = k
+    return _encode

@@ -544,3 +544,90 @@ def topic_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_m.topic").alias("topic"),
         F.col("_m.margin").alias("margin"),
     )
+
+
+# ---------------------------------------------------------------------------
+# N8/N10 model-backed variant: the SHIPPED learned text encoder
+# ---------------------------------------------------------------------------
+
+def _encoder_oracle() -> str:
+    """Oracle from the committed encoder artifact: the int64 embedding
+    is reassembled per (doc, k) from the weights VALUES table, its
+    identity pinned by sha256 of the comma-joined components, and the
+    probe cosine replayed with HUGEINT squares (a 16-term sum of
+    ~1e18 squares overflows int64) + one IEEE sqrt/division."""
+    m = N.load_encoder_artifact(N.DEFAULT_ENCODER_ARTIFACT)
+    dim, scale = m["dim"], m["scale"]
+    _ = scale
+    wrows = ", ".join(
+        f"({k}, {j}, {int(w)})"
+        for k in range(m["emb_dim"])
+        for j, w in enumerate(m["w_q"][k])
+        if w != 0
+    )
+    crows = ", ".join(
+        f"({k}, {int(m['b_q'][k])})" for k in range(m["emb_dim"])
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''
+), bt AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(1, length(tok) + 1),
+                                      i -> ascii(tok[i]))) % {dim} AS BIGINT) AS bucket
+  FROM toks WHERE tok <> ''
+), n AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM bt GROUP BY doc_id
+), counts AS (
+  SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS c
+  FROM bt GROUP BY doc_id, bucket
+), wt(k, bucket, w) AS (VALUES {wrows}),
+cl(k, b_q) AS (VALUES {crows}),
+dots AS (
+  SELECT counts.doc_id, wt.k, CAST(sum(wt.w * counts.c) AS BIGINT) AS s
+  FROM counts JOIN wt USING (bucket) GROUP BY counts.doc_id, wt.k
+), e AS (
+  SELECT n.doc_id, cl.k,
+         CAST(cl.b_q * n.n + coalesce(d.s, 0) AS BIGINT) AS ek
+  FROM n CROSS JOIN cl
+  LEFT JOIN dots d ON d.doc_id = n.doc_id AND d.k = cl.k
+), agg AS (
+  SELECT doc_id,
+         sha256(string_agg(CAST(ek AS VARCHAR), ',' ORDER BY k)) AS emb_sha,
+         sum(CAST(ek AS HUGEINT) * CAST(ek AS HUGEINT)) AS sumsq,
+         max(CASE WHEN k = 0 THEN ek END) AS e0
+  FROM e GROUP BY doc_id
+)
+SELECT doc_id, emb_sha,
+       CASE WHEN sumsq = 0 THEN 0.0 ELSE
+         CAST(floor(CAST(e0 AS DOUBLE) / sqrt(CAST(sumsq AS DOUBLE))
+              * 1000000.0 + 0.5) / 1000000.0 AS DOUBLE) END AS probe_cos
+FROM agg
+"""
+
+
+@register("embedding_model_vectors", _encoder_oracle())
+def embedding_model_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The N8/N10 embedding slot serving REAL LEARNED WEIGHTS: a
+    16-probe linear encoder (the class-weight matrix of a softmax
+    trained on the committed 16-cluster corpus — the classic linear-
+    probe embedding), quantized and shipped as
+    functions/encoder_model_v1.npz. Encoding is pure int64 arithmetic
+    (e_k = b_q[k]*n + W_q[k]·counts), so the VECTOR ITSELF is
+    hash-pinned (sha256 of its components) — the third shipped model
+    beside the sentiment regressor and topic classifier; together the
+    reference's API-model surface (score / label / vector) is fully
+    represented by learned, reproducible artifacts."""
+    model = N.load_encoder_artifact(N.DEFAULT_ENCODER_ARTIFACT)
+    docs = table(spark, sf_dir, "documents").where(F.trim(F.col("text")) != "")
+    out = docs.select(
+        "doc_id",
+        N.quantized_encoder_udf(model)(F.col("text")).alias("_e"),
+    )
+    return out.select(
+        "doc_id",
+        F.col("_e.emb_sha").alias("emb_sha"),
+        F.col("_e.probe_cos").alias("probe_cos"),
+    )

@@ -258,3 +258,49 @@ def test_topic_udf_classifies_class_vocabulary(spark):
         ).collect()
     }
     assert out == {1: "query_engine", 2: "streaming", 3: "data_mgmt"}
+
+
+def test_committed_encoder_artifact_retrains_identically():
+    import json
+
+    import numpy as np
+
+    from dss_nlp_ingestion_spark.functions import nlp as N
+
+    with open("tests/fixtures/encoder_corpus.json") as fh:
+        rows = json.load(fh)
+    m = N.train_quantized_encoder([r[0] for r in rows], [r[1] for r in rows])
+    disk = N.load_encoder_artifact(N.DEFAULT_ENCODER_ARTIFACT)
+    assert np.array_equal(m["w_q"], disk["w_q"])
+    assert np.array_equal(m["b_q"], disk["b_q"])
+    assert (m["dim"], m["scale"], m["emb_dim"]) == (
+        disk["dim"], disk["scale"], disk["emb_dim"],
+    )
+
+
+def test_encoder_embeds_same_cluster_closer(spark):
+    """Cluster-mates must embed more similarly than cross-cluster
+    texts (cosine over the raw int64 vectors)."""
+    import json
+
+    import numpy as np
+
+    from dss_nlp_ingestion_spark.functions import nlp as N
+    from dss_nlp_ingestion_spark.functions.nlp import _sum_bow_counts
+
+    with open("tests/fixtures/encoder_corpus.json") as fh:
+        rows = json.load(fh)
+    m = N.load_encoder_artifact(N.DEFAULT_ENCODER_ARTIFACT)
+
+    def emb(t):
+        c, n = _sum_bow_counts(t, m["dim"])
+        return (m["b_q"] * max(n, 1) + m["w_q"] @ c).astype("float64")
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    c0 = [r[0] for r in rows if r[1] == 0]
+    c7 = [r[0] for r in rows if r[1] == 7]
+    same = cos(emb(c0[0]), emb(c0[1]))
+    cross = cos(emb(c0[0]), emb(c7[0]))
+    assert same > cross + 0.1
