@@ -1794,7 +1794,12 @@ def udtf_chunk_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="doc_id bigint, k bigint, chunk string, n_words bigint")
     class ChunkExplode:
         def eval(self, doc_id, text):  # noqa: ANN001
-            words = (text or "").strip().split()
+            import re
+
+            # regex split (not str.split): ''.split() -> [] but the
+            # oracle's string_split_regex('') -> [''] — empty docs
+            # must chunk identically on both sides
+            words = re.split(r"\s+", (text or "").strip())
             for k in range(0, max((len(words) + _UDTF_W - 1) // _UDTF_W, 0)):
                 piece = words[k * _UDTF_W : (k + 1) * _UDTF_W]
                 yield int(doc_id), k, " ".join(piece), len(piece)

@@ -66,19 +66,13 @@ def sentiment_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 # N1/N2 model-backed variant: the SHIPPED learned sentiment model
 # ---------------------------------------------------------------------------
 
-def _model_oracle() -> str:
-    """Build the oracle SQL from the committed artifact: the score's
-    pre-activation is an integer dot product (quantized weights, raw
-    bucket counts) divided once by n*scale, so both engines compute
-    bit-identical z; only exp() can differ in the last ulp, absorbed
-    by fround-6. Only nonzero weights become VALUES rows."""
-    m = N.load_sentiment_artifact(N.DEFAULT_SENTIMENT_ARTIFACT)
-    rows = ", ".join(
-        f"({j}, {int(w)})" for j, w in enumerate(m["w_q"]) if w != 0
-    )
-    dim, scale, b_q = m["dim"], m["scale"], m["b_q"]
-    return f"""
-WITH toks AS (
+def _bow_cte(dim: int) -> str:
+    """The shared hashed-BoW featurizer scaffold every shipped-model
+    oracle replays (codepoint-sum bucket per token, per-doc token
+    count, per-(doc,bucket) counts). ONE definition: a featurizer fix
+    that only landed in one model's oracle would silently de-sync the
+    three gates."""
+    return f"""toks AS (
   SELECT doc_id,
          unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
   FROM documents WHERE trim(text) <> ''
@@ -92,7 +86,22 @@ WITH toks AS (
 ), counts AS (
   SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS c
   FROM bt GROUP BY doc_id, bucket
-), wt(bucket, w) AS (VALUES {rows}),
+)"""
+
+
+def _model_oracle() -> str:
+    """Build the oracle SQL from the committed artifact: the score's
+    pre-activation is an integer dot product (quantized weights, raw
+    bucket counts) divided once by n*scale, so both engines compute
+    bit-identical z; only exp() can differ in the last ulp, absorbed
+    by fround-6. Only nonzero weights become VALUES rows."""
+    m = N.load_sentiment_artifact(N.DEFAULT_SENTIMENT_ARTIFACT)
+    rows = ", ".join(
+        f"({j}, {int(w)})" for j, w in enumerate(m["w_q"]) if w != 0
+    )
+    dim, scale, b_q = m["dim"], m["scale"], m["b_q"]
+    return f"""
+WITH {_bow_cte(dim)}, wt(bucket, w) AS (VALUES {rows}),
 dot AS (
   SELECT counts.doc_id, CAST(sum(wt.w * counts.c) AS BIGINT) AS s
   FROM counts JOIN wt USING (bucket) GROUP BY counts.doc_id
@@ -485,21 +494,7 @@ def _topic_model_oracle() -> str:
         for k, name in enumerate(N.TOPIC_CLASSES)
     )
     return f"""
-WITH toks AS (
-  SELECT doc_id,
-         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
-  FROM documents WHERE trim(text) <> ''
-), bt AS (
-  SELECT doc_id,
-         CAST(list_sum(list_transform(range(1, length(tok) + 1),
-                                      i -> ascii(tok[i]))) % {dim} AS BIGINT) AS bucket
-  FROM toks WHERE tok <> ''
-), n AS (
-  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM bt GROUP BY doc_id
-), counts AS (
-  SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS c
-  FROM bt GROUP BY doc_id, bucket
-), wt(cls, bucket, w) AS (VALUES {wrows}),
+WITH {_bow_cte(dim)}, wt(cls, bucket, w) AS (VALUES {wrows}),
 cl(cls, b_q, name) AS (VALUES {crows}),
 dots AS (
   SELECT counts.doc_id, wt.cls, CAST(sum(wt.w * counts.c) AS BIGINT) AS s
@@ -569,21 +564,7 @@ def _encoder_oracle() -> str:
         f"({k}, {int(m['b_q'][k])})" for k in range(m["emb_dim"])
     )
     return f"""
-WITH toks AS (
-  SELECT doc_id,
-         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
-  FROM documents WHERE trim(text) <> ''
-), bt AS (
-  SELECT doc_id,
-         CAST(list_sum(list_transform(range(1, length(tok) + 1),
-                                      i -> ascii(tok[i]))) % {dim} AS BIGINT) AS bucket
-  FROM toks WHERE tok <> ''
-), n AS (
-  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM bt GROUP BY doc_id
-), counts AS (
-  SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS c
-  FROM bt GROUP BY doc_id, bucket
-), wt(k, bucket, w) AS (VALUES {wrows}),
+WITH {_bow_cte(dim)}, wt(k, bucket, w) AS (VALUES {wrows}),
 cl(k, b_q) AS (VALUES {crows}),
 dots AS (
   SELECT counts.doc_id, wt.k, CAST(sum(wt.w * counts.c) AS BIGINT) AS s

@@ -64,8 +64,21 @@ def _versions(path: str) -> list[int]:
 
 
 def _read_entry(path: str, version: int) -> dict:
-    with open(_entry_path(path, version)) as fh:
-        return json.load(fh)
+    """Read one log entry. The O_EXCL claim makes the file visible a
+    moment before its JSON is flushed, so an unluckily-timed reader
+    can see an empty/partial file — retry briefly before giving up
+    (the window is the time between os.open and fsync)."""
+    import time as _time
+
+    for attempt in range(5):
+        try:
+            with open(_entry_path(path, version)) as fh:
+                return json.load(fh)
+        except ValueError:
+            if attempt == 4:
+                raise
+            _time.sleep(0.02 * (attempt + 1))
+    raise AssertionError("unreachable")
 
 
 def snapshot_files(path: str, version: int | None = None) -> list[str]:
@@ -154,7 +167,17 @@ def _try_commit(path: str, version: int, entry: dict) -> bool:
         fd = os.open(_entry_path(path, version), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except FileExistsError:
         return False
-    entry = dict(entry, ts=time.time())  # commit wall-clock, for AS OF reads
+    # Commit wall-clock for AS OF reads, clamped monotone against the
+    # current head so a stalled winner cannot stamp an EARLIER version
+    # with a LATER time than its successors (version_at stays sane).
+    prev_ts = 0.0
+    earlier = [v for v in _versions(path) if v < version]
+    if earlier:
+        try:
+            prev_ts = float(_read_entry(path, earlier[-1]).get("ts", 0.0))
+        except (OSError, ValueError):
+            prev_ts = 0.0
+    entry = dict(entry, ts=max(time.time(), prev_ts))
     with os.fdopen(fd, "w") as fh:
         json.dump(entry, fh)
         fh.flush()
@@ -359,17 +382,25 @@ def net_changes(
     parts = []
     if added:
         parts.append(
-            spark.read.parquet(*added).withColumn("_sign", F.lit(1).cast("long"))
+            spark.read.option("mergeSchema", "true")
+            .parquet(*added)
+            .withColumn("_sign", F.lit(1).cast("long"))
         )
     if removed:
         parts.append(
-            spark.read.parquet(*removed).withColumn("_sign", F.lit(-1).cast("long"))
+            spark.read.option("mergeSchema", "true")
+            .parquet(*removed)
+            .withColumn("_sign", F.lit(-1).cast("long"))
         )
     if not parts:
         raise ValueError(f"no changes between v{v_from} and v{v_to} at {path}")
     delta = parts[0]
     for p in parts[1:]:
-        delta = delta.unionByName(p)
+        # Additive schema evolution: a pre-evolution removed file and a
+        # post-evolution added file differ in columns; NULL-pad so the
+        # widened row value is what nets (a copied row with extra=NULL
+        # on both sides still cancels).
+        delta = delta.unionByName(p, allowMissingColumns=True)
     cols = [c for c in delta.columns if c != "_sign"]
     net = (
         delta.groupBy(*cols)
@@ -398,22 +429,37 @@ def snapshot_row_count(path: str, version: int | None = None) -> int:
     )
 
 
+def _fold_live_and_stats(
+    path: str, version: int | None = None
+) -> tuple[list[str], dict]:
+    """ONE pass over the log reading each entry once: (live relative
+    files in commit order, {rel -> {col: [min, max]}} for live files).
+    snapshot_files + snapshot_file_stats separately would read every
+    entry three times — on a long-lived table that triples the
+    driver's metadata I/O per planned query."""
+    versions = _versions(path)
+    if version is not None:
+        versions = [v for v in versions if v <= version]
+        if not versions or versions[-1] != version:
+            raise ValueError(f"version {version} does not exist at {path}")
+    live: dict[str, None] = {}
+    stats: dict[str, dict] = {}
+    for v in versions:
+        e = _read_entry(path, v)
+        for f in e.get("add", []):
+            live[f] = None
+        for f in e.get("remove", []):
+            live.pop(f, None)
+        for rel, per in e.get("stats", {}).items():
+            stats[rel] = per
+    return list(live), {rel: per for rel, per in stats.items() if rel in live}
+
+
 def snapshot_file_stats(path: str, version: int | None = None) -> dict:
     """{relative file -> {col: [min, max]}} for the snapshot's live
     files, folded from the log entries' logged stats (files committed
     without stats simply have no entry — they can never be pruned)."""
-    live = {
-        os.path.relpath(f, os.path.join(path, "data"))
-        for f in snapshot_files(path, version)
-    }
-    out: dict[str, dict] = {}
-    for v in _versions(path):
-        if version is not None and v > version:
-            break
-        for rel, per in _read_entry(path, v).get("stats", {}).items():
-            if rel in live:
-                out[rel] = per
-    return out
+    return _fold_live_and_stats(path, version)[1]
 
 
 def plan_pruned_files(
@@ -430,10 +476,10 @@ def plan_pruned_files(
     work: at 100 TB this turns a point/range query on a clustered
     commit pattern into an O(matching files) scan, the same plan step
     Delta/Iceberg data skipping performs."""
-    stats = snapshot_file_stats(path, version)
+    live, stats = _fold_live_and_stats(path, version)
     keep, skipped = [], 0
-    for f in snapshot_files(path, version):
-        rel = os.path.relpath(f, os.path.join(path, "data"))
+    for rel in live:
+        f = os.path.join(path, "data", rel)
         per = stats.get(rel, {}).get(col)
         if per is not None and (
             (hi is not None and per[0] > hi) or (lo is not None and per[1] < lo)
@@ -473,8 +519,10 @@ def version_at(path: str, ts: float) -> int:
     ``AS OF TIMESTAMP`` resolution step (commit timestamps are logged
     with each entry; pre-timestamp legacy entries count as t=0)."""
     best = None
+    running = 0.0
     for v in _versions(path):
-        if _read_entry(path, v).get("ts", 0.0) <= ts:
+        running = max(running, float(_read_entry(path, v).get("ts", 0.0)))
+        if running <= ts:
             best = v
     if best is None:
         raise ValueError(f"no commit at or before ts={ts} at {path}")
@@ -603,16 +651,23 @@ def vacuum_retain(path: str, horizon_version: int) -> dict:
                 os.path.relpath(f, os.path.join(path, "data"))
                 for f in snapshot_files(path, v)
             )
+    # Only files the LOG references are candidates: a staged-but-not-
+    # yet-committed file of an in-flight writer is invisible to the
+    # log and MUST survive (deleting it would tear the table the
+    # moment that writer wins its commit). Orphan cleanup remains
+    # vacuum()'s job, to be run only when no writers are active.
+    referenced: set[str] = set()
+    for v in versions:
+        referenced.update(_read_entry(path, v).get("add", []))
     removed = []
     data_root = os.path.join(path, "data")
-    for dirpath, _dirs, names in os.walk(data_root):
-        for n in names:
-            if not n.endswith(".parquet"):
-                continue
-            rel = os.path.relpath(os.path.join(dirpath, n), data_root)
-            if rel not in keep:
-                os.remove(os.path.join(dirpath, n))
-                removed.append(rel)
+    for rel in sorted(referenced - keep):
+        full = os.path.join(data_root, rel)
+        try:
+            os.remove(full)
+            removed.append(rel)
+        except FileNotFoundError:
+            pass
     # persist the horizon (O_EXCL-free: monotone max, last writer wins)
     hpath = os.path.join(_log_dir(path), "_vacuum_horizon")
     prev = -1
@@ -621,9 +676,10 @@ def vacuum_retain(path: str, horizon_version: int) -> dict:
             prev = int(fh.read().strip() or -1)
     except (OSError, ValueError):
         pass
+    effective = max(prev, horizon_version)
     with open(hpath, "w") as fh:
-        fh.write(str(max(prev, horizon_version)))
-    return {"removed": sorted(removed), "horizon": horizon_version}
+        fh.write(str(effective))
+    return {"removed": sorted(removed), "horizon": effective}
 
 
 def _vacuum_horizon(path: str) -> int:
@@ -709,3 +765,154 @@ def register_catalog(spark: SparkSession, tables: dict) -> None:
         spark.read.format("txlog").option("path", p).load().createOrReplaceTempView(
             name
         )
+
+
+def append_feed_files_between(path: str, v_from: int, v_to: int) -> list[str]:
+    """Files carrying NEW rows committed in (v_from, v_to]: the add
+    sets of create/append/overwrite entries only. Rewrite-family
+    commits (compact / zorder / delete / COW merge) reshuffle or
+    remove EXISTING rows — walking the raw file diff would re-deliver
+    every copied row (the compaction-replay bug); an append feed must
+    walk the LOG's operations instead. Files here may already be
+    replaced in the latest snapshot but remain on disk and readable
+    until a retention vacuum passes them — the same CDF-retention
+    coupling Delta documents."""
+    out = []
+    for v in _versions(path):
+        if v_from < v <= v_to:
+            e = _read_entry(path, v)
+            if e.get("op") in ("create", "append", "overwrite"):
+                out.extend(os.path.join(path, "data", f) for f in e.get("add", []))
+    return out
+
+
+def merge_into_table(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    key_cols: list[str],
+    delete_col: str | None = None,
+    insert_only: bool = False,
+    stats_cols: list[str] | None = None,
+    max_retries: int = 3,
+) -> dict:
+    """ACID ``MERGE INTO`` on a tx table — the Delta/Iceberg merge
+    plan re-expressed over this log: (1) PRUNE candidate files from
+    the commit-logged key stats (driver-side metadata, no scan),
+    (2) FIND the exact touched files with one semi-join of candidates
+    against the source keys (files whose rows can never match are
+    never rewritten), (3) rewrite ONLY the touched files through the
+    COW join in :mod:`..operators.merge`, committed atomically with
+    ``rewrite``; a source with no matches anywhere degrades to a
+    blind (retryable) append. Cost is O(files holding matched keys) +
+    O(source), not O(table) — the property that makes MERGE usable at
+    100 TB (reference's upsert analog: ES ``_id``-keyed bulk index,
+    src/base.py:239-253, which rewrites documents, never the store).
+
+    Isolation matches Delta's default WriteSerializable: concurrent
+    blind appends commute with the merge commit (their rows were not
+    in our snapshot and no file conflicts arise); a concurrent rewrite
+    of a touched file raises ``TxConflictError`` and the merge retries
+    against the fresh snapshot, recomputing its file plan.
+
+    ``delete_col`` names a boolean tombstone column on ``source``
+    (WHEN MATCHED AND <flag> THEN DELETE); ``insert_only`` keeps
+    matched target rows (replicate-if-absent). Returns a summary dict:
+    version committed, files touched/total/stat-skipped, and whether
+    the commit degraded to an append."""
+    from pyspark.sql import functions as F
+
+    from dss_nlp_ingestion_spark.operators.merge import (
+        merge_into,
+        merge_into_with_delete,
+    )
+
+    last_err: TxConflictError | None = None
+    for _ in range(max_retries):
+        head = (_versions(path) or [-1])[-1]
+        if head < 0:
+            raise ValueError(f"no tx table at {path}")
+        live = snapshot_files(path, head)
+        skipped = 0
+        candidates = live
+        if len(key_cols) == 1:
+            key = key_cols[0]
+            bounds = source.agg(
+                F.min(key).alias("lo"), F.max(key).alias("hi")
+            ).collect()[0]
+            if bounds["lo"] is not None:
+                candidates, skipped = plan_pruned_files(
+                    path, key, bounds["lo"], bounds["hi"], version=head
+                )
+        touched: list[str] = []
+        if candidates:
+            cand_keys = spark.read.parquet(*candidates).select(
+                *key_cols, F.input_file_name().alias("_f")
+            )
+            touched = [
+                r["_f"]
+                for r in cand_keys.join(
+                    source.select(*key_cols).distinct(), key_cols, "left_semi"
+                )
+                .select("_f")
+                .distinct()
+                .collect()
+            ]
+        if not touched:
+            # No key matches anywhere: pure insert, commutes with
+            # every concurrent commit -> blind retryable append.
+            inserts = source
+            if delete_col is not None:
+                inserts = inserts.filter(
+                    ~F.coalesce(F.col(delete_col), F.lit(False))
+                ).drop(delete_col)
+            if inserts.isEmpty():
+                return {
+                    "version": head,
+                    "files_touched": 0,
+                    "files_total": len(live),
+                    "files_skipped_by_stats": skipped,
+                    "appended": False,
+                }
+            v = append(inserts, path, stats_cols=stats_cols)
+            return {
+                "version": v,
+                "files_touched": 0,
+                "files_total": len(live),
+                "files_skipped_by_stats": skipped,
+                "appended": True,
+            }
+        target_touched = spark.read.parquet(*touched)
+        if delete_col is not None:
+            merged = merge_into_with_delete(
+                target_touched, source, key_cols, delete_col
+            )
+        else:
+            merged = merge_into(
+                target_touched, source, key_cols, insert_only=insert_only
+            )
+        rel = [
+            os.path.relpath(f, os.path.join(path, "data")) for f in touched
+        ]
+        try:
+            v = rewrite(
+                merged,
+                path,
+                rel,
+                expect_version=head,
+                op="merge",
+                stats_cols=stats_cols,
+            )
+        except TxConflictError as exc:
+            last_err = exc
+            continue
+        return {
+            "version": v,
+            "files_touched": len(touched),
+            "files_total": len(live),
+            "files_skipped_by_stats": skipped,
+            "appended": False,
+        }
+    raise TxConflictError(
+        f"merge lost {max_retries} commit races at {path}: {last_err}"
+    )

@@ -39,17 +39,38 @@ class _FilePartition(InputPartition):
         self.file = file
 
 
-def _arrow_schema(files: list[str]):
+def _unified_arrow_schema(files: list[str]):
+    """Footer-merged schema over ALL live files — a snapshot spanning
+    an additive schema evolution must read as the WIDEST schema (the
+    same resolution txlog.read performs via mergeSchema), not as
+    whichever file happens to be listed first."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
-    return pq.ParquetFile(files[0]).schema_arrow
+    return pa.unify_schemas([pq.ParquetFile(f).schema_arrow for f in files])
+
+
+def _pad_batch(batch, schema):
+    """Project a RecordBatch onto the unified schema: missing columns
+    become nulls, order follows the declared schema."""
+    import pyarrow as pa
+
+    cols = []
+    for field in schema:
+        idx = batch.schema.get_field_index(field.name)
+        if idx >= 0:
+            cols.append(batch.column(idx).cast(field.type))
+        else:
+            cols.append(pa.nulls(batch.num_rows, type=field.type))
+    return pa.RecordBatch.from_arrays(cols, schema=schema)
 
 
 class _TxLogBatchReader(DataSourceReader):
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, arrow_schema):
         self.path = options["path"]
         v = options.get("version")
         self.version = int(v) if v is not None else None
+        self.arrow_schema = arrow_schema
 
     def partitions(self):
         return [
@@ -60,15 +81,21 @@ class _TxLogBatchReader(DataSourceReader):
     def read(self, partition):  # executor-side: Arrow batches, not rows
         import pyarrow.parquet as pq
 
-        yield from pq.ParquetFile(partition.file).iter_batches()
+        for batch in pq.ParquetFile(partition.file).iter_batches():
+            yield _pad_batch(batch, self.arrow_schema)
 
 
 class _TxLogStreamReader(SimpleDataSourceStreamReader):
     """Versions-as-offsets CDC append feed: offset {"version": v}
-    means 'everything through commit v has been delivered'."""
+    means 'everything through commit v has been delivered'. Only
+    create/append/overwrite commits emit rows; rewrite-family commits
+    (compact/zorder/delete) are layout/removal changes an append-only
+    feed cannot represent and are skipped (see
+    txlog.append_feed_files_between)."""
 
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, field_names: list):
         self.path = options["path"]
+        self.field_names = list(field_names)
         start = options.get("startingversion")
         self.start_version = int(start) if start is not None else -1
 
@@ -83,13 +110,23 @@ class _TxLogStreamReader(SimpleDataSourceStreamReader):
         import pyarrow.parquet as pq
 
         if v_from < 0:
+            # initial load: the snapshot as of the first observed head
             files = txlog.snapshot_files(self.path, v_to)
         else:
-            files = txlog.added_files_between(self.path, v_from, v_to)
+            # incremental: NEW-row files by LOG OPERATION — a raw
+            # file diff would re-deliver every row a compaction or
+            # delete-rewrite merely copied (exactly-once would break
+            # the first time OPTIMIZE ran inside an offset window)
+            files = txlog.append_feed_files_between(self.path, v_from, v_to)
         rows: list[tuple] = []
+        names = self.field_names
         for f in files:
             for batch in pq.ParquetFile(f).iter_batches():
-                rows.extend(tuple(r.values()) for r in batch.to_pylist())
+                # name-keyed projection: schema-evolved files may have
+                # extra/missing/reordered columns vs the stream schema
+                rows.extend(
+                    tuple(r.get(n) for n in names) for r in batch.to_pylist()
+                )
         return rows
 
     def read(self, start: dict):
@@ -123,13 +160,15 @@ class TxLogDataSource(DataSource):
         files = txlog.snapshot_files(path, int(v) if v is not None else None)
         if not files:
             raise ValueError(f"empty snapshot at {path}")
-        return from_arrow_schema(_arrow_schema(files))
+        return from_arrow_schema(_unified_arrow_schema(files))
 
     def reader(self, schema):
-        return _TxLogBatchReader(self.options)
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        return _TxLogBatchReader(self.options, to_arrow_schema(schema))
 
     def simpleStreamReader(self, schema):
-        return _TxLogStreamReader(self.options)
+        return _TxLogStreamReader(self.options, [f.name for f in schema.fields])
 
     def writer(self, schema, overwrite: bool):
         return _TxLogWriter(self.options, schema, overwrite)

@@ -362,8 +362,15 @@ def test_global_rank_windows_are_bucket_partitioned(spark):
     partitioned by the range bucket; the only global-ordered window
     runs on the 256-row bucket-count table."""
     plan = _formatted(spark, "global_rank_orders")
-    assert "Window" in plan
-    # the full-data window is partitioned by _bucket (parallel)
-    assert "partitionBy=[_bucket" in plan.replace(" ", "").replace("#", "#") or "_bucket" in plan
-    # and the orders scan is never globally sorted into one partition
+    # the full-data row_number window must carry a _bucket partition
+    # spec (windowspecdefinition(_bucket#..., o_totalprice ...))
+    squeezed = plan.replace(" ", "")
+    assert "windowspecdefinition(_bucket#" in squeezed
+    # ... and no row_number spec without one (the single-partition
+    # regression would be windowspecdefinition(o_totalprice... only)
+    import re as _re
+
+    specs = _re.findall(r"windowspecdefinition\(([^#,]+)#", squeezed)
+    assert specs and all(s == "_bucket" for s in specs), specs
+    # and the orders scan is never globally range-sorted for the rank
     assert "rangepartitioning(o_totalprice" not in plan.lower()

@@ -391,3 +391,55 @@ def test_register_catalog_sql_front_door(spark):
     txlog.register_catalog(spark, {"tx_kv": path})
     got = spark.sql("SELECT count(*) AS n FROM tx_kv WHERE k > 1").collect()
     assert got[0]["n"] == 1
+
+
+def test_net_changes_across_schema_evolution_and_compaction(spark):
+    path = tempfile.mkdtemp(prefix="dss_tx_")
+    txlog.create_table(_tbl(spark, [(1, "a"), (2, "b")]), path)          # (k,v)
+    txlog.append(
+        spark.createDataFrame([(3, "c", "X")], "k long, v string, extra string"),
+        path,
+    )                                                                    # widened
+    txlog.compact(spark, path)  # rewrite mixes both schemas into one
+    # copied rows cancel THROUGH the schema merge; feed stays empty
+    assert txlog.net_changes(spark, path, v_from=1).count() == 0
+    # and from v0 the evolved append is the only net insert
+    feed = txlog.net_changes(spark, path, v_from=0).collect()
+    assert [(r["change"], r["k"], r["v"], r["extra"], r["n"]) for r in feed] == [
+        ("insert", 3, "c", "X", 1)
+    ]
+
+
+def test_vacuum_retain_spares_staged_uncommitted_files(spark):
+    import os as _os
+
+    path = tempfile.mkdtemp(prefix="dss_tx_")
+    txlog.create_table(_tbl(spark, [(1, "a")]), path)
+    txlog.compact(spark, path)  # makes v0's file reclaimable
+    # simulate an in-flight writer: staged data, no commit yet
+    staged_dir = _os.path.join(path, "data", "inflight0001")
+    _os.makedirs(staged_dir)
+    _tbl(spark, [(9, "z")]).coalesce(1).write.mode("overwrite").parquet(
+        _os.path.join(staged_dir, "stage")
+    )
+    staged = [
+        _os.path.join(dp, n)
+        for dp, _d, ns in _os.walk(staged_dir)
+        for n in ns
+        if n.endswith(".parquet")
+    ]
+    assert staged
+    res = txlog.vacuum_retain(path, horizon_version=1)
+    assert res["removed"]  # the replaced v0 file went away
+    for f in staged:       # the in-flight writer's files did NOT
+        assert _os.path.exists(f)
+
+
+def test_vacuum_retain_reports_effective_horizon(spark):
+    path = tempfile.mkdtemp(prefix="dss_tx_")
+    txlog.create_table(_tbl(spark, [(1, "a")]), path)
+    txlog.append(_tbl(spark, [(2, "b")]), path)
+    txlog.append(_tbl(spark, [(3, "c")]), path)
+    assert txlog.vacuum_retain(path, 2)["horizon"] == 2
+    # lowering the horizon is a no-op; the report says what's enforced
+    assert txlog.vacuum_retain(path, 1)["horizon"] == 2
