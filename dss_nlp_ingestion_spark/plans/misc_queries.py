@@ -1815,3 +1815,69 @@ def udtf_chunk_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.doc_id < 50
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# ACID MERGE INTO the tx-log table format (file-pruned COW merge)
+# ---------------------------------------------------------------------------
+
+_TXLOG_MERGE_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       CASE WHEN o_orderkey % 499 = 0 THEN o_totalprice * 2
+            ELSE o_totalprice END AS o_totalprice
+FROM orders
+WHERE NOT (o_orderkey % 997 = 0 AND o_orderkey % 499 <> 0)
+UNION ALL
+SELECT o_orderkey + 20000000 AS o_orderkey, o_custkey,
+       o_totalprice * 2 AS o_totalprice
+FROM orders WHERE o_orderkey % 499 = 0
+"""
+
+
+@register("txlog_merge_upsert_orders", _TXLOG_MERGE_ORACLE)
+def txlog_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MERGE surface on the ACID table format in one atomic
+    commit: UPDATE (keys % 499, price doubled — power of two keeps
+    the delta float-exact), DELETE (tombstoned keys % 997), INSERT
+    (shifted new keys), via ``txlog.merge_into_table`` — commit-logged
+    key stats prune candidate files, a semi-join pins the exact
+    touched set, and only those files are COW-rewritten (cost O(files
+    holding matched keys), the property that makes MERGE usable at
+    100 TB). The hash match proves the rewritten-snapshot fold —
+    untouched files carried physically + touched files replaced —
+    reproduces row-level MERGE semantics exactly (reference's upsert:
+    ES _id-keyed bulk index, src/base.py:239-253)."""
+    import tempfile
+
+    from dss_nlp_ingestion_spark.sources import txlog
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="dss_txmerge_") + "/orders"
+    txlog.create_table(
+        orders.repartitionByRange(8, "o_orderkey"), path,
+        stats_cols=["o_orderkey"],
+    )
+    updates = orders.filter(F.col("o_orderkey") % 499 == 0).select(
+        "o_orderkey", "o_custkey",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        F.lit(False).alias("_del"),
+    )
+    tombstones = orders.filter(
+        (F.col("o_orderkey") % 997 == 0) & (F.col("o_orderkey") % 499 != 0)
+    ).select(
+        "o_orderkey", "o_custkey", "o_totalprice", F.lit(True).alias("_del")
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 499 == 0).select(
+        (F.col("o_orderkey") + 20000000).alias("o_orderkey"),
+        "o_custkey",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        F.lit(False).alias("_del"),
+    )
+    src = updates.unionByName(tombstones).unionByName(inserts)
+    txlog.merge_into_table(
+        spark, path, src, ["o_orderkey"], delete_col="_del",
+        stats_cols=["o_orderkey"],
+    )
+    return txlog.read(spark, path)

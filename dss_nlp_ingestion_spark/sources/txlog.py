@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 
@@ -849,8 +850,10 @@ def merge_into_table(
             cand_keys = spark.read.parquet(*candidates).select(
                 *key_cols, F.input_file_name().alias("_f")
             )
+            # input_file_name() yields file: URIs; the log stores
+            # plain paths — normalize before diffing against it.
             touched = [
-                r["_f"]
+                re.sub(r"^file:/{0,2}(?=/)", "", r["_f"])
                 for r in cand_keys.join(
                     source.select(*key_cols).distinct(), key_cols, "left_semi"
                 )

@@ -443,3 +443,109 @@ def test_vacuum_retain_reports_effective_horizon(spark):
     assert txlog.vacuum_retain(path, 2)["horizon"] == 2
     # lowering the horizon is a no-op; the report says what's enforced
     assert txlog.vacuum_retain(path, 1)["horizon"] == 2
+
+
+def _orders_tbl(spark, n=40, files=4):
+    rows = [(i, f"c{i % 7}", float(i) * 2.0) for i in range(n)]
+    return (
+        spark.createDataFrame(rows, "k long, c string, p double")
+        .repartitionByRange(files, "k")
+    )
+
+
+def test_merge_into_table_upserts_and_inserts(spark):
+    path = tempfile.mkdtemp(prefix="dss_txmerge_")
+    txlog.create_table(_orders_tbl(spark), path, stats_cols=["k"])
+    src = spark.createDataFrame(
+        [(3, "upd", 999.0), (100, "new", 1.0)], "k long, c string, p double"
+    )
+    res = txlog.merge_into_table(spark, path, src, ["k"])
+    got = {r["k"]: (r["c"], r["p"]) for r in txlog.read(spark, path).collect()}
+    assert len(got) == 41
+    assert got[3] == ("upd", 999.0)      # WHEN MATCHED UPDATE SET *
+    assert got[100] == ("new", 1.0)      # WHEN NOT MATCHED INSERT *
+    assert got[4] == ("c4", 8.0)         # untouched row intact
+    assert res["files_touched"] >= 1
+    assert txlog.history(path)[-1]["op"] == "merge"
+
+
+def test_merge_into_table_rewrites_only_matching_files(spark):
+    """Files whose key range can't match the source are neither
+    scanned for the COW join nor rewritten — their physical files
+    survive into the post-merge snapshot unchanged."""
+    path = tempfile.mkdtemp(prefix="dss_txmerge_")
+    txlog.create_table(_orders_tbl(spark, n=40, files=4), path, stats_cols=["k"])
+    before = set(txlog.snapshot_files(path))
+    src = spark.createDataFrame([(1, "u", 0.0)], "k long, c string, p double")
+    res = txlog.merge_into_table(spark, path, src, ["k"], stats_cols=["k"])
+    after = set(txlog.snapshot_files(path))
+    assert res["files_touched"] == 1
+    assert res["files_total"] == len(before)
+    # every untouched file is carried over byte-identical (same path)
+    assert len(before & after) == len(before) - 1
+    assert res["files_skipped_by_stats"] >= 1
+
+
+def test_merge_into_table_no_match_degrades_to_append(spark):
+    path = tempfile.mkdtemp(prefix="dss_txmerge_")
+    txlog.create_table(_orders_tbl(spark), path, stats_cols=["k"])
+    src = spark.createDataFrame([(500, "n", 5.0)], "k long, c string, p double")
+    res = txlog.merge_into_table(spark, path, src, ["k"])
+    assert res["appended"] and res["files_touched"] == 0
+    assert txlog.history(path)[-1]["op"] == "append"
+    assert txlog.snapshot_row_count(path) == 41
+
+
+def test_merge_into_table_delete_clause(spark):
+    path = tempfile.mkdtemp(prefix="dss_txmerge_")
+    txlog.create_table(_orders_tbl(spark, n=10, files=2), path, stats_cols=["k"])
+    src = spark.createDataFrame(
+        [(2, "x", 0.0, True), (3, "u", 7.0, False), (99, "g", 1.0, True)],
+        "k long, c string, p double, del boolean",
+    )
+    txlog.merge_into_table(spark, path, src, ["k"], delete_col="del")
+    got = {r["k"]: r["c"] for r in txlog.read(spark, path).collect()}
+    assert 2 not in got                  # MATCHED AND del -> DELETE
+    assert got[3] == "u"                 # MATCHED -> UPDATE
+    assert 99 not in got                 # tombstone w/o match -> no-op
+    assert len(got) == 9
+
+
+def test_merge_into_table_all_tombstones_unmatched_is_noop(spark):
+    path = tempfile.mkdtemp(prefix="dss_txmerge_")
+    txlog.create_table(_orders_tbl(spark, n=6, files=1), path)
+    head = txlog.history(path)[-1]["version"] if "version" in (
+        txlog.history(path)[-1]
+    ) else 0
+    src = spark.createDataFrame(
+        [(77, "g", 1.0, True)], "k long, c string, p double, del boolean"
+    )
+    res = txlog.merge_into_table(spark, path, src, ["k"], delete_col="del")
+    assert not res["appended"] and res["files_touched"] == 0
+    assert res["version"] == head
+    assert txlog.snapshot_row_count(path) == 6
+
+
+def test_merge_into_table_survives_concurrent_append(spark):
+    """WriteSerializable: a blind append racing the merge commits
+    first; the merge's rewrite lands on top without conflict and the
+    appended rows survive."""
+    path = tempfile.mkdtemp(prefix="dss_txmerge_")
+    txlog.create_table(_orders_tbl(spark, n=8, files=1), path)
+    orig_rewrite = txlog.rewrite
+
+    def racing_rewrite(df, p, replace, expect_version, **kw):
+        txlog.append(
+            spark.createDataFrame([(200, "race", 0.5)], "k long, c string, p double"),
+            p,
+        )
+        return orig_rewrite(df, p, replace, expect_version, **kw)
+
+    src = spark.createDataFrame([(1, "u", 9.0)], "k long, c string, p double")
+    try:
+        txlog.rewrite = racing_rewrite
+        txlog.merge_into_table(spark, path, src, ["k"])
+    finally:
+        txlog.rewrite = orig_rewrite
+    got = {r["k"]: r["c"] for r in txlog.read(spark, path).collect()}
+    assert got[1] == "u" and got[200] == "race" and len(got) == 9
