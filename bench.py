@@ -82,6 +82,12 @@ BENCH_QUERIES = (
     "fulltext_topk_cjk",
     "merge_cow_orders",
     "lm_bigram_scores",
+    # Round 5: file-pruned ACID MERGE on the tx-log format, the Gopher
+    # repetition battery (4x n-gram explode + one partial-agg shuffle),
+    # and the IDF-artifact serve path (broadcast join, zero Python).
+    "txlog_merge_upsert_orders",
+    "gopher_repetition_gate",
+    "keyword_model_topk",
 )
 
 

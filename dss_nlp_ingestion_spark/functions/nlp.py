@@ -568,3 +568,68 @@ def quantized_encoder_udf(model: dict):
 
     _ = k
     return _encode
+
+
+# ---------------------------------------------------------------------------
+# Learned KEYWORD/SUMMARY term-weight table (fourth shipped-model slot,
+# N3/N4 keywords + N6 extractive summaries)
+# ---------------------------------------------------------------------------
+
+#: Path of the committed default IDF artifact (trained from
+#: tests/fixtures/topic_corpus.json texts; provenance pinned by a
+#: retrain-equality test).
+DEFAULT_KEYWORD_ARTIFACT = __file__.replace("nlp.py", "keyword_idf_v1.npz")
+
+
+def train_idf_table(texts: list[str], scale: int = 1_000_000) -> dict:
+    """Train the shipped TERM-WEIGHT model: smoothed inverse document
+    frequency per vocabulary token, quantized to int64 —
+    ``idf_q[tok] = rint(ln((N+1)/(df+1)) * scale)``; unseen tokens get
+    the df=0 weight. Deterministic (sorted vocab, no RNG). Unlike the
+    other shipped models this one needs NO serving code at all:
+    scoring is ``tf * idf_q`` INTEGER arithmetic, so the model is
+    applied as a broadcast hash join + sum — pure JVM codegen, the
+    fastest possible serve path (reference's keyword/summary calls:
+    Tencent/Baidu NLP APIs, src/utils/tencent_api.py:63-101)."""
+    import math
+
+    df: dict[str, int] = {}
+    for t in texts:
+        for tok in set((t or "").lower().split()):
+            df[tok] = df.get(tok, 0) + 1
+    n = len(texts)
+    vocab = sorted(df)
+    idf_q = [round(math.log((n + 1) / (df[v] + 1)) * scale) for v in vocab]
+    return {
+        "vocab": vocab,
+        "idf_q": idf_q,
+        "n_docs": n,
+        "scale": scale,
+        "default_q": round(math.log(n + 1) * scale),
+    }
+
+
+def save_keyword_artifact(model: dict, path: str) -> None:
+    import numpy as np
+
+    np.savez(
+        path,
+        vocab=np.asarray(model["vocab"], dtype=np.str_),
+        idf_q=np.asarray(model["idf_q"], dtype=np.int64),
+        n_docs=np.int64(model["n_docs"]),
+        scale=np.int64(model["scale"]),
+        default_q=np.int64(model["default_q"]),
+    )
+
+
+def load_keyword_artifact(path: str) -> dict:
+    import numpy as np
+
+    with np.load(path) as z:
+        return {
+            "vocab": [str(v) for v in z["vocab"]],
+            "idf_q": [int(x) for x in z["idf_q"]],
+            "n_docs": int(z["n_docs"]),
+            "scale": int(z["scale"]),
+            "default_q": int(z["default_q"]),
+        }

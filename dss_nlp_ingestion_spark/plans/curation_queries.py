@@ -28,7 +28,7 @@ gating stage.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dss_nlp_ingestion_spark.catalog import table
@@ -329,4 +329,168 @@ def dsir_top_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "imp_score",
         F.row_number().over(w).cast("long").alias("pick_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition-rule battery (Rae et al. 2021 §A1.1, second half)
+# ---------------------------------------------------------------------------
+
+#: Gopher Table A1 thresholds: a document fails when the most frequent
+#: n-gram covers too much of it (boilerplate/template spam) or when too
+#: many of its 5-grams repeat (loops, listicles, scraped nav).
+_REP_TOP_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+_REP_DUP5_MAX = 0.15
+
+_REP_NS = (2, 3, 4, 5)
+
+_REP_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id,
+         string_split_regex(trim(text), '\\s+') AS ws,
+         CAST(list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
+                                      x -> len(x))) AS BIGINT) AS nch
+  FROM documents
+), legs AS (
+  SELECT doc_id, nch, n,
+         unnest(list_transform(range(0, greatest(len(ws) - n + 1, 0)),
+                               i -> array_to_string(ws[i+1:i+n], ' '))) AS g
+  FROM m, (VALUES (2), (3), (4), (5)) t(n)
+), counts AS (
+  SELECT doc_id, n, g,
+         CAST(any_value(nch) AS BIGINT) AS nch,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM legs GROUP BY doc_id, n, g
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id, n ORDER BY cnt DESC, g DESC) AS rn
+  FROM counts
+), stats AS (
+  SELECT doc_id, n, any_value(nch) AS nch,
+         max(CASE WHEN rn = 1 THEN cnt * (len(g) - (n - 1)) END) AS topchars,
+         sum(CASE WHEN cnt > 1 THEN cnt * (len(g) - (n - 1)) ELSE 0 END) AS dupchars
+  FROM ranked GROUP BY doc_id, n
+), piv AS (
+  SELECT doc_id,
+    least(1.0, CAST(max(CASE WHEN n = 2 THEN topchars END) AS DOUBLE)
+               / greatest(any_value(nch), 1)) AS f2,
+    least(1.0, CAST(max(CASE WHEN n = 3 THEN topchars END) AS DOUBLE)
+               / greatest(any_value(nch), 1)) AS f3,
+    least(1.0, CAST(max(CASE WHEN n = 4 THEN topchars END) AS DOUBLE)
+               / greatest(any_value(nch), 1)) AS f4,
+    least(1.0, CAST(max(CASE WHEN n = 5 THEN dupchars END) AS DOUBLE)
+               / greatest(any_value(nch), 1)) AS d5
+  FROM stats GROUP BY doc_id
+)
+SELECT d.doc_id,
+       {fround_sql('coalesce(p.f2, 0.0)', 6)} AS top2_frac,
+       {fround_sql('coalesce(p.f3, 0.0)', 6)} AS top3_frac,
+       {fround_sql('coalesce(p.f4, 0.0)', 6)} AS top4_frac,
+       {fround_sql('coalesce(p.d5, 0.0)', 6)} AS dup5_frac,
+       CAST(CASE WHEN coalesce(p.f2, 0.0) <= {_REP_TOP_MAX[2]}
+                  AND coalesce(p.f3, 0.0) <= {_REP_TOP_MAX[3]}
+                  AND coalesce(p.f4, 0.0) <= {_REP_TOP_MAX[4]}
+                  AND coalesce(p.d5, 0.0) <= {_REP_DUP5_MAX}
+             THEN 1 ELSE 0 END AS BIGINT) AS passes
+FROM documents d LEFT JOIN piv p USING (doc_id)
+"""
+
+
+@register("gopher_repetition_gate", _REP_ORACLE)
+def gopher_repetition_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition rules: per document, the character fraction
+    covered by the single most frequent n-gram (n=2,3,4) and by all
+    repeated 5-grams, gated at the paper's Table A1 thresholds. The
+    char accounting is the cnt*len(gram-chars) proxy (overlaps counted
+    per occurrence, capped at 1.0) — defined identically on both
+    engines, so the gate is hash-exact.
+
+    Scale shape: ONE generate pass builds all four n-gram streams
+    scan-side (HOF transform over the split array, no Python), then a
+    single partial-agg shuffle keyed (doc_id, n, gram) — the only
+    wide stage and it is count-combinable map-side. The per-(doc, n)
+    top-1 is a WindowGroupLimit-size window over the already-reduced
+    counts. No stage is O(corpus^2); the explode factor is ~4x the
+    token stream, the same cost C4/Gopher's own filters pay."""
+    docs = table(spark, sf_dir, "documents")
+    ws = T.ws_tokens(F.col("text"))
+    nch = F.aggregate(
+        F.transform(ws, F.length),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x.cast("long"),
+    )
+    base = docs.select("doc_id", ws.alias("ws"), nch.alias("nch"))
+
+    def leg(n: int) -> DataFrame:
+        grams = F.when(
+            F.size("ws") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("ws") - n),
+                lambda i: F.concat_ws(" ", F.slice("ws", i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return base.select(
+            "doc_id", "nch", F.lit(n).cast("long").alias("n"),
+            F.explode(grams).alias("g"),
+        )
+
+    legs = leg(2).unionByName(leg(3)).unionByName(leg(4)).unionByName(leg(5))
+    counts = legs.groupBy("doc_id", "n", "g").agg(
+        F.any_value("nch").alias("nch"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+    )
+    w = Window.partitionBy("doc_id", "n").orderBy(
+        F.col("cnt").desc(), F.col("g").desc()
+    )
+    gram_chars = (F.length("g") - (F.col("n") - 1)).cast("long")
+    stats = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .groupBy("doc_id", "n")
+        .agg(
+            F.any_value("nch").alias("nch"),
+            F.max(F.when(F.col("rn") == 1, F.col("cnt") * gram_chars)).alias(
+                "topchars"
+            ),
+            F.sum(
+                F.when(F.col("cnt") > 1, F.col("cnt") * gram_chars).otherwise(
+                    F.lit(0)
+                )
+            ).alias("dupchars"),
+        )
+    )
+    denom = F.greatest(F.any_value("nch"), F.lit(1))
+
+    def frac(src: Column, n: int) -> Column:
+        return F.least(
+            F.lit(1.0),
+            F.max(F.when(F.col("n") == n, src)).cast("double") / denom,
+        )
+
+    piv = stats.groupBy("doc_id").agg(
+        frac(F.col("topchars"), 2).alias("f2"),
+        frac(F.col("topchars"), 3).alias("f3"),
+        frac(F.col("topchars"), 4).alias("f4"),
+        frac(F.col("dupchars"), 5).alias("d5"),
+    )
+    f2 = F.coalesce(F.col("f2"), F.lit(0.0))
+    f3 = F.coalesce(F.col("f3"), F.lit(0.0))
+    f4 = F.coalesce(F.col("f4"), F.lit(0.0))
+    d5 = F.coalesce(F.col("d5"), F.lit(0.0))
+    passes = (
+        (f2 <= _REP_TOP_MAX[2])
+        & (f3 <= _REP_TOP_MAX[3])
+        & (f4 <= _REP_TOP_MAX[4])
+        & (d5 <= _REP_DUP5_MAX)
+    )
+    return (
+        docs.select("doc_id")
+        .join(piv, "doc_id", "left")
+        .select(
+            "doc_id",
+            fround(f2, 6).alias("top2_frac"),
+            fround(f3, 6).alias("top3_frac"),
+            fround(f4, 6).alias("top4_frac"),
+            fround(d5, 6).alias("dup5_frac"),
+            F.when(passes, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("passes"),
+        )
     )

@@ -612,3 +612,179 @@ def embedding_model_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_e.emb_sha").alias("emb_sha"),
         F.col("_e.probe_cos").alias("probe_cos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# N3/N4 + N6 model-backed: the SHIPPED learned term-weight (IDF) table
+# ---------------------------------------------------------------------------
+
+def _idf_values() -> tuple[str, int]:
+    """(VALUES rows, default weight) from the committed IDF artifact."""
+    m = N.load_keyword_artifact(N.DEFAULT_KEYWORD_ARTIFACT)
+    rows = ", ".join(
+        f"('{v}', {q})" for v, q in zip(m["vocab"], m["idf_q"])
+    )
+    return rows, m["default_q"]
+
+
+def _vocab_df(spark: SparkSession, m: dict) -> DataFrame:
+    """The artifact's term-weight table as a pure JVM LocalRelation
+    (SQL VALUES), so serving plans contain no Python RDD conversion."""
+    rows = ", ".join(
+        f"('{v}', CAST({q} AS BIGINT))"
+        for v, q in zip(m["vocab"], m["idf_q"])
+    )
+    return spark.sql(f"SELECT tok, idf FROM (VALUES {rows}) AS t(tok, idf)")
+
+
+def _keyword_oracle() -> str:
+    rows, default_q = _idf_values()
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''
+), tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE tok <> '' GROUP BY doc_id, tok
+), v(tok, idf) AS (VALUES {rows}),
+scored AS (
+  SELECT tf.doc_id, tf.tok,
+         tf.tf * coalesce(v.idf, {default_q}) AS score
+  FROM tf LEFT JOIN v USING (tok)
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS kw_rank
+  FROM scored
+)
+SELECT doc_id, CAST(kw_rank AS BIGINT) AS kw_rank, tok AS keyword,
+       CAST(score AS BIGINT) AS score
+FROM ranked WHERE kw_rank <= 5
+"""
+
+
+@register("keyword_model_topk", _keyword_oracle())
+def keyword_model_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-backed keyword extraction (N3/N4) from the committed
+    term-weight artifact (functions/keyword_idf_v1.npz): per-document
+    top-5 tokens by tf * idf_q, ALL-INTEGER scoring so the learned
+    model is bit-exact cross-engine. Serving is a broadcast hash join
+    of the tf table against the 36-row vocabulary plus one ranking
+    window — zero Python, whole-stage codegen end to end; at 100 TB
+    the only wide stage is the (doc_id, tok) partial-agg shuffle.
+    (Reference's keyword call: Tencent NLP API,
+    src/utils/tencent_api.py:63-80.)"""
+    m = N.load_keyword_artifact(N.DEFAULT_KEYWORD_ARTIFACT)
+    docs = table(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(ws_tokens(F.lower(F.col("text")))).alias("tok"),
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    vocab = _vocab_df(spark, m)
+    scored = tf.join(F.broadcast(vocab), "tok", "left").select(
+        "doc_id",
+        "tok",
+        (F.col("tf") * F.coalesce(F.col("idf"), F.lit(m["default_q"]))).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("kw_rank", F.row_number().over(w))
+        .filter(F.col("kw_rank") <= 5)
+        .select(
+            "doc_id",
+            F.col("kw_rank").cast("long").alias("kw_rank"),
+            F.col("tok").alias("keyword"),
+            F.col("score").cast("long").alias("score"),
+        )
+    )
+
+
+_SUMMARY_W = 10  # extractive unit: non-overlapping 10-word windows
+
+
+def _summary_oracle() -> str:
+    rows, default_q = _idf_values()
+    return f"""
+WITH m AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+  FROM documents WHERE trim(text) <> ''
+), chunks AS (
+  SELECT doc_id, CAST(k AS BIGINT) AS k,
+         array_to_string(ws[k*{_SUMMARY_W}+1 : k*{_SUMMARY_W}+{_SUMMARY_W}], ' ') AS chunk
+  FROM m, LATERAL unnest(range(0, CAST(ceil(len(ws) / {_SUMMARY_W}.0) AS BIGINT))) t(k)
+), ctoks AS (
+  SELECT doc_id, k, chunk, unnest(string_split(chunk, ' ')) AS tok
+  FROM chunks
+), v(tok, idf) AS (VALUES {rows}),
+cscore AS (
+  SELECT doc_id, k, any_value(chunk) AS chunk,
+         CAST(sum(coalesce(v.idf, {default_q})) AS BIGINT) AS score
+  FROM ctoks LEFT JOIN v USING (tok)
+  GROUP BY doc_id, k
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, k ASC) AS rn
+  FROM cscore
+)
+SELECT doc_id, k, chunk AS summary, score FROM ranked WHERE rn = 1
+"""
+
+
+@register("summary_model_topchunk", _summary_oracle())
+def summary_model_topchunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-backed extractive summarization (N6, Luhn-style with the
+    LEARNED term weights): each document's summary is its
+    highest-information 10-word window — chunk score = integer sum of
+    committed idf_q over the chunk's tokens, deterministic (score
+    desc, position asc) pick. Same all-integer serve path as
+    :func:`keyword_model_topk`: chunking is a scan-side HOF, scoring a
+    broadcast join + partial-agg shuffle keyed (doc_id, k), top-1 a
+    WindowGroupLimit. (Reference's summary call: Tencent NLP
+    auto-summarization, src/utils/tencent_api.py:84-101.)"""
+    m = N.load_keyword_artifact(N.DEFAULT_KEYWORD_ARTIFACT)
+    docs = table(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    ws = ws_tokens(F.lower(F.col("text")))
+    n_chunks = F.ceil(F.size(ws) / F.lit(float(_SUMMARY_W))).cast("int")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda k: F.concat_ws(
+            " ", F.slice(ws, k * _SUMMARY_W + 1, _SUMMARY_W)
+        ),
+    )
+    chunks = docs.select(
+        "doc_id", F.posexplode(chunk_arr).alias("k", "chunk")
+    ).select(F.col("doc_id"), F.col("k").cast("long").alias("k"), "chunk")
+    ctoks = chunks.select(
+        "doc_id", "k", "chunk",
+        F.explode(F.split(F.col("chunk"), " ")).alias("tok"),
+    )
+    vocab = _vocab_df(spark, m)
+    cscore = (
+        ctoks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id", "k")
+        .agg(
+            F.any_value("chunk").alias("chunk"),
+            F.sum(F.coalesce(F.col("idf"), F.lit(m["default_q"])))
+            .cast("long")
+            .alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("k").asc()
+    )
+    return (
+        cscore.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "k", F.col("chunk").alias("summary"), "score")
+    )

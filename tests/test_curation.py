@@ -85,3 +85,30 @@ def test_dsir_target_like_scores_higher(spark, tmp_path):
     assert out[1]["imp_score"] > out[3]["imp_score"]
     assert out[3]["imp_score"] < 0  # off-target mass dominates
     assert out[1]["n_grams"] == 7
+
+
+def test_gopher_repetition_gate_flags_planted_repeats(spark, tmp_path):
+    from dss_nlp_ingestion_spark.plans.curation_queries import (
+        gopher_repetition_gate,
+    )
+
+    varied = " ".join("w%02d" % (i % 97) for i in range(100))
+    # one dominant bigram: "spam ham" repeated -> top2_frac blows the cap
+    bigram_spam = " ".join(["spam ham"] * 30 + ["x%02d" % i for i in range(40)])
+    # a repeated 5-gram phrase (appears 8x among filler) -> dup5_frac
+    phrase = "lorem ipsum dolor sit amet"
+    dup5 = " ".join([phrase] * 8 + ["y%02d" % i for i in range(60)])
+    tiny = "one"  # shorter than every n: no n-grams, all fractions 0
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(varied, "en"), (bigram_spam, "en"), (dup5, "en"), (tiny, "en")],
+    )
+    out = {r["doc_id"]: r for r in gopher_repetition_gate(spark, sf).collect()}
+    assert out[1]["passes"] == 1 and out[1]["top2_frac"] < 0.1
+    assert out[2]["passes"] == 0 and out[2]["top2_frac"] > 0.20
+    assert out[3]["passes"] == 0 and out[3]["dup5_frac"] > 0.15
+    assert out[4]["passes"] == 1
+    assert out[4]["top2_frac"] == 0.0 and out[4]["dup5_frac"] == 0.0
+    # fractions are capped at 1.0 even with the per-occurrence proxy
+    assert all(r["dup5_frac"] <= 1.0 for r in out.values())

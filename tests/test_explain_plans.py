@@ -374,3 +374,24 @@ def test_global_rank_windows_are_bucket_partitioned(spark):
     assert specs and all(s == "_bucket" for s in specs), specs
     # and the orders scan is never globally range-sorted for the rank
     assert "rangepartitioning(o_totalprice" not in plan.lower()
+
+
+def test_idf_model_serving_is_broadcast_and_jvm_only(spark):
+    """The shipped IDF artifact serves through a broadcast hash join
+    + WindowGroupLimit top-k — no Python stage anywhere, no sort-merge
+    join of the 36-row vocabulary."""
+    plan = _formatted(spark, "keyword_model_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_repetition_gate_single_narrowing_shuffle_chain(spark):
+    """The Gopher repetition battery is all-JVM: n-gram generation is
+    scan-side HOF work, and every shuffle key strictly coarsens
+    ((doc,n,gram) -> (doc,n) -> (doc)) — no Python, no resharding on
+    the same key twice."""
+    plan = _formatted(spark, "gopher_repetition_gate")
+    assert "Python" not in plan and "ArrowEval" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3
