@@ -1881,3 +1881,129 @@ def txlog_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats_cols=["o_orderkey"],
     )
     return txlog.read(spark, path)
+
+
+_STREAM_TXLOG_MERGE_ORACLE = """
+SELECT event_id, user_id, event_type FROM events
+"""
+
+
+@register("streaming_txlog_upsert", _STREAM_TXLOG_MERGE_ORACLE)
+def streaming_txlog_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE (upsert) into the ACID table — the Delta
+    streaming-sink pattern end-to-end: file stream -> foreachBatch
+    merge_into_table, every commit stamped (app_id, batch_id). After
+    the drain, the ENTIRE stream is replayed from a FRESH checkpoint
+    (same app_id): every replayed batch is skipped by the
+    txnAppId/txnVersion bookkeeping before staging a byte. The hash
+    match therefore proves BOTH merge correctness and replay
+    exactly-onceness — if any replayed batch landed, counts double
+    and the gate goes red."""
+    from dss_nlp_ingestion_spark.catalog import table as _table
+    from dss_nlp_ingestion_spark.sources import txlog
+    from dss_nlp_ingestion_spark.streaming.pipeline import (
+        read_events_stream,
+        stream_merge_to_txlog_table,
+    )
+
+    events = _table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    base = tempfile.mkdtemp(prefix="dss_stream_txmerge_")
+    src = base + "/src"
+    events.write.mode("overwrite").parquet(src)
+
+    def drain(ckpt: str) -> None:
+        stream = read_events_stream(spark, src, schema=events.schema).select(
+            "event_id", "user_id", "event_type"
+        )
+        stream_merge_to_txlog_table(
+            stream,
+            base + "/table",
+            ["event_id"],
+            base + ckpt,
+            app_id="dss_upsert_demo",
+        )
+
+    drain("/ckpt1")
+    drain("/ckpt2")  # full replay, fresh checkpoint: all batches skip
+    return txlog.read(spark, base + "/table")
+
+
+_TXLOG_DML_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       CASE WHEN o_custkey % 100 = 0 THEN o_totalprice * 2
+            ELSE o_totalprice END AS o_totalprice
+FROM orders WHERE o_orderkey % 512 <> 0
+"""
+
+
+@register("txlog_delete_update_orders", _TXLOG_DML_ORACLE)
+def txlog_delete_update_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining DML surface on the ACID table — ``DELETE FROM``
+    then ``UPDATE SET`` (both file-pruned COW commits: only files
+    containing matching rows are rewritten), with a LOG CHECKPOINT
+    written between them so the final snapshot is planned from
+    checkpoint + tail instead of a full log replay (Delta's 10-commit
+    checkpoint mechanism; O(recent commits) planning on long-lived
+    tables). The predicate strings are shared with the oracle
+    verbatim."""
+    import tempfile
+
+    from dss_nlp_ingestion_spark.sources import txlog
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="dss_txdml_") + "/orders"
+    txlog.create_table(
+        orders.repartitionByRange(8, "o_orderkey"), path,
+        stats_cols=["o_orderkey"],
+    )
+    txlog.delete_from_table(
+        spark, path, "o_orderkey % 512 = 0", stats_cols=["o_orderkey"]
+    )
+    txlog.checkpoint_log(path)
+    txlog.update_table(
+        spark, path, "o_custkey % 100 = 0",
+        {"o_totalprice": "o_totalprice * 2"},
+        stats_cols=["o_orderkey"],
+    )
+    return txlog.read(spark, path)
+
+
+_TXLOG_RESTORE_CLONE_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+"""
+
+
+@register("txlog_restore_clone_orders", _TXLOG_RESTORE_CLONE_ORACLE)
+def txlog_restore_clone_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE + SHALLOW CLONE on the ACID table, both pure metadata
+    commits: orders -> corrupt it with an append AND a delete ->
+    RESTORE TO VERSION 0 (live set diffed back, no data copied) ->
+    SHALLOW CLONE the restored head into a second table (version 0
+    references the source's files by absolute name, zero bytes
+    moved) -> read the CLONE. The hash match proves the whole
+    metadata chain reproduces the original rows bit-for-bit through
+    two tables and four commits."""
+    import tempfile
+
+    from dss_nlp_ingestion_spark.sources import txlog
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    base = tempfile.mkdtemp(prefix="dss_txrc_")
+    src = base + "/orders"
+    txlog.create_table(orders.repartitionByRange(4, "o_orderkey"), src)
+    txlog.append(
+        orders.limit(100).withColumn(
+            "o_orderkey", F.col("o_orderkey") + 30000000
+        ),
+        src,
+    )
+    txlog.delete_from_table(spark, src, "o_orderkey % 7 = 0")
+    txlog.restore_table(src, 0)
+    txlog.clone_table(src, base + "/clone")
+    return txlog.read(spark, base + "/clone")

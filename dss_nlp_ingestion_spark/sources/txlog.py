@@ -54,6 +54,17 @@ def _entry_path(path: str, version: int) -> str:
     return os.path.join(_log_dir(path), f"{version:08d}.json")
 
 
+def _stored_name(path: str, abs_file: str) -> str:
+    """The name under which the log references ``abs_file``: relative
+    to <path>/data for this table's own files, the absolute path for
+    files referenced across tables (shallow clones). Rewrite/remove
+    planning MUST use this, not a raw relpath — a '../..'-style
+    relpath never matches the logged absolute name and the 'removed'
+    file would silently stay live."""
+    rel = os.path.relpath(abs_file, os.path.join(path, "data"))
+    return abs_file if rel.startswith("..") else rel
+
+
 def _versions(path: str) -> list[int]:
     try:
         names = os.listdir(_log_dir(path))
@@ -91,6 +102,10 @@ def snapshot_files(path: str, version: int | None = None) -> list[str]:
         if not versions or versions[-1] != version:
             raise ValueError(f"version {version} does not exist at {path}")
     live: dict[str, None] = {}
+    ck = _latest_checkpoint(path, versions[-1] if versions else None)
+    if ck is not None:
+        live = dict.fromkeys(ck[1]["live"])
+        versions = [v for v in versions if v > ck[0]]
     for v in versions:
         e = _read_entry(path, v)
         for f in e.get("add", []):
@@ -230,6 +245,7 @@ def rewrite(
     expect_version: int,
     op: str = "rewrite",
     stats_cols: list[str] | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Replace ``replace`` (relative file names from the snapshot the
     caller read) with ``df`` — the COW-merge/compaction commit. NOT
@@ -237,9 +253,12 @@ def rewrite(
     ``expect_version`` AND removed one of the files being replaced,
     the base snapshot is stale -> TxConflictError (caller re-reads).
     Concurrent APPENDS don't conflict (disjoint files) — the rewrite
-    commits on top of them."""
+    commits on top of them. ``txn`` = (app_id, epoch) stamps the
+    commit for :func:`last_committed_txn` replay detection."""
     files = _write_data_files(df, path)
     entry: dict = {"op": op, "add": files, "remove": list(replace)}
+    if txn is not None:
+        entry["txn"] = {"app": txn[0], "epoch": int(txn[1])}
     if stats_cols:
         entry["stats"] = _collect_file_stats(path, files, stats_cols)
     while True:
@@ -248,8 +267,7 @@ def rewrite(
             # someone committed since our snapshot: conflict iff they
             # removed any file we're replacing
             still_live = {
-                os.path.relpath(f, os.path.join(path, "data"))
-                for f in snapshot_files(path)
+                _stored_name(path, f) for f in snapshot_files(path)
             }
             gone = [f for f in replace if f not in still_live]
             if gone:
@@ -312,7 +330,7 @@ def compact(
         if head < 0:
             raise ValueError(f"no tx table at {path}")
         live = snapshot_files(path, head)
-        rel = [os.path.relpath(f, os.path.join(path, "data")) for f in live]
+        rel = [_stored_name(path, f) for f in live]
         df = read(spark, path, version=head).coalesce(target_files)
         try:
             return rewrite(df, path, rel, expect_version=head, op="compact")
@@ -445,6 +463,11 @@ def _fold_live_and_stats(
             raise ValueError(f"version {version} does not exist at {path}")
     live: dict[str, None] = {}
     stats: dict[str, dict] = {}
+    ck = _latest_checkpoint(path, versions[-1] if versions else None)
+    if ck is not None:
+        live = dict.fromkeys(ck[1]["live"])
+        stats = dict(ck[1].get("stats", {}))
+        versions = [v for v in versions if v > ck[0]]
     for v in versions:
         e = _read_entry(path, v)
         for f in e.get("add", []):
@@ -594,7 +617,7 @@ def optimize_zorder(
         if head < 0:
             raise ValueError(f"no tx table at {path}")
         live = snapshot_files(path, head)
-        rel = [os.path.relpath(f, os.path.join(path, "data")) for f in live]
+        rel = [_stored_name(path, f) for f in live]
         df = read(spark, path, version=head)
         stats = df.agg(
             *[F.min(c).alias(f"_min_{c}") for c in zorder_cols],
@@ -649,8 +672,7 @@ def vacuum_retain(path: str, horizon_version: int) -> dict:
     for v in versions:
         if v >= horizon_version:
             keep.update(
-                os.path.relpath(f, os.path.join(path, "data"))
-                for f in snapshot_files(path, v)
+                _stored_name(path, f) for f in snapshot_files(path, v)
             )
     # Only files the LOG references are candidates: a staged-but-not-
     # yet-committed file of an in-flight writer is invisible to the
@@ -736,7 +758,7 @@ def snapshot_col_minmax(path: str, col: str, version: int | None = None):
     stats = snapshot_file_stats(path, version)
     lo = hi = None
     for f in snapshot_files(path, version):
-        rel = os.path.relpath(f, os.path.join(path, "data"))
+        rel = _stored_name(path, f)
         per = stats.get(rel, {}).get(col)
         if per is None:
             if pq.ParquetFile(f).metadata.num_rows == 0:
@@ -796,6 +818,7 @@ def merge_into_table(
     insert_only: bool = False,
     stats_cols: list[str] | None = None,
     max_retries: int = 3,
+    txn: tuple[str, int] | None = None,
 ) -> dict:
     """ACID ``MERGE INTO`` on a tx table — the Delta/Iceberg merge
     plan re-expressed over this log: (1) PRUNE candidate files from
@@ -833,6 +856,15 @@ def merge_into_table(
         head = (_versions(path) or [-1])[-1]
         if head < 0:
             raise ValueError(f"no tx table at {path}")
+        if txn is not None and last_committed_txn(path, txn[0]) >= txn[1]:
+            return {
+                "version": head,
+                "files_touched": 0,
+                "files_total": 0,
+                "files_skipped_by_stats": 0,
+                "appended": False,
+                "skipped": True,
+            }
         live = snapshot_files(path, head)
         skipped = 0
         candidates = live
@@ -876,14 +908,21 @@ def merge_into_table(
                     "files_total": len(live),
                     "files_skipped_by_stats": skipped,
                     "appended": False,
+                    "skipped": False,
                 }
-            v = append(inserts, path, stats_cols=stats_cols)
+            if txn is not None:
+                v = append_txn(
+                    inserts, path, txn[0], txn[1], stats_cols=stats_cols
+                )
+            else:
+                v = append(inserts, path, stats_cols=stats_cols)
             return {
                 "version": v,
                 "files_touched": 0,
                 "files_total": len(live),
                 "files_skipped_by_stats": skipped,
                 "appended": True,
+                "skipped": v is None,
             }
         target_touched = spark.read.parquet(*touched)
         if delete_col is not None:
@@ -894,9 +933,7 @@ def merge_into_table(
             merged = merge_into(
                 target_touched, source, key_cols, insert_only=insert_only
             )
-        rel = [
-            os.path.relpath(f, os.path.join(path, "data")) for f in touched
-        ]
+        rel = [_stored_name(path, f) for f in touched]
         try:
             v = rewrite(
                 merged,
@@ -905,6 +942,7 @@ def merge_into_table(
                 expect_version=head,
                 op="merge",
                 stats_cols=stats_cols,
+                txn=txn,
             )
         except TxConflictError as exc:
             last_err = exc
@@ -915,7 +953,318 @@ def merge_into_table(
             "files_total": len(live),
             "files_skipped_by_stats": skipped,
             "appended": False,
+            "skipped": False,
         }
     raise TxConflictError(
         f"merge lost {max_retries} commit races at {path}: {last_err}"
     )
+
+
+def last_committed_txn(path: str, app_id: str) -> int:
+    """Highest ``epoch`` committed for ``app_id`` — the reader half of
+    Delta's txnAppId/txnVersion idempotent-writer protocol. -1 when
+    the app never committed. O(log) driver-side metadata walk."""
+    best = -1
+    for v in _versions(path):
+        t = _read_entry(path, v).get("txn")
+        if t and t.get("app") == app_id:
+            best = max(best, int(t.get("epoch", -1)))
+    return best
+
+
+def append_txn(
+    df: DataFrame,
+    path: str,
+    app_id: str,
+    epoch: int,
+    stats_cols: list[str] | None = None,
+    max_retries: int = 10,
+) -> int | None:
+    """Idempotent append: commit ``df`` tagged (app_id, epoch); if a
+    commit from ``app_id`` with epoch >= ``epoch`` already exists the
+    write is SKIPPED (returns None) — a replayed micro-batch lands
+    zero rows. Assumes one live writer per app_id at a time (the
+    streaming-driver contract Delta documents for txnAppId); the data
+    staging happens only after the skip check, so replays cost one
+    metadata walk, no parquet write."""
+    if last_committed_txn(path, app_id) >= epoch:
+        return None
+    files = _write_data_files(df, path)
+    entry: dict = {
+        "op": "append",
+        "add": files,
+        "remove": [],
+        "txn": {"app": app_id, "epoch": int(epoch)},
+    }
+    if stats_cols:
+        entry["stats"] = _collect_file_stats(path, files, stats_cols)
+    for _ in range(max_retries):
+        head = (_versions(path) or [-1])[-1]
+        if _try_commit(path, head + 1, entry):
+            return head + 1
+    raise TxConflictError(f"append_txn lost {max_retries} commit races at {path}")
+
+
+def delete_from_table(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    prune_col: str | None = None,
+    prune_lo=None,
+    prune_hi=None,
+    stats_cols: list[str] | None = None,
+    max_retries: int = 3,
+) -> dict:
+    """SQL ``DELETE FROM t WHERE predicate`` on a tx table, the Delta
+    COW plan: (1) prune candidate files from commit-logged stats when
+    the caller supplies the predicate's column range (no false
+    negatives — statless files always scan), (2) one pass finds the
+    exact files CONTAINING matching rows, (3) only those files are
+    rewritten without their matching rows, atomically. Files with no
+    matches are never read again, never rewritten. ``predicate`` is a
+    SQL expression string evaluated by Spark (same text can run in
+    the oracle)."""
+    from pyspark.sql import functions as F
+
+    last_err: TxConflictError | None = None
+    for _ in range(max_retries):
+        head = (_versions(path) or [-1])[-1]
+        if head < 0:
+            raise ValueError(f"no tx table at {path}")
+        live = snapshot_files(path, head)
+        skipped = 0
+        candidates = live
+        if prune_col is not None:
+            candidates, skipped = plan_pruned_files(
+                path, prune_col, prune_lo, prune_hi, version=head
+            )
+        touched: list[str] = []
+        if candidates:
+            touched = [
+                re.sub(r"^file:/{0,2}(?=/)", "", r["_f"])
+                for r in spark.read.parquet(*candidates)
+                .filter(F.expr(predicate))
+                .select(F.input_file_name().alias("_f"))
+                .distinct()
+                .collect()
+            ]
+        if not touched:
+            return {
+                "version": head,
+                "files_touched": 0,
+                "files_total": len(live),
+                "files_skipped_by_stats": skipped,
+            }
+        kept = spark.read.parquet(*touched).filter(~F.expr(predicate))
+        rel = [_stored_name(path, f) for f in touched]
+        try:
+            v = rewrite(
+                kept, path, rel, expect_version=head, op="delete",
+                stats_cols=stats_cols,
+            )
+        except TxConflictError as exc:
+            last_err = exc
+            continue
+        return {
+            "version": v,
+            "files_touched": len(touched),
+            "files_total": len(live),
+            "files_skipped_by_stats": skipped,
+        }
+    raise TxConflictError(
+        f"delete lost {max_retries} commit races at {path}: {last_err}"
+    )
+
+
+def update_table(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    set_exprs: dict[str, str],
+    prune_col: str | None = None,
+    prune_lo=None,
+    prune_hi=None,
+    stats_cols: list[str] | None = None,
+    max_retries: int = 3,
+) -> dict:
+    """SQL ``UPDATE t SET col = expr WHERE predicate``: same
+    file-pruned COW plan as :func:`delete_from_table`, but touched
+    files are rewritten with matching rows transformed (non-matching
+    rows in those files are carried unchanged)."""
+    from pyspark.sql import functions as F
+
+    last_err: TxConflictError | None = None
+    for _ in range(max_retries):
+        head = (_versions(path) or [-1])[-1]
+        if head < 0:
+            raise ValueError(f"no tx table at {path}")
+        live = snapshot_files(path, head)
+        skipped = 0
+        candidates = live
+        if prune_col is not None:
+            candidates, skipped = plan_pruned_files(
+                path, prune_col, prune_lo, prune_hi, version=head
+            )
+        touched: list[str] = []
+        if candidates:
+            touched = [
+                re.sub(r"^file:/{0,2}(?=/)", "", r["_f"])
+                for r in spark.read.parquet(*candidates)
+                .filter(F.expr(predicate))
+                .select(F.input_file_name().alias("_f"))
+                .distinct()
+                .collect()
+            ]
+        if not touched:
+            return {
+                "version": head,
+                "files_touched": 0,
+                "files_total": len(live),
+                "files_skipped_by_stats": skipped,
+            }
+        tgt = spark.read.parquet(*touched)
+        match = F.expr(predicate)
+        updated = tgt.select(
+            *[
+                (
+                    F.when(match, F.expr(set_exprs[c])).otherwise(F.col(c))
+                    if c in set_exprs
+                    else F.col(c)
+                ).alias(c)
+                for c in tgt.columns
+            ]
+        )
+        rel = [_stored_name(path, f) for f in touched]
+        try:
+            v = rewrite(
+                updated, path, rel, expect_version=head, op="update",
+                stats_cols=stats_cols,
+            )
+        except TxConflictError as exc:
+            last_err = exc
+            continue
+        return {
+            "version": v,
+            "files_touched": len(touched),
+            "files_total": len(live),
+            "files_skipped_by_stats": skipped,
+        }
+    raise TxConflictError(
+        f"update lost {max_retries} commit races at {path}: {last_err}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Log checkpointing: O(entries-since-checkpoint) state replay
+# ---------------------------------------------------------------------------
+
+_CKPT_RE = re.compile(r"^(\d{8})\.checkpoint\.json$")
+
+
+def _latest_checkpoint(path: str, version: int | None = None):
+    """(checkpoint_version, payload) of the newest checkpoint at or
+    below ``version`` (head when None), or None. Unreadable/partial
+    checkpoints are skipped — a checkpoint is ALWAYS a pure
+    optimization, never required for correctness."""
+    try:
+        names = os.listdir(_log_dir(path))
+    except FileNotFoundError:
+        return None
+    cands = sorted(
+        (int(m.group(1)) for n in names if (m := _CKPT_RE.match(n))),
+        reverse=True,
+    )
+    for v in cands:
+        if version is not None and v > version:
+            continue
+        try:
+            with open(os.path.join(_log_dir(path), f"{v:08d}.checkpoint.json")) as fh:
+                payload = json.load(fh)
+            if payload.get("version") == v:
+                return v, payload
+        except (OSError, ValueError):
+            continue
+    return None
+
+
+def checkpoint_log(path: str) -> int:
+    """Write a checkpoint of the CURRENT head's folded state (live
+    file set + their stats) — Delta's 10-commit checkpoint mechanism:
+    afterwards every snapshot/stats fold replays only entries NEWER
+    than the checkpoint, so planning cost stays O(recent commits)
+    instead of O(table lifetime) on a long-lived streaming table.
+    Written to a temp file + atomic rename; readers that race the
+    rename simply use the previous checkpoint. Returns the
+    checkpointed version."""
+    head = (_versions(path) or [-1])[-1]
+    if head < 0:
+        raise ValueError(f"no tx table at {path}")
+    live, stats = _fold_live_and_stats(path, head)
+    payload = {"version": head, "live": live, "stats": stats}
+    final = os.path.join(_log_dir(path), f"{head:08d}.checkpoint.json")
+    tmp = final + f".tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, final)
+    return head
+
+
+def restore_table(path: str, version: int, max_retries: int = 10) -> int:
+    """Delta ``RESTORE TABLE t TO VERSION AS OF v``: commit a new
+    entry whose live set is exactly the target snapshot's (add files
+    live then but not now, remove files live now but not then). Pure
+    metadata — NO data is copied or rewritten; history is preserved
+    (the restore is itself a commit, so it can be restored away).
+    Fails if the target is below the vacuum horizon (its files may be
+    reclaimed)."""
+    if version < _vacuum_horizon(path):
+        raise ValueError(
+            f"cannot restore to {version}: below vacuum horizon "
+            f"{_vacuum_horizon(path)} at {path}"
+        )
+    target = {_stored_name(path, f) for f in snapshot_files(path, version)}
+    for _ in range(max_retries):
+        head = (_versions(path) or [-1])[-1]
+        if head < 0:
+            raise ValueError(f"no tx table at {path}")
+        current = {
+            _stored_name(path, f) for f in snapshot_files(path, head)
+        }
+        entry = {
+            "op": "restore",
+            "add": sorted(target - current),
+            "remove": sorted(current - target),
+            "restore_of": version,
+        }
+        if _try_commit(path, head + 1, entry):
+            return head + 1
+    raise TxConflictError(f"restore lost {max_retries} commit races at {path}")
+
+
+def clone_table(src_path: str, dst_path: str, version: int | None = None) -> int:
+    """Delta SHALLOW CLONE: create a NEW tx table whose version 0
+    references the source snapshot's data files by absolute path —
+    zero data copied, O(files) metadata. The clone then evolves
+    independently (its own log; appends/merges land under its own
+    data/ dir). Contract (same as Delta): the source must not VACUUM
+    past the cloned version while the clone lives — document-level
+    coupling, checked lazily at read time by the missing-file error."""
+    if _versions(dst_path):
+        raise FileExistsError(f"tx table already exists at {dst_path}")
+    src_files = snapshot_files(src_path, version)
+    # store absolute paths: snapshot_files only path-joins relative
+    # names, and os.path.join passes absolute components through.
+    entry = {"op": "clone", "add": src_files, "remove": [],
+             "clone_of": {"path": src_path, "version": version}}
+    stats_src = snapshot_file_stats(src_path, version)
+    data_root = os.path.join(src_path, "data")
+    stats = {
+        os.path.join(data_root, rel): per for rel, per in stats_src.items()
+    }
+    if stats:
+        entry["stats"] = stats
+    if not _try_commit(dst_path, 0, entry):
+        raise FileExistsError(f"concurrent create at {dst_path}")
+    return 0

@@ -286,6 +286,50 @@ def stream_to_txlog_table(
     q.awaitTermination()
 
 
+def stream_merge_to_txlog_table(
+    stream: DataFrame,
+    path: str,
+    key_cols: list[str],
+    checkpoint: str,
+    app_id: str = "tx_merge_sink",
+    query_name: str = "tx_merge_sink",
+) -> None:
+    """Streaming UPSERT into the transaction-log table — the Delta
+    streaming-MERGE sink pattern: foreachBatch runs the file-pruned
+    ACID merge per micro-batch, and every commit is stamped
+    (app_id, batch_id) so a REPLAYED batch (crash after commit but
+    before the checkpoint write, or a re-drain from a fresh
+    checkpoint) is detected via ``last_committed_txn`` and skipped
+    before any data is staged — exactly-once even though foreachBatch
+    alone is at-least-once. Contract (same as Delta txnAppId): one
+    live writer per app_id, monotone batch ids, and source keys
+    unique within a batch."""
+    from dss_nlp_ingestion_spark.sources import txlog
+
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        if not txlog._versions(path):
+            try:
+                txlog.create_table(batch_df.limit(0), path)
+            except FileExistsError:
+                pass  # concurrent batch-0 retry created it
+        txlog.merge_into_table(
+            batch_df.sparkSession,
+            path,
+            batch_df,
+            key_cols,
+            txn=(app_id, batch_id),
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def click_purchase_stream_join(
     clicks: DataFrame,
     purchases: DataFrame,

@@ -549,3 +549,181 @@ def test_merge_into_table_survives_concurrent_append(spark):
         txlog.rewrite = orig_rewrite
     got = {r["k"]: r["c"] for r in txlog.read(spark, path).collect()}
     assert got[1] == "u" and got[200] == "race" and len(got) == 9
+
+
+def test_append_txn_skips_replayed_epochs(spark):
+    path = tempfile.mkdtemp(prefix="dss_txn_")
+    txlog.create_table(_tbl(spark, [(1, "a")]), path)
+    v1 = txlog.append_txn(_tbl(spark, [(2, "b")]), path, "appX", 0)
+    assert v1 == 1 and txlog.last_committed_txn(path, "appX") == 0
+    # replay of epoch 0 and anything older is a no-op
+    assert txlog.append_txn(_tbl(spark, [(2, "b")]), path, "appX", 0) is None
+    assert txlog.snapshot_row_count(path) == 2
+    # a different app's epoch space is independent
+    assert txlog.append_txn(_tbl(spark, [(3, "c")]), path, "appY", 0) == 2
+    # next epoch of appX commits
+    assert txlog.append_txn(_tbl(spark, [(4, "d")]), path, "appX", 1) == 3
+    assert txlog.last_committed_txn(path, "appX") == 1
+    assert txlog.last_committed_txn(path, "appZ") == -1
+
+
+def test_merge_into_table_txn_replay_is_skipped(spark):
+    path = tempfile.mkdtemp(prefix="dss_txn_")
+    txlog.create_table(_orders_tbl(spark, n=8, files=1), path)
+    src = spark.createDataFrame([(1, "u", 9.0)], "k long, c string, p double")
+    r1 = txlog.merge_into_table(spark, path, src, ["k"], txn=("m", 5))
+    assert not r1["skipped"]
+    n_versions = len(txlog.history(path))
+    # same epoch replayed -> skipped before staging anything
+    r2 = txlog.merge_into_table(spark, path, src, ["k"], txn=("m", 5))
+    assert r2["skipped"]
+    assert len(txlog.history(path)) == n_versions
+    # later epoch commits (and the merge is idempotent on the data)
+    r3 = txlog.merge_into_table(spark, path, src, ["k"], txn=("m", 6))
+    assert not r3["skipped"]
+    got = {r["k"]: r["c"] for r in txlog.read(spark, path).collect()}
+    assert got[1] == "u" and len(got) == 8
+
+
+def test_stream_merge_to_txlog_replay_lands_nothing(spark):
+    """Drain a stream into the merge sink, then replay it end-to-end
+    from a fresh checkpoint: every batch is skipped by the (app,
+    epoch) bookkeeping and the table is byte-identical."""
+    import os
+
+    from dss_nlp_ingestion_spark.streaming.pipeline import (
+        read_events_stream,
+        stream_merge_to_txlog_table,
+    )
+
+    base = tempfile.mkdtemp(prefix="dss_txnstream_")
+    src = base + "/src"
+    df = _orders_tbl(spark, n=30, files=3)
+    df.write.parquet(src)
+
+    def drain(ckpt):
+        stream = read_events_stream(spark, src, schema=df.schema)
+        stream_merge_to_txlog_table(
+            stream, base + "/t", ["k"], os.path.join(base, ckpt), app_id="s1"
+        )
+
+    drain("c1")
+    files_after_first = set(txlog.snapshot_files(base + "/t"))
+    rows1 = sorted(r["k"] for r in txlog.read(spark, base + "/t").collect())
+    assert rows1 == sorted(range(30))
+    drain("c2")  # full replay
+    assert set(txlog.snapshot_files(base + "/t")) == files_after_first
+    rows2 = sorted(r["k"] for r in txlog.read(spark, base + "/t").collect())
+    assert rows2 == rows1
+
+
+def test_delete_from_table_rewrites_only_matching_files(spark):
+    path = tempfile.mkdtemp(prefix="dss_txdel_")
+    txlog.create_table(_orders_tbl(spark, n=40, files=4), path, stats_cols=["k"])
+    before = set(txlog.snapshot_files(path))
+    res = txlog.delete_from_table(
+        spark, path, "k >= 5 AND k < 8", prune_col="k", prune_lo=5, prune_hi=7
+    )
+    assert res["files_touched"] == 1 and res["files_skipped_by_stats"] >= 1
+    after = set(txlog.snapshot_files(path))
+    assert len(before & after) == len(before) - 1  # others carried
+    got = sorted(r["k"] for r in txlog.read(spark, path).collect())
+    assert got == [k for k in range(40) if not (5 <= k < 8)]
+    assert txlog.history(path)[-1]["op"] == "delete"
+    # no-match delete commits nothing
+    head = len(txlog.history(path))
+    res2 = txlog.delete_from_table(spark, path, "k = 999")
+    assert res2["files_touched"] == 0
+    assert len(txlog.history(path)) == head
+
+
+def test_update_table_transforms_only_matching_rows(spark):
+    path = tempfile.mkdtemp(prefix="dss_txupd_")
+    txlog.create_table(_orders_tbl(spark, n=20, files=2), path, stats_cols=["k"])
+    res = txlog.update_table(
+        spark, path, "k % 2 = 0", {"p": "p * 2", "c": "concat(c, '!')"},
+        prune_col="k",
+    )
+    assert res["files_touched"] == 2
+    got = {r["k"]: (r["c"], r["p"]) for r in txlog.read(spark, path).collect()}
+    assert got[4] == ("c4!", 16.0)   # matched: both SET exprs applied
+    assert got[5] == ("c5", 10.0)    # unmatched row in touched file intact
+    assert len(got) == 20
+
+
+def test_checkpoint_log_replay_equivalence_and_time_travel(spark):
+    path = tempfile.mkdtemp(prefix="dss_txckpt_")
+    txlog.create_table(_tbl(spark, [(1, "a")]), path)
+    txlog.append(_tbl(spark, [(2, "b")]), path)
+    no_ck_files = set(txlog.snapshot_files(path))
+    ckv = txlog.checkpoint_log(path)
+    assert ckv == 1
+    # fold through the checkpoint == full fold
+    assert set(txlog.snapshot_files(path)) == no_ck_files
+    # commits after the checkpoint fold on top of it
+    txlog.append(_tbl(spark, [(3, "c")]), path)
+    got = sorted(r["k"] for r in txlog.read(spark, path).collect())
+    assert got == [1, 2, 3]
+    # time travel BELOW the checkpoint still replays the raw log
+    assert sorted(r["k"] for r in txlog.read(spark, path, version=0).collect()) == [1]
+    # stats survive through the checkpoint for pruned planning
+    path2 = tempfile.mkdtemp(prefix="dss_txckpt2_")
+    txlog.create_table(
+        _orders_tbl(spark, n=40, files=4), path2, stats_cols=["k"]
+    )
+    txlog.checkpoint_log(path2)
+    files, skipped = txlog.plan_pruned_files(path2, "k", 0, 5)
+    assert skipped >= 2
+    # a torn checkpoint (partial write) is ignored, not fatal
+    import os
+    torn = os.path.join(path2, "_txlog", "00000000.checkpoint.json")
+    with open(torn, "w") as fh:
+        fh.write('{"version": 0, "liv')
+    assert len(txlog.snapshot_files(path2)) == 4
+
+
+def test_restore_table_is_metadata_only_and_reversible(spark):
+    path = tempfile.mkdtemp(prefix="dss_txrest_")
+    txlog.create_table(_tbl(spark, [(1, "a"), (2, "b")]), path)
+    txlog.append(_tbl(spark, [(3, "c")]), path)
+    txlog.delete_from_table(spark, path, "k = 1")
+    assert sorted(r["k"] for r in txlog.read(spark, path).collect()) == [2, 3]
+    v = txlog.restore_table(path, 0)
+    assert v == 3 and txlog.history(path)[-1]["op"] == "restore"
+    assert sorted(r["k"] for r in txlog.read(spark, path).collect()) == [1, 2]
+    # the restore is itself a commit: restore away the restore
+    txlog.restore_table(path, 2)
+    assert sorted(r["k"] for r in txlog.read(spark, path).collect()) == [2, 3]
+    # restoring to the pre-restore head is a no-files-changed commit
+    e = txlog._read_entry(path, 4)
+    assert e["restore_of"] == 2
+
+
+def test_clone_table_zero_copy_and_independent_evolution(spark):
+    import os
+
+    src = tempfile.mkdtemp(prefix="dss_txclone_src_")
+    dst = tempfile.mkdtemp(prefix="dss_txclone_dst_") + "/t"
+    txlog.create_table(_orders_tbl(spark, n=20, files=2), src, stats_cols=["k"])
+    txlog.append(_orders_tbl(spark, n=5, files=1), src)
+    txlog.clone_table(src, dst, version=0)
+    # zero copy: the clone's data dir holds nothing
+    assert not os.path.isdir(os.path.join(dst, "data"))
+    got = sorted(r["k"] for r in txlog.read(spark, dst).collect())
+    assert got == sorted(range(20))  # version-0 snapshot, not head
+    # clone evolves independently; source unchanged
+    txlog.merge_into_table(
+        spark, dst,
+        spark.createDataFrame([(1, "u", 0.0)], "k long, c string, p double"),
+        ["k"],
+    )
+    clone_rows = txlog.read(spark, dst).collect()
+    # exactly-20: the COW rewrite must remove the touched SOURCE file
+    # from the clone's live set by its logged ABSOLUTE name (a raw
+    # relpath would never match and the old rows would stay live)
+    assert len(clone_rows) == 20
+    assert {r["k"]: r["c"] for r in clone_rows}[1] == "u"
+    assert {r["k"]: r["c"] for r in txlog.read(spark, src, version=0).collect()}[1] == "c1"
+    # cloned stats serve pruned planning on the clone
+    _, skipped = txlog.plan_pruned_files(dst, "k", 0, 4)
+    assert skipped >= 1
