@@ -173,6 +173,11 @@ class TxLogDataSource(DataSource):
     def writer(self, schema, overwrite: bool):
         return _TxLogWriter(self.options, schema, overwrite)
 
+    def streamWriter(self, schema, overwrite: bool):  # noqa: N802
+        if overwrite:
+            raise ValueError("txlog streaming writer supports append mode only")
+        return _TxLogStreamWriter(self.options, schema)
+
 
 def register(spark) -> None:
     spark.dataSource.register(TxLogDataSource)
@@ -232,10 +237,8 @@ class _TxLogWriter(DataSourceWriter):
                 if head < 0:
                     remove: list[str] = []
                 else:
-                    import os
-
                     remove = [
-                        os.path.relpath(f, os.path.join(self.path, "data"))
+                        txlog._stored_name(self.path, f)
                         for f in txlog.snapshot_files(self.path, head)
                     ]
                 entry = {"op": "overwrite", "add": files, "remove": remove}
@@ -250,6 +253,76 @@ class _TxLogWriter(DataSourceWriter):
         raise txlog.TxConflictError(f"append lost commit races at {self.path}")
 
     def abort(self, messages):  # nothing referenced -> nothing visible
+        import os
+
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self.path, "data", m.rel))
+                except OSError:
+                    pass
+
+
+# ---------------------------------------------------------------------------
+# Streaming writer: df.writeStream.format("txlog").start(...)
+# ---------------------------------------------------------------------------
+# Spark hands every micro-batch through the same two-phase protocol as
+# the batch writer — tasks stage, driver commits — and additionally
+# passes the batchId, which maps 1:1 onto the log's idempotent-writer
+# txn stamp: commit() skips any batchId at or below the app's last
+# committed epoch, so a replayed micro-batch (restart, checkpoint
+# loss) lands ZERO rows. This is the engine-native form of
+# streaming.pipeline.stream_merge_to_txlog_table's foreachBatch sink,
+# for the append case.
+
+from pyspark.sql.datasource import DataSourceStreamWriter
+
+
+class _TxLogStreamWriter(DataSourceStreamWriter):
+    def __init__(self, options: dict, schema):
+        self.path = options["path"]
+        self.app = options.get("appid", "txlog_stream")
+        self.schema = schema
+
+    def write(self, iterator):  # executor-side, per partition per batch
+        import os
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(self.schema)
+        rows = [r.asDict() for r in iterator]
+        txn = _uuid.uuid4().hex[:12]
+        staged_dir = os.path.join(self.path, "data", txn)
+        os.makedirs(staged_dir, exist_ok=True)
+        name = f"part-{_uuid.uuid4().hex[:12]}.parquet"
+        tbl = pa.Table.from_pylist(rows, schema=arrow_schema)
+        pq.write_table(tbl, os.path.join(staged_dir, name))
+        return _StagedFile(rel=f"{txn}/{name}")
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803
+        if txlog.last_committed_txn(self.path, self.app) >= batchId:
+            # Replayed epoch: files were staged by this batch's tasks
+            # but must never become visible; leave them to vacuum.
+            return
+        files = [m.rel for m in messages if m is not None]
+        entry = {
+            "op": "append",
+            "add": files,
+            "remove": [],
+            "txn": {"app": self.app, "epoch": int(batchId)},
+        }
+        for _ in range(10):
+            head = ([h["version"] for h in txlog.history(self.path)] or [-1])[-1]
+            if txlog._try_commit(self.path, head + 1, entry):
+                return
+        raise txlog.TxConflictError(
+            f"stream append lost commit races at {self.path}"
+        )
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803
         import os
 
         for m in messages:

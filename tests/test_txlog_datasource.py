@@ -191,3 +191,47 @@ def test_batch_read_merges_evolved_schemas(spark):
     assert sorted(got.columns) == ["extra", "k", "v"]
     rows = {r["k"]: (r["v"], r["extra"]) for r in got.collect()}
     assert rows == {1: ("a", None), 2: ("b", "X")}
+
+
+def test_stream_writer_appends_exactly_once_across_replay(spark, tmp_path):
+    """writeStream.format('txlog'): micro-batches land through the
+    two-phase commit with the batchId as the idempotent-writer epoch.
+    A full replay from a fresh checkpoint re-stages files but
+    commit() skips every already-committed epoch — zero duplicate
+    rows, and the skipped batches' staged files stay unreferenced
+    (vacuumable orphans, invisible to readers)."""
+    _registered(spark)
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "k long, v string"
+    ).repartition(2)
+    df.write.parquet(src)
+
+    def drain(ckpt: str) -> None:
+        q = (
+            spark.readStream.schema(df.schema)
+            .format("parquet")
+            .load(src)
+            .writeStream.format("txlog")
+            .option("path", table)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .option("appid", "sw1")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain("c1")
+    rows1 = sorted(r["k"] for r in txlog.read(spark, table).collect())
+    assert rows1 == sorted(range(20))
+    assert txlog.last_committed_txn(table, "sw1") >= 0
+    versions_before = len(txlog.history(table))
+    drain("c2")  # full replay from a fresh checkpoint
+    assert len(txlog.history(table)) == versions_before  # nothing committed
+    rows2 = sorted(r["k"] for r in txlog.read(spark, table).collect())
+    assert rows2 == rows1
+    # replayed batches left only unreferenced staged files: vacuum
+    # reclaims them and the table still reads identically
+    txlog.vacuum(table)
+    assert sorted(r["k"] for r in txlog.read(spark, table).collect()) == rows1
