@@ -905,3 +905,77 @@ def wav_spectral_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
                 "peak_bin": pd.Series(rows["peak_bin"], dtype="int32"),
             }
         )
+
+
+# --- audio feature extraction: windowed energy / peak / activity ----------
+
+#: fixed analysis window (samples) for the energy features — the
+#: frame-level granularity a VAD/segmentation stage consumes.
+AUDIO_WINDOW = 64
+
+#: mean-square activity threshold (integer compare: energy >= T * n).
+AUDIO_ACTIVE_MSQ = 1 << 28
+
+AUDIO_WINDOW_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("win", LongType()),
+        StructField("win_n", LongType()),
+        StructField("energy", LongType()),
+        StructField("peak", IntegerType()),
+        StructField("active", LongType()),
+    ]
+)
+
+
+def wav_energy_windows_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage: (doc_id, payload) -> one row per
+    AUDIO_WINDOW-sample frame with integer energy (sum x^2), peak
+    |amplitude|, and an activity flag (mean-square threshold, integer
+    compare) — the frame-level feature extraction (VAD/segmentation
+    front end) over the REAL RIFF parse. All-integer outputs keep the
+    feature hash-exact cross-engine."""
+    import numpy as np
+
+    w = AUDIO_WINDOW
+    for pdf in batches:
+        rows = {
+            "doc_id": [], "win": [], "win_n": [],
+            "energy": [], "peak": [], "active": [],
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            _rate, _ch, samples = decode_wav(bytes(payload))
+            x = samples.astype(np.int64)
+            for k in range((len(x) + w - 1) // w):
+                seg = x[k * w : (k + 1) * w]
+                energy = int((seg * seg).sum())
+                rows["doc_id"].append(int(doc_id))
+                rows["win"].append(k)
+                rows["win_n"].append(len(seg))
+                rows["energy"].append(energy)
+                rows["peak"].append(int(np.abs(seg).max()))
+                rows["active"].append(
+                    1 if energy >= AUDIO_ACTIVE_MSQ * len(seg) else 0
+                )
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "win": pd.Series(rows["win"], dtype="int64"),
+                "win_n": pd.Series(rows["win_n"], dtype="int64"),
+                "energy": pd.Series(rows["energy"], dtype="int64"),
+                "peak": pd.Series(rows["peak"], dtype="int32"),
+                "active": pd.Series(rows["active"], dtype="int64"),
+            }
+        )
+
+
+def audio_energy_windows(df: DataFrame) -> DataFrame:
+    """Windowed audio features over real WAV bytes (synth -> decode ->
+    frame features; two bounded Arrow stages, blobs never aggregate)."""
+    from dss_nlp_ingestion_spark.catalog import ensure_parallelism
+
+    ids = ensure_parallelism(df.select("doc_id"))
+    wavs = ids.mapInPandas(synth_wav_batch, schema=BINARY_DOC_SCHEMA)
+    return wavs.mapInPandas(wav_energy_windows_batch, schema=AUDIO_WINDOW_SCHEMA)

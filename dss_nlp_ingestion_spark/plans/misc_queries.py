@@ -2007,3 +2007,66 @@ def txlog_restore_clone_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     txlog.restore_table(src, 0)
     txlog.clone_table(src, base + "/clone")
     return txlog.read(spark, base + "/clone")
+
+
+_TXLOG_CDC_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+  UNION ALL
+  SELECT o_orderkey + 40000000, o_custkey, o_totalprice
+  FROM orders WHERE o_orderkey % 251 = 0
+)
+SELECT o_orderkey, o_custkey,
+       CASE WHEN o_custkey % 50 = 0 THEN o_totalprice * 2
+            ELSE o_totalprice END AS o_totalprice
+FROM base WHERE o_orderkey % 509 <> 0
+"""
+
+
+@register("txlog_cdc_replicate_orders", _TXLOG_CDC_ORACLE)
+def txlog_cdc_replicate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end CDC replication between ACID tables: source gets an
+    APPEND + DELETE + UPDATE after the replica is shallow-cloned from
+    version 0; ONE replicate_incremental cycle consumes the source's
+    net change feed (O(commit delta)) and applies it through the
+    file-pruned merge, watermarked exactly-once by the (cdc, source
+    version) txn stamp in the replica's own log. A second cycle is a
+    watermark no-op. The hash match proves the replica equals the
+    source head without ever reading either table in full."""
+    import tempfile
+
+    from dss_nlp_ingestion_spark.sources import txlog
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    base = tempfile.mkdtemp(prefix="dss_txcdc_")
+    src = base + "/src"
+    dst = base + "/replica"
+    txlog.create_table(
+        orders.repartitionByRange(4, "o_orderkey"), src,
+        stats_cols=["o_orderkey"],
+    )
+    txlog.clone_table(src, dst, version=0)
+    txlog.append(
+        orders.filter(F.col("o_orderkey") % 251 == 0).withColumn(
+            "o_orderkey", F.col("o_orderkey") + 40000000
+        ),
+        src,
+        stats_cols=["o_orderkey"],
+    )
+    txlog.delete_from_table(
+        spark, src, "o_orderkey % 509 = 0", stats_cols=["o_orderkey"]
+    )
+    txlog.update_table(
+        spark, src, "o_custkey % 50 = 0",
+        {"o_totalprice": "o_totalprice * 2"},
+        stats_cols=["o_orderkey"],
+    )
+    r1 = txlog.replicate_incremental(
+        spark, src, dst, ["o_orderkey"], stats_cols=["o_orderkey"]
+    )
+    assert not r1["skipped"]
+    r2 = txlog.replicate_incremental(spark, src, dst, ["o_orderkey"])
+    assert r2["skipped"]  # watermark: nothing new to apply
+    return txlog.read(spark, dst)

@@ -375,3 +375,46 @@ def audio_frame_energy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dss_nlp_ingestion_spark.operators.multimodal import audio_frame_energy
 
     return audio_frame_energy(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+
+# Audio FEATURE EXTRACTION beyond whole-clip stats: fixed 64-sample
+# frames with integer energy/peak/activity. The oracle replays the
+# closed-form signal frame-by-frame, so a hash match proves the
+# windowing arithmetic over the decoded samples, not just the decode.
+_AUDIO_WINDOWS_ORACLE = """
+WITH ids AS (
+  SELECT doc_id, 256 + doc_id % 97 AS n FROM documents
+), s AS (
+  SELECT doc_id, unnest(generate_series(0, n - 1)) AS i FROM ids
+), v AS (
+  SELECT doc_id, i // 64 AS win,
+         CAST((7 * doc_id + 13 * i) % 65536 - 32768 AS BIGINT) AS x
+  FROM s
+)
+SELECT doc_id,
+       CAST(win AS BIGINT) AS win,
+       CAST(count(*) AS BIGINT) AS win_n,
+       CAST(sum(x * x) AS BIGINT) AS energy,
+       CAST(max(abs(x)) AS INT) AS peak,
+       CAST(CASE WHEN sum(x * x) >= 268435456 * count(*) THEN 1 ELSE 0 END
+            AS BIGINT) AS active
+FROM v GROUP BY doc_id, win
+"""
+
+
+@register("media_audio_energy_windows", _AUDIO_WINDOWS_ORACLE)
+def media_audio_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level audio features (the VAD/segmentation front end a
+    multimodal training pipeline runs after decode): 64-sample
+    windows -> integer energy, peak amplitude, activity flag —
+    computed from REAL RIFF/PCM parses in a bounded Arrow stage
+    (operators/multimodal.py:wav_energy_windows_batch). All-integer
+    features make the audio modality's FEATURE math hash-exact, the
+    same guarantee the pixel/frame stats give images and video."""
+    from dss_nlp_ingestion_spark.operators.multimodal import (
+        audio_energy_windows,
+    )
+
+    return audio_energy_windows(table(spark, sf_dir, "documents"))

@@ -1385,3 +1385,33 @@ def test_event_sequence_matcher_semantics(spark, tmp_path):
         for r in event_sequence_matches(spark, str(tmp_path)).collect()
     }
     assert out == {1: 1, 2: 0, 3: 2}
+
+
+def test_wav_energy_windows_features_are_exact():
+    """Windowed audio features: a crafted two-tone clip (silence then
+    full-scale square wave) yields inactive zero-energy frames, then
+    active frames with exact integer energy and peak."""
+    import numpy as np
+    import pandas as pd
+
+    from dss_nlp_ingestion_spark.operators import multimodal as M
+
+    w = M.AUDIO_WINDOW
+    silence = np.zeros(w, dtype=np.int16)
+    loud = np.full(w, 20000, dtype=np.int16)
+    loud[1::2] = -20000
+    samples = np.concatenate([silence, loud, loud[: w // 2]])
+    payload = M.encode_wav(samples, 8000)
+    out = pd.concat(
+        M.wav_energy_windows_batch(
+            iter([pd.DataFrame({"doc_id": [7], "payload": [payload]})])
+        )
+    )
+    rows = {int(r.win): r for r in out.itertuples()}
+    assert len(rows) == 3
+    assert rows[0].energy == 0 and rows[0].active == 0 and rows[0].peak == 0
+    assert rows[1].energy == w * 20000 * 20000 and rows[1].active == 1
+    assert rows[1].peak == 20000
+    # ragged tail window: win_n < AUDIO_WINDOW, threshold scales by n
+    assert rows[2].win_n == w // 2
+    assert rows[2].energy == (w // 2) * 20000 * 20000 and rows[2].active == 1

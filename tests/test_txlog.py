@@ -727,3 +727,44 @@ def test_clone_table_zero_copy_and_independent_evolution(spark):
     # cloned stats serve pruned planning on the clone
     _, skipped = txlog.plan_pruned_files(dst, "k", 0, 4)
     assert skipped >= 1
+
+
+def test_replicate_incremental_applies_cdc_and_watermarks(spark):
+    src = tempfile.mkdtemp(prefix="dss_cdc_src_")
+    dst = tempfile.mkdtemp(prefix="dss_cdc_dst_") + "/r"
+    txlog.create_table(_orders_tbl(spark, n=20, files=2), src, stats_cols=["k"])
+    txlog.clone_table(src, dst, version=0)
+    # source evolves: append, delete, update
+    txlog.append(
+        spark.createDataFrame([(100, "new", 1.0)], "k long, c string, p double"),
+        src,
+    )
+    txlog.delete_from_table(spark, src, "k = 3")
+    txlog.update_table(spark, src, "k = 4", {"c": "'upd'"})
+    r1 = txlog.replicate_incremental(spark, src, dst, ["k"])
+    assert not r1["skipped"] and r1["applied_from"] == 0
+    got = {r["k"]: r["c"] for r in txlog.read(spark, dst).collect()}
+    want = {r["k"]: r["c"] for r in txlog.read(spark, src).collect()}
+    assert got == want
+    assert 3 not in got and got[4] == "upd" and got[100] == "new"
+    # second cycle: watermark no-op
+    r2 = txlog.replicate_incremental(spark, src, dst, ["k"])
+    assert r2["skipped"]
+    # further source commits replicate from the watermark, not from 0
+    txlog.append(
+        spark.createDataFrame([(101, "n2", 2.0)], "k long, c string, p double"),
+        src,
+    )
+    r3 = txlog.replicate_incremental(spark, src, dst, ["k"])
+    assert not r3["skipped"] and r3["applied_from"] == r1["applied_to"]
+    assert {r["k"]: r["c"] for r in txlog.read(spark, dst).collect()}[101] == "n2"
+
+
+def test_replicate_incremental_rejects_foreign_replica(spark):
+    src = tempfile.mkdtemp(prefix="dss_cdc_src_")
+    other = tempfile.mkdtemp(prefix="dss_cdc_oth_")
+    txlog.create_table(_tbl(spark, [(1, "a")]), src)
+    txlog.create_table(_tbl(spark, [(1, "a")]), other)
+    txlog.append(_tbl(spark, [(2, "b")]), src)
+    with pytest.raises(ValueError, match="not initialized from"):
+        txlog.replicate_incremental(spark, src, other, ["k"])
