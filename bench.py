@@ -88,6 +88,8 @@ BENCH_QUERIES = (
     "txlog_merge_upsert_orders",
     "gopher_repetition_gate",
     "keyword_model_topk",
+    "triangle_count_coparts",
+    "decayed_user_scores",
 )
 
 

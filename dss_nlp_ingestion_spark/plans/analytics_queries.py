@@ -1215,3 +1215,125 @@ def event_sequence_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.aggregate(F.col("s"), init, fold)["cnt"].cast("long").alias("n_matches"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-indexed decayed activity score (feature-store recency weighting)
+# ---------------------------------------------------------------------------
+
+# Recency-weighted user activity without float drift: per user, fold
+# events in (ts, event_id) order with integer decay
+#   score <- score - (score >> 2) + value_cents
+# (3/4 retention per event, arithmetic shift, int64). EMA with a float
+# alpha would be order-of-rounding fragile across engines; the shift
+# fold is bit-exact, and the codegen HOF aggregate keeps the whole
+# fold JVM-side (same pattern as the CEP automaton). One shuffle on
+# user_id; per-user lists are session-bounded.
+_DECAY_ORACLE = """
+WITH v AS (
+  SELECT user_id, epoch_ms(ts) AS ms, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+), l AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         list(cents ORDER BY ms, event_id) AS vals
+  FROM v GROUP BY user_id
+)
+SELECT user_id, n_events,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), vals),
+                        (acc, x) -> acc - (acc >> 2) + x) AS BIGINT)
+         AS decayed_score
+FROM l
+"""
+
+
+@register("decayed_user_scores", _DECAY_ORACLE)
+def decayed_user_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user recency-decayed activity score: ordered integer fold
+    (3/4 retention per event via arithmetic shift) over each user's
+    event values — the feature-store recency feature, bit-exact by
+    construction. Plan: one user_id shuffle, then a codegen
+    sort_array + aggregate HOF; no window, no Python."""
+    from dss_nlp_ingestion_spark.functions.dates import epoch_ms as _ems
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        _ems(F.col("ts")).alias("ms"),
+        "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    lst = F.transform(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("ms"), F.col("event_id"), F.col("cents")))
+        ),
+        lambda s: s["cents"],
+    )
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.aggregate(
+            lst,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc - F.shiftright(acc, 2) + x,
+        ).alias("decayed_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting on the co-purchase graph (distributed graph analytics)
+# ---------------------------------------------------------------------------
+
+_TRIANGLES_ORACLE = """
+WITH e AS (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+  WHERE l1.l_partkey < l2.l_partkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles,
+       CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges
+FROM e e1
+JOIN e e2 ON e2.a = e1.b
+JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+
+@register("triangle_count_coparts", _TRIANGLES_ORACLE)
+def triangle_count_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting (the clustering-coefficient backbone) on the
+    co-purchase graph: parts are vertices, an edge joins parts that
+    appear in the same order. Edges are ORIENTED low-id -> high-id, so
+    each triangle is found exactly once as a<b<c: one path join
+    (e1.b = e2.a) + one closing semi-check — the standard distributed
+    formulation (two hash-join shuffles on vertex keys, no Cartesian
+    anywhere, no driver-side adjacency). At 100 TB hot vertices skew
+    the path join; orient by DEGREE instead of id (same plan shape)
+    and/or salt per operators/skew.py."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    e = (
+        li.alias("x")
+        .join(li.alias("y"), "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .distinct()
+        # referenced three times (path join x2 + closing check + edge
+        # count): persist once or pay the lineitem self-join thrice
+        .persist()
+    )
+    paths = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .select(
+            F.col("e1.a").alias("pa"),
+            F.col("e1.b").alias("pb"),
+            F.col("e2.b").alias("pc"),
+        )
+    )
+    tri = paths.join(
+        e.alias("e3"),
+        (F.col("pa") == F.col("e3.a")) & (F.col("pc") == F.col("e3.b")),
+    )
+    return tri.agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    ).crossJoin(e.agg(F.count(F.lit(1)).cast("long").alias("n_edges")))

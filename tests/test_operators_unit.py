@@ -1415,3 +1415,47 @@ def test_wav_energy_windows_features_are_exact():
     # ragged tail window: win_n < AUDIO_WINDOW, threshold scales by n
     assert rows[2].win_n == w // 2
     assert rows[2].energy == (w // 2) * 20000 * 20000 and rows[2].active == 1
+
+
+def test_decayed_score_fold_is_order_sensitive_and_exact(spark, tmp_path):
+    """The decay fold weights recent events more: the same multiset of
+    values in different time orders yields different scores, computed
+    by the exact integer recurrence."""
+    from dss_nlp_ingestion_spark.plans.analytics_queries import (
+        decayed_user_scores,
+    )
+
+    rows = [
+        # user 1: small early, big late  -> big survives undamped
+        (1, 1, "2024-01-01 00:00:00", 1.0),
+        (2, 1, "2024-01-01 01:00:00", 100.0),
+        # user 2: big early, small late  -> big decayed once
+        (3, 2, "2024-01-01 00:00:00", 100.0),
+        (4, 2, "2024-01-01 01:00:00", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    out = {r["user_id"]: r for r in decayed_user_scores(spark, str(tmp_path)).collect()}
+    # u1: acc=100 -> 100-25+10000=10075 ; u2: acc=10000 -> 10000-2500+100=7600
+    assert out[1]["decayed_score"] == 10075
+    assert out[2]["decayed_score"] == 7600
+    assert out[1]["n_events"] == 2
+
+
+def test_triangle_count_on_crafted_graph(spark, tmp_path):
+    """Orders as hyperedges: order 1 = {1,2,3} (one triangle), order 2
+    = {3,4} (edge only), order 3 = {1,2} (duplicate edge, no new
+    triangle) -> exactly 1 triangle, 4 distinct edges."""
+    from dss_nlp_ingestion_spark.plans.analytics_queries import (
+        triangle_count_coparts,
+    )
+
+    li = [(1, p) for p in (1, 2, 3)] + [(2, 3), (2, 4), (3, 1), (3, 2)]
+    spark.createDataFrame(li, "l_orderkey long, l_partkey long").coalesce(
+        1
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    row = triangle_count_coparts(spark, str(tmp_path)).collect()[0]
+    assert row["n_triangles"] == 1
+    assert row["n_edges"] == 4
