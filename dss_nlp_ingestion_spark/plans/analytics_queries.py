@@ -1337,3 +1337,88 @@ def triangle_count_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tri.agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     ).crossJoin(e.agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
+
+
+# ---------------------------------------------------------------------------
+# Robust rate-anomaly detection (median/MAD over hourly event counts)
+# ---------------------------------------------------------------------------
+
+# All-integer robustness: counts are ints, both medians are the DISC
+# definition (row_number pick, deterministic hour tie-break), and the
+# 3-sigma-equivalent flag compares |x - med| * 2 > 3 * (2 * mad)
+# == |x - med| > 3 * mad without ever forming a float. The classic
+# monitoring query (is this hour's volume abnormal for this event
+# type?) with zero cross-engine drift.
+_ANOMALY_ORACLE = """
+WITH hc AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+), med AS (
+  SELECT event_type, n AS med_n FROM (
+    SELECT event_type, n,
+           row_number() OVER (PARTITION BY event_type ORDER BY n, hour) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS cnt
+    FROM hc
+  ) WHERE rn = (cnt + 1) // 2
+), dev AS (
+  SELECT hc.event_type, hc.hour, hc.n, med.med_n,
+         abs(hc.n - med.med_n) AS ad
+  FROM hc JOIN med USING (event_type)
+), mad AS (
+  SELECT event_type, ad AS mad_n FROM (
+    SELECT event_type, ad,
+           row_number() OVER (PARTITION BY event_type ORDER BY ad, hour) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS cnt
+    FROM dev
+  ) WHERE rn = (cnt + 1) // 2
+)
+SELECT d.event_type, d.hour, d.n, d.med_n, m.mad_n,
+       CAST(CASE WHEN d.ad > 3 * m.mad_n THEN 1 ELSE 0 END AS BIGINT)
+         AS anomaly
+FROM dev d JOIN mad m USING (event_type)
+"""
+
+
+@register("event_rate_anomalies", _ANOMALY_ORACLE)
+def event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event-rate anomaly flags per event type via median/MAD
+    (the robust z-score monitoring rule |x - med| > 3*MAD): hourly
+    partial-agg counts, DISC median of counts, DISC median of
+    absolute deviations, integer comparison — the pipeline-health
+    query every ingest system runs, hash-exact because no float is
+    ever formed. Scale shape: the raw shuffle is the hourly groupBy
+    (map-side combine); everything after runs on O(types x hours)
+    rows."""
+    from dss_nlp_ingestion_spark.functions.dates import hour_bucket
+
+    ev = table(spark, sf_dir, "events")
+    hc = ev.groupBy(
+        "event_type", hour_bucket(F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+    def disc_median(df: DataFrame, val: str, tie: str, out: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(F.col(val), F.col(tie))
+        wc = Window.partitionBy("event_type")
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .withColumn("_cnt", F.count(F.lit(1)).over(wc))
+            .filter(F.col("_rn") == F.floor((F.col("_cnt") + 1) / 2))
+            .select("event_type", F.col(val).alias(out))
+        )
+
+    med = disc_median(hc, "n", "hour", "med_n")
+    dev = hc.join(med, "event_type").withColumn(
+        "ad", F.abs(F.col("n") - F.col("med_n"))
+    )
+    mad = disc_median(dev, "ad", "hour", "mad_n")
+    return (
+        dev.join(mad, "event_type")
+        .select(
+            "event_type", "hour", "n", "med_n", "mad_n",
+            F.when(F.col("ad") > 3 * F.col("mad_n"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("anomaly"),
+        )
+    )

@@ -2070,3 +2070,49 @@ def txlog_cdc_replicate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     r2 = txlog.replicate_incremental(spark, src, dst, ["o_orderkey"])
     assert r2["skipped"]  # watermark: nothing new to apply
     return txlog.read(spark, dst)
+
+
+_STREAM_CDC_AGG_ORACLE = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+@register("streaming_txlog_cdc_agg", _STREAM_CDC_AGG_ORACLE)
+def streaming_txlog_cdc_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lakehouse streaming loop closed end-to-end: events land in
+    a tx table across several APPEND commits, a
+    readStream.format("txlog") CDC source consumes versions as
+    offsets, a streaming aggregation folds the feed, and the
+    availableNow drain equals the batch groupBy — proving the
+    source's exactly-once version delivery THROUGH a stateful
+    streaming operator, not just row passthrough (the prior
+    streaming_txlog_* queries test sink and source separately)."""
+    from dss_nlp_ingestion_spark.catalog import table as _table
+    from dss_nlp_ingestion_spark.sources import txlog
+    from dss_nlp_ingestion_spark.sources.txlog_datasource import (
+        TxLogDataSource,
+    )
+
+    events = _table(spark, sf_dir, "events").select(
+        "event_id", "event_type"
+    )
+    base = tempfile.mkdtemp(prefix="dss_stream_cdcagg_")
+    path = base + "/table"
+    parts = events.randomSplit([1.0, 1.0, 1.0], seed=7)
+    txlog.create_table(parts[0], path)
+    for p in parts[1:]:
+        txlog.append(p, path)
+    spark.dataSource.register(TxLogDataSource)
+    stream = (
+        spark.readStream.format("txlog").option("path", path).load()
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    from dss_nlp_ingestion_spark.streaming.pipeline import (
+        run_complete_available_now,
+    )
+
+    run_complete_available_now(agg, "dss_stream_cdc_agg")
+    return spark.table("dss_stream_cdc_agg")

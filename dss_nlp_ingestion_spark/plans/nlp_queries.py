@@ -788,3 +788,69 @@ def summary_model_topchunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "k", F.col("chunk").alias("summary"), "score")
     )
+
+
+_OOV_ORACLE_TMPL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''
+), t AS (
+  SELECT doc_id, tok FROM toks WHERE tok <> ''
+), v(tok) AS (VALUES {vrows}),
+agg AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov
+  FROM t LEFT JOIN v USING (tok) GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens, n_oov,
+       {frac} AS oov_frac
+FROM agg
+"""
+
+
+def _oov_oracle() -> str:
+    m = N.load_keyword_artifact(N.DEFAULT_KEYWORD_ARTIFACT)
+    vrows = ", ".join(f"('{v}')" for v in m["vocab"])
+    return _OOV_ORACLE_TMPL.format(
+        vrows=vrows,
+        frac=fround_sql("CAST(n_oov AS DOUBLE) / n_tokens", 6),
+    )
+
+
+@register("vocab_oov_rates", _oov_oracle())
+def vocab_oov_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage curation signal: per document, the fraction
+    of tokens OUTSIDE the committed model vocabulary
+    (functions/keyword_idf_v1.npz) — the domain-shift / gibberish
+    detector a pipeline runs before spending model compute, and the
+    standard check that a tokenizer/weight artifact still fits a new
+    crawl. Integer counts + one fround division; serving is the same
+    broadcast-vocab join as the keyword model (zero Python)."""
+    m = N.load_keyword_artifact(N.DEFAULT_KEYWORD_ARTIFACT)
+    docs = table(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(ws_tokens(F.lower(F.col("text")))).alias("tok"),
+    ).filter(F.col("tok") != "")
+    vocab = _vocab_df(spark, m).select("tok", F.lit(1).alias("_inv"))
+    agg = (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("_inv").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+    )
+    return agg.select(
+        "doc_id", "n_tokens", "n_oov",
+        fround(
+            F.col("n_oov").cast("double") / F.col("n_tokens"), 6
+        ).alias("oov_frac"),
+    )

@@ -1459,3 +1459,53 @@ def test_triangle_count_on_crafted_graph(spark, tmp_path):
     row = triangle_count_coparts(spark, str(tmp_path)).collect()[0]
     assert row["n_triangles"] == 1
     assert row["n_edges"] == 4
+
+
+def test_vocab_oov_rates_flags_gibberish(spark, tmp_path):
+    from dss_nlp_ingestion_spark.functions import nlp as N
+    from dss_nlp_ingestion_spark.plans.nlp_queries import vocab_oov_rates
+
+    m = N.load_keyword_artifact(N.DEFAULT_KEYWORD_ARTIFACT)
+    invocab = " ".join(m["vocab"][:8])
+    gibberish = "xqzzy glorp wibble frobnitz"
+    half = m["vocab"][0] + " glorp"
+    rows = [
+        (1, invocab, "en", "s", len(invocab)),
+        (2, gibberish, "en", "s", len(gibberish)),
+        (3, half, "en", "s", len(half)),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: r for r in vocab_oov_rates(spark, str(tmp_path)).collect()}
+    assert out[1]["oov_frac"] == 0.0 and out[1]["n_tokens"] == 8
+    assert out[2]["oov_frac"] == 1.0 and out[2]["n_oov"] == 4
+    assert out[3]["oov_frac"] == 0.5
+
+
+def test_event_rate_anomalies_flags_planted_spike(spark, tmp_path):
+    """11 calm hours at ~6 events plus one 60-event spike: median/MAD
+    flags exactly the spike hour."""
+    import datetime as dt
+
+    from dss_nlp_ingestion_spark.plans.analytics_queries import (
+        event_rate_anomalies,
+    )
+
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 1, 1)
+    for h in range(12):
+        n = 60 if h == 5 else 6 + (h % 3)  # spike at hour 5
+        for i in range(n):
+            eid += 1
+            rows.append(
+                (eid, eid % 4, "click", base + dt.timedelta(hours=h, seconds=i), 1.0)
+            )
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp, value double"
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    out = event_rate_anomalies(spark, str(tmp_path)).collect()
+    flagged = [r["hour"].hour for r in out if r["anomaly"] == 1]
+    assert flagged == [5]
+    assert all(r["mad_n"] >= 0 for r in out)
