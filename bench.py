@@ -90,6 +90,7 @@ BENCH_QUERIES = (
     "keyword_model_topk",
     "triangle_count_coparts",
     "decayed_user_scores",
+    "matview_incremental_orders",
 )
 
 

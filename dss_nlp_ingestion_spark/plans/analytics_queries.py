@@ -1422,3 +1422,112 @@ def event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("anomaly"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit (FK orphan counts across the schema)
+# ---------------------------------------------------------------------------
+
+_RI_ORACLE = """
+SELECT 'orders.custkey' AS fk,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphans
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'lineitem.orderkey',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'customer.nationkey',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+"""
+
+
+@register("referential_integrity_audit", _RI_ORACLE)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK-orphan audit across three relationships in one result — the
+    schema-health check a warehouse runs after every load. Each leg is
+    a left join reduced to two integers; the dimension sides broadcast
+    (customer/nation vs orders/lineitem), so at 100 TB the only
+    shuffle is the lineitem->orders leg, keyed on the FK. Counts are
+    BIGINT end to end."""
+
+    def leg(name, fact, dim, fk, pk):
+        probe = dim.select(F.col(pk).alias("_pk"))
+        j = fact.join(
+            F.broadcast(probe) if name != "lineitem.orderkey" else probe,
+            fact[fk] == F.col("_pk"),
+            "left",
+        )
+        return j.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.when(F.col("_pk").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_orphans"),
+        ).select(F.lit(name).alias("fk"), "n_rows", "n_orphans")
+
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    lineitem = table(spark, sf_dir, "lineitem")
+    nation = table(spark, sf_dir, "nation")
+    return (
+        leg("orders.custkey", orders, customer, "o_custkey", "c_custkey")
+        .unionByName(
+            leg("lineitem.orderkey", lineitem, orders, "l_orderkey", "o_orderkey")
+        )
+        .unionByName(
+            leg("customer.nationkey", customer, nation, "c_nationkey", "n_nationkey")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 build from a change feed (validity intervals via lead())
+# ---------------------------------------------------------------------------
+
+_SCD2_BUILD_ORACLE = """
+WITH ch AS (
+  SELECT user_id, event_type AS attr, epoch_ms(ts) AS from_ms, event_id
+  FROM events
+)
+SELECT user_id, attr, from_ms,
+       lead(from_ms) OVER w AS to_ms,
+       CAST(CASE WHEN lead(from_ms) OVER w IS NULL THEN 1 ELSE 0 END
+            AS BIGINT) AS is_current,
+       CAST(row_number() OVER w AS BIGINT) AS rev
+FROM ch
+WINDOW w AS (PARTITION BY user_id ORDER BY from_ms, event_id)
+"""
+
+
+@register("scd2_build_from_events", _SCD2_BUILD_ORACLE)
+def scd2_build_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a type-2 slowly-changing dimension FROM a change feed:
+    each user's attribute changes (events as the CDC stand-in) become
+    validity intervals [from_ms, to_ms) via lead() over the
+    (from_ms, event_id)-ordered window, open-ended + flagged current
+    for the latest revision — the WRITE side of the SCD2 story whose
+    READ side (point-in-time join) pit_join_scd2 already covers. One
+    user_id shuffle; epoch-ms interval bounds keep it engine-exact."""
+    from dss_nlp_ingestion_spark.functions.dates import epoch_ms as _ems
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_type").alias("attr"),
+        _ems(F.col("ts")).alias("from_ms"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("from_ms", "event_id")
+    return ev.select(
+        "user_id", "attr", "from_ms",
+        F.lead("from_ms").over(w).alias("to_ms"),
+        F.when(F.lead("from_ms").over(w).isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_current"),
+        F.row_number().over(w).cast("long").alias("rev"),
+    )

@@ -2116,3 +2116,71 @@ def streaming_txlog_cdc_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     run_complete_available_now(agg, "dss_stream_cdc_agg")
     return spark.table("dss_stream_cdc_agg")
+
+
+_MATVIEW_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority, o_custkey, o_totalprice FROM orders
+  UNION ALL
+  SELECT o_orderkey + 50000000, o_orderpriority, o_custkey, o_totalprice
+  FROM orders WHERE o_orderkey % 199 = 0
+), cur AS (
+  SELECT o_orderpriority,
+         CASE WHEN o_custkey % 40 = 0 THEN o_totalprice * 2
+              ELSE o_totalprice END AS o_totalprice
+  FROM base WHERE o_orderkey % 256 <> 0
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM cur GROUP BY o_orderpriority
+"""
+
+
+@register("matview_incremental_orders", _MATVIEW_ORACLE)
+def matview_incremental_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained MATERIALIZED VIEW end-to-end
+    (sources/matview.py): a grouped count+sum over a tx table is
+    materialized once; the source then takes an APPEND, a DELETE and
+    an UPDATE; ONE refresh folds the net change feed (O(churn)) into
+    the view through the file-pruned merge, watermarked exactly-once
+    in the view's own log (a second refresh is a no-op, asserted
+    in-query). The hash match proves delta-maintained == recomputed,
+    decimal-exact, through four source commits."""
+    import tempfile
+
+    from dss_nlp_ingestion_spark.sources import matview, txlog
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_custkey", "o_totalprice"
+    )
+    base = tempfile.mkdtemp(prefix="dss_mvq_")
+    src = base + "/src"
+    view = base + "/view"
+    specs = {"n_orders": ("count", None), "sum_price": ("sum", "o_totalprice")}
+    txlog.create_table(
+        orders.repartitionByRange(4, "o_orderkey"), src,
+        stats_cols=["o_orderkey"],
+    )
+    matview.create_matview(spark, src, view, ["o_orderpriority"], specs)
+    txlog.append(
+        orders.filter(F.col("o_orderkey") % 199 == 0).withColumn(
+            "o_orderkey", F.col("o_orderkey") + 50000000
+        ),
+        src,
+    )
+    txlog.delete_from_table(spark, src, "o_orderkey % 256 = 0")
+    txlog.update_table(
+        spark, src,
+        "o_custkey % 40 = 0",
+        {"o_totalprice": "o_totalprice * 2"},
+    )
+    r1 = matview.refresh_matview(spark, src, view, ["o_orderpriority"], specs)
+    assert not r1["skipped"]
+    r2 = matview.refresh_matview(spark, src, view, ["o_orderpriority"], specs)
+    assert r2["skipped"]
+    return txlog.read(spark, view).select(
+        "o_orderpriority",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("sum_price").cast("double").alias("sum_price"),
+    )

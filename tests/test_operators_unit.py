@@ -1509,3 +1509,58 @@ def test_event_rate_anomalies_flags_planted_spike(spark, tmp_path):
     flagged = [r["hour"].hour for r in out if r["anomaly"] == 1]
     assert flagged == [5]
     assert all(r["mad_n"] >= 0 for r in out)
+
+
+def test_referential_integrity_audit_counts_planted_orphans(spark, tmp_path):
+    from dss_nlp_ingestion_spark.plans.analytics_queries import (
+        referential_integrity_audit,
+    )
+
+    spark.createDataFrame(
+        [(1, "A", 0), (2, "B", 1)],
+        "c_custkey long, c_mktsegment string, c_nationkey long",
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 99)], "o_orderkey long, o_custkey long"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(10, 5), (77, 5)], "l_orderkey long, l_partkey long"
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(0, "X")], "n_nationkey long, n_name string"
+    ).write.parquet(str(tmp_path / "nation.parquet"))
+    out = {r["fk"]: r for r in referential_integrity_audit(spark, str(tmp_path)).collect()}
+    assert out["orders.custkey"]["n_orphans"] == 1        # custkey 99
+    assert out["lineitem.orderkey"]["n_orphans"] == 1     # orderkey 77
+    assert out["customer.nationkey"]["n_orphans"] == 1    # nationkey 1
+    assert out["orders.custkey"]["n_rows"] == 3
+
+
+def test_scd2_build_intervals_are_contiguous_and_current_flagged(spark, tmp_path):
+    import datetime as dt
+
+    from dss_nlp_ingestion_spark.plans.analytics_queries import (
+        scd2_build_from_events,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 7, "bronze", base, 0.0),
+        (2, 7, "silver", base + dt.timedelta(hours=1), 0.0),
+        (3, 7, "gold", base + dt.timedelta(hours=5), 0.0),
+        (4, 8, "bronze", base, 0.0),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp, value double"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = sorted(
+        (r["user_id"], r["rev"], r["attr"], r["to_ms"], r["is_current"])
+        for r in scd2_build_from_events(spark, str(tmp_path)).collect()
+    )
+    u7 = [r for r in out if r[0] == 7]
+    assert [r[2] for r in u7] == ["bronze", "silver", "gold"]
+    # contiguous: each rev's to_ms == next rev's from date; last open
+    assert u7[0][3] is not None and u7[2][3] is None
+    assert [r[4] for r in u7] == [0, 0, 1]
+    u8 = [r for r in out if r[0] == 8]
+    assert u8[0][4] == 1  # single revision is current

@@ -768,3 +768,62 @@ def test_replicate_incremental_rejects_foreign_replica(spark):
     txlog.append(_tbl(spark, [(2, "b")]), src)
     with pytest.raises(ValueError, match="not initialized from"):
         txlog.replicate_incremental(spark, src, other, ["k"])
+
+
+def _mv_specs():
+    return {"n_rows": ("count", None), "p_sum": ("sum", "p")}
+
+
+def test_matview_refresh_equals_full_recompute(spark):
+    from dss_nlp_ingestion_spark.sources import matview
+
+    src = tempfile.mkdtemp(prefix="dss_mv_src_")
+    view = tempfile.mkdtemp(prefix="dss_mv_view_") + "/v"
+    txlog.create_table(_orders_tbl(spark, n=20, files=2), src, stats_cols=["k"])
+    matview.create_matview(spark, src, view, ["c"], _mv_specs())
+    # churn: insert new group member, delete, update
+    txlog.append(
+        spark.createDataFrame([(100, "c1", 8.0)], "k long, c string, p double"),
+        src,
+    )
+    txlog.delete_from_table(spark, src, "k = 2")
+    txlog.update_table(spark, src, "k = 3", {"p": "p + 10.0"})
+    r = matview.refresh_matview(spark, src, view, ["c"], _mv_specs())
+    assert not r["skipped"]
+    got = {
+        (row["c"]): (row["n_rows"], float(row["p_sum"]))
+        for row in txlog.read(spark, view).collect()
+    }
+    from pyspark.sql import functions as F
+
+    want = {
+        row["c"]: (row["n_rows"], float(row["p_sum"]))
+        for row in txlog.read(spark, src)
+        .groupBy("c")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.col("p").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("p_sum"),
+        )
+        .collect()
+    }
+    assert got == want
+    # idempotent: immediate second refresh is a watermark no-op
+    assert matview.refresh_matview(spark, src, view, ["c"], _mv_specs())["skipped"]
+
+
+def test_matview_group_vanishes_on_full_delete(spark):
+    from dss_nlp_ingestion_spark.sources import matview
+
+    src = tempfile.mkdtemp(prefix="dss_mv_src_")
+    view = tempfile.mkdtemp(prefix="dss_mv_view_") + "/v"
+    rows = [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0)]
+    txlog.create_table(
+        spark.createDataFrame(rows, "k long, c string, p double"), src
+    )
+    matview.create_matview(spark, src, view, ["c"], _mv_specs())
+    txlog.delete_from_table(spark, src, "c = 'a'")
+    matview.refresh_matview(spark, src, view, ["c"], _mv_specs())
+    got = {r["c"]: r["n_rows"] for r in txlog.read(spark, view).collect()}
+    assert got == {"b": 1}  # group 'a' deleted from the view
