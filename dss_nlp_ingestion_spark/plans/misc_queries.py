@@ -2184,3 +2184,58 @@ def matview_incremental_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_orders").cast("long").alias("n_orders"),
         F.col("sum_price").cast("double").alias("sum_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Malformed-record handling: PERMISSIVE parse + dead-letter split
+# ---------------------------------------------------------------------------
+
+_DLQ_ORACLE = """
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_bad,
+       CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS parsed_lang,
+       CASE WHEN doc_id % 7 = 0 THEN NULL
+            ELSE CAST(n_chars AS BIGINT) END AS parsed_n
+FROM documents
+"""
+
+
+@register("dlq_malformed_json_split", _DLQ_ORACLE)
+def dlq_malformed_json_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion robustness: a JSON-lines feed (synthesized from the
+    documents table, every 7th record truncated mid-object) parsed
+    with ``from_json`` in PERMISSIVE mode + _corrupt_record — the
+    standard Spark dead-letter pattern: bad records survive as raw
+    text with NULL fields instead of failing the job, and the
+    good/bad split is a plain filter afterwards (route bad to a DLQ
+    sink, continue with good). The reference dies on malformed
+    payloads (bare json.loads in every parser); at 100 TB one bad
+    record must never kill a 1000-executor stage. Corruption is
+    deterministic so the whole split is hash-gated."""
+    docs = table(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.lit('{"lang": "'), F.col("lang"),
+        F.lit('", "n": '), F.col("n_chars").cast("string"), F.lit("}"),
+    )
+    # every 7th line truncated mid-object -> genuinely malformed JSON
+    line = F.when(
+        F.col("doc_id") % 7 == 0, F.substring(payload, 1, 9)
+    ).otherwise(payload)
+    feed = docs.select("doc_id", line.alias("raw"))
+    parsed = feed.select(
+        "doc_id",
+        F.from_json(
+            F.col("raw"),
+            "lang string, n long, _corrupt_record string",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("j"),
+    )
+    return parsed.select(
+        "doc_id",
+        F.when(F.col("j._corrupt_record").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_bad"),
+        F.col("j.lang").alias("parsed_lang"),
+        F.col("j.n").alias("parsed_n"),
+    )

@@ -1333,3 +1333,29 @@ def replicate_incremental(
         txn=(app, v_to),
     )
     return {"applied_from": v_from, "applied_to": v_to, "skipped": res["skipped"]}
+
+
+def maybe_compact(
+    spark: SparkSession, path: str, max_live_files: int = 16
+) -> int | None:
+    """Compaction POLICY: OPTIMIZE only when the live file count
+    exceeds ``max_live_files`` (the small-file tax a streaming sink
+    accrues). Returns the commit version or None if under threshold.
+    Call after drains/refresh cycles; the check is one metadata fold."""
+    if len(snapshot_files(path)) <= max_live_files:
+        return None
+    return compact(spark, path, target_files=max(1, max_live_files // 4))
+
+
+def maybe_checkpoint(path: str, every_n_commits: int = 10) -> int | None:
+    """Checkpoint POLICY (Delta's default cadence): write a log
+    checkpoint when >= ``every_n_commits`` entries accumulated since
+    the newest one. Returns the checkpointed version or None."""
+    head = (_versions(path) or [-1])[-1]
+    if head < 0:
+        return None
+    ck = _latest_checkpoint(path)
+    since = head - (ck[0] if ck else -1)
+    if since < every_n_commits:
+        return None
+    return checkpoint_log(path)

@@ -1564,3 +1564,25 @@ def test_scd2_build_intervals_are_contiguous_and_current_flagged(spark, tmp_path
     assert [r[4] for r in u7] == [0, 0, 1]
     u8 = [r for r in out if r[0] == 8]
     assert u8[0][4] == 1  # single revision is current
+
+
+def test_dlq_split_preserves_raw_for_bad_records(spark, tmp_path):
+    """The PERMISSIVE parse keeps malformed lines as rows (flagged,
+    NULL fields) — nothing dropped, nothing thrown — and parses good
+    lines fully."""
+    from dss_nlp_ingestion_spark.plans.misc_queries import (
+        dlq_malformed_json_split,
+    )
+
+    rows = [
+        (7, "t", "en", "s", 10),   # doc_id % 7 == 0 -> corrupted line
+        (8, "t", "zh", "s", 20),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: r for r in dlq_malformed_json_split(spark, str(tmp_path)).collect()}
+    assert len(out) == 2  # bad record NOT dropped
+    assert out[7]["is_bad"] == 1 and out[7]["parsed_lang"] is None
+    assert out[8]["is_bad"] == 0 and out[8]["parsed_lang"] == "zh"
+    assert out[8]["parsed_n"] == 20

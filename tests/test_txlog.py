@@ -827,3 +827,22 @@ def test_matview_group_vanishes_on_full_delete(spark):
     matview.refresh_matview(spark, src, view, ["c"], _mv_specs())
     got = {r["c"]: r["n_rows"] for r in txlog.read(spark, view).collect()}
     assert got == {"b": 1}  # group 'a' deleted from the view
+
+
+def test_maybe_compact_and_checkpoint_policies(spark):
+    path = tempfile.mkdtemp(prefix="dss_policy_")
+    txlog.create_table(_tbl(spark, [(0, "x")]), path)
+    for i in range(1, 6):
+        txlog.append(_tbl(spark, [(i, "x")]), path)
+    # under threshold: no-op
+    assert txlog.maybe_compact(spark, path, max_live_files=16) is None
+    # over threshold: compacts
+    v = txlog.maybe_compact(spark, path, max_live_files=3)
+    assert v is not None and len(txlog.snapshot_files(path)) <= 3
+    # checkpoint cadence: 7 commits so far (create+5 appends+compact)
+    assert txlog.maybe_checkpoint(path, every_n_commits=10) is None
+    got = txlog.maybe_checkpoint(path, every_n_commits=5)
+    assert got == txlog._versions(path)[-1]
+    # right after checkpointing, cadence resets
+    assert txlog.maybe_checkpoint(path, every_n_commits=5) is None
+    assert sorted(r["k"] for r in txlog.read(spark, path).collect()) == list(range(6))
