@@ -1334,9 +1334,17 @@ def triangle_count_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.alias("e3"),
         (F.col("pa") == F.col("e3.a")) & (F.col("pc") == F.col("e3.b")),
     )
-    return tri.agg(
+    # materialize both counts while the cache is live, then RELEASE it
+    # (a returned lazy plan would pin the edge blocks for the session)
+    out = tri.agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     ).crossJoin(e.agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
+    row = out.collect()[0]
+    e.unpersist()
+    return spark.range(1).select(
+        F.lit(row["n_triangles"]).cast("long").alias("n_triangles"),
+        F.lit(row["n_edges"]).cast("long").alias("n_edges"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -372,13 +372,13 @@ WITH m AS (
   FROM ranked GROUP BY doc_id, n
 ), piv AS (
   SELECT doc_id,
-    least(1.0, CAST(max(CASE WHEN n = 2 THEN topchars END) AS DOUBLE)
+    least(1.0, CAST(coalesce(max(CASE WHEN n = 2 THEN topchars END), 0) AS DOUBLE)
                / greatest(any_value(nch), 1)) AS f2,
-    least(1.0, CAST(max(CASE WHEN n = 3 THEN topchars END) AS DOUBLE)
+    least(1.0, CAST(coalesce(max(CASE WHEN n = 3 THEN topchars END), 0) AS DOUBLE)
                / greatest(any_value(nch), 1)) AS f3,
-    least(1.0, CAST(max(CASE WHEN n = 4 THEN topchars END) AS DOUBLE)
+    least(1.0, CAST(coalesce(max(CASE WHEN n = 4 THEN topchars END), 0) AS DOUBLE)
                / greatest(any_value(nch), 1)) AS f4,
-    least(1.0, CAST(max(CASE WHEN n = 5 THEN dupchars END) AS DOUBLE)
+    least(1.0, CAST(coalesce(max(CASE WHEN n = 5 THEN dupchars END), 0) AS DOUBLE)
                / greatest(any_value(nch), 1)) AS d5
   FROM stats GROUP BY doc_id
 )
@@ -461,9 +461,15 @@ def gopher_repetition_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     denom = F.greatest(F.any_value("nch"), F.lit(1))
 
     def frac(src: Column, n: int) -> Column:
+        # coalesce BEFORE least: Spark/DuckDB least() skip NULLs, so a
+        # missing n-gram stream (doc shorter than n words) would pin
+        # the fraction to 1.0 and wrongly fail every 2-4-word document
         return F.least(
             F.lit(1.0),
-            F.max(F.when(F.col("n") == n, src)).cast("double") / denom,
+            F.coalesce(
+                F.max(F.when(F.col("n") == n, src)), F.lit(0)
+            ).cast("double")
+            / denom,
         )
 
     piv = stats.groupBy("doc_id").agg(

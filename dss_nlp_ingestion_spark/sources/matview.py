@@ -112,7 +112,15 @@ def refresh_matview(
         raise ValueError(f"{view_path} is not a matview (no watermark)")
     if applied >= head:
         return {"from": applied, "to": applied, "skipped": True}
-    feed = txlog.net_changes(spark, src_path, applied, head)
+    try:
+        feed = txlog.net_changes(spark, src_path, applied, head)
+    except ValueError:
+        # window advanced with zero file changes (restore-to-self,
+        # empty append): advance the watermark, view is already exact
+        txlog.append_txn(
+            txlog.txlog_empty_like(spark, view_path), view_path, _APP, head
+        )
+        return {"from": applied, "to": head, "skipped": False}
     delta = feed.groupBy(*group_cols).agg(*_delta_exprs(agg_specs))
     cur = txlog.read(spark, view_path).join(
         delta.select(*group_cols), group_cols, "left_semi"

@@ -685,6 +685,12 @@ def vacuum_retain(path: str, horizon_version: int) -> dict:
     removed = []
     data_root = os.path.join(path, "data")
     for rel in sorted(referenced - keep):
+        # A shallow clone logs ANOTHER table's files by absolute path;
+        # os.path.join passes those through untouched, so without this
+        # guard a clone's vacuum would delete the SOURCE table's live
+        # data. Reclaim only files physically under THIS table's root.
+        if os.path.isabs(rel):
+            continue
         full = os.path.join(data_root, rel)
         try:
             os.remove(full)
@@ -902,6 +908,19 @@ def merge_into_table(
                     ~F.coalesce(F.col(delete_col), F.lit(False))
                 ).drop(delete_col)
             if inserts.isEmpty():
+                if txn is not None:
+                    # the watermark must still advance: commit a
+                    # metadata-only stamped entry, else CDC/matview
+                    # consumers re-scan an ever-growing source window
+                    v = append_txn(inserts.limit(0), path, txn[0], txn[1])
+                    return {
+                        "version": v if v is not None else head,
+                        "files_touched": 0,
+                        "files_total": len(live),
+                        "files_skipped_by_stats": skipped,
+                        "appended": False,
+                        "skipped": v is None,
+                    }
                 return {
                     "version": head,
                     "files_touched": 0,
@@ -1123,6 +1142,12 @@ def update_table(
                 "files_skipped_by_stats": skipped,
             }
         tgt = spark.read.parquet(*touched)
+        unknown = set(set_exprs) - set(tgt.columns)
+        if unknown:
+            raise ValueError(
+                f"UPDATE SET refers to non-existent columns {sorted(unknown)} "
+                f"(table has {tgt.columns})"
+            )
         match = F.expr(predicate)
         updated = tgt.select(
             *[
@@ -1253,6 +1278,11 @@ def clone_table(src_path: str, dst_path: str, version: int | None = None) -> int
     coupling, checked lazily at read time by the missing-file error."""
     if _versions(dst_path):
         raise FileExistsError(f"tx table already exists at {dst_path}")
+    if version is not None and version < _vacuum_horizon(src_path):
+        raise ValueError(
+            f"cannot clone {src_path} at version {version}: below its "
+            f"vacuum horizon {_vacuum_horizon(src_path)} (data reclaimed)"
+        )
     src_files = snapshot_files(src_path, version)
     # store absolute paths: snapshot_files only path-joins relative
     # names, and os.path.join passes absolute components through.
@@ -1308,7 +1338,15 @@ def replicate_incremental(
             v_from = 0
     if v_from >= v_to:
         return {"applied_from": v_from, "applied_to": v_from, "skipped": True}
-    ch = net_changes(spark, src_path, v_from, v_to)
+    try:
+        ch = net_changes(spark, src_path, v_from, v_to)
+    except ValueError:
+        # commits in the window touched no files (restore-to-self,
+        # empty micro-batch append): advance the watermark only
+        append_txn(
+            txlog_empty_like(spark, dst_path), dst_path, app, v_to
+        )
+        return {"applied_from": v_from, "applied_to": v_to, "skipped": False}
     cols = [c for c in ch.columns if c not in ("change", "n")]
     ins = ch.filter(F.col("change") == "insert").select(*cols).withColumn(
         "_cdc_del", F.lit(False)
@@ -1359,3 +1397,9 @@ def maybe_checkpoint(path: str, every_n_commits: int = 10) -> int | None:
     if since < every_n_commits:
         return None
     return checkpoint_log(path)
+
+
+def txlog_empty_like(spark: SparkSession, path: str) -> DataFrame:
+    """Zero-row DataFrame with ``path``'s current schema — the body of
+    a metadata-only (watermark-advancing) commit."""
+    return read(spark, path).limit(0)

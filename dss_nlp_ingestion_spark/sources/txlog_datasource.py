@@ -233,7 +233,7 @@ class _TxLogWriter(DataSourceWriter):
         files = [m.rel for m in messages if m is not None]
         if self.overwrite:
             for _ in range(10):
-                head = ([h["version"] for h in txlog.history(self.path)] or [-1])[-1]
+                head = (txlog._versions(self.path) or [-1])[-1]
                 if head < 0:
                     remove: list[str] = []
                 else:
@@ -246,7 +246,7 @@ class _TxLogWriter(DataSourceWriter):
                     return
             raise txlog.TxConflictError(f"overwrite lost commit races at {self.path}")
         for _ in range(10):
-            head = ([h["version"] for h in txlog.history(self.path)] or [-1])[-1]
+            head = (txlog._versions(self.path) or [-1])[-1]
             entry = {"op": "append", "add": files, "remove": []}
             if txlog._try_commit(self.path, head + 1, entry):
                 return
@@ -315,7 +315,7 @@ class _TxLogStreamWriter(DataSourceStreamWriter):
             "txn": {"app": self.app, "epoch": int(batchId)},
         }
         for _ in range(10):
-            head = ([h["version"] for h in txlog.history(self.path)] or [-1])[-1]
+            head = (txlog._versions(self.path) or [-1])[-1]
             if txlog._try_commit(self.path, head + 1, entry):
                 return
         raise txlog.TxConflictError(

@@ -112,3 +112,20 @@ def test_gopher_repetition_gate_flags_planted_repeats(spark, tmp_path):
     assert out[4]["top2_frac"] == 0.0 and out[4]["dup5_frac"] == 0.0
     # fractions are capped at 1.0 even with the per-occurrence proxy
     assert all(r["dup5_frac"] <= 1.0 for r in out.values())
+
+
+def test_gopher_repetition_short_doc_passes_not_autofails(spark, tmp_path):
+    """Review regression: least() skips NULLs, so a doc with 2-4
+    words used to get top4/dup5 pinned to 1.0 and auto-fail."""
+    from dss_nlp_ingestion_spark.plans.curation_queries import (
+        gopher_repetition_gate,
+    )
+
+    sf = _write_docs(spark, tmp_path, [("alpha beta gamma", "en")])
+    row = gopher_repetition_gate(spark, sf).collect()[0]
+    # the phantom 1.0s are gone: absent n-gram streams report 0.0
+    assert row["top4_frac"] == 0.0 and row["dup5_frac"] == 0.0
+    # a 3-word doc still fails, but for the RIGHT reason: its single
+    # trigram genuinely covers all characters (top2/top3), not a
+    # NULL-pinned top4/dup5
+    assert row["top3_frac"] == 1.0 and row["top2_frac"] > 0.2

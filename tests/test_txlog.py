@@ -846,3 +846,68 @@ def test_maybe_compact_and_checkpoint_policies(spark):
     # right after checkpointing, cadence resets
     assert txlog.maybe_checkpoint(path, every_n_commits=5) is None
     assert sorted(r["k"] for r in txlog.read(spark, path).collect()) == list(range(6))
+
+
+def test_vacuum_retain_on_clone_never_touches_source_files(spark):
+    """Review regression: a clone's vacuum must not reclaim the
+    SOURCE table's data files even after the clone rewrote away its
+    absolute-path references."""
+    src = tempfile.mkdtemp(prefix="dss_vacclone_src_")
+    dst = tempfile.mkdtemp(prefix="dss_vacclone_dst_") + "/t"
+    txlog.create_table(_orders_tbl(spark, n=10, files=1), src)
+    txlog.clone_table(src, dst)
+    # rewrite the clone so the absolute src reference leaves its live set
+    txlog.merge_into_table(
+        spark, dst,
+        spark.createDataFrame([(1, "u", 0.0)], "k long, c string, p double"),
+        ["k"],
+    )
+    res = txlog.vacuum_retain(dst, horizon_version=1)
+    assert res["removed"] == []  # nothing physical under dst reclaimed...
+    # ...and the SOURCE still reads perfectly
+    assert len(txlog.read(spark, src).collect()) == 10
+
+
+def test_merge_empty_source_with_txn_still_advances_watermark(spark):
+    path = tempfile.mkdtemp(prefix="dss_txnempty_")
+    txlog.create_table(_orders_tbl(spark, n=4, files=1), path)
+    empty = spark.createDataFrame([], "k long, c string, p double")
+    r = txlog.merge_into_table(spark, path, empty, ["k"], txn=("w", 3))
+    assert not r["skipped"]
+    assert txlog.last_committed_txn(path, "w") == 3
+    assert txlog.snapshot_row_count(path) == 4
+
+
+def test_replicate_tolerates_zero_file_change_window(spark):
+    src = tempfile.mkdtemp(prefix="dss_cdc0_src_")
+    dst = tempfile.mkdtemp(prefix="dss_cdc0_dst_") + "/r"
+    txlog.create_table(_orders_tbl(spark, n=6, files=1), src)
+    txlog.clone_table(src, dst, version=0)
+    # head advances via a no-files-changed commit (restore to self)
+    txlog.restore_table(src, 0)
+    r = txlog.replicate_incremental(spark, src, dst, ["k"])
+    assert not r["skipped"] and r["applied_to"] == 1
+    # and the watermark holds: next cycle is a skip
+    assert txlog.replicate_incremental(spark, src, dst, ["k"])["skipped"]
+
+
+def test_clone_below_vacuum_horizon_fails_fast(spark):
+    src = tempfile.mkdtemp(prefix="dss_clonehor_src_")
+    txlog.create_table(_tbl(spark, [(1, "a")]), src)
+    base = [
+        os.path.relpath(f, os.path.join(src, "data"))
+        for f in txlog.snapshot_files(src)
+    ]
+    txlog.rewrite(_tbl(spark, [(1, "a2")]), src, base, expect_version=0)
+    txlog.vacuum_retain(src, horizon_version=1)
+    with pytest.raises(ValueError, match="below its"):
+        txlog.clone_table(src, tempfile.mkdtemp(prefix="x_") + "/c", version=0)
+
+
+def test_update_table_rejects_unknown_set_columns(spark):
+    path = tempfile.mkdtemp(prefix="dss_updcol_")
+    txlog.create_table(_orders_tbl(spark, n=4, files=1), path)
+    n_versions = len(txlog.history(path))
+    with pytest.raises(ValueError, match="non-existent columns"):
+        txlog.update_table(spark, path, "k = 1", {"totalprice": "p * 2"})
+    assert len(txlog.history(path)) == n_versions  # nothing committed
