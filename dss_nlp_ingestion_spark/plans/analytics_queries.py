@@ -1572,3 +1572,58 @@ def scd2_build_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("is_current"),
         F.row_number().over(w).cast("long").alias("rev"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-decayed user value (half-life by wall-clock hour, integer shift)
+# ---------------------------------------------------------------------------
+
+_TIME_DECAY_ORACLE = """
+WITH v AS (
+  SELECT user_id, epoch_ms(ts) AS ms,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+), a AS (
+  SELECT user_id, ms, cents,
+         max(ms) OVER (PARTITION BY user_id) AS anchor
+  FROM v
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents >> CAST(least((anchor - ms) // 3600000, 62) AS INT))
+            AS BIGINT) AS decayed_value
+FROM a GROUP BY user_id
+"""
+
+
+@register("time_decayed_user_value", _TIME_DECAY_ORACLE)
+def time_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wall-clock recency weighting with a one-hour half-life as pure
+    integer arithmetic: each event contributes cents >> age_hours
+    (clamped at 62) relative to the user's latest event. Unlike the
+    event-indexed fold (decayed_user_scores) this form is FULLY
+    data-parallel — a window max + one partial-agg sum, no ordered
+    fold, no per-user list — so it is the shape to prefer at 100 TB;
+    both are bit-exact."""
+    from dss_nlp_ingestion_spark.functions.dates import epoch_ms as _ems
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        _ems(F.col("ts")).alias("ms"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id")
+    aged = ev.withColumn("anchor", F.max("ms").over(w)).withColumn(
+        "age_h",
+        F.least(
+            F.floor((F.col("anchor") - F.col("ms")) / 3600000), F.lit(62)
+        ).cast("int"),
+    )
+    # SQL shiftright takes a column shift amount (the DataFrame
+    # helper insists on a literal)
+    return aged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.expr("shiftright(cents, age_h)"))
+        .cast("long")
+        .alias("decayed_value"),
+    )

@@ -2239,3 +2239,29 @@ def dlq_malformed_json_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("j.lang").alias("parsed_lang"),
         F.col("j.n").alias("parsed_n"),
     )
+
+
+_TXLOG_RENAME_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice AS price FROM orders
+"""
+
+
+@register("txlog_rename_column_orders", _TXLOG_RENAME_ORACLE)
+def txlog_rename_column_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-mapping RENAME on the ACID table (Delta column-mapping
+    semantics): o_totalprice -> price committed as pure metadata —
+    zero bytes rewritten — and an append AFTER the rename (written in
+    the physical schema) still surfaces under the logical name. The
+    hash gate proves the physical->logical fold across commits."""
+    import tempfile
+
+    from dss_nlp_ingestion_spark.sources import txlog
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="dss_txren_") + "/orders"
+    txlog.create_table(orders.filter(F.col("o_orderkey") % 2 == 0), path)
+    txlog.rename_column(path, "o_totalprice", "price")
+    txlog.append(orders.filter(F.col("o_orderkey") % 2 == 1), path)
+    return txlog.read(spark, path)

@@ -304,7 +304,10 @@ def read(
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*files)
+    df = reader.parquet(*files)
+    for old_name, new_name in _folded_renames(path, version):
+        df = df.withColumnRenamed(old_name, new_name)
+    return df
 
 
 def compact(
@@ -1403,3 +1406,71 @@ def txlog_empty_like(spark: SparkSession, path: str) -> DataFrame:
     """Zero-row DataFrame with ``path``'s current schema — the body of
     a metadata-only (watermark-advancing) commit."""
     return read(spark, path).limit(0)
+
+
+def rename_column(path: str, old: str, new: str, max_retries: int = 10) -> int:
+    """Delta column-mapping-style RENAME without rewriting a byte:
+    commit a metadata entry recording physical->logical name mapping;
+    :func:`read` applies the folded mapping after the parquet scan.
+    Chained renames compose (a->b then b->c reads physical a as c);
+    time travel below the rename sees the old name. O(1) metadata."""
+    entry = {"op": "rename", "add": [], "remove": [], "rename": [old, new]}
+    for _ in range(max_retries):
+        head = (_versions(path) or [-1])[-1]
+        if head < 0:
+            raise ValueError(f"no tx table at {path}")
+        if _try_commit(path, head + 1, entry):
+            return head + 1
+    raise TxConflictError(f"rename lost {max_retries} commit races at {path}")
+
+
+def _folded_renames(path: str, version: int | None = None) -> list[tuple[str, str]]:
+    """Rename chain up to ``version`` in commit order."""
+    versions = _versions(path)
+    if version is not None:
+        versions = [v for v in versions if v <= version]
+    out = []
+    for v in versions:
+        r = _read_entry(path, v).get("rename")
+        if r:
+            out.append((r[0], r[1]))
+    return out
+
+
+def read_pruned_multi(
+    spark: SparkSession,
+    path: str,
+    ranges: dict,
+    version: int | None = None,
+) -> DataFrame:
+    """Multi-column data skipping: keep a file only if EVERY
+    ``{col: (lo, hi)}`` range can overlap its logged stats (AND of
+    per-column pruning — the multi-dimensional planning step Z-ordered
+    layouts exist to serve). Statless files/columns are always kept
+    (no false negatives); the ranges are also applied as real
+    filters."""
+    from pyspark.sql import functions as F
+
+    live, stats = _fold_live_and_stats(path, version)
+    keep = []
+    for rel in live:
+        ok = True
+        for col, (lo, hi) in ranges.items():
+            per = stats.get(rel, {}).get(col)
+            if per is not None and (
+                (hi is not None and per[0] > hi)
+                or (lo is not None and per[1] < lo)
+            ):
+                ok = False
+                break
+        if ok:
+            keep.append(os.path.join(path, "data", rel))
+    if not keep:
+        raise ValueError(f"no files overlap {ranges} at {path}")
+    df = spark.read.option("mergeSchema", "true").parquet(*keep)
+    for col, (lo, hi) in ranges.items():
+        if lo is not None:
+            df = df.filter(F.col(col) >= lo)
+        if hi is not None:
+            df = df.filter(F.col(col) <= hi)
+    return df

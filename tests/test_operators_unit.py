@@ -1586,3 +1586,26 @@ def test_dlq_split_preserves_raw_for_bad_records(spark, tmp_path):
     assert out[7]["is_bad"] == 1 and out[7]["parsed_lang"] is None
     assert out[8]["is_bad"] == 0 and out[8]["parsed_lang"] == "zh"
     assert out[8]["parsed_n"] == 20
+
+
+def test_time_decayed_value_halves_per_hour(spark, tmp_path):
+    import datetime as dt
+
+    from dss_nlp_ingestion_spark.plans.analytics_queries import (
+        time_decayed_user_value,
+    )
+
+    base = dt.datetime(2024, 1, 1, 12)
+    rows = [
+        (1, 1, "x", base, 8.0),                          # anchor: full
+        (2, 1, "x", base - dt.timedelta(hours=1), 8.0),  # >>1
+        (3, 1, "x", base - dt.timedelta(hours=2), 8.0),  # >>2
+        (4, 1, "x", base - dt.timedelta(days=30), 8.0),  # clamped -> 0
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp, value double"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = time_decayed_user_value(spark, str(tmp_path)).collect()[0]
+    # 800 + 400 + 200 + 0
+    assert out["decayed_value"] == 1400
+    assert out["n_events"] == 4

@@ -911,3 +911,41 @@ def test_update_table_rejects_unknown_set_columns(spark):
     with pytest.raises(ValueError, match="non-existent columns"):
         txlog.update_table(spark, path, "k = 1", {"totalprice": "p * 2"})
     assert len(txlog.history(path)) == n_versions  # nothing committed
+
+
+def test_rename_column_is_metadata_only_and_time_travels(spark):
+    path = tempfile.mkdtemp(prefix="dss_txren_")
+    txlog.create_table(_tbl(spark, [(1, "a")]), path)
+    files_before = set(txlog.snapshot_files(path))
+    v = txlog.rename_column(path, "v", "label")
+    assert set(txlog.snapshot_files(path)) == files_before  # zero rewrite
+    assert txlog.read(spark, path).columns == ["k", "label"]
+    # time travel below the rename sees the old name
+    assert txlog.read(spark, path, version=v - 1).columns == ["k", "v"]
+    # chained rename composes
+    txlog.rename_column(path, "label", "tag")
+    got = txlog.read(spark, path).collect()[0]
+    assert got["tag"] == "a"
+    # appends after a rename write the PHYSICAL (original) schema and
+    # still surface under the logical name
+    txlog.append(_tbl(spark, [(2, "b")]), path)
+    rows = {r["k"]: r["tag"] for r in txlog.read(spark, path).collect()}
+    assert rows == {1: "a", 2: "b"}
+
+
+def test_read_pruned_multi_ands_column_ranges(spark):
+    path = tempfile.mkdtemp(prefix="dss_txmulti_")
+    rows = [(i, i % 10, float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "k long, m long, p double")
+    txlog.create_table(
+        df.repartitionByRange(5, "k"), path, stats_cols=["k", "m"]
+    )
+    # k-range hits 1 file; the m-range is satisfiable there
+    out = txlog.read_pruned_multi(spark, path, {"k": (10, 19), "m": (3, 5)})
+    got = sorted(r["k"] for r in out.collect())
+    assert got == [13, 14, 15]
+    # an unsatisfiable AND raises (all files pruned)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no files overlap"):
+        txlog.read_pruned_multi(spark, path, {"k": (10, 19), "m": (50, 60)})
