@@ -2265,3 +2265,43 @@ def txlog_rename_column_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     txlog.rename_column(path, "o_totalprice", "price")
     txlog.append(orders.filter(F.col("o_orderkey") % 2 == 1), path)
     return txlog.read(spark, path)
+
+
+_TXLOG_SQLDML_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       CASE WHEN o_custkey % 30 = 0 THEN o_totalprice * 4
+            ELSE o_totalprice END AS o_totalprice
+FROM orders WHERE o_orderkey % 128 <> 0
+"""
+
+
+@register("txlog_sql_dml_orders", _TXLOG_SQLDML_ORACLE)
+def txlog_sql_dml_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front door for tx-table DML (sources/txsql.py): DELETE
+    and UPDATE issued as SQL TEXT route through the same file-pruned
+    COW commits as the Python API — a SQL user drives the ACID table
+    end to end. Predicate/SET text passes to the engine verbatim, so
+    the oracle replays the identical expressions."""
+    import tempfile
+
+    from dss_nlp_ingestion_spark.sources import txlog, txsql
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="dss_txsqlq_") + "/orders"
+    txlog.create_table(
+        orders.repartitionByRange(6, "o_orderkey"), path,
+        stats_cols=["o_orderkey"],
+    )
+    cat = {"orders_tx": path}
+    txsql.execute_dml(
+        spark, "DELETE FROM orders_tx WHERE o_orderkey % 128 = 0", cat
+    )
+    txsql.execute_dml(
+        spark,
+        "UPDATE orders_tx SET o_totalprice = o_totalprice * 4 "
+        "WHERE o_custkey % 30 = 0",
+        cat,
+    )
+    return txlog.read(spark, path)
