@@ -317,6 +317,8 @@ class _TxLogStreamWriter(DataSourceStreamWriter):
         for _ in range(10):
             head = (txlog._versions(self.path) or [-1])[-1]
             if txlog._try_commit(self.path, head + 1, entry):
+                # bound log-replay cost on long-lived streaming tables
+                txlog.maybe_checkpoint(self.path)
                 return
         raise txlog.TxConflictError(
             f"stream append lost commit races at {self.path}"

@@ -93,3 +93,38 @@ def execute_dml(spark: SparkSession, statement: str, tables: dict) -> dict:
         v = txlog.rename_column(path(m.group(1)), m.group(2), m.group(3))
         return {"op": "rename", "version": v}
     raise ValueError(f"unsupported DML statement: {statement[:120]!r}")
+
+_MERGE = re.compile(
+    r"^\s*MERGE\s+INTO\s+(\w+)\s+USING\s+(\w+)\s+ON\s+"
+    r"\1\.(\w+)\s*=\s*\2\.(\w+)\s*"
+    r"(?:WHEN\s+MATCHED\s+AND\s+\2\.(\w+)\s+THEN\s+DELETE\s+)?"
+    r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+"
+    r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+def execute_merge(spark: SparkSession, statement: str, tables: dict) -> dict:
+    """ANSI-shaped ``MERGE INTO t USING <view> ON t.k = v.k [WHEN
+    MATCHED AND v.<flag> THEN DELETE] WHEN MATCHED THEN UPDATE SET *
+    WHEN NOT MATCHED THEN INSERT *`` — the canonical upsert statement
+    routed to the file-pruned ACID merge. ``<view>`` is a registered
+    Spark temp view (the source relation); the two ON columns must
+    name the same key. Only this canonical clause shape is accepted —
+    anything else raises (no silent semantic drift)."""
+    m = _MERGE.match(statement)
+    if not m:
+        raise ValueError(
+            "unsupported MERGE shape (expected: MERGE INTO t USING v ON "
+            f"t.k = v.k [...] UPDATE SET * / INSERT *): {statement[:120]!r}"
+        )
+    tname, vname, tkey, vkey, delcol = m.groups()
+    if tkey != vkey:
+        raise ValueError(f"ON keys must match: {tkey} != {vkey}")
+    if tname not in tables:
+        raise ValueError(f"unknown tx table '{tname}' (catalog: {sorted(tables)})")
+    src = spark.table(vname)
+    res = txlog.merge_into_table(
+        spark, tables[tname], src, [tkey], delete_col=delcol
+    )
+    return {"op": "merge", **res}

@@ -319,6 +319,8 @@ def stream_merge_to_txlog_table(
             key_cols,
             txn=(app_id, batch_id),
         )
+        # long-running sinks accrete commits; keep log replay O(tail)
+        txlog.maybe_checkpoint(path)
 
     q = (
         stream.writeStream.foreachBatch(_commit)

@@ -949,3 +949,29 @@ def test_read_pruned_multi_ands_column_ranges(spark):
 
     with _pytest.raises(ValueError, match="no files overlap"):
         txlog.read_pruned_multi(spark, path, {"k": (10, 19), "m": (50, 60)})
+
+
+def test_streaming_sink_auto_checkpoints_the_log(spark):
+    import os
+
+    from dss_nlp_ingestion_spark.streaming.pipeline import (
+        read_events_stream,
+        stream_merge_to_txlog_table,
+    )
+
+    base = tempfile.mkdtemp(prefix="dss_autockpt_")
+    df = _orders_tbl(spark, n=24, files=12)  # 12 source files -> many batches
+    df.write.parquet(base + "/src")
+    stream = read_events_stream(spark, base + "/src", schema=df.schema)
+    stream_merge_to_txlog_table(
+        stream, base + "/t", ["k"], base + "/ck", app_id="ac1"
+    )
+    cks = [
+        n for n in os.listdir(os.path.join(base, "t", "_txlog"))
+        if n.endswith(".checkpoint.json")
+    ]
+    if len(txlog._versions(base + "/t")) >= 10:
+        assert cks, "expected an auto-checkpoint after >=10 commits"
+    # and the folded state stays exact
+    got = sorted(r["k"] for r in txlog.read(spark, base + "/t").collect())
+    assert got == sorted(range(24))

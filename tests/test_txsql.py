@@ -67,3 +67,34 @@ def test_sql_rejects_unknown_table_and_statement(spark):
         txsql.execute_dml(spark, "TRUNCATE TABLE t", {"t": path})
     with pytest.raises(ValueError, match="bad SET clause"):
         txsql.execute_dml(spark, "UPDATE t SET oops WHERE k = 1", {"t": path})
+
+
+def test_sql_merge_canonical_shape_routes_to_acid_merge(spark):
+    path = _make(spark, n=10)
+    cat = {"t": path}
+    src = spark.createDataFrame(
+        [(3, "upd", 99.0, False), (50, "new", 1.0, False), (4, "x", 0.0, True)],
+        "k long, c string, p double, del boolean",
+    )
+    src.createOrReplaceTempView("changes")
+    r = txsql.execute_merge(
+        spark,
+        "MERGE INTO t USING changes ON t.k = changes.k "
+        "WHEN MATCHED AND changes.del THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+        cat,
+    )
+    assert r["op"] == "merge"
+    got = {row["k"]: row["c"] for row in txlog.read(spark, path).collect()}
+    assert got[3] == "upd" and got[50] == "new" and 4 not in got
+    assert len(got) == 10  # 10 - 1 deleted + 1 inserted
+
+
+def test_sql_merge_rejects_noncanonical_shapes(spark):
+    path = _make(spark, n=4)
+    with pytest.raises(ValueError, match="unsupported MERGE"):
+        txsql.execute_merge(
+            spark, "MERGE INTO t USING v ON t.k = v.j WHEN MATCHED THEN DELETE",
+            {"t": path},
+        )
