@@ -466,3 +466,87 @@ def decontaminate(
         probe.join(F.broadcast(bench), "_s", "left_semi").select(id_col).distinct()
     )
     return corpus.join(contaminated, id_col, "left_anti")
+
+
+# --- AllPairs prefix filtering (exact-threshold set-similarity join) ------
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    tau_num: int = 3,
+    tau_den: int = 5,
+    shingler: Shingler | None = None,
+) -> DataFrame:
+    """EXACT Jaccard-join at threshold ``tau_num/tau_den`` via AllPairs
+    prefix filtering (Bayardo et al., WWW'07) — the scale path when the
+    threshold is high and the answer must be exact (LSH is probabilistic,
+    the posting self-join is quadratic in the hottest token).
+
+    The bound: order all shingles by a global total order (ascending
+    document frequency, shingle string as tie-break — rarest first).
+    If J(x, y) >= t, then x and y must share a shingle within each
+    other's first ``|s| - ceil(t * |s|) + 1`` shingles under that
+    order. So candidate pairs are generated ONLY from the prefixes —
+    the frequent shingles (the quadratic blowup at corpus scale) sit
+    at the END of the order and mostly fall outside every prefix.
+
+    Threshold arithmetic is integer-exact end-to-end (``ceil(t*s)`` as
+    ``(s*tau_num + tau_den - 1) div tau_den``; the final cut as
+    ``shared * tau_den >= union * tau_num``) — a float ``0.6 * 5``
+    is 3.0000000000000004, whose ceil would shrink the prefix and
+    silently drop true pairs.
+
+    Pipeline (3 shuffles, all key-bounded): shingle df-count (by
+    shingle) -> per-doc rank window (by doc id) -> prefix self-join
+    (by shingle, with the |y|*t <= |x| length filter) -> verify by
+    joining candidate ids back to the per-doc shingle-set arrays and
+    intersecting (array_intersect per pair — row-local, no token
+    re-shuffle). Output (id_a, id_b, shared, union_sz) exact longs.
+    """
+    sh_expr = shingler(F.col(text_col)) if shingler else shingles(F.col(text_col), k)
+    sets = (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("id"), F.array_distinct(sh_expr).alias("_sh"))
+        .filter(F.size("_sh") > 0)
+        .select("id", "_sh", F.size("_sh").cast("long").alias("sz"))
+    )
+    ex = sets.select("id", "sz", F.explode("_sh").alias("s"))
+    dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
+    # join exploded postings to the global order key; both sides hash
+    # on the shingle so the exchange is shared.
+    ranked = ex.join(dfreq, "s").withColumn(
+        "_r",
+        F.row_number().over(Window.partitionBy("id").orderBy("_df", "s")),
+    )
+    prefix_len = (
+        F.col("sz")
+        - F.floor((F.col("sz") * tau_num + (tau_den - 1)) / tau_den)
+        + 1
+    )
+    prefix = ranked.filter(F.col("_r") <= prefix_len).select("id", "sz", "s")
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")),
+        )
+        # length filter: J >= t forces t * max(|x|,|y|) <= min(|x|,|y|)
+        .filter(
+            F.greatest("a.sz", "b.sz") * tau_num
+            <= F.least("a.sz", "b.sz") * tau_den
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    verified = (
+        cand.join(sets.select(F.col("id").alias("id_a"), F.col("_sh").alias("_sha"),
+                              F.col("sz").alias("sz_a")), "id_a")
+        .join(sets.select(F.col("id").alias("id_b"), F.col("_sh").alias("_shb"),
+                          F.col("sz").alias("sz_b")), "id_b")
+        .withColumn("shared", F.size(F.array_intersect("_sha", "_shb")).cast("long"))
+        .withColumn("union_sz", F.col("sz_a") + F.col("sz_b") - F.col("shared"))
+        .filter(F.col("shared") * tau_den >= F.col("union_sz") * tau_num)
+    )
+    return verified.select("id_a", "id_b", "shared", "union_sz")

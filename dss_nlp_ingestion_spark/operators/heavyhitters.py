@@ -1,0 +1,90 @@
+"""Exact heavy hitters at scale: per-partition Misra-Gries candidate
+generation, then one exact counting pass restricted to the candidates.
+
+Why not just ``groupBy(key).count()`` + HAVING? That works, but the
+shuffle carries one row per DISTINCT key — at 100 TB with billions of
+distinct keys the aggregate itself is the bottleneck when all you
+want is the handful of keys above a frequency threshold. The classic
+two-pass scheme bounds the shuffle by the candidate set instead:
+
+1. **Candidates** (mapInPandas, one scan, zero shuffle): each
+   partition keeps a Misra-Gries summary of ``counters`` entries.
+   MG guarantees any item with local count > n_p/(counters+1)
+   survives; by pigeonhole, an item with GLOBAL count > n/k has
+   local count > n_p/k on at least one partition, so with
+   ``counters >= k`` the union of partition candidates is a SUPERSET
+   of the true heavy hitters. The union is at most
+   ``counters * n_partitions`` keys — driver-independent, tiny.
+2. **Exact verify** (one scan + one candidate-sized shuffle): semi
+   join the input on the broadcast candidates, count exactly, keep
+   ``cnt * k > n``. False candidates die here, so the output is
+   EXACT and deterministic regardless of partitioning.
+
+Reference parity: frequency gating appears in the reference as the
+per-source scrape budget (src/base.py task batching); the operator
+generalizes it to data-driven hot-key discovery (skew diagnosis,
+vocabulary capping, boilerplate detection).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _mg_candidates(key: str, counters: int):
+    """Partition-wise Misra-Gries summary over Arrow batches."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counts: dict = {}
+        for pdf in batches:
+            for v, c in pdf[key].value_counts().items():
+                counts[v] = counts.get(v, 0) + int(c)
+            if len(counts) > counters:
+                # Standard MG summary merge: subtract the
+                # (counters+1)-th largest count from everyone and
+                # drop the non-positive — keeps the additive-error
+                # guarantee (error <= n_p/(counters+1)).
+                vals = sorted(counts.values(), reverse=True)
+                thresh = vals[counters]
+                counts = {v: c - thresh for v, c in counts.items() if c > thresh}
+        yield pd.DataFrame({key: pd.Series(list(counts), dtype="int64")})
+
+    return gen
+
+
+def heavy_hitters_exact(
+    df: DataFrame, key_col: str, k: int, counters: int | None = None
+) -> DataFrame:
+    """All ``key_col`` values with frequency strictly above n/k, with
+    their EXACT counts: (key, cnt BIGINT, n BIGINT).
+
+    ``counters`` (default ``2 * k``) is the per-partition summary
+    size; any value >= k preserves the no-false-negative guarantee,
+    and the margin keeps candidate counts low even under adversarial
+    batch boundaries. Integer threshold arithmetic (``cnt * k > n``)
+    so the cut is bit-exact across engines.
+    """
+    m = counters if counters is not None else 2 * k
+    if m < k:
+        raise ValueError(f"counters ({m}) must be >= k ({k})")
+    keyed = df.select(F.col(key_col).cast("long").alias(key_col))
+    candidates = (
+        keyed.mapInPandas(_mg_candidates(key_col, m), schema=f"{key_col} long")
+        .distinct()
+    )
+    totals = keyed.agg(F.count(F.lit(1)).alias("n"))
+    exact = (
+        keyed.join(F.broadcast(candidates), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(totals))
+        .filter(F.col("cnt") * k > F.col("n"))
+        .select(key_col, "cnt", "n")
+    )

@@ -19,6 +19,7 @@ from dss_nlp_ingestion_spark.operators.dedup import (
     lsh_bands,
     lsh_candidate_pairs,
     ngram_jaccard_pairs,
+    prefix_filter_jaccard_pairs,
     simhash16,
     simhash_banded_pairs,
     simhash_near_pairs,
@@ -1310,4 +1311,50 @@ def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(frac < 0.9, F.lit("valid"))
         .otherwise(F.lit("test"))
         .alias("split"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# AllPairs prefix-filter exact Jaccard join (threshold 3/5)
+# ---------------------------------------------------------------------------
+
+_PREFIX_JACCARD_ORACLE = f"""
+WITH {_WS_CTE},
+dsh AS (
+  SELECT doc_id, list_distinct(sh) AS sh FROM sh
+), sizes AS (
+  SELECT doc_id, CAST(len(sh) AS BIGINT) AS sz FROM dsh
+), ex AS (
+  SELECT doc_id, unnest(sh) AS s FROM dsh
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, shared,
+       sa.sz + sb.sz - shared AS union_sz,
+       {fround_sql('CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared)', 6)} AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE shared * 5 >= (sa.sz + sb.sz - shared) * 3
+"""
+
+
+@register("prefix_filter_jaccard_pairs", _PREFIX_JACCARD_ORACLE)
+def prefix_filter_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= 3/5 pairs via AllPairs prefix filtering
+    (candidates only from each doc's rarest-shingle prefix; integer
+    threshold arithmetic end-to-end). The oracle is the brute
+    posting-join at the same threshold — prefix filtering is lossless
+    by the AllPairs bound, so the outputs must be identical
+    (operators/dedup.py:prefix_filter_jaccard_pairs)."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = prefix_filter_jaccard_pairs(docs, "doc_id", "text", k=3)
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "shared",
+        "union_sz",
+        fround(F.col("shared").cast("double") / F.col("union_sz"), 6).alias("jaccard"),
     )

@@ -395,3 +395,39 @@ def test_repetition_gate_single_narrowing_shuffle_chain(spark):
     plan = _formatted(spark, "gopher_repetition_gate")
     assert "Python" not in plan and "ArrowEval" not in plan
     assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_bloom_prefilter_probe_is_shuffle_free(spark):
+    # The Bloom probe must reach the fact rows via a 1-row broadcast
+    # (BroadcastNestedLoopJoin) — never a hash exchange of the fact
+    # table before the prefilter does its pruning.
+    from pyspark.sql import functions as F
+
+    from dss_nlp_ingestion_spark.catalog import table
+    from dss_nlp_ingestion_spark.operators.bloom import bloom_build, bloom_prefilter
+
+    cust = table(spark, SF_DIR, "customer").select("c_custkey")
+    orders = table(spark, SF_DIR, "orders")
+    pruned = bloom_prefilter(orders, "o_custkey", bloom_build(cust, "c_custkey"))
+    plan = pruned._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BroadcastNestedLoopJoin" in plan
+    # the probe side of that join (the fact scan) has no hash exchange;
+    # the only hashpartitioning belongs to the bitmap build aggregation.
+    probe_section = plan.split("BroadcastNestedLoopJoin")[0]
+    assert "Exchange hashpartitioning" not in probe_section
+
+
+def test_heavy_hitters_verify_join_broadcasts(spark):
+    from dss_nlp_ingestion_spark.catalog import table
+    from dss_nlp_ingestion_spark.operators.heavyhitters import heavy_hitters_exact
+
+    ev = table(spark, SF_DIR, "events")
+    plan = heavy_hitters_exact(ev, "user_id", 120)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # candidates and the 1-row total ride broadcasts; the exact count
+    # shuffles only candidate-filtered rows.
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
