@@ -184,3 +184,37 @@ def bm25_topk(
             F.col("_score").cast("double").alias("score"),
         )
     )
+
+
+# --- positional phrase query ----------------------------------------------
+
+def phrase_occurrences(
+    df: DataFrame, id_col: str, text_col: str, phrase: Sequence[str]
+) -> DataFrame:
+    """Exact phrase occurrence counts through a POSITIONAL inverted
+    index: whitespace tokens with positions (posexplode), postings
+    filtered to the phrase's terms BEFORE any join (term-selective —
+    only index-entry-sized streams move), then chained equi-joins
+    (term_i at pos == term_0 at pos+i) reassemble occurrences.
+    Overlapping occurrences count. Returns (id_col, n_occurrences)
+    for docs with >= 1 match.
+
+    The ES ``match_phrase`` shape of the reference's consumer queries
+    (elasticsearch_settings.md); at scale each join shuffles on
+    (doc, position) for two term posting lists — bounded by the
+    rarest term's document frequency, never the corpus."""
+    if len(phrase) < 2:
+        raise ValueError("phrase needs >= 2 terms")
+    postings = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("pos", "tok"),
+    )
+    matched = postings.filter(F.col("tok") == phrase[0]).select(id_col, "pos")
+    for i, term in enumerate(phrase[1:], start=1):
+        nxt = postings.filter(F.col("tok") == term).select(
+            id_col, (F.col("pos") - i).alias("pos")
+        )
+        matched = matched.join(nxt, [id_col, "pos"])
+    return matched.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )

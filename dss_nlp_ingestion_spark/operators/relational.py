@@ -167,3 +167,34 @@ def anti_join_new(df: DataFrame, existing: DataFrame, on: Sequence[str]) -> Data
 def semi_join_known(df: DataFrame, members: DataFrame, on: Sequence[str]) -> DataFrame:
     """Rows of ``df`` whose key appears in ``members``."""
     return df.join(members, on=list(on), how="left_semi")
+
+
+# --- gaps-and-islands streaks ---------------------------------------------
+
+def consecutive_day_streaks(
+    df: DataFrame, user_col: str, ts_col: str
+) -> DataFrame:
+    """Consecutive-day activity streaks per user — the classic
+    gaps-and-islands rewrite: distinct active days, then
+    ``day_number - row_number`` is constant within an island, so
+    streak lengths fall out of a groupBy with NO self-join and no
+    window-frame scan. Returns (user_col, n_streaks, max_streak,
+    n_active_days), all BIGINT. Two key-bounded shuffles (the
+    distinct and the window+aggs share the user partitioning)."""
+    d = df.select(user_col, F.to_date(ts_col).alias("_day")).distinct()
+    w = Window.partitionBy(user_col).orderBy("_day")
+    r = d.select(
+        user_col,
+        (
+            F.datediff(F.col("_day"), F.lit("2024-01-01").cast("date"))
+            - F.row_number().over(w)
+        ).alias("_grp"),
+    )
+    s = r.groupBy(user_col, "_grp").agg(
+        F.count(F.lit(1)).cast("long").alias("_len")
+    )
+    return s.groupBy(user_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.max("_len").alias("max_streak"),
+        F.sum("_len").cast("long").alias("n_active_days"),
+    )

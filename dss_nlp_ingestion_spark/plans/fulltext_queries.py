@@ -338,3 +338,37 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rrf"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Positional-index phrase query
+# ---------------------------------------------------------------------------
+
+from dss_nlp_ingestion_spark.operators.fulltext import phrase_occurrences  # noqa: E402
+
+_PHRASE = ("slow", "hash", "batch")
+
+_PHRASE_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
+), occ AS (
+  SELECT doc_id,
+         CAST(len(list_filter(range(1, len(ws) - 1),
+              i -> ws[i] = 'slow' AND ws[i+1] = 'hash' AND ws[i+2] = 'batch'))
+           AS BIGINT) AS n_occurrences
+  FROM w WHERE len(ws) >= 3
+)
+SELECT doc_id, n_occurrences FROM occ WHERE n_occurrences > 0
+"""
+
+
+@register("phrase_match_positional", _PHRASE_ORACLE)
+def phrase_match_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase query ("slow hash batch") through the positional
+    inverted index (operators/fulltext.py:phrase_occurrences) — the
+    ES match_phrase shape of the reference's consumer query surface.
+    Postings are term-filtered before any join, so only
+    index-entry-sized streams shuffle; the oracle replays the
+    position arithmetic with list HOFs."""
+    docs = table(spark, sf_dir, "documents")
+    return phrase_occurrences(docs, "doc_id", "text", _PHRASE)

@@ -13,13 +13,14 @@ defines the result, so the oracle never needs to model the bitmap.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dss_nlp_ingestion_spark.catalog import table
 from dss_nlp_ingestion_spark.functions.dates import epoch_ms
 from dss_nlp_ingestion_spark.operators.bloom import bloom_build, bloom_prefilter
 from dss_nlp_ingestion_spark.operators.heavyhitters import heavy_hitters_exact
+from dss_nlp_ingestion_spark.operators.relational import consecutive_day_streaks
 from dss_nlp_ingestion_spark.plans.registry import (
     dsum_sql,
     fround,
@@ -231,4 +232,203 @@ def funnel_conversion_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(sp, epoch_ms("t_purchase") - epoch_ms("t_signup")))
         .cast("long")
         .alias("conv_ms_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: consecutive-day activity streaks
+# ---------------------------------------------------------------------------
+
+_STREAKS_ORACLE = """
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), r AS (
+  SELECT user_id, day,
+         date_diff('day', DATE '2024-01-01', day)
+           - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM d
+), s AS (
+  SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+  FROM r GROUP BY user_id, grp
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_streaks,
+       max(len) AS max_streak,
+       CAST(sum(len) AS BIGINT) AS n_active_days
+FROM s GROUP BY user_id
+"""
+
+
+@register("activity_streaks", _STREAKS_ORACLE)
+def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands rewrite: distinct active days, then
+    ``day_number - row_number`` is constant within an island, so
+    streaks fall out of a groupBy with NO self-join or window-frame
+    scan. Two key-bounded shuffles (distinct, window+agg share the
+    user_id partitioning)."""
+    ev = table(spark, sf_dir, "events")
+    return consecutive_day_streaks(ev, "user_id", "ts")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic A/B split + conversion lift + chi-square
+# ---------------------------------------------------------------------------
+
+_AB_HASH = "(('0x' || substr(sha256('ab:' || CAST(user_id AS VARCHAR)), 1, 13))::BIGINT % 2)"
+
+_AB_ORACLE = f"""
+WITH u AS (
+  SELECT user_id,
+         {_AB_HASH} AS variant,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purch
+  FROM events GROUP BY user_id
+), g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(n_purch) AS BIGINT) AS total_purch
+  FROM u
+), t AS (
+  SELECT
+    CAST(sum(CASE WHEN variant = 0 AND n_purch * g.n_users > g.total_purch THEN 1 ELSE 0 END) AS BIGINT) AS a_conv,
+    CAST(sum(CASE WHEN variant = 0 AND n_purch * g.n_users <= g.total_purch THEN 1 ELSE 0 END) AS BIGINT) AS a_rest,
+    CAST(sum(CASE WHEN variant = 1 AND n_purch * g.n_users > g.total_purch THEN 1 ELSE 0 END) AS BIGINT) AS b_conv,
+    CAST(sum(CASE WHEN variant = 1 AND n_purch * g.n_users <= g.total_purch THEN 1 ELSE 0 END) AS BIGINT) AS b_rest
+  FROM u, g
+)
+SELECT a_conv, a_rest, b_conv, b_rest,
+  {fround_sql('CAST(a_conv AS DOUBLE) / (a_conv + a_rest)', 6)} AS rate_a,
+  {fround_sql('CAST(b_conv AS DOUBLE) / (b_conv + b_rest)', 6)} AS rate_b,
+  {fround_sql('(CAST(b_conv AS DOUBLE) / (b_conv + b_rest)) / nullif(CAST(a_conv AS DOUBLE) / (a_conv + a_rest), 0.0) - 1.0', 6)} AS lift,
+  {fround_sql('(CAST(a_conv + a_rest + b_conv + b_rest AS DOUBLE) * (CAST(a_conv AS DOUBLE) * b_rest - CAST(a_rest AS DOUBLE) * b_conv) * (CAST(a_conv AS DOUBLE) * b_rest - CAST(a_rest AS DOUBLE) * b_conv)) / nullif(CAST(a_conv + a_rest AS DOUBLE) * (b_conv + b_rest) * (a_conv + b_conv) * (a_rest + b_rest), 0.0)', 6)} AS chi2
+FROM t
+"""
+
+
+@register("ab_test_lift", _AB_ORACLE)
+def ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A/B analysis: users split 50/50 by a salted sha
+    bucket (pure key function — stable across reruns/engines, the
+    same discipline as hash_sample_docs), conversion = above-average
+    purchaser (integer cross-multiplied cut, scale-free), then lift
+    and the 2x2 chi-square statistic. Counts are integers until the
+    single closed-form float expression, shared verbatim with the
+    oracle; degenerate arms yield NULL on both engines via nullif."""
+    ev = table(spark, sf_dir, "events")
+    h = F.sha2(F.concat(F.lit("ab:"), F.col("user_id").cast("string")), 256)
+    variant = F.conv(F.substring(h, 1, 13), 16, 10).cast("long") % 2
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n_purch")
+    ).select(variant.alias("variant"), "n_purch")
+    g = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("n_purch").cast("long").alias("total_purch"),
+    )
+    conv = F.col("n_purch") * F.col("n_users") > F.col("total_purch")
+    one, zero = F.lit(1), F.lit(0)
+    t = (
+        u.crossJoin(F.broadcast(g))
+        .agg(
+            F.sum(F.when((F.col("variant") == 0) & conv, one).otherwise(zero))
+            .cast("long")
+            .alias("a_conv"),
+            F.sum(F.when((F.col("variant") == 0) & ~conv, one).otherwise(zero))
+            .cast("long")
+            .alias("a_rest"),
+            F.sum(F.when((F.col("variant") == 1) & conv, one).otherwise(zero))
+            .cast("long")
+            .alias("b_conv"),
+            F.sum(F.when((F.col("variant") == 1) & ~conv, one).otherwise(zero))
+            .cast("long")
+            .alias("b_rest"),
+        )
+    )
+    a_c, a_r = F.col("a_conv"), F.col("a_rest")
+    b_c, b_r = F.col("b_conv"), F.col("b_rest")
+    rate_a = a_c.cast("double") / (a_c + a_r)
+    rate_b = b_c.cast("double") / (b_c + b_r)
+    det = a_c.cast("double") * b_r - a_r.cast("double") * b_c
+    n_d = (a_c + a_r + b_c + b_r).cast("double")
+    denom = F.nullif(
+        (a_c + a_r).cast("double") * (b_c + b_r) * (a_c + b_c) * (a_r + b_r),
+        F.lit(0.0),
+    )
+    return t.select(
+        "a_conv",
+        "a_rest",
+        "b_conv",
+        "b_rest",
+        fround(rate_a, 6).alias("rate_a"),
+        fround(rate_b, 6).alias("rate_b"),
+        fround(rate_b / F.nullif(rate_a, F.lit(0.0)) - F.lit(1.0), 6).alias("lift"),
+        fround((n_d * det * det) / denom, 6).alias("chi2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GDPR cascade erasure across ACID tables
+# ---------------------------------------------------------------------------
+
+_GDPR_PRED_SQL = (
+    "(('0x' || substr(sha256('gdpr:' || CAST(user_id AS VARCHAR)), 1, 13))::BIGINT % 5) = 0"
+)
+_GDPR_PRED_SPARK = (
+    "CAST(conv(substring(sha2(concat('gdpr:', CAST(user_id AS STRING)), 256), 1, 13),"
+    " 16, 10) AS BIGINT) % 5 = 0"
+)
+
+_GDPR_ORACLE = f"""
+WITH kept AS (
+  SELECT * FROM events WHERE NOT ({_GDPR_PRED_SQL})
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(count(*) AS BIGINT) AS activity_rows
+FROM kept GROUP BY user_id
+"""
+
+
+@register("gdpr_cascade_delete", _GDPR_ORACLE)
+def gdpr_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure across the lakehouse: the SAME key-pure
+    erasure predicate is applied as a ``DELETE FROM`` commit to every
+    ACID table carrying the subject key (an activity fact table AND a
+    per-user profile table), each a file-pruned COW commit with its
+    own audit trail in the tx log. The result joins the two tables
+    post-erasure; the hash gate proves both deletes landed and agree
+    (profile aggregates == re-aggregated remaining activity). At
+    scale each delete rewrites only files whose logged user_id range
+    intersects the predicate."""
+    import tempfile
+
+    from dss_nlp_ingestion_spark.sources import txlog
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.floor(F.col("value") * 100).cast("long").alias("cents")
+    )
+    base = tempfile.mkdtemp(prefix="dss_gdpr_")
+    act_path, prof_path = base + "/activity", base + "/profiles"
+    txlog.create_table(
+        ev.repartitionByRange(4, "user_id"), act_path, stats_cols=["user_id"]
+    )
+    profiles = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
+    txlog.create_table(
+        profiles.repartitionByRange(4, "user_id"), prof_path, stats_cols=["user_id"]
+    )
+    for path in (act_path, prof_path):
+        txlog.delete_from_table(spark, path, _GDPR_PRED_SPARK, stats_cols=["user_id"])
+    act_counts = (
+        txlog.read(spark, act_path)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("activity_rows"))
+    )
+    return (
+        txlog.read(spark, prof_path)
+        .join(act_counts, "user_id")
+        .select("user_id", "n_events", "total_cents", "activity_rows")
     )
