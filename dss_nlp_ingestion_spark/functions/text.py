@@ -24,7 +24,7 @@ whole-stage codegen and scale linearly with input.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Tokens considered English stopwords by the heuristic language ID /
@@ -373,3 +373,34 @@ def normalize_url(col: Column) -> Column:
         path,
         F.when(qsorted != "", F.concat(F.lit("?"), qsorted)).otherwise(F.lit("")),
     )
+
+
+# --- readability ----------------------------------------------------------
+
+def readability_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document Flesch reading-ease inputs with a DETERMINISTIC
+    syllable heuristic (vowel-group count — no dictionary, so any
+    engine reproduces it): (id, n_words, n_syllables, n_sentences,
+    flesch_raw). Pure scan-side expressions, zero shuffles. Sentences
+    are terminal-punctuation runs, floored at 1 (corpora without
+    punctuation degrade to the words-per-doc term, not to NULL)."""
+    t = F.col(text_col)
+    n_words = F.size(F.split(F.trim(t), r"\s+")).cast("long")
+    n_syll = F.size(
+        F.expr(f"regexp_extract_all(lower({text_col}), '[aeiouy]+', 0)")
+    ).cast("long")
+    n_sent = F.greatest(
+        F.size(F.expr(f"regexp_extract_all({text_col}, '[.!?]+', 0)")), F.lit(1)
+    ).cast("long")
+    out = df.filter(F.length(F.trim(t)) > 0).select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_syll.alias("n_syllables"),
+        n_sent.alias("n_sentences"),
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("n_words").cast("double") / F.col("n_sentences"))
+        - F.lit(84.6) * (F.col("n_syllables").cast("double") / F.col("n_words"))
+    )
+    return out.withColumn("flesch_raw", flesch)

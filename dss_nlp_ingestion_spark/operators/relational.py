@@ -198,3 +198,30 @@ def consecutive_day_streaks(
         F.max("_len").alias("max_streak"),
         F.sum("_len").cast("long").alias("n_active_days"),
     )
+
+
+# --- CUSUM drift detection ------------------------------------------------
+
+def cusum_scaled_deviation(df: DataFrame, ts_col: str) -> DataFrame:
+    """Integer-scaled CUSUM over the hourly event rate:
+    ``S_i = sum_{j<=i} (c_j * H - T)`` where H is the hour count and
+    T the total — the cumulative deviation from the global mean,
+    scaled by H so everything stays EXACT integers (no float mean).
+    Returns one row per hour: (hour, c, s_scaled, n_hours, total).
+
+    The cumulative window orders the AGGREGATED series (one row per
+    hour — series-length bounded, not data bounded), so the single-
+    ordering pass is over thousands of rows at any corpus size; the
+    heavy lifting (hourly counts) is a partial-aggregated shuffle."""
+    h = df.groupBy(F.date_trunc("hour", ts_col).alias("hour")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    g = h.agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum("c").cast("long").alias("total"),
+    )
+    w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, 0)
+    return h.crossJoin(F.broadcast(g)).withColumn(
+        "s_scaled",
+        F.sum(F.col("c") * F.col("n_hours") - F.col("total")).over(w).cast("long"),
+    )

@@ -20,7 +20,11 @@ from dss_nlp_ingestion_spark.catalog import table
 from dss_nlp_ingestion_spark.functions.dates import epoch_ms
 from dss_nlp_ingestion_spark.operators.bloom import bloom_build, bloom_prefilter
 from dss_nlp_ingestion_spark.operators.heavyhitters import heavy_hitters_exact
-from dss_nlp_ingestion_spark.operators.relational import consecutive_day_streaks
+from dss_nlp_ingestion_spark.operators.relational import (
+    consecutive_day_streaks,
+    cusum_scaled_deviation,
+)
+from dss_nlp_ingestion_spark.functions.text import readability_features
 from dss_nlp_ingestion_spark.plans.registry import (
     dsum_sql,
     fround,
@@ -431,4 +435,197 @@ def gdpr_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         txlog.read(spark, prof_path)
         .join(act_counts, "user_id")
         .select("user_id", "n_events", "total_cents", "activity_rows")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skyline (Pareto frontier): earliest-and-most-valuable orders
+# ---------------------------------------------------------------------------
+
+_SKYLINE_ORACLE = """
+SELECT a.o_orderkey, a.o_orderdate, a.o_totalprice
+FROM orders a
+WHERE a.o_orderpriority = '1-URGENT'
+  AND NOT EXISTS (
+    SELECT 1 FROM orders b
+    WHERE b.o_orderpriority = '1-URGENT'
+      AND b.o_orderdate <= a.o_orderdate
+      AND b.o_totalprice >= a.o_totalprice
+      AND (b.o_orderdate < a.o_orderdate OR b.o_totalprice > a.o_totalprice)
+  )
+"""
+
+
+@register("skyline_orders", _SKYLINE_ORACLE)
+def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier: minimize order date, maximize
+    total price) of urgent orders via the sort-based rewrite — NO
+    quadratic dominance join. A row survives iff no strictly-earlier
+    row has >= its price and no same-day row has > its price: two
+    window maxima decide membership.
+
+    Scale shape: a MONTH-partitioned local prune runs first (same two
+    windows within each month — removes almost everything, fully
+    parallel, and is LOSSLESS because dominance is transitive: any
+    global dominator of a locally-pruned row either survives its own
+    month or is itself dominated by a survivor). Only local survivors
+    — frontier-sized, not data-sized — reach the global
+    single-ordering pass. The oracle states dominance as the
+    independent NOT EXISTS definition, so the rewrite is verified
+    against the spec, not against itself."""
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+    def skyline_pass(df: DataFrame, *partition_cols: str) -> DataFrame:
+        day = F.unix_date(F.to_date("o_orderdate"))
+        w_earlier = (
+            Window.partitionBy(*partition_cols)
+            .orderBy(day)
+            .rangeBetween(Window.unboundedPreceding, -1)
+        )
+        w_same = Window.partitionBy(*partition_cols, F.to_date("o_orderdate"))
+        return (
+            df.withColumn("_earlier_max", F.max("o_totalprice").over(w_earlier))
+            .withColumn("_same_max", F.max("o_totalprice").over(w_same))
+            .filter(
+                ~(
+                    F.coalesce(
+                        F.col("_earlier_max") >= F.col("o_totalprice"), F.lit(False)
+                    )
+                    | (F.col("_same_max") > F.col("o_totalprice"))
+                )
+            )
+            .drop("_earlier_max", "_same_max")
+        )
+
+    local = skyline_pass(
+        orders.withColumn("_month", F.date_trunc("month", "o_orderdate")), "_month"
+    ).drop("_month")
+    return skyline_pass(local)
+
+
+# ---------------------------------------------------------------------------
+# Frequent itemsets: co-purchased part pairs with support
+# ---------------------------------------------------------------------------
+
+_COPURCHASE_ORACLE = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS support
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+)
+SELECT part_a, part_b, support FROM pairs WHERE support >= 2
+"""
+
+
+@register("copurchase_pairs_support", _COPURCHASE_ORACLE)
+def copurchase_pairs_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-itemset mining, the A-Priori L2 step: part pairs
+    co-occurring in >= 2 orders. Baskets become sorted distinct item
+    arrays (one shuffle on order key), pairs are generated
+    BASKET-LOCALLY by a double explode — per-row work bounded by
+    basket size squared (TPC-H baskets <= 7 items), never a
+    posting-list self-join over the fact table — then one
+    partial-aggregated count on the pair key."""
+    li = table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
+    )
+    pairs = (
+        baskets.select(F.explode("items").alias("part_a"), "items")
+        .select("part_a", F.explode("items").alias("part_b"))
+        .filter(F.col("part_a") < F.col("part_b"))
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM drift detection over the hourly event rate (integer-scaled)
+# ---------------------------------------------------------------------------
+
+_CUSUM_ORACLE = """
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY date_trunc('hour', ts)
+), g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_hours, CAST(sum(c) AS BIGINT) AS total FROM h
+), s AS (
+  SELECT h.hour, h.c,
+         sum(h.c * g.n_hours - g.total)
+           OVER (ORDER BY h.hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS s_scaled,
+         g.n_hours, g.total
+  FROM h, g
+)
+SELECT hour, c, CAST(s_scaled AS BIGINT) AS s_scaled
+FROM s
+WHERE abs(s_scaled) * 10 > n_hours * total
+"""
+
+
+@register("cusum_changepoints", _CUSUM_ORACLE)
+def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-drift detection: hours where the integer-scaled CUSUM of
+    hourly event counts exceeds 10% of H*T
+    (operators/relational.py:cusum_scaled_deviation — exact integers
+    end-to-end, no float mean)."""
+    ev = table(spark, sf_dir, "events")
+    s = cusum_scaled_deviation(ev, "ts")
+    return s.filter(
+        F.abs(F.col("s_scaled")) * 10 > F.col("n_hours") * F.col("total")
+    ).select("hour", "c", "s_scaled")
+
+
+# ---------------------------------------------------------------------------
+# Readability scoring (deterministic Flesch reading ease)
+# ---------------------------------------------------------------------------
+
+_READABILITY_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences
+  FROM documents WHERE length(trim(text)) > 0
+)
+SELECT doc_id, n_words, n_syllables, n_sentences,
+  {flesch} AS flesch
+FROM t
+""".format(
+    flesch=fround_sql(
+        "206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)"
+        " - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)",
+        4,
+    )
+)
+
+
+@register("readability_scores", _READABILITY_ORACLE)
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease per document with a deterministic
+    vowel-group syllable heuristic — the curation-pipeline
+    readability gate (functions/text.py:readability_features; pure
+    scan-side expressions, zero shuffles; one shared IEEE float tree,
+    floor-rounded)."""
+    docs = table(spark, sf_dir, "documents")
+    t = readability_features(docs, "doc_id", "text")
+    return t.select(
+        "doc_id",
+        "n_words",
+        "n_syllables",
+        "n_sentences",
+        fround(F.col("flesch_raw"), 4).alias("flesch"),
     )
