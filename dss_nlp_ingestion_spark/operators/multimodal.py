@@ -979,3 +979,61 @@ def audio_energy_windows(df: DataFrame) -> DataFrame:
     ids = ensure_parallelism(df.select("doc_id"))
     wavs = ids.mapInPandas(synth_wav_batch, schema=BINARY_DOC_SCHEMA)
     return wavs.mapInPandas(wav_energy_windows_batch, schema=AUDIO_WINDOW_SCHEMA)
+
+
+# --- video scene-change detection -----------------------------------------
+
+SCENE_CHANGE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("from_frame", IntegerType()),
+        StructField("abs_diff", LongType()),
+        StructField("is_cut", IntegerType()),
+    ]
+)
+
+
+def video_scene_change_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage: (doc_id, payload AVI) -> one row per
+    CONSECUTIVE FRAME PAIR with the exact integer sum of absolute
+    pixel differences and a cut flag (mean per-pixel change > 31 —
+    any wrapped block trips it on the synthetic content). Real
+    container walk + JPEG decode per frame; the frame-pair compare is
+    vectorized numpy inside the Arrow batch."""
+    import numpy as np
+
+    from dss_nlp_ingestion_spark.operators.video import decode_avi_mjpeg
+
+    for pdf in batches:
+        rows = {"doc_id": [], "from_frame": [], "abs_diff": [], "is_cut": []}
+        for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+            _w, _h, _fps, frames = decode_avi_mjpeg(bytes(p))
+            for f in range(len(frames) - 1):
+                a = frames[f].astype(np.int64)
+                b = frames[f + 1].astype(np.int64)
+                diff = int(np.abs(b - a).sum())
+                rows["doc_id"].append(int(doc_id))
+                rows["from_frame"].append(f)
+                rows["abs_diff"].append(diff)
+                rows["is_cut"].append(int(diff > 31 * a.size))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "from_frame": pd.Series(rows["from_frame"], dtype="int32"),
+                "abs_diff": pd.Series(rows["abs_diff"], dtype="int64"),
+                "is_cut": pd.Series(rows["is_cut"], dtype="int32"),
+            }
+        )
+
+
+def video_scene_changes(df: DataFrame) -> DataFrame:
+    """Synthesize MJPEG AVIs, decode, diff consecutive frames — the
+    shot-boundary-detection front end (two bounded Arrow stages;
+    blobs never aggregate, never hit the driver)."""
+    from dss_nlp_ingestion_spark.catalog import ensure_parallelism
+
+    ids = ensure_parallelism(df.select("doc_id"))
+    avis = ids.mapInPandas(synth_avi_batch, schema=BINARY_DOC_SCHEMA)
+    return avis.mapInPandas(video_scene_change_batch, schema=SCENE_CHANGE_SCHEMA)

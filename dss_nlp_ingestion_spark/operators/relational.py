@@ -216,6 +216,13 @@ def cusum_scaled_deviation(df: DataFrame, ts_col: str) -> DataFrame:
     h = df.groupBy(F.date_trunc("hour", ts_col).alias("hour")).agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
+    return cusum_from_hourly(h)
+
+
+def cusum_from_hourly(h: DataFrame) -> DataFrame:
+    """CUSUM fold over a prepared (hour, c) series — split out so the
+    same detector runs on BATCH aggregates and on tables drained from
+    a STREAMING window aggregation."""
     g = h.agg(
         F.count(F.lit(1)).cast("long").alias("n_hours"),
         F.sum("c").cast("long").alias("total"),
@@ -224,4 +231,33 @@ def cusum_scaled_deviation(df: DataFrame, ts_col: str) -> DataFrame:
     return h.crossJoin(F.broadcast(g)).withColumn(
         "s_scaled",
         F.sum(F.col("c") * F.col("n_hours") - F.col("total")).over(w).cast("long"),
+    )
+
+
+# --- event-time lateness audit --------------------------------------------
+
+def lateness_audit(
+    df: DataFrame, user_col: str, seq_col: str, ts_col: str
+) -> DataFrame:
+    """Per-key event-time lateness vs the running high-water mark in
+    ARRIVAL order (``seq_col``, the ingest sequence) — the
+    observability numbers behind choosing a streaming watermark
+    delay. Returns (user_col, n_events, n_late, max_lateness_ms,
+    total_lateness_ms), exact BIGINT ms. The running-max window is
+    key-partitioned (scales with keys, no global ordering) and the
+    final aggregate reuses the same exchange."""
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(seq_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    o = df.select(user_col, seq_col, epoch_ms(ts_col).alias("_t")).withColumn(
+        "_hwm", F.max("_t").over(w)
+    )
+    late = F.when(F.col("_t") < F.col("_hwm"), 1).otherwise(0)
+    return o.groupBy(user_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(late).cast("long").alias("n_late"),
+        F.max(F.col("_hwm") - F.col("_t")).cast("long").alias("max_lateness_ms"),
+        F.sum(F.col("_hwm") - F.col("_t")).cast("long").alias("total_lateness_ms"),
     )

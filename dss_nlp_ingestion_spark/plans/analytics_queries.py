@@ -1313,13 +1313,18 @@ def triangle_count_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hub-graph worst case. Counts are orientation-invariant, so
     the oracle replays the simpler id-oriented form."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # Edge set via basket-local pair generation: ONE shuffle on the
+    # order key, pairs exploded inside each basket (bounded by basket
+    # size^2, <= 7 items in TPC-H) — vs the previous fact-table
+    # self-join, which shuffled lineitem twice and joined it against
+    # itself.
     und = (
-        li.alias("x")
-        .join(li.alias("y"), "l_orderkey")
-        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
-        .select(
-            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
-        )
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("_items"))
+        .select(F.explode("_items").alias("a"), "_items")
+        .select("a", F.explode("_items").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
         .distinct()
     )
     # DEGREE orientation (the standard skew fix): re-orient each edge

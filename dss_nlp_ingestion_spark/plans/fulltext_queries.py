@@ -372,3 +372,60 @@ def phrase_match_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     position arithmetic with list HOFs."""
     docs = table(spark, sf_dir, "documents")
     return phrase_occurrences(docs, "doc_id", "text", _PHRASE)
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index term stats as an incrementally-maintained matview
+# ---------------------------------------------------------------------------
+
+_FT_IVM_ORACLE = r"""
+WITH live AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0
+), toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+  FROM live
+)
+SELECT token, CAST(count(*) AS BIGINT) AS df
+FROM toks GROUP BY token
+"""
+
+
+@register("fulltext_index_incremental", _FT_IVM_ORACLE)
+def fulltext_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An inverted-index TERM-STATS table maintained INCREMENTALLY as
+    a materialized view over an ACID postings table — the
+    search-index-refresh story: ingest appends postings, GC deletes
+    them, and the document-frequency table folds the net changes
+    instead of recomputing the corpus.
+
+    Build: postings (doc_id, token — DISTINCT per doc, tokenized
+    scan-side at write time) for 80% of the corpus ->
+    create_matview(count by token) -> APPEND the remaining 20% ->
+    DELETE doc_id % 17 = 0 -> refresh (CDF delta fold, join against
+    touched terms only, file-pruned merge, watermarked exactly-once;
+    sources/matview.py). The oracle recomputes df from the FINAL live
+    doc set, so the hash match proves delta-maintained == recomputed
+    through appends AND deletes."""
+    import tempfile
+
+    from dss_nlp_ingestion_spark.sources import matview, txlog
+
+    docs = table(spark, sf_dir, "documents")
+    postings = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
+        ).alias("token"),
+    )
+    base = tempfile.mkdtemp(prefix="dss_ftivm_")
+    src, view = base + "/postings", base + "/term_df"
+    txlog.create_table(
+        postings.filter(F.col("doc_id") % 10 < 8).repartition(4, "token"),
+        src,
+        stats_cols=["doc_id"],
+    )
+    matview.create_matview(spark, src, view, ["token"], {"df": ("count", None)})
+    txlog.append(postings.filter(F.col("doc_id") % 10 >= 8), src)
+    txlog.delete_from_table(spark, src, "doc_id % 17 = 0", stats_cols=["doc_id"])
+    matview.refresh_matview(spark, src, view, ["token"], {"df": ("count", None)})
+    return txlog.read(spark, view).select("token", "df")

@@ -23,6 +23,7 @@ from dss_nlp_ingestion_spark.operators.heavyhitters import heavy_hitters_exact
 from dss_nlp_ingestion_spark.operators.relational import (
     consecutive_day_streaks,
     cusum_scaled_deviation,
+    lateness_audit,
 )
 from dss_nlp_ingestion_spark.functions.text import readability_features
 from dss_nlp_ingestion_spark.plans.registry import (
@@ -629,3 +630,77 @@ def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_sentences",
         fround(F.col("flesch_raw"), 4).alias("flesch"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-time lateness audit (watermark sizing)
+# ---------------------------------------------------------------------------
+
+_LATENESS_ORACLE = """
+WITH o AS (
+  SELECT user_id, epoch_ms(ts) AS t,
+         max(epoch_ms(ts)) OVER (
+           PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS hwm
+  FROM events
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN t < hwm THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(max(hwm - t) AS BIGINT) AS max_lateness_ms,
+       CAST(sum(hwm - t) AS BIGINT) AS total_lateness_ms
+FROM o GROUP BY user_id
+"""
+
+
+@register("lateness_audit_by_user", _LATENESS_ORACLE)
+def lateness_audit_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time lateness audit — the observability query behind
+    choosing a streaming watermark delay: replaying each user's
+    events in ARRIVAL order (event_id, the ingest sequence), how many
+    arrive behind the user's event-time high-water mark, and by how
+    much? A per-user running-max window (key-partitioned — scales
+    with users, no global ordering) then one aggregate sharing the
+    same user_id exchange; exact BIGINT milliseconds end-to-end."""
+    ev = table(spark, sf_dir, "events")
+    return lateness_audit(ev, "user_id", "event_id", "ts")
+
+
+# Same oracle as the batch cusum_changepoints: an availableNow drain
+# of the streaming hourly aggregate over a static source equals the
+# batch hourly counts, and the CUSUM fold downstream is deterministic
+# — full hash gate, not rows-only.
+_STREAM_CUSUM_ORACLE = _CUSUM_ORACLE
+
+
+@register("streaming_cusum_changepoints", _STREAM_CUSUM_ORACLE)
+def streaming_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift detector wired to STREAMING ingest: file source ->
+    watermarked hourly window aggregate -> availableNow drain into a
+    memory sink -> the same integer CUSUM fold
+    (operators/relational.py:cusum_from_hourly) over the drained
+    series. Proves the monitoring query composes with Structured
+    Streaming end-to-end; hash-gated against the batch oracle."""
+    import tempfile
+
+    from dss_nlp_ingestion_spark.operators.relational import cusum_from_hourly
+    from dss_nlp_ingestion_spark.streaming.pipeline import (
+        read_events_stream,
+        run_complete_available_now,
+    )
+
+    events = table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="dss_stream_cusum_")
+    events.write.mode("overwrite").parquet(src)
+    stream = read_events_stream(spark, src, schema=events.schema)
+    hourly = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    run_complete_available_now(hourly, "dss_streaming_cusum_hours")
+    s = cusum_from_hourly(spark.table("dss_streaming_cusum_hours"))
+    return s.filter(
+        F.abs(F.col("s_scaled")) * 10 > F.col("n_hours") * F.col("total")
+    ).select("hour", "c", "s_scaled")

@@ -18,6 +18,7 @@ from dss_nlp_ingestion_spark.operators.multimodal import (
     decode_media_stats,
     extract_media_metadata,
     frame_sample_offsets,
+    video_scene_changes,
     with_binary_payload,
 )
 from dss_nlp_ingestion_spark.plans.registry import fround, fround_sql, register
@@ -418,3 +419,45 @@ def media_audio_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return audio_energy_windows(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+
+# Scene-change detection: consecutive decoded frames differ per block
+# by +31 mod 256, so each block contributes 64*31 (no wrap) or 64*225
+# (wrap) to the absolute pixel diff — a closed form the oracle
+# replays; the cut flag trips iff any block wrapped.
+_SCENE_CHANGE_ORACLE = """
+WITH ids AS (
+  SELECT doc_id, 2 + doc_id % 3 AS wb, 1 + doc_id % 4 AS hb,
+         2 + doc_id % 3 AS nf
+  FROM documents
+), tr AS (
+  SELECT doc_id, wb, hb, unnest(generate_series(0, nf - 2)) AS f FROM ids
+), v AS (
+  SELECT doc_id, wb, hb, f,
+         (5 * doc_id + 17 * (bi % wb) + 29 * (bi // wb) + 31 * f) % 256 AS vf
+  FROM (
+    SELECT doc_id, wb, hb, f, unnest(generate_series(0, wb * hb - 1)) AS bi
+    FROM tr
+  )
+)
+SELECT doc_id, CAST(f AS INT) AS from_frame,
+       CAST(sum(CASE WHEN vf <= 224 THEN 1984 ELSE 14400 END) AS BIGINT) AS abs_diff,
+       CAST(CASE WHEN sum(CASE WHEN vf <= 224 THEN 1984 ELSE 14400 END)
+                      > 1984 * wb * hb THEN 1 ELSE 0 END AS INT) AS is_cut
+FROM v GROUP BY doc_id, f, wb, hb
+"""
+
+
+@register("media_scene_changes", _SCENE_CHANGE_ORACLE)
+def media_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection through the REAL video path: MJPEG AVI
+    synth -> container walk -> per-frame JPEG decode -> vectorized
+    consecutive-frame absolute pixel diff + cut flag
+    (operators/multimodal.py:video_scene_changes). The oracle replays
+    the diff closed-form (64*31 per steady block, 64*225 per wrapped
+    one), so a hash match proves real frame PAIRS were decoded and
+    compared — the front end of any video dedup/segmentation
+    pipeline."""
+    return video_scene_changes(table(spark, sf_dir, "documents"))
