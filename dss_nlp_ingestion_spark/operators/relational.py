@@ -261,3 +261,53 @@ def lateness_audit(
         F.max(F.col("_hwm") - F.col("_t")).cast("long").alias("max_lateness_ms"),
         F.sum(F.col("_hwm") - F.col("_t")).cast("long").alias("total_lateness_ms"),
     )
+
+
+# --- sort-free exact rank selection ----------------------------------------
+
+def exact_rank_values(
+    df: DataFrame, value_col: str, ranks_df: DataFrame
+) -> DataFrame:
+    """EXACT k-th-smallest selection WITHOUT a global sort: integer
+    bucket histogram (one shuffle, bounded by distinct buckets) ->
+    cumulative counts over the bucket SERIES (series-length bounded,
+    like the CUSUM fold) -> locate each requested rank's bucket ->
+    collect-and-sort ONLY those buckets' members (bucket-population
+    sized). A sort-based selection shuffles the whole column through
+    one global ordering; this path shuffles it once as a histogram
+    key and then touches only the hit buckets.
+
+    ``ranks_df``: (rank_idx INT, rank_pos BIGINT), 1-indexed
+    positions in ascending order of ``value_col``. Values must be
+    finite (floor-bucketing is monotone for any sign). Skew caveat:
+    a bucket holding a requested rank is collected into one
+    aggregation buffer — under pathological value concentration,
+    widen the bucket key (floor(x / w)) or recurse; documented, not
+    hidden. Returns (rank_idx, rank_pos, value)."""
+    b = df.select(
+        F.floor(F.col(value_col)).cast("long").alias("_bkt"),
+        F.col(value_col).alias("_v"),
+    )
+    hist = b.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
+    w = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("_cum", F.sum("_cnt").over(w)).withColumn(
+        "_cum_prev", F.col("_cum") - F.col("_cnt")
+    )
+    target = cum.join(
+        F.broadcast(ranks_df),
+        (F.col("rank_pos") > F.col("_cum_prev"))
+        & (F.col("rank_pos") <= F.col("_cum")),
+    ).select("rank_idx", "rank_pos", "_bkt", "_cum_prev")
+    needed = target.select("_bkt").distinct()
+    arr = (
+        b.join(F.broadcast(needed), "_bkt", "left_semi")
+        .groupBy("_bkt")
+        .agg(F.sort_array(F.collect_list("_v")).alias("_vs"))
+    )
+    return target.join(arr, "_bkt").select(
+        "rank_idx",
+        "rank_pos",
+        F.element_at(
+            "_vs", (F.col("rank_pos") - F.col("_cum_prev")).cast("int")
+        ).alias("value"),
+    )

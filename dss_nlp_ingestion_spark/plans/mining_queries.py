@@ -23,6 +23,7 @@ from dss_nlp_ingestion_spark.operators.heavyhitters import heavy_hitters_exact
 from dss_nlp_ingestion_spark.operators.relational import (
     consecutive_day_streaks,
     cusum_scaled_deviation,
+    exact_rank_values,
     lateness_audit,
 )
 from dss_nlp_ingestion_spark.functions.text import readability_features
@@ -704,3 +705,178 @@ def streaming_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.filter(
         F.abs(F.col("s_scaled")) * 10 > F.col("n_hours") * F.col("total")
     ).select("hour", "c", "s_scaled")
+
+
+# ---------------------------------------------------------------------------
+# Sort-free exact octile boundaries (range-partition planning)
+# ---------------------------------------------------------------------------
+
+_OCTILES_ORACLE = """
+WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders),
+r AS (
+  SELECT CAST(i AS INT) AS rank_idx,
+         CAST((i * n.n + 7) // 8 AS BIGINT) AS rank_pos
+  FROM range(1, 9) t(i), n
+),
+s AS (
+  SELECT o_totalprice AS v,
+         row_number() OVER (ORDER BY o_totalprice) AS rn
+  FROM orders
+)
+SELECT r.rank_idx, r.rank_pos, s.v AS value
+FROM r JOIN s ON s.rn = r.rank_pos
+"""
+
+
+@register("exact_octile_boundaries", _OCTILES_ORACLE)
+def exact_octile_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The range-partition planner's input: EXACT octile boundaries
+    of o_totalprice (positions ceil(i*n/8), i=1..8) via sort-free
+    selection (operators/relational.py:exact_rank_values — histogram
+    + targeted bucket refinement; no global sort at any point). The
+    oracle is the straightforward row_number selection, so the
+    bucketed path is verified against the sorted definition."""
+    orders = table(spark, sf_dir, "orders")
+    n = orders.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    ranks = (
+        spark.range(1, 9)
+        .select(F.col("id").cast("int").alias("rank_idx"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "rank_idx",
+            F.floor((F.col("rank_idx") * F.col("_n") + 7) / 8)
+            .cast("long")
+            .alias("rank_pos"),
+        )
+    )
+    return exact_rank_values(orders, "o_totalprice", ranks)
+
+
+# ---------------------------------------------------------------------------
+# Association strength (log-free PMI ordering) for frequent pairs
+# ---------------------------------------------------------------------------
+
+_LIFT_EXPR = "CAST(p.support AS DOUBLE) * n.n_orders / (sa.s * sb.s)"
+
+_LIFT_ORACLE = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), n AS (
+  SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM items
+), supp AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS s FROM items GROUP BY l_partkey
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS support
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING count(*) >= 2
+)
+SELECT p.part_a, p.part_b, p.support,
+       {fround_sql(_LIFT_EXPR, 6)} AS lift
+FROM pairs p
+JOIN supp sa ON sa.l_partkey = p.part_a
+JOIN supp sb ON sb.l_partkey = p.part_b
+CROSS JOIN n
+ORDER BY {_LIFT_EXPR} DESC, p.part_a, p.part_b
+LIMIT 50
+"""
+
+
+@register("copurchase_lift_topk", _LIFT_ORACLE)
+def copurchase_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association strength for the frequent co-purchase pairs:
+    lift = support * N / (supp_a * supp_b) — the log-free PMI
+    ordering (monotone in PMI, so no cross-engine libm hazard).
+    Per-item supports broadcast onto the pair table; top-50 by
+    (lift, pair id) — (part_a, part_b) is unique, so the order is
+    total. Basket-local pair generation as in
+    copurchase_pairs_support."""
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n = items.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders")
+    )
+    supp = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("s")
+    )
+    baskets = items.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("items")
+    )
+    pairs = (
+        baskets.select(F.explode("items").alias("part_a"), "items")
+        .select("part_a", F.explode("items").alias("part_b"))
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    sa = supp.select(F.col("l_partkey").alias("part_a"), F.col("s").alias("_sa"))
+    sb = supp.select(F.col("l_partkey").alias("part_b"), F.col("s").alias("_sb"))
+    scored = (
+        pairs.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .crossJoin(F.broadcast(n))
+    )
+    lift_raw = (
+        F.col("support").cast("double")
+        * F.col("n_orders")
+        / (F.col("_sa") * F.col("_sb"))
+    )
+    return (
+        scored.orderBy(lift_raw.desc(), "part_a", "part_b")
+        .limit(50)
+        .select(
+            "part_a", "part_b", "support", fround(lift_raw, 6).alias("lift")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window distinct users (exact, explode-by-coverage)
+# ---------------------------------------------------------------------------
+
+_SLIDING_DISTINCT_ORACLE = """
+WITH e AS (
+  SELECT epoch_ms(ts) // 3600000 AS hb, user_id FROM events
+), cov AS (
+  SELECT (hb - k) * 3600000 AS window_start_ms, user_id
+  FROM e, (SELECT unnest(range(0, 3)) AS k)
+), d AS (
+  SELECT DISTINCT window_start_ms, user_id FROM cov
+)
+SELECT CAST(window_start_ms AS BIGINT) AS window_start_ms,
+       CAST(count(*) AS BIGINT) AS n_distinct_users
+FROM d GROUP BY window_start_ms
+"""
+
+
+@register("sliding_distinct_users", _SLIDING_DISTINCT_ORACLE)
+def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct-user counts over 3-hour windows sliding by 1
+    hour — the overlap-window metric HLL sketches approximate,
+    computed exactly by the coverage-explode rewrite: each event
+    lands in the 3 windows covering it (bounded 3x row blowup —
+    window_size/step, a constant), then one (window, user) distinct
+    and one count. Two key-bounded shuffles; integer epoch-hour
+    arithmetic shared verbatim with the oracle."""
+    ev = table(spark, sf_dir, "events")
+    e = ev.select(
+        F.floor(epoch_ms("ts") / 3600000).cast("long").alias("hb"), "user_id"
+    )
+    cov = e.select(
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("k"), "hb", "user_id"
+    ).select(
+        ((F.col("hb") - F.col("k")) * 3600000).alias("window_start_ms"),
+        "user_id",
+    )
+    return (
+        cov.distinct()
+        .groupBy("window_start_ms")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_distinct_users"))
+        .select(
+            F.col("window_start_ms").cast("long").alias("window_start_ms"),
+            "n_distinct_users",
+        )
+    )

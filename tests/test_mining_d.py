@@ -90,3 +90,24 @@ def test_streaming_cusum_equals_batch(spark):
         for r in QUERIES["cusum_changepoints"](spark, SF_DIR).collect()
     }
     assert got == want
+
+
+def test_exact_rank_values_crafted(spark):
+    import random
+
+    from dss_nlp_ingestion_spark.operators.relational import exact_rank_values
+
+    rnd = random.Random(7)
+    vals = [rnd.uniform(0, 50) for _ in range(1000)] + [3.25] * 17  # hot bucket
+    df = spark.createDataFrame([(v,) for v in vals], "v double").repartition(5)
+    n = len(vals)
+    ranks = spark.createDataFrame(
+        [(i, (i * n + 3) // 4) for i in (1, 2, 3, 4)],
+        "rank_idx int, rank_pos long",
+    )
+    got = {r.rank_idx: r.value for r in exact_rank_values(df, "v", ranks).collect()}
+    want = {}
+    sv = sorted(vals)
+    for i in (1, 2, 3, 4):
+        want[i] = sv[(i * n + 3) // 4 - 1]
+    assert got == want
