@@ -311,3 +311,70 @@ def exact_rank_values(
             "_vs", (F.col("rank_pos") - F.col("_cum_prev")).cast("int")
         ).alias("value"),
     )
+# --- dense sequence IDs without a global sort ------------------------------
+
+def dense_ids_by_key(
+    df: DataFrame, key_col: str, num_parts: int | None = None
+) -> DataFrame:
+    """Assign contiguous 1..N ``seq_id`` in ``key_col`` order without
+    the single-partition collapse of ``row_number() OVER (ORDER BY
+    key)``: range-partition on the key (sampling-based boundary
+    exchange — the same physical primitive a global sort uses, but
+    with NO merge into one task afterwards), sort each partition
+    locally, read off per-partition row numbers from
+    ``monotonically_increasing_id`` (consecutive from 0 within a
+    partition), then shift each partition by the exclusive prefix sum
+    of partition COUNTS — a series bounded by the partition count,
+    not the data.  The assigned ids depend only on the key order (the
+    key must be unique), never on where the sampled boundaries fall.
+
+    Every stage is parallel; the fact rows move through exactly one
+    range exchange.  The broadcast side is num_parts rows."""
+    d = (
+        df.repartitionByRange(num_parts or 32, F.col(key_col))
+        .sortWithinPartitions(key_col)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .persist()
+    )
+    cnts = d.groupBy(F.shiftright("_mid", 33).alias("_pid")).agg(
+        F.count(F.lit(1)).alias("_c"), F.min("_mid").alias("_base")
+    )
+    w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = cnts.select(
+        "_pid", "_base", F.coalesce(F.sum("_c").over(w), F.lit(0)).alias("_off")
+    )
+    return (
+        d.withColumn("_pid", F.shiftright("_mid", 33))
+        .join(F.broadcast(offs), "_pid")
+        .withColumn(
+            "seq_id", F.col("_off") + (F.col("_mid") - F.col("_base")) + 1
+        )
+        .drop("_mid", "_pid", "_off", "_base")
+    )
+
+
+# --- interval coalescing (gaps-and-islands) --------------------------------
+
+def coalesce_intervals(
+    df: DataFrame, part_cols: list[str], start_col: str, end_col: str
+) -> DataFrame:
+    """Merge overlapping/touching [start, end) intervals within each
+    partition key: an interval opens a new island iff its start lies
+    strictly past the running max of all previous ends (the classic
+    gaps-and-islands rewrite — one keyed shuffle, two frames over the
+    key's own rows, never an interval self-join).  Returns one row
+    per merged island: part_cols + (iv_start, iv_end)."""
+    w = Window.partitionBy(*part_cols).orderBy(start_col, end_col)
+    prev_max = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = F.when(
+        prev_max.isNull() | (F.col(start_col) > prev_max), 1
+    ).otherwise(0)
+    isl = df.withColumn(
+        "_island",
+        F.sum(new_island).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return isl.groupBy(*part_cols, "_island").agg(
+        F.min(start_col).alias("iv_start"), F.max(end_col).alias("iv_end")
+    ).drop("_island")
