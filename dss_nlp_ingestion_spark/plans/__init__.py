@@ -24,6 +24,7 @@ from dss_nlp_ingestion_spark.plans import analytics_queries  # noqa: F401,E402
 from dss_nlp_ingestion_spark.plans import curation_queries  # noqa: F401,E402
 from dss_nlp_ingestion_spark.plans import mining_queries  # noqa: F401,E402
 from dss_nlp_ingestion_spark.plans import scale_queries  # noqa: F401,E402
+from dss_nlp_ingestion_spark.plans import series_queries  # noqa: F401,E402
 
 
 def _query_code_hash(name: str) -> str:

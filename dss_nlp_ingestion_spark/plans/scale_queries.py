@@ -26,9 +26,11 @@ from pyspark.sql import functions as F
 
 from dss_nlp_ingestion_spark.catalog import table
 from dss_nlp_ingestion_spark.functions.dates import epoch_ms
+from dss_nlp_ingestion_spark.operators.fulltext import TOKEN_PATTERN
 from dss_nlp_ingestion_spark.operators.relational import (
     coalesce_intervals,
     dense_ids_by_key,
+    exact_rank_values,
 )
 from dss_nlp_ingestion_spark.plans.registry import (
     dsum_sql,
@@ -272,4 +274,428 @@ def hourly_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lag").cast("int").alias("lag"),
         F.col("n").alias("n_pairs"),
         fround(num / den, 6).alias("acf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal (hour-of-day) anomaly detection, integer z^2 gate
+# ---------------------------------------------------------------------------
+
+_SEASONAL_ORACLE = f"""
+WITH cell AS (
+  SELECT epoch_ms(ts) // 86400000 AS day,
+         CAST((epoch_ms(ts) // 3600000) % 24 AS INT) AS hod,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY day, hod
+), base AS (
+  SELECT hod, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS sc,
+         CAST(sum(c * c) AS BIGINT) AS scc
+  FROM cell GROUP BY hod
+)
+SELECT cell.day, cell.hod, cell.c,
+       {fround_sql('CAST(base.sc AS DOUBLE) / base.n', 4)} AS hod_mean
+FROM cell JOIN base ON base.hod = cell.hod
+WHERE base.n >= 8
+  AND (cell.c * base.n - base.sc) * (cell.c * base.n - base.sc)
+      > 9 * (base.n * base.scc - base.sc * base.sc)
+"""
+
+
+@register("seasonal_hour_anomalies", _SEASONAL_ORACLE)
+def seasonal_hour_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day, hour) cells whose event count sits more than 3 sigma from
+    the same-hour-of-day baseline — the seasonality-aware variant of
+    the plain rate anomaly (a 9 AM spike is judged against other
+    9 AMs, not the overnight lull).  The 3-sigma gate is evaluated as
+    the INTEGER inequality (c*n - sum)^2 > 9*(n*sumsq - sum^2) — no
+    sqrt, no float compare, so the flag set is bit-exact under any
+    aggregation order.  Two calendar-bounded rollups; the baseline
+    (24 rows) broadcasts."""
+    ev = table(spark, sf_dir, "events")
+    cell = (
+        ev.select(
+            F.floor(epoch_ms("ts") / 86400000).cast("long").alias("day"),
+            (F.floor(epoch_ms("ts") / 3600000) % 24).cast("int").alias("hod"),
+        )
+        .groupBy("day", "hod")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    base = cell.groupBy("hod").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("scc"),
+    )
+    j = cell.join(F.broadcast(base), "hod")
+    dev = F.col("c") * F.col("n") - F.col("sc")
+    var_n2 = F.col("n") * F.col("scc") - F.col("sc") * F.col("sc")
+    return (
+        j.filter((F.col("n") >= 8) & (dev * dev > 9 * var_n2))
+        .select(
+            "day",
+            "hod",
+            "c",
+            fround(F.col("sc").cast("double") / F.col("n"), 4).alias(
+                "hod_mean"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bounded k-core peeling over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 4
+
+
+def _kcore_oracle() -> str:
+    sql = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY pa, pb HAVING count(*) >= 2
+), e0 AS (
+  SELECT pa AS a, pb AS b FROM pairs
+  UNION ALL
+  SELECT pb AS a, pa AS b FROM pairs
+)"""
+    prev = "e0"
+    for r in range(1, _KCORE_ROUNDS + 1):
+        sql += f""",
+k{r} AS (
+  SELECT a FROM {prev} GROUP BY a HAVING count(*) >= {_KCORE_K}
+),
+e{r} AS (
+  SELECT e.a, e.b FROM {prev} e
+  JOIN k{r} x ON e.a = x.a JOIN k{r} y ON e.b = y.a
+)"""
+        prev = f"e{r}"
+    sql += f"""
+SELECT a AS part, CAST(count(*) AS BIGINT) AS degree
+FROM {prev} GROUP BY a
+"""
+    return sql
+
+
+def _peel_rounds(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """One peel round = degree count + semi-join restriction to
+    surviving nodes on BOTH endpoints; edges shrink monotonically."""
+    for _ in range(rounds):
+        keep = (
+            edges.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .filter(F.col("_d") >= k)
+            .select("a")
+        )
+        edges = (
+            edges.join(keep, "a", "left_semi")
+            .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
+            .select("a", "b")
+        )
+    return edges
+
+
+@register("kcore_copurchase_parts", _kcore_oracle())
+def kcore_copurchase_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peeling (k=3, 4 rounds) over the co-purchase
+    graph: iteratively drop parts with fewer than 3 co-purchase
+    partners, keeping only edges between survivors — the
+    dense-cluster extraction step behind community mining and spam
+    ring detection.  Fixed rounds keep the oracle an exact replay (a
+    chained-CTE peel); the full fixpoint form is the same loop run
+    until no node drops (superstep pattern of operators/graph.py CC,
+    join+agg per round, edges shrink monotonically).  Degree counts
+    are per-node aggregations; no round materializes anything bigger
+    than the current edge set."""
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    baskets = items.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("its")
+    )
+    pairs = (
+        baskets.select(F.explode("its").alias("pa"), "its")
+        .select("pa", F.explode("its").alias("pb"))
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("_s"))
+        .filter(F.col("_s") >= 2)
+        .select("pa", "pb")
+    )
+    edges = pairs.select(
+        F.col("pa").alias("a"), F.col("pb").alias("b")
+    ).unionAll(pairs.select(F.col("pb").alias("a"), F.col("pa").alias("b")))
+    edges = _peel_rounds(edges, _KCORE_K, _KCORE_ROUNDS)
+    return edges.groupBy(F.col("a").alias("part")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Funnel time-to-convert quantiles (sort-free rank selection)
+# ---------------------------------------------------------------------------
+
+_TTC_ORACLE = """
+WITH v AS (
+  SELECT user_id, min(epoch_ms(ts)) AS vt FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), p AS (
+  SELECT e.user_id, min(epoch_ms(e.ts)) AS pt
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > v.vt
+  GROUP BY e.user_id
+), d AS (
+  SELECT p.user_id, p.pt - v.vt AS delta_ms
+  FROM p JOIN v ON v.user_id = p.user_id
+), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+r AS (
+  SELECT 50 AS rank_idx, CAST((50 * n.n + 99) // 100 AS BIGINT) AS rank_pos FROM n
+  UNION ALL
+  SELECT 90, CAST((90 * n.n + 99) // 100 AS BIGINT) FROM n
+), s AS (
+  SELECT delta_ms, row_number() OVER (ORDER BY delta_ms) AS rn FROM d
+)
+SELECT CAST(r.rank_idx AS INT) AS rank_idx, r.rank_pos,
+       CAST(s.delta_ms AS DOUBLE) AS value
+FROM r JOIN s ON s.rn = r.rank_pos
+"""
+
+
+@register("funnel_time_to_convert", _TTC_ORACLE)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90 of each converting user's first-view ->
+    first-subsequent-purchase latency, selected by the sort-free rank
+    operator (operators/relational.py:exact_rank_values) instead of a
+    single-partition ordering — funnel SLO reporting that stays
+    parallel at any user count.  Deltas are integer ms; the rank
+    positions are ceil(q*n/100)."""
+    ev = table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(epoch_ms("ts")).alias("vt"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", epoch_ms("ts").alias("pt"))
+        .join(v, "user_id")
+        .filter(F.col("pt") > F.col("vt"))
+        .groupBy("user_id")
+        .agg(F.min("pt").alias("pt"), F.min("vt").alias("vt"))
+    )
+    d = p.select((F.col("pt") - F.col("vt")).alias("delta_ms"))
+    n = d.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    ranks = (
+        spark.createDataFrame([(50,), (90,)], "rank_idx int")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "rank_idx",
+            F.floor((F.col("rank_idx") * F.col("_n") + 99) / 100)
+            .cast("long")
+            .alias("rank_pos"),
+        )
+    )
+    out = exact_rank_values(
+        d.select(F.col("delta_ms").cast("double").alias("delta_ms")),
+        "delta_ms",
+        ranks,
+    )
+    return out.select(
+        F.col("rank_idx").cast("int").alias("rank_idx"),
+        "rank_pos",
+        F.col("value").cast("double").alias("value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantile-binned feature rates (rank selection -> broadcast bins)
+# ---------------------------------------------------------------------------
+
+_BINNED_ORACLE = f"""
+WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders),
+r AS (
+  SELECT CAST(i AS INT) AS rank_idx,
+         CAST((i * n.n + 3) // 4 AS BIGINT) AS rank_pos
+  FROM range(1, 4) t(i), n
+), s AS (
+  SELECT o_totalprice AS v, row_number() OVER (ORDER BY o_totalprice) AS rn
+  FROM orders
+), b AS (
+  SELECT max(CASE WHEN r.rank_idx = 1 THEN s.v END) AS b1,
+         max(CASE WHEN r.rank_idx = 2 THEN s.v END) AS b2,
+         max(CASE WHEN r.rank_idx = 3 THEN s.v END) AS b3
+  FROM r JOIN s ON s.rn = r.rank_pos
+), binned AS (
+  SELECT CASE WHEN o.o_totalprice <= b.b1 THEN 1
+              WHEN o.o_totalprice <= b.b2 THEN 2
+              WHEN o.o_totalprice <= b.b3 THEN 3
+              ELSE 4 END AS bin,
+         CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS u
+  FROM orders o CROSS JOIN b
+)
+SELECT CAST(bin AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(u) AS BIGINT) AS n_urgent,
+       {fround_sql('CAST(sum(u) AS DOUBLE) / count(*)', 6)} AS urgent_rate
+FROM binned GROUP BY bin
+"""
+
+
+@register("quantile_binned_priority_rates", _BINNED_ORACLE)
+def quantile_binned_priority_rates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Feature discretization by EXACT quartile boundaries (the
+    sort-free rank selector supplies them; they broadcast as one row)
+    followed by a per-bin outcome rate — the binning + target-rate
+    pattern behind WOE encoding and calibration checks, composed
+    entirely from scale-safe parts: no global sort, a 3-value
+    broadcast, one partial-agg shuffle onto 4 bins."""
+    orders = table(spark, sf_dir, "orders")
+    n = orders.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    ranks = (
+        spark.range(1, 4)
+        .select(F.col("id").cast("int").alias("rank_idx"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "rank_idx",
+            F.floor((F.col("rank_idx") * F.col("_n") + 3) / 4)
+            .cast("long")
+            .alias("rank_pos"),
+        )
+    )
+    qs = exact_rank_values(orders, "o_totalprice", ranks)
+    b = qs.agg(
+        F.max(F.when(F.col("rank_idx") == 1, F.col("value"))).alias("b1"),
+        F.max(F.when(F.col("rank_idx") == 2, F.col("value"))).alias("b2"),
+        F.max(F.when(F.col("rank_idx") == 3, F.col("value"))).alias("b3"),
+    )
+    binned = orders.crossJoin(F.broadcast(b)).select(
+        F.when(F.col("o_totalprice") <= F.col("b1"), 1)
+        .when(F.col("o_totalprice") <= F.col("b2"), 2)
+        .when(F.col("o_totalprice") <= F.col("b3"), 3)
+        .otherwise(4)
+        .cast("int")
+        .alias("bin"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("u"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("u").cast("long").alias("n_urgent"),
+        fround(
+            F.sum("u").cast("double") / F.count(F.lit(1)), 6
+        ).alias("urgent_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus drift: per-term document-frequency ratio between halves
+# ---------------------------------------------------------------------------
+
+_DRIFT_RATIO = "(CAST(df0 AS DOUBLE) + 1.0) / (CAST(df1 AS DOUBLE) + 1.0)"
+
+_DRIFT_ORACLE = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, doc_id % 2 AS half,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+  FROM documents
+), df AS (
+  SELECT term,
+         CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+         CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS df1
+  FROM toks GROUP BY term
+  HAVING count(*) >= 5
+)
+SELECT term, df0, df1, {fround_sql(_DRIFT_RATIO, 6)} AS ratio
+FROM df
+ORDER BY {_DRIFT_RATIO} DESC, term
+LIMIT 50
+"""
+
+
+@register("term_drift_topk", _DRIFT_ORACLE)
+def term_drift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift probe between two corpus halves (doc_id
+    parity split): per-term document frequencies in each half, ranked
+    by the add-one-smoothed ratio — the drift alarm a training-data
+    pipeline runs between ingest batches before mixing them.  The
+    ratio is ONE double division (identical IEEE both engines, no
+    libm); frequencies are integers; top-50 tie-broken by term.
+    Scale shape: distinct (doc, term) then one term-keyed partial-agg
+    shuffle; ranking runs on the term VOCABULARY, not the corpus."""
+    docs = table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            (F.col("doc_id") % 2).alias("half"),
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower("text"), F.lit(TOKEN_PATTERN), F.lit(0)
+                )
+            ).alias("term"),
+        )
+        .distinct()
+    )
+    df = (
+        toks.groupBy("term")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("df0"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("df1"),
+        )
+        .filter(F.col("df0") + F.col("df1") >= 5)
+    )
+    ratio = (F.col("df0").cast("double") + F.lit(1.0)) / (
+        F.col("df1").cast("double") + F.lit(1.0)
+    )
+    return (
+        df.orderBy(ratio.desc(), "term")
+        .limit(50)
+        .select("term", "df0", "df1", fround(ratio, 6).alias("ratio"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Percent-rank quality normalization per language
+# ---------------------------------------------------------------------------
+
+_PRANK_ORACLE = f"""
+WITH r AS (
+  SELECT doc_id, lang, n_chars,
+         percent_rank() OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+           AS pr
+  FROM documents
+)
+SELECT doc_id, lang, n_chars, {fround_sql('pr', 6)} AS quality_pr
+FROM r
+"""
+
+
+@register("quality_percent_rank_by_lang", _PRANK_ORACLE)
+def quality_percent_rank_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rank-normalize a quality signal (n_chars) within each
+    language: percent_rank puts every language's docs on a common
+    [0,1] scale, the normalization curriculum mixing needs before
+    cross-language thresholding (a 2000-char Chinese doc and a
+    2000-char English doc sit at very different percentiles).
+    (rank-1)/(n-1) is an integer ratio — deterministic; ties are
+    broken by doc_id so ranks are total.  One lang-keyed shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        fround(F.percent_rank().over(w), 6).alias("quality_pr"),
     )
