@@ -14,6 +14,8 @@ ratios."""
 
 from __future__ import annotations
 
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -71,6 +73,13 @@ def ewma_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("hb")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
+    return _ewma_fold(h)
+
+
+def _ewma_fold(h: DataFrame) -> DataFrame:
+    """The shared integer-weight EWMA fold over an (hb, c) hourly
+    series — used identically by the batch query and the streaming
+    drain twin, so stream==batch equality is arithmetic, not luck."""
     x = h.select(
         "hb", "c", F.explode(F.sequence(F.lit(0), F.lit(23))).alias("k")
     )
@@ -213,4 +222,424 @@ def event_transition_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "next_type",
         "n",
         fround(F.col("n").cast("double") / F.col("total"), 6).alias("p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incrementally-maintained scatter matrix over the tx-log change feed
+# ---------------------------------------------------------------------------
+
+_IVM_SCATTER_ORACLE = """
+WITH live AS (
+  SELECT vec_id AS rid,
+         list_transform(embedding,
+                        v -> CAST(floor(CAST(v AS DOUBLE) * 1048576.0)
+                                  AS BIGINT)) AS qv
+  FROM embeddings WHERE vec_id % 7 <> 3
+), a AS (
+  SELECT rid, i - 1 AS i, qv[i] AS vi
+  FROM live, range(1, 65) t(i)
+), p AS (
+  SELECT a.i AS i, b.i AS j, a.vi * b.vi AS prod
+  FROM a JOIN a b ON a.rid = b.rid AND a.i <= b.i
+)
+SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+       CAST(sum(prod) AS BIGINT) AS g_fixed
+FROM p GROUP BY i, j
+"""
+
+
+def _fixed_outer(df: DataFrame, weight) -> DataFrame:
+    """Scan-side fixed-point outer products: (i, j, w * vi * vj) for
+    the upper triangle, from an ``embedding`` column and an integer
+    per-row weight column/literal."""
+    q = df.select(
+        F.transform(
+            "embedding",
+            lambda v: F.floor(v.cast("double") * F.lit(1048576.0)).cast(
+                "long"
+            ),
+        ).alias("qv"),
+        weight.cast("long").alias("_w"),
+    )
+    a = q.select("qv", "_w", F.posexplode("qv").alias("i", "vi"))
+    return a.select(
+        "i", "vi", "_w", F.posexplode("qv").alias("j", "vj")
+    ).filter(F.col("i") <= F.col("j")).select(
+        "i", "j", (F.col("_w") * F.col("vi") * F.col("vj")).alias("prod")
+    )
+
+
+@register("ivm_scatter_matrix", _IVM_SCATTER_ORACLE)
+def ivm_scatter_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for LINEAR ALGEBRA state: the
+    fixed-point Gram matrix G = sum(v v^T) is built at v0 of an ACID
+    embedding table, the table then takes an append AND a
+    delete-rewrite, and G is brought to head by folding ONLY the
+    signed change feed (inserted vectors add their outer product,
+    deleted ones subtract — exact BIGINT fixed point, so subtraction
+    is lossless; a float G could never be un-summed safely).  The
+    oracle recomputes head G from scratch; the hash match proves
+    base + delta == recompute.  At 100 TB the refresh cost per
+    training batch is O(changed vectors) * d^2, not O(corpus) —
+    the PCA/whitening front end stays current without rescans."""
+    import os
+
+    from dss_nlp_ingestion_spark.sources import txlog
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    path = tempfile.mkdtemp(prefix="dss_ivmscatter_") + "/emb"
+    txlog.create_table(emb.filter(F.col("vec_id") % 10 < 8), path)
+    txlog.append(emb.filter(F.col("vec_id") % 10 >= 8), path)
+    live = txlog.snapshot_files(path, 1)
+    rel = [os.path.relpath(f, os.path.join(path, "data")) for f in live]
+    txlog.rewrite(
+        txlog.read(spark, path, version=1).filter(F.col("vec_id") % 7 != 3),
+        path,
+        rel,
+        expect_version=1,
+        op="delete",
+    )
+
+    base = (
+        _fixed_outer(txlog.read(spark, path, version=0), F.lit(1))
+        .groupBy("i", "j")
+        .agg(F.sum("prod").cast("long").alias("g0"))
+    )
+    feed = txlog.net_changes(spark, path, v_from=0)
+    sign = F.when(F.col("change") == "insert", F.lit(1)).otherwise(F.lit(-1))
+    delta = (
+        _fixed_outer(feed, sign * F.col("n"))
+        .groupBy("i", "j")
+        .agg(F.sum("prod").cast("long").alias("dg"))
+    )
+    head = base.join(delta, ["i", "j"], "full_outer").select(
+        "i",
+        "j",
+        (
+            F.coalesce(F.col("g0"), F.lit(0))
+            + F.coalesce(F.col("dg"), F.lit(0))
+        )
+        .cast("long")
+        .alias("g_fixed"),
+    )
+    return head.select(
+        F.col("i").cast("int").alias("i"),
+        F.col("j").cast("int").alias("j"),
+        "g_fixed",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Frequent co-purchase triples (A-Priori step 3, basket-local)
+# ---------------------------------------------------------------------------
+
+_TRIPLES_ORACLE = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), t AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, c.l_partkey AS pc,
+         CAST(count(*) AS BIGINT) AS support
+  FROM items a
+  JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  JOIN items c ON a.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey
+  GROUP BY pa, pb, pc
+  HAVING count(*) >= 2
+)
+SELECT pa, pb, pc, support FROM t
+ORDER BY support DESC, pa, pb, pc
+LIMIT 100
+"""
+
+
+@register("copurchase_triples_support", _TRIPLES_ORACLE)
+def copurchase_triples_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets: triples generated BASKET-LOCALLY (triple
+    explode over each order's sorted item array, bounded by basket
+    size choose 3 — never a 3-way fact self-join), one shuffle to
+    count support.  Top-100 with a total (support, ids) order."""
+    li = table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("its"))
+    )
+    triples = (
+        baskets.select(F.explode("its").alias("pa"), "its")
+        .select("pa", F.explode("its").alias("pb"), "its")
+        .filter(F.col("pa") < F.col("pb"))
+        .select("pa", "pb", F.explode("its").alias("pc"))
+        .filter(F.col("pb") < F.col("pc"))
+        .groupBy("pa", "pb", "pc")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    return triples.orderBy(
+        F.col("support").desc(), "pa", "pb", "pc"
+    ).limit(100)
+
+
+# ---------------------------------------------------------------------------
+# Weekly exact percentile bands (grouped rank selection)
+# ---------------------------------------------------------------------------
+
+_WEEKLY_PCTL_ORACLE = """
+WITH w AS (
+  SELECT (epoch_ms(o_orderdate) // 86400000) // 7 AS wk,
+         o_totalprice AS v, o_orderkey
+  FROM orders
+), r AS (
+  SELECT wk, v,
+         row_number() OVER (PARTITION BY wk ORDER BY v, o_orderkey) AS rn,
+         count(*) OVER (PARTITION BY wk) AS n
+  FROM w
+)
+SELECT wk, CAST(min(n) AS BIGINT) AS n_orders,
+       max(CASE WHEN rn = (n + 1) // 2 THEN v END) AS p50,
+       max(CASE WHEN rn = (9 * n + 9) // 10 THEN v END) AS p90
+FROM r GROUP BY wk
+"""
+
+
+@register("weekly_price_percentiles", _WEEKLY_PCTL_ORACLE)
+def weekly_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90 order-value bands per calendar week by POSITION
+    selection (value at rank ceil(n/2) / ceil(9n/10)) — no
+    interpolation, so cross-engine float parity is trivial; ties
+    resolve by (value, key) total order but cannot change the
+    selected VALUE.  One week-keyed shuffle; each group ranks only
+    its own rows (parallel across the calendar — the grouped
+    complement of the global sort-free selector)."""
+    orders = table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.floor(
+            F.floor(epoch_ms("o_orderdate") / 86400000) / 7
+        )
+        .cast("long")
+        .alias("wk"),
+        F.col("o_totalprice").alias("v"),
+        "o_orderkey",
+    )
+    win = Window.partitionBy("wk").orderBy("v", "o_orderkey")
+    r = base.select(
+        "wk",
+        "v",
+        F.row_number().over(win).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("wk"))
+        .alias("n"),
+    )
+    return r.groupBy("wk").agg(
+        F.min("n").cast("long").alias("n_orders"),
+        F.max(
+            F.when(F.col("rn") == F.floor((F.col("n") + 1) / 2), F.col("v"))
+        ).alias("p50"),
+        F.max(
+            F.when(
+                F.col("rn") == F.floor((9 * F.col("n") + 9) / 10), F.col("v")
+            )
+        ).alias("p90"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming EWMA (stream -> hourly drain -> the same integer fold)
+# ---------------------------------------------------------------------------
+
+
+@register("streaming_ewma_hourly", _EWMA_ORACLE)
+def streaming_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EWMA smoother wired to STREAMING ingest: file source ->
+    watermarked hourly window aggregate -> availableNow drain into a
+    memory sink -> the identical integer-weight fold
+    (_ewma_fold) over the drained series.  Hash-gated against the
+    batch oracle — stream and batch must agree to the last bit
+    because every weight is an integer."""
+    import tempfile as _tf
+
+    from dss_nlp_ingestion_spark.streaming.pipeline import (
+        read_events_stream,
+        run_complete_available_now,
+    )
+
+    events = table(spark, sf_dir, "events")
+    src = _tf.mkdtemp(prefix="dss_stream_ewma_")
+    events.write.mode("overwrite").parquet(src)
+    stream = read_events_stream(spark, src, schema=events.schema)
+    hourly = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    run_complete_available_now(hourly, "dss_streaming_ewma_hours")
+    h = spark.table("dss_streaming_ewma_hours").select(
+        F.floor(epoch_ms("hour") / 3600000).cast("long").alias("hb"),
+        "c",
+    )
+    return _ewma_fold(h)
+
+
+# ---------------------------------------------------------------------------
+# Session path mining (top entry paths)
+# ---------------------------------------------------------------------------
+
+_PATHS_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id,
+         CASE WHEN epoch_ms(ts)
+                   - lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                   > 1800000
+              OR lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+), s AS (
+  SELECT user_id, event_type, ms, event_id,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sess
+  FROM o
+), r AS (
+  SELECT user_id, sess, event_type,
+         row_number() OVER (PARTITION BY user_id, sess
+                            ORDER BY ms, event_id) AS rn
+  FROM s
+), p AS (
+  SELECT user_id, sess,
+         string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM r WHERE rn <= 3 GROUP BY user_id, sess
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+FROM p GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 20
+"""
+
+
+@register("session_paths_topk", _PATHS_ORACLE)
+def session_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common session ENTRY paths (first three event types per
+    30-minute-gap session) — the navigation-mining rollup behind
+    onboarding and landing-flow analysis.  Gap sessionization is the
+    gaps-and-islands fold (one user-keyed shuffle); paths assemble
+    from a sorted struct array inside the row, so the concatenation
+    order is total (ms, event_id) on both engines."""
+    ev = table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", "event_type", epoch_ms("ts").alias("ms"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    prev = F.lag("ms").over(w)
+    brk = F.when(
+        prev.isNull() | (F.col("ms") - prev > 1800000), 1
+    ).otherwise(0)
+    s = base.withColumn(
+        "sess", F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    r = s.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("user_id", "sess").orderBy("ms", "event_id")
+        ),
+    ).filter(F.col("rn") <= 3)
+    p = r.groupBy("user_id", "sess").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rn", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+        ).alias("path")
+    )
+    return (
+        p.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bitemporal as-of (transaction time x valid time)
+# ---------------------------------------------------------------------------
+
+_BITEMPORAL_ORACLE = """
+WITH src AS (
+  SELECT user_id, event_type AS attr, epoch_ms(ts) AS from_ms, event_id
+  FROM events WHERE event_id % 5 <> 0
+), iv AS (
+  SELECT user_id, attr, from_ms,
+         lead(from_ms) OVER (PARTITION BY user_id
+                             ORDER BY from_ms, event_id) AS to_ms,
+         CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY from_ms, event_id) AS BIGINT)
+           AS rev
+  FROM src
+), t AS (
+  SELECT (min(from_ms) + max(from_ms)) // 2 AS vt FROM src
+)
+SELECT iv.user_id, iv.attr, iv.from_ms, iv.rev
+FROM iv CROSS JOIN t
+WHERE iv.from_ms <= t.vt AND (iv.to_ms IS NULL OR iv.to_ms > t.vt)
+"""
+
+
+@register("bitemporal_asof_dimension", _BITEMPORAL_ORACLE)
+def bitemporal_asof_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITEMPORAL read: "the dimension as we KNEW it at transaction
+    version 0, as of valid time T".  The SCD2 dimension (validity
+    intervals from the change feed) is committed to an ACID tx-log
+    table at v0 from the then-known feed (event_id % 5 != 0 —
+    the late 20% hasn't arrived), then REBUILT at v1 with the full
+    feed; the query time-travels to v0 (sources/txlog.py read
+    version=0 — the v1 rebuild must NOT leak in) and point-in-time
+    filters at the valid midpoint.  The oracle replays the v0 build
+    directly.  This is the audit query every regulated pipeline
+    needs: reproduce yesterday's answer including what we didn't yet
+    know."""
+    import os as _os
+    import tempfile as _tf
+
+    from dss_nlp_ingestion_spark.sources import txlog
+
+    def _scd2(feed: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy("from_ms", "event_id")
+        return feed.select(
+            "user_id",
+            "attr",
+            "from_ms",
+            F.lead("from_ms").over(w).alias("to_ms"),
+            F.row_number().over(w).cast("long").alias("rev"),
+        )
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_type").alias("attr"),
+        epoch_ms("ts").alias("from_ms"),
+        "event_id",
+    )
+    known_v0 = ev.filter(F.col("event_id") % 5 != 0)
+    path = _tf.mkdtemp(prefix="dss_bitemporal_") + "/dim"
+    txlog.create_table(_scd2(known_v0), path)
+    live = txlog.snapshot_files(path, 0)
+    rel = [_os.path.relpath(f, _os.path.join(path, "data")) for f in live]
+    txlog.rewrite(_scd2(ev), path, rel, expect_version=0, op="rebuild")
+
+    vt = known_v0.agg(
+        ((F.min("from_ms") + F.max("from_ms")) / 2)
+        .cast("long")
+        .alias("vt")
+    )
+    dim_v0 = txlog.read(spark, path, version=0)
+    return (
+        dim_v0.crossJoin(F.broadcast(vt))
+        .filter(
+            (F.col("from_ms") <= F.col("vt"))
+            & (F.col("to_ms").isNull() | (F.col("to_ms") > F.col("vt")))
+        )
+        .select("user_id", "attr", "from_ms", "rev")
     )
