@@ -91,6 +91,16 @@ BENCH_QUERIES = (
     "triangle_count_coparts",
     "decayed_user_scores",
     "matview_incremental_orders",
+    # Round 5 (cont.): bucketed zero-exchange join layout, sort-free
+    # dense IDs, the fixed-point scatter matrix (PCA front end) and
+    # its IVM twin over the ACID change feed, exact sliding distinct,
+    # and session path mining.
+    "bucketed_join_segments",
+    "dense_ids_orders",
+    "embedding_scatter_matrix",
+    "ivm_scatter_matrix",
+    "sliding_distinct_users",
+    "session_paths_topk",
 )
 
 

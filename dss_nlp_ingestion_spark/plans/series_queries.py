@@ -14,6 +14,7 @@ ratios."""
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -642,4 +643,331 @@ def bitemporal_asof_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("to_ms").isNull() | (F.col("to_ms") > F.col("vt")))
         )
         .select("user_id", "attr", "from_ms", "rev")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DAU/WAU stickiness (coverage-explode sliding distinct at day grain)
+# ---------------------------------------------------------------------------
+
+_STICKINESS_ORACLE = f"""
+WITH e AS (
+  SELECT epoch_ms(ts) // 86400000 AS day, user_id FROM events
+), dau AS (
+  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau FROM e GROUP BY day
+), cov AS (
+  SELECT DISTINCT e.day + k AS wday, user_id
+  FROM e, (SELECT unnest(range(0, 7)) AS k)
+), wau AS (
+  SELECT wday AS day, CAST(count(*) AS BIGINT) AS wau
+  FROM cov GROUP BY wday
+)
+SELECT dau.day, dau.dau, wau.wau,
+       {fround_sql('CAST(dau.dau AS DOUBLE) / wau.wau', 6)} AS stickiness
+FROM dau JOIN wau ON wau.day = dau.day
+"""
+
+
+@register("dau_wau_stickiness", _STICKINESS_ORACLE)
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU "stickiness" per day: daily actives over the EXACT
+    7-day trailing distinct actives, computed by the coverage-explode
+    rewrite (each active-day lands in the 7 windows ending on it — a
+    constant 7x blowup of the already-deduplicated (day, user)
+    pairs, then one distinct + count).  Only days that actually have
+    activity are reported (inner join).  Two key-bounded shuffles;
+    integer day arithmetic shared verbatim with the oracle."""
+    ev = table(spark, sf_dir, "events")
+    e = ev.select(
+        F.floor(epoch_ms("ts") / 86400000).cast("long").alias("day"),
+        "user_id",
+    )
+    dau = e.groupBy("day").agg(
+        F.countDistinct("user_id").cast("long").alias("dau")
+    )
+    cov = (
+        e.select(
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"),
+            "day",
+            "user_id",
+        )
+        .select((F.col("day") + F.col("k")).alias("wday"), "user_id")
+        .distinct()
+    )
+    wau = cov.groupBy(F.col("wday").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("wau")
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        fround(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+            "stickiness"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IQR outlier fences per market segment (grouped position selection)
+# ---------------------------------------------------------------------------
+
+_IQR_ORACLE = """
+WITH o AS (
+  SELECT c.c_mktsegment AS seg, o.o_totalprice AS v, o.o_orderkey
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+), r AS (
+  SELECT seg, v,
+         row_number() OVER (PARTITION BY seg ORDER BY v, o_orderkey) AS rn,
+         count(*) OVER (PARTITION BY seg) AS n
+  FROM o
+), q AS (
+  SELECT seg,
+         max(CASE WHEN rn = (n + 3) // 4 THEN v END) AS q1,
+         max(CASE WHEN rn = (3 * n + 3) // 4 THEN v END) AS q3
+  FROM r GROUP BY seg
+)
+SELECT o.seg, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN o.v > q.q3 + 3 * (q.q3 - q.q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers,
+       q.q1, q.q3
+FROM o JOIN q ON q.seg = o.seg
+GROUP BY o.seg, q.q1, q.q3
+"""
+
+
+@register("iqr_outlier_orders", _IQR_ORACLE)
+def iqr_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier counts per market segment: exact Q1/Q3 by
+    POSITION selection within each segment (ranks ceil(n/4),
+    ceil(3n/4) — no interpolation, no cross-engine float hazard),
+    fences at Q3 + 3*IQR, one rollup counting exceedances.  The
+    fence comparison is pure arithmetic on selected data values.
+    Scale shape: segment-keyed windows (parallel across segments),
+    a 5-row fence broadcast back onto the facts."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    o = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("o_totalprice").alias("v"),
+        "o_orderkey",
+    )
+    win = Window.partitionBy("seg").orderBy("v", "o_orderkey")
+    r = o.select(
+        "seg",
+        "v",
+        F.row_number().over(win).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("seg")).alias("n"),
+    )
+    q = r.groupBy("seg").agg(
+        F.max(
+            F.when(F.col("rn") == F.floor((F.col("n") + 3) / 4), F.col("v"))
+        ).alias("q1"),
+        F.max(
+            F.when(
+                F.col("rn") == F.floor((3 * F.col("n") + 3) / 4), F.col("v")
+            )
+        ).alias("q3"),
+    )
+    return (
+        o.join(F.broadcast(q), "seg")
+        .groupBy("seg", "q1", "q3")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(
+                F.when(
+                    F.col("v") > F.col("q3") + 3 * (F.col("q3") - F.col("q1")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_high_outliers"),
+        )
+        .select("seg", "n_orders", "n_high_outliers", "q1", "q3")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Burstiness (Fano factor) per event type
+# ---------------------------------------------------------------------------
+
+_BURSTINESS_ORACLE = f"""
+WITH h AS (
+  SELECT event_type, epoch_ms(ts) // 3600000 AS hb,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, hb
+), s AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS sc,
+         CAST(sum(c * c) AS BIGINT) AS scc
+  FROM h GROUP BY event_type
+)
+SELECT event_type, n AS n_hours, sc AS n_events,
+       {fround_sql('CAST(n * scc - sc * sc AS DOUBLE) / (CAST(n AS DOUBLE) * sc)', 6)}
+         AS fano
+FROM s
+"""
+
+
+@register("event_burstiness", _BURSTINESS_ORACLE)
+def event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance-to-mean ratio of hourly counts) per
+    event type — the burstiness diagnostic separating Poisson-like
+    traffic (fano ~= 1) from bursty bot/incident traffic (fano >> 1).
+    Moments are exact BIGINTs; fano = (n*scc - sc^2) / (n * sc) in
+    one shared double expression.  One partial-agg shuffle to
+    (type, hour), one to type."""
+    ev = table(spark, sf_dir, "events")
+    h = (
+        ev.select(
+            "event_type",
+            F.floor(epoch_ms("ts") / 3600000).cast("long").alias("hb"),
+        )
+        .groupBy("event_type", "hb")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    s = h.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("scc"),
+    )
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_hours"),
+        F.col("sc").alias("n_events"),
+        fround(
+            (F.col("n") * F.col("scc") - F.col("sc") * F.col("sc")).cast(
+                "double"
+            )
+            / (F.col("n").cast("double") * F.col("sc")),
+            6,
+        ).alias("fano"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-table atomic transaction snapshot
+# ---------------------------------------------------------------------------
+
+_MULTITXN_ORACLE = """
+WITH o AS (
+  SELECT * FROM orders WHERE o_orderkey % 3 <> 0
+), l AS (
+  SELECT * FROM lineitem WHERE l_orderkey % 3 <> 0
+)
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS revenue
+FROM o JOIN l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("multitable_txn_snapshot", _MULTITXN_ORACLE)
+def multitable_txn_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table ATOMIC visibility: orders and lineitem are
+    separate ACID tables; batch 1 (orderkey % 3 != 0) commits to
+    both and publishes txn0; batch 2's ORDERS append then commits
+    (orders v1) while its lineitem half is still in flight — the
+    dual-write window every orders@head JOIN lineitem@head reader
+    tears in.  The query reads the txn0 CONSISTENT vector
+    (sources/multitxn.py — per-table time travel at the pinned
+    versions), so the half-ingested batch is invisible and the join
+    balances.  The oracle replays batch 1 only; the pytest twin
+    asserts the torn head-read actually differs."""
+    from dss_nlp_ingestion_spark.sources import multitxn, txlog
+
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    root = tempfile.mkdtemp(prefix="dss_multitxn_")
+    txlog.create_table(
+        orders.filter(F.col("o_orderkey") % 3 != 0),
+        os.path.join(root, "orders"),
+    )
+    txlog.create_table(
+        li.filter(F.col("l_orderkey") % 3 != 0),
+        os.path.join(root, "lineitem"),
+    )
+    txn0 = multitxn.commit_txn(root, {"orders": 0, "lineitem": 0})
+    # batch 2: orders half lands; lineitem half is "in flight"
+    txlog.append(
+        orders.filter(F.col("o_orderkey") % 3 == 0),
+        os.path.join(root, "orders"),
+    )
+    snap = multitxn.read_consistent(spark, root, txn0)
+    o, l = snap["orders"], snap["lineitem"]
+    return (
+        o.join(l, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SLO burn rate over sliding windows
+# ---------------------------------------------------------------------------
+
+_SLO_ORACLE = f"""
+WITH e AS (
+  SELECT epoch_ms(ts) // 3600000 AS hb,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+  FROM events
+), cov AS (
+  SELECT hb + k AS whb, is_err
+  FROM e, (SELECT unnest(range(0, 6)) AS k)
+), w AS (
+  SELECT whb, CAST(count(*) AS BIGINT) AS total,
+         CAST(sum(is_err) AS BIGINT) AS errs
+  FROM cov GROUP BY whb
+)
+SELECT whb AS window_end_hb, total, errs,
+       {fround_sql('CAST(errs AS DOUBLE) / total', 6)} AS err_rate,
+       CAST(CASE WHEN errs * 5 > total THEN 1 ELSE 0 END AS BIGINT)
+         AS burn_alert
+FROM w
+"""
+
+
+@register("slo_burn_rate", _SLO_ORACLE)
+def slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-budget burn over 6-hour trailing windows sliding by
+    hour: the coverage-explode rewrite (constant 6x blowup) gives
+    exact windowed error rates, and the alert fires on the INTEGER
+    inequality errs*5 > total (rate > 20%) — no float threshold, so
+    the alert set is bit-exact.  Ratio reported for humans via the
+    shared rounding."""
+    ev = table(spark, sf_dir, "events")
+    e = ev.select(
+        F.floor(epoch_ms("ts") / 3600000).cast("long").alias("hb"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias(
+            "is_err"
+        ),
+    )
+    cov = e.select(
+        F.explode(F.sequence(F.lit(0), F.lit(5))).alias("k"), "hb", "is_err"
+    ).select((F.col("hb") + F.col("k")).alias("whb"), "is_err")
+    w = cov.groupBy("whb").agg(
+        F.count(F.lit(1)).cast("long").alias("total"),
+        F.sum("is_err").cast("long").alias("errs"),
+    )
+    return w.select(
+        F.col("whb").alias("window_end_hb"),
+        "total",
+        "errs",
+        fround(F.col("errs").cast("double") / F.col("total"), 6).alias(
+            "err_rate"
+        ),
+        F.when(F.col("errs") * 5 > F.col("total"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("burn_alert"),
     )
