@@ -699,3 +699,531 @@ def quality_percent_rank_by_lang(
         "n_chars",
         fround(F.percent_rank().over(w), 6).alias("quality_pr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ingest gap detection (missing-hour islands -> backfill plan)
+# ---------------------------------------------------------------------------
+
+_GAPS_ORACLE = """
+WITH h AS (
+  SELECT DISTINCT epoch_ms(ts) // 3600000 AS hb FROM events
+), span AS (
+  SELECT min(hb) AS mn, max(hb) AS mx FROM h
+), allh AS (
+  SELECT unnest(range(span.mn, span.mx + 1)) AS hb FROM span
+), miss AS (
+  SELECT a.hb FROM allh a LEFT JOIN h ON h.hb = a.hb WHERE h.hb IS NULL
+), isl AS (
+  SELECT hb, hb - row_number() OVER (ORDER BY hb) AS grp FROM miss
+)
+SELECT min(hb) AS gap_start_hb, CAST(count(*) AS BIGINT) AS gap_hours
+FROM isl GROUP BY grp
+"""
+
+
+@register("missing_hour_gaps", _GAPS_ORACLE)
+def missing_hour_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill planner input: contiguous runs of hours with NO
+    events between the stream's first and last hour (the islands of
+    the complement) — what an ingest monitor pages on and a backfill
+    job consumes as work units.  The candidate grid is generated
+    from the 2-value span (calendar-bounded), anti-joined against
+    observed hours; islands come from the hb - row_number key.  All
+    windows run over the calendar-bounded hour series."""
+    ev = table(spark, sf_dir, "events")
+    h = ev.select(
+        F.floor(epoch_ms("ts") / 3600000).cast("long").alias("hb")
+    ).distinct()
+    span = h.agg(F.min("hb").alias("mn"), F.max("hb").alias("mx"))
+    allh = span.select(
+        F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("hb")
+    )
+    miss = allh.join(h, "hb", "left_anti")
+    isl = miss.select(
+        "hb",
+        (F.col("hb") - F.row_number().over(Window.orderBy("hb"))).alias(
+            "grp"
+        ),
+    )
+    return isl.groupBy("grp").agg(
+        F.min("hb").alias("gap_start_hb"),
+        F.count(F.lit(1)).cast("long").alias("gap_hours"),
+    ).drop("grp")
+
+
+# ---------------------------------------------------------------------------
+# Chi-square association for co-purchase pairs (integer contingency)
+# ---------------------------------------------------------------------------
+
+_CHI2_EXPR = (
+    "(CAST(n_orders AS DOUBLE) * ad_bc * ad_bc) / "
+    "(CAST(sa * (n_orders - sa) AS DOUBLE) * CAST(sb * (n_orders - sb) AS DOUBLE))"
+)
+
+_CHI2_ORACLE = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), nn AS (
+  SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM items
+), supp AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS s FROM items GROUP BY l_partkey
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS support
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY part_a, part_b HAVING count(*) >= 2
+), ct AS (
+  SELECT p.part_a, p.part_b, p.support, sa.s AS sa, sb.s AS sb, nn.n_orders,
+         p.support * (nn.n_orders - sa.s - sb.s + p.support)
+           - (sa.s - p.support) * (sb.s - p.support) AS ad_bc
+  FROM pairs p
+  JOIN supp sa ON sa.l_partkey = p.part_a
+  JOIN supp sb ON sb.l_partkey = p.part_b
+  CROSS JOIN nn
+)
+SELECT part_a, part_b, support, {fround_sql(_CHI2_EXPR, 4)} AS chi2
+FROM ct
+ORDER BY {_CHI2_EXPR} DESC, part_a, part_b
+LIMIT 50
+"""
+
+
+@register("copurchase_chi2_topk", _CHI2_ORACLE)
+def copurchase_chi2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square association strength for frequent co-purchase
+    pairs: the full 2x2 contingency table per pair derives from
+    (support, supp_a, supp_b, N) alone, ad-bc stays an exact BIGINT,
+    and the statistic is one shared double expression — significance
+    ranking without any approximation library.  Supports broadcast;
+    pair generation is basket-local as in the lift query."""
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    nn = items.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders")
+    )
+    supp = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("s")
+    )
+    baskets = items.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("its")
+    )
+    pairs = (
+        baskets.select(F.explode("its").alias("part_a"), "its")
+        .select("part_a", F.explode("its").alias("part_b"))
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    sa = supp.select(F.col("l_partkey").alias("part_a"), F.col("s").alias("sa"))
+    sb = supp.select(F.col("l_partkey").alias("part_b"), F.col("s").alias("sb"))
+    ct = (
+        pairs.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .crossJoin(F.broadcast(nn))
+        .withColumn(
+            "ad_bc",
+            F.col("support")
+            * (F.col("n_orders") - F.col("sa") - F.col("sb") + F.col("support"))
+            - (F.col("sa") - F.col("support"))
+            * (F.col("sb") - F.col("support")),
+        )
+    )
+    chi2 = (
+        F.col("n_orders").cast("double") * F.col("ad_bc") * F.col("ad_bc")
+    ) / (
+        (F.col("sa") * (F.col("n_orders") - F.col("sa"))).cast("double")
+        * (F.col("sb") * (F.col("n_orders") - F.col("sb"))).cast("double")
+    )
+    return (
+        ct.orderBy(chi2.desc(), "part_a", "part_b")
+        .limit(50)
+        .select("part_a", "part_b", "support", fround(chi2, 4).alias("chi2"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact two-sample KS statistic (integer cross-multiplied CDFs)
+# ---------------------------------------------------------------------------
+
+_KS_ORACLE = f"""
+WITH o AS (
+  SELECT c.c_mktsegment AS seg, o.o_totalprice AS v
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+), k AS (
+  SELECT v,
+         CAST(sum(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+         CAST(sum(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS k2
+  FROM o GROUP BY v
+), c AS (
+  SELECT sum(k1) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+         sum(k2) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2
+  FROM k
+), t AS (
+  SELECT CAST(sum(k1) AS BIGINT) AS n1, CAST(sum(k2) AS BIGINT) AS n2 FROM k
+)
+SELECT t.n1, t.n2,
+       CAST(max(abs(c.c1 * t.n2 - c.c2 * t.n1)) AS BIGINT) AS ks_num,
+       {fround_sql('CAST(max(abs(c.c1 * t.n2 - c.c2 * t.n1)) AS DOUBLE) / (CAST(t.n1 AS DOUBLE) * t.n2)', 6)} AS ks
+FROM c CROSS JOIN t
+GROUP BY t.n1, t.n2
+"""
+
+
+@register("ks_price_by_segment", _KS_ORACLE)
+def ks_price_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov statistic between the
+    BUILDING and MACHINERY order-value distributions: empirical CDFs
+    compare through the INTEGER cross-product |c1*n2 - c2*n1| (no
+    float CDF, no tie ambiguity — counts aggregate per distinct
+    value first), so the supremum is found over exact integers and
+    only the final normalization divides.  The cumulative window
+    runs over the distinct-VALUE series, already reduced by the
+    group-by."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    o = (
+        orders.join(
+            F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+        )
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_totalprice").alias("v"),
+        )
+    )
+    k = o.groupBy("v").agg(
+        F.sum(F.when(F.col("seg") == "BUILDING", 1).otherwise(0))
+        .cast("long")
+        .alias("k1"),
+        F.sum(F.when(F.col("seg") == "MACHINERY", 1).otherwise(0))
+        .cast("long")
+        .alias("k2"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    c = k.select(
+        F.sum("k1").over(w).alias("c1"), F.sum("k2").over(w).alias("c2")
+    )
+    t = k.agg(
+        F.sum("k1").cast("long").alias("n1"),
+        F.sum("k2").cast("long").alias("n2"),
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .groupBy("n1", "n2")
+        .agg(
+            F.max(F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")))
+            .cast("long")
+            .alias("ks_num")
+        )
+        .select(
+            "n1",
+            "n2",
+            "ks_num",
+            fround(
+                F.col("ks_num").cast("double")
+                / (F.col("n1").cast("double") * F.col("n2")),
+                6,
+            ).alias("ks"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Largest-remainder quota allocation per language
+# ---------------------------------------------------------------------------
+
+_QUOTA_TOTAL = 1000
+
+_QUOTA_ORACLE = f"""
+WITH c AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY lang
+), t AS (
+  SELECT CAST(sum(c) AS BIGINT) AS total FROM c
+), b AS (
+  SELECT c.lang, c.c,
+         (c.c * {_QUOTA_TOTAL}) // t.total AS base,
+         (c.c * {_QUOTA_TOTAL}) % t.total AS rem
+  FROM c CROSS JOIN t
+), l AS (
+  SELECT CAST({_QUOTA_TOTAL} - sum(base) AS BIGINT) AS leftover FROM b
+), r AS (
+  SELECT lang, c, base,
+         row_number() OVER (ORDER BY rem DESC, lang) AS rn
+  FROM b
+)
+SELECT r.lang, r.c AS n_docs,
+       CAST(r.base + CASE WHEN r.rn <= l.leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS quota
+FROM r CROSS JOIN l
+"""
+
+
+@register("largest_remainder_allocation", _QUOTA_ORACLE)
+def largest_remainder_allocation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact proportional sample allocation across languages by the
+    largest-remainder (Hamilton) method: floor quotas plus one extra
+    seat to the biggest scaled remainders until the fixed total
+    (1000) is hit — quotas sum EXACTLY to the target, all in integer
+    arithmetic (the hash-threshold samplers elsewhere trade exactness
+    for shuffle-freedom; this is the exact-allocation complement).
+    Windows run over the language list (tiny); ties on remainder
+    break by lang for a total order."""
+    docs = table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    t = c.agg(F.sum("c").cast("long").alias("total"))
+    b = c.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "c",
+        F.floor(F.col("c") * _QUOTA_TOTAL / F.col("total")).alias("base"),
+        ((F.col("c") * _QUOTA_TOTAL) % F.col("total")).alias("rem"),
+    )
+    leftover = b.agg(
+        (F.lit(_QUOTA_TOTAL) - F.sum("base")).cast("long").alias("leftover")
+    )
+    r = b.withColumn(
+        "rn",
+        F.row_number().over(Window.orderBy(F.col("rem").desc(), "lang")),
+    )
+    return r.crossJoin(F.broadcast(leftover)).select(
+        "lang",
+        F.col("c").alias("n_docs"),
+        (
+            F.col("base")
+            + F.when(F.col("rn") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("quota"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary dense ID assignment (tokenizer artifact)
+# ---------------------------------------------------------------------------
+
+_VOCAB_IDS_ORACLE = f"""
+WITH v AS (
+  SELECT DISTINCT unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+  FROM documents
+)
+SELECT term,
+       CAST(row_number() OVER (ORDER BY term) AS BIGINT) AS token_id
+FROM v
+"""
+
+
+@register("vocab_dense_ids", _VOCAB_IDS_ORACLE)
+def vocab_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer's term -> id table: contiguous 1..|V| ids over
+    the sorted corpus vocabulary, assigned by the global-sort-free
+    dense ID operator (operators/relational.py:dense_ids_by_key) —
+    the exact artifact an embedding layer consumes, built without
+    ever collapsing the vocabulary into one task.  The oracle is the
+    textbook single-partition row_number."""
+    docs = table(spark, sf_dir, "documents")
+    vocab = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_PATTERN), F.lit(0))
+        ).alias("term")
+    ).distinct()
+    return dense_ids_by_key(vocab, "term", num_parts=8).select(
+        "term", F.col("seq_id").cast("long").alias("token_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Negative-sampling table (unigram^0.75 via nested exact sqrt)
+# ---------------------------------------------------------------------------
+
+_NEGSAMPLE_ORACLE = f"""
+WITH tf AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS c
+  FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+    FROM documents
+  ) GROUP BY term HAVING count(*) >= 5
+), w AS (
+  SELECT term, c,
+         CAST(floor(sqrt(sqrt(CAST(c * c * c AS DOUBLE)))) AS BIGINT)
+           AS weight
+  FROM tf
+)
+SELECT term, c AS term_count, weight,
+       CAST(sum(weight) OVER (ORDER BY term
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS BIGINT) AS cum_weight
+FROM w
+"""
+
+
+@register("negative_sampling_table", _NEGSAMPLE_ORACLE)
+def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec-style negative-sampling table: per-term weight
+    floor(count^(3/4)) with the 3/4 power computed as
+    sqrt(sqrt(c^3)) — IEEE sqrt is correctly rounded in BOTH engines
+    (unlike pow/exp/ln, whose libm implementations differ in the last
+    ulp), and c^3 is an exact BIGINT, so the weights and the
+    cumulative table (the binary-search draw structure) are bit-exact
+    cross-engine.  One term rollup; the cumulative window runs over
+    the vocabulary, tie-free because term is the order key."""
+    docs = table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower("text"), F.lit(TOKEN_PATTERN), F.lit(0)
+                )
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .filter(F.col("c") >= 5)
+    )
+    w = tf.select(
+        "term",
+        "c",
+        F.floor(
+            F.sqrt(
+                F.sqrt((F.col("c") * F.col("c") * F.col("c")).cast("double"))
+            )
+        )
+        .cast("long")
+        .alias("weight"),
+    )
+    win = Window.orderBy("term").rowsBetween(Window.unboundedPreceding, 0)
+    return w.select(
+        "term",
+        F.col("c").alias("term_count"),
+        "weight",
+        F.sum("weight").over(win).cast("long").alias("cum_weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM user segmentation (integer quartile scores)
+# ---------------------------------------------------------------------------
+
+_RFM_ORACLE = """
+WITH m AS (
+  SELECT user_id,
+         max(epoch_ms(ts)) AS last_ms,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+), t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM m),
+r AS (
+  SELECT m.user_id, m.last_ms, m.freq, m.cents, t.n,
+         row_number() OVER (ORDER BY m.last_ms, m.user_id) AS rr,
+         row_number() OVER (ORDER BY m.freq, m.user_id) AS rf,
+         row_number() OVER (ORDER BY m.cents, m.user_id) AS rm
+  FROM m CROSS JOIN t
+)
+SELECT user_id,
+       CAST((rr * 4 + n - 1) // n AS BIGINT) AS r_score,
+       CAST((rf * 4 + n - 1) // n AS BIGINT) AS f_score,
+       CAST((rm * 4 + n - 1) // n AS BIGINT) AS m_score
+FROM r
+"""
+
+
+@register("rfm_user_segments", _RFM_ORACLE)
+def rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency/frequency/monetary quartile scores (1..4) per
+    purchasing user: each dimension ranks totally (tie-break
+    user_id) and maps to its quartile by the integer ceiling
+    ceil(rank*4/n) — no percentile interpolation, no float compare.
+    Money folds to integer cents with the shared rounding before
+    summing.  The ranking windows are the one deliberate global
+    ordering, over the PURCHASING-USER aggregate (already one row
+    per user)."""
+    ev = table(spark, sf_dir, "events")
+    m = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(epoch_ms("ts")).alias("last_ms"),
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            )
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    t = m.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    r = m.crossJoin(F.broadcast(t)).select(
+        "user_id",
+        "n",
+        F.row_number()
+        .over(Window.orderBy("last_ms", "user_id"))
+        .alias("rr"),
+        F.row_number().over(Window.orderBy("freq", "user_id")).alias("rf"),
+        F.row_number().over(Window.orderBy("cents", "user_id")).alias("rm"),
+    )
+    def _score(rank_col: str):
+        return (
+            F.floor((F.col(rank_col) * 4 + F.col("n") - 1) / F.col("n"))
+            .cast("long")
+        )
+    return r.select(
+        "user_id",
+        _score("rr").alias("r_score"),
+        _score("rf").alias("f_score"),
+        _score("rm").alias("m_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted median price (cumulative-weight crossing)
+# ---------------------------------------------------------------------------
+
+_WMEDIAN_ORACLE = """
+WITH b AS (
+  SELECT l_extendedprice AS v, CAST(sum(l_quantity) AS BIGINT) AS wt
+  FROM lineitem GROUP BY l_extendedprice
+), t AS (SELECT CAST(sum(wt) AS BIGINT) AS total FROM b),
+c AS (
+  SELECT v, wt,
+         CAST(sum(wt) OVER (ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS BIGINT) AS cum
+  FROM b
+)
+SELECT min(c.v) AS weighted_median, min(t.total) AS total_weight
+FROM c CROSS JOIN t
+WHERE c.cum * 2 >= t.total
+"""
+
+
+@register("weighted_median_price", _WMEDIAN_ORACLE)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median extended price: the first value whose
+    cumulative weight crosses half the total, found by the INTEGER
+    inequality cum*2 >= total (weights are exact quantity sums, no
+    float CDF).  Value-grain pre-aggregation bounds the cumulative
+    window to the distinct-price series."""
+    li = table(spark, sf_dir, "lineitem")
+    b = li.groupBy(F.col("l_extendedprice").alias("v")).agg(
+        F.sum("l_quantity").cast("long").alias("wt")
+    )
+    t = b.agg(F.sum("wt").cast("long").alias("total"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    c = b.select("v", F.sum("wt").over(w).cast("long").alias("cum"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .filter(F.col("cum") * 2 >= F.col("total"))
+        .agg(
+            F.min("v").alias("weighted_median"),
+            F.min("total").cast("long").alias("total_weight"),
+        )
+    )
