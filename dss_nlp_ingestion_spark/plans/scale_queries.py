@@ -19,6 +19,7 @@ one shared closed-form double expression at the end.
 from __future__ import annotations
 
 import hashlib
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1226,4 +1227,281 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("v").alias("weighted_median"),
             F.min("total").cast("long").alias("total_weight"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hive-style partitioned layout: dynamic overwrite + DPP
+# ---------------------------------------------------------------------------
+
+
+def partitioned_orders_path(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per sf) orders partitioned by o_orderpriority —
+    the directory layout whose partition values live in PATHS, so a
+    filter on the partition column prunes whole directories at
+    PLANNING time (PartitionFilters, no file I/O at all — one level
+    stronger than the zonemap/footer-stats skipping elsewhere)."""
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
+    base = f"{tempfile.gettempdir()}/dss_part_orders_{tag}"
+    marker = os.path.join(base, "_SUCCESS")
+    if not os.path.exists(marker):
+        (
+            table(spark, sf_dir, "orders")
+            .write.partitionBy("o_orderpriority")
+            .mode("overwrite")
+            .parquet(base)
+        )
+    return base
+
+
+_PART_OVERWRITE_ORACLE = """
+WITH cur AS (
+  SELECT o_orderkey, o_orderpriority,
+         CASE WHEN o_orderpriority = '1-URGENT'
+              THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+  FROM orders
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM cur GROUP BY o_orderpriority
+"""
+
+
+@register("partitioned_overwrite_orders", _PART_OVERWRITE_ORACLE)
+def partitioned_overwrite_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DYNAMIC partition overwrite: a repricing batch rewrites ONLY
+    the '1-URGENT' partition directory (partitionOverwriteMode=
+    dynamic — untouched priorities keep their original files; the
+    static mode would truncate the whole table), then the read-back
+    aggregate proves exactly one partition changed.  This is the
+    partition-scoped COW idiom for Hive-style layouts, the
+    directory-level complement of the file-level COW merge in
+    sources/sinks.py.  The write moves only the repriced partition's
+    rows; the final aggregate is one partial-agg shuffle."""
+    orders = table(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="dss_dynpart_") + "/orders"
+    orders.select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).write.partitionBy("o_orderpriority").mode("overwrite").parquet(base)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            orders.filter(F.col("o_orderpriority") == "1-URGENT")
+            .select(
+                "o_orderkey",
+                (F.col("o_totalprice") * 2).alias("o_totalprice"),
+                "o_orderpriority",
+            )
+            .write.partitionBy("o_orderpriority")
+            .mode("overwrite")
+            .parquet(base)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    cur = spark.read.parquet(base)
+    return cur.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+_DPP_ORACLE = """
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("dpp_partitioned_join", _DPP_ORACLE)
+def dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the partitioned fact scan receives
+    its partition filter AT RUNTIME from the broadcast dim side of
+    the join (Catalyst's dynamicpruningexpression — plan-asserted in
+    tests/test_scale_layout.py), so only the dim-selected priority
+    directories are read even though the fact query itself has no
+    literal partition predicate.  At 100 TB a star join touching 2 of
+    5 partitions scans 40% — without DPP it scans everything."""
+    base = partitioned_orders_path(spark, sf_dir)
+    fact = spark.read.parquet(base)
+    # The dim must carry a SELECTIVE predicate over a real source for
+    # Catalyst to judge pruning beneficial — an unfiltered local
+    # relation never triggers DPP.
+    dim = (
+        table(spark, sf_dir, "orders")
+        .select(F.col("o_orderpriority").alias("prio"))
+        .distinct()
+        .filter(F.col("prio").isin("1-URGENT", "2-HIGH"))
+    )
+    j = fact.join(
+        F.broadcast(dim), fact["o_orderpriority"] == dim["prio"]
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rendezvous (HRW) sharding: minimal movement on shard addition
+# ---------------------------------------------------------------------------
+
+
+def _hrw_score_sql(key: str, shard: str) -> str:
+    return (
+        f"(('0x' || substr(sha256('hrw:' || CAST({key} AS VARCHAR) || ':' "
+        f"|| CAST({shard} AS VARCHAR)), 1, 13))::BIGINT)"
+    )
+
+
+_HRW_ORACLE = f"""
+WITH s8 AS (
+  SELECT doc_id, k AS shard,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY {_hrw_score_sql('doc_id', 'k')} DESC, k)
+           AS rn
+  FROM documents, (SELECT unnest(range(0, 8)) AS k)
+), s9 AS (
+  SELECT doc_id, k AS shard,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY {_hrw_score_sql('doc_id', 'k')} DESC, k)
+           AS rn
+  FROM documents, (SELECT unnest(range(0, 9)) AS k)
+), a AS (
+  SELECT s9.doc_id, s9.shard AS shard9, s8.shard AS shard8
+  FROM s9 JOIN s8 ON s8.doc_id = s9.doc_id AND s8.rn = 1
+  WHERE s9.rn = 1
+)
+SELECT CAST(shard9 AS INT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_moved_in
+FROM a GROUP BY shard9
+"""
+
+
+@register("rendezvous_shard_moves", _HRW_ORACLE)
+def rendezvous_shard_moves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding and its minimal-
+    movement guarantee: every doc goes to the shard maximizing
+    sha256('hrw:'||doc||':'||shard) — when the cluster grows 8 -> 9
+    shards, ONLY docs whose new max is the NEW shard move (~1/9 of
+    the corpus, pytest-asserted), versus mod-N hashing which moves
+    ~8/9 of everything.  Scores are the repo's engine-exact 52-bit
+    sha256 integers (operators/sampling.py idiom); the per-doc argmax
+    is a bounded 8/9-way explode + one ranking, no shuffle beyond the
+    doc key."""
+    from dss_nlp_ingestion_spark.operators.sampling import hash_order_key
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    def assign(n: int, out: str) -> DataFrame:
+        e = docs.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("k"),
+        )
+        scored = e.select(
+            "doc_id",
+            "k",
+            hash_order_key(
+                F.concat_ws(":", F.col("doc_id"), F.col("k")), "hrw"
+            ).alias("score"),
+        )
+        w = Window.partitionBy("doc_id").orderBy(
+            F.col("score").desc(), "k"
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", F.col("k").alias(out))
+        )
+
+    a = assign(8, "shard8").join(assign(9, "shard9"), "doc_id")
+    return a.groupBy(F.col("shard9").cast("int").alias("shard")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            F.when(F.col("shard8") != F.col("shard9"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_moved_in"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension embedding statistics (whitening diagonal, fixed point)
+# ---------------------------------------------------------------------------
+
+_DIM_STATS_ORACLE = f"""
+WITH q AS (
+  SELECT list_transform(embedding,
+                        v -> CAST(floor(CAST(v AS DOUBLE) * 1048576.0)
+                                  AS BIGINT)) AS qv
+  FROM embeddings
+), a AS (
+  SELECT i - 1 AS i, qv[i] AS vi FROM q, range(1, 65) t(i)
+), s AS (
+  SELECT i, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(vi) AS BIGINT) AS s_fx,
+         CAST(sum(vi * vi) AS BIGINT) AS ss_fx
+  FROM a GROUP BY i
+)
+SELECT CAST(i AS INT) AS i, n, s_fx, ss_fx,
+       {fround_sql('CAST(s_fx AS DOUBLE) / n / 1048576.0', 6)} AS mean,
+       {fround_sql(
+           '(CAST(ss_fx AS DOUBLE) / n'
+           ' - (CAST(s_fx AS DOUBLE) / n) * (CAST(s_fx AS DOUBLE) / n))'
+           ' / (1048576.0 * 1048576.0)', 6
+       )} AS var
+FROM s
+"""
+
+
+@register("embedding_dim_stats", _DIM_STATS_ORACLE)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance of the embedding corpus — the
+    whitening DIAGONAL (the scatter matrix's cheap sibling, enough
+    for per-dim standardization before quantization).  Sums are
+    fixed-point BIGINTs (order-independent); mean and population
+    variance derive in one shared double expression.  Scan-side
+    posexplode, one 64-key rollup (sums upgrade to DECIMAL(38,0)
+    past ~10^6 rows per the registry's exact-aggregation rule)."""
+    emb = table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda v: F.floor(v.cast("double") * F.lit(1048576.0)).cast(
+                    "long"
+                ),
+            )
+        ).alias("i", "vi")
+    )
+    s = a.groupBy("i").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("vi").cast("long").alias("s_fx"),
+        F.sum(F.col("vi") * F.col("vi")).cast("long").alias("ss_fx"),
+    )
+    return s.select(
+        F.col("i").cast("int").alias("i"),
+        "n",
+        "s_fx",
+        "ss_fx",
+        fround(
+            F.col("s_fx").cast("double") / F.col("n") / F.lit(1048576.0), 6
+        ).alias("mean"),
+        fround(
+            (
+                F.col("ss_fx").cast("double") / F.col("n")
+                - (F.col("s_fx").cast("double") / F.col("n"))
+                * (F.col("s_fx").cast("double") / F.col("n"))
+            )
+            / (F.lit(1048576.0) * F.lit(1048576.0)),
+            6,
+        ).alias("var"),
     )
