@@ -1505,3 +1505,329 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("var"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized mean (position-selected caps, integer cents)
+# ---------------------------------------------------------------------------
+
+_WINSOR_ORACLE = """
+WITH o AS (
+  SELECT o_totalprice AS v, o_orderkey FROM orders
+), r AS (
+  SELECT v, row_number() OVER (ORDER BY v, o_orderkey) AS rn,
+         count(*) OVER () AS n
+  FROM o
+), caps AS (
+  SELECT max(CASE WHEN rn = (5 * n + 99) // 100 THEN v END) AS lo,
+         max(CASE WHEN rn = (95 * n + 99) // 100 THEN v END) AS hi
+  FROM r
+), w AS (
+  SELECT CAST(floor(
+           CASE WHEN o.v < caps.lo THEN caps.lo
+                WHEN o.v > caps.hi THEN caps.hi
+                ELSE o.v END * 100 + 0.5) AS BIGINT) AS cents
+  FROM o CROSS JOIN caps
+)
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS winsor_cents,
+       CAST(CAST(sum(cents) AS DOUBLE) / count(*) / 100.0 AS DOUBLE)
+         AS winsor_mean
+FROM w
+"""
+
+
+@register("winsorized_mean_price", _WINSOR_ORACLE)
+def winsorized_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust mean with P5/P95 winsorization: cap values at the
+    position-selected percentiles (ranks ceil(5n/100), ceil(95n/100)
+    — exact data values, no interpolation), fold to integer cents
+    with the shared rounding, sum exactly.  The mean is one final
+    division.  The caps broadcast as one row; the clamp is
+    scan-side."""
+    orders = table(spark, sf_dir, "orders")
+    o = orders.select(F.col("o_totalprice").alias("v"), "o_orderkey")
+    r = o.select(
+        "v",
+        F.row_number().over(Window.orderBy("v", "o_orderkey")).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).alias("n"),
+    )
+    caps = r.agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.floor((5 * F.col("n") + 99) / 100),
+                F.col("v"),
+            )
+        ).alias("lo"),
+        F.max(
+            F.when(
+                F.col("rn") == F.floor((95 * F.col("n") + 99) / 100),
+                F.col("v"),
+            )
+        ).alias("hi"),
+    )
+    clamped = o.crossJoin(F.broadcast(caps)).select(
+        F.floor(
+            F.when(F.col("v") < F.col("lo"), F.col("lo"))
+            .when(F.col("v") > F.col("hi"), F.col("hi"))
+            .otherwise(F.col("v"))
+            * 100
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    return clamped.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("winsor_cents"),
+        (
+            F.sum("cents").cast("double")
+            / F.count(F.lit(1))
+            / F.lit(100.0)
+        )
+        .cast("double")
+        .alias("winsor_mean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Order-independent table content checksums (replication verification)
+# ---------------------------------------------------------------------------
+
+
+def _row_hash_sql(concat_expr: str) -> str:
+    return (
+        f"(('0x' || substr(sha256({concat_expr}), 1, 13))::BIGINT)"
+    )
+
+
+_CHECKSUM_ORACLE = f"""
+WITH o AS (
+  SELECT {_row_hash_sql(
+      "'ck:' || CAST(o_orderkey AS VARCHAR) || ':' || o_orderstatus"
+      " || ':' || CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+      " AS VARCHAR)"
+  )} AS h
+  FROM orders
+), l AS (
+  SELECT {_row_hash_sql(
+      "'ck:' || CAST(l_orderkey AS VARCHAR) || ':'"
+      " || CAST(l_linenumber AS VARCHAR) || ':'"
+      " || CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+      " AS VARCHAR)"
+  )} AS h
+  FROM lineitem
+)
+SELECT 'orders' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(h AS DECIMAL(38,0))) AS VARCHAR) AS checksum
+FROM o
+UNION ALL
+SELECT 'lineitem', CAST(count(*) AS BIGINT),
+       CAST(sum(CAST(h AS DECIMAL(38,0))) AS VARCHAR)
+FROM l
+"""
+
+
+@register("table_content_checksum", _CHECKSUM_ORACLE)
+def table_content_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content checksum per table: each row folds
+    to the repo's 52-bit sha256 integer over its key columns +
+    rounded money, and the table fingerprint is the EXACT
+    DECIMAL(38) sum — commutative, so 1000 executors summing in any
+    order agree, and two replicas compare with one row each (the
+    verification handshake replicate_incremental needs; a mismatch
+    localizes by re-checksumming partitions).  Money folds through
+    the shared floor-rounding before hashing so both engines hash
+    identical strings."""
+    from dss_nlp_ingestion_spark.operators.sampling import hash_order_key
+
+    def _ck(df: DataFrame, concat, name: str) -> DataFrame:
+        h = hash_order_key(concat, "ck")
+        return (
+            df.select(h.alias("h"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.col("h").cast("decimal(38,0)"))
+                .cast("string")
+                .alias("checksum"),
+            )
+            .select(F.lit(name).alias("tbl"), "n_rows", "checksum")
+        )
+
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    o_concat = F.concat_ws(
+        ":",
+        F.col("o_orderkey"),
+        F.col("o_orderstatus"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"),
+    )
+    l_concat = F.concat_ws(
+        ":",
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long"),
+    )
+    return _ck(orders, o_concat, "orders").unionAll(
+        _ck(li, l_concat, "lineitem")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-skew diagnosis report (salt-factor recommendation)
+# ---------------------------------------------------------------------------
+
+_SKEW_ORACLE = f"""
+WITH f AS (
+  SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS freq
+  FROM orders GROUP BY o_custkey
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(freq) AS BIGINT) AS n_rows,
+         CAST(max(freq) AS BIGINT) AS max_freq
+  FROM f
+), p AS (
+  SELECT freq, row_number() OVER (ORDER BY freq, key) AS rn,
+         count(*) OVER () AS n
+  FROM f
+), p99 AS (
+  SELECT max(CASE WHEN rn = (99 * n + 99) // 100 THEN freq END) AS p99_freq
+  FROM p
+)
+SELECT s.n_keys, s.n_rows, s.max_freq,
+       CAST(p99.p99_freq AS BIGINT) AS p99_freq,
+       CAST((s.max_freq * s.n_keys + s.n_rows - 1) // s.n_rows AS BIGINT)
+         AS salt_factor
+FROM s CROSS JOIN p99
+"""
+
+
+@register("skew_diagnosis_orders", _SKEW_ORACLE)
+def skew_diagnosis_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join skew diagnosis for the o_custkey key: key count, row
+    count, hottest-key frequency, position-selected p99 frequency,
+    and the recommended salt factor ceil(max_freq / mean_freq) — the
+    number the salted-join operators (operators/skew.py) take as
+    input, derived from data instead of guessed.  All integer
+    arithmetic; one key rollup plus a key-frequency ranking over the
+    (already aggregated) key table."""
+    orders = table(spark, sf_dir, "orders")
+    f = orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("freq")
+    )
+    s = f.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("freq").cast("long").alias("n_rows"),
+        F.max("freq").cast("long").alias("max_freq"),
+    )
+    p = f.select(
+        "freq",
+        F.row_number().over(Window.orderBy("freq", "key")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    p99 = p.agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.floor((99 * F.col("n") + 99) / 100),
+                F.col("freq"),
+            )
+        )
+        .cast("long")
+        .alias("p99_freq")
+    )
+    return s.crossJoin(F.broadcast(p99)).select(
+        "n_keys",
+        "n_rows",
+        "max_freq",
+        "p99_freq",
+        F.floor(
+            (F.col("max_freq") * F.col("n_keys") + F.col("n_rows") - 1)
+            / F.col("n_rows")
+        )
+        .cast("long")
+        .alias("salt_factor"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LATERAL join surface (correlated per-row top-k subquery)
+# ---------------------------------------------------------------------------
+
+_LATERAL_ORACLE = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) t ON true
+"""
+
+
+@register("lateral_top_orders", _LATERAL_ORACLE)
+def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL LATERAL surface: each customer's top-2 orders via a
+    correlated lateral derived table with ORDER BY/LIMIT — the ANSI
+    spelling users port from DuckDB/Postgres verbatim.  Catalyst
+    rewrites the correlated limit into the same windowed group-limit
+    the DataFrame form plans (DomainJoin -> WindowGroupLimit), so the
+    SQL front door costs what the native top-k costs — there is no
+    per-customer re-execution at any scale."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM lat_customer c JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice FROM lat_orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming sink into MULTI-TABLE transactions
+# ---------------------------------------------------------------------------
+
+_STREAM_MULTITXN_ORACLE = """
+SELECT epoch_ms(ts) // 3600000 AS hb, CAST(count(*) AS BIGINT) AS c
+FROM events GROUP BY hb
+"""
+
+
+@register("streaming_multitxn_sink", _STREAM_MULTITXN_ORACLE)
+def streaming_multitxn_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest with CROSS-TABLE atomic visibility: every
+    micro-batch commits its raw rows to one ACID table and its hourly
+    partial counts to another, then publishes the (raw@v, agg@v)
+    vector (streaming/pipeline.py:stream_to_multitxn_tables) — a
+    consumer reading the latest txn always sees raw and rollup from
+    the SAME batch boundary, never the raw table one batch ahead of
+    its rollup.  The returned series folds the delta table's partial
+    counts at the pinned version; availableNow drains everything, so
+    the batch oracle over events is the exact expectation."""
+    import tempfile as _tf
+
+    from dss_nlp_ingestion_spark.sources import multitxn
+    from dss_nlp_ingestion_spark.streaming.pipeline import (
+        read_events_stream,
+        stream_to_multitxn_tables,
+    )
+
+    events = table(spark, sf_dir, "events")
+    src = _tf.mkdtemp(prefix="dss_multitxn_src_")
+    events.write.mode("overwrite").parquet(src)
+    root = _tf.mkdtemp(prefix="dss_multitxn_sink_")
+    stream = read_events_stream(spark, src, schema=events.schema)
+    stream_to_multitxn_tables(
+        stream, root, _tf.mkdtemp(prefix="dss_multitxn_ckpt_")
+    )
+    snap = multitxn.read_consistent(spark, root)
+    return (
+        snap["hourly_delta"]
+        .groupBy("hb")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )

@@ -370,3 +370,60 @@ def click_purchase_stream_join(
         F.col("p_user").alias("user_id"),
         (epoch_ms(F.col("p_ts")) - epoch_ms(F.col("c_ts"))).alias("gap_ms"),
     )
+
+
+def stream_to_multitxn_tables(
+    stream: DataFrame,
+    root: str,
+    checkpoint: str,
+    query_name: str = "multitxn_sink",
+) -> None:
+    """foreachBatch sink with CROSS-TABLE atomicity: each micro-batch
+    (1) commits its raw rows to <root>/events_raw, (2) commits its
+    hourly partial counts to <root>/hourly_delta, then (3) publishes
+    the multi-table version vector (sources/multitxn.py).  A crash
+    after (1) or (2) but before (3) leaves both tables ahead of the
+    last published vector — readers of the vector still see a
+    matched (raw, rollup) pair, and the replayed batch simply
+    re-appends and publishes a fresh vector (the checkpoint pins
+    batch boundaries).  This closes the dual-write window the
+    reference's ES+Mongo writers leave open."""
+    import os
+
+    from dss_nlp_ingestion_spark.sources import multitxn, txlog
+
+    raw = os.path.join(root, "events_raw")
+    agg = os.path.join(root, "hourly_delta")
+
+    def _commit(batch_df: DataFrame, _batch_id: int) -> None:
+        hourly = (
+            batch_df.select(
+                F.floor(epoch_ms("ts") / 3600000).cast("long").alias("hb")
+            )
+            .groupBy("hb")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        try:
+            txlog.create_table(batch_df, raw)
+        except FileExistsError:
+            txlog.append(batch_df, raw)
+        try:
+            txlog.create_table(hourly, agg)
+        except FileExistsError:
+            txlog.append(hourly, agg)
+        multitxn.commit_txn(
+            root,
+            {
+                "events_raw": txlog._versions(raw)[-1],
+                "hourly_delta": txlog._versions(agg)[-1],
+            },
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
