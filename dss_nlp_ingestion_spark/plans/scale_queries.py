@@ -1831,3 +1831,159 @@ def streaming_multitxn_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("hb")
         .agg(F.sum("c").cast("long").alias("c"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Association rules with confidence (directional A -> B)
+# ---------------------------------------------------------------------------
+
+_CONF_EXPR = "CAST(support AS DOUBLE) / s_ante"
+
+_RULES_ORACLE = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), supp AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS s FROM items GROUP BY l_partkey
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS support
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY part_a, part_b HAVING count(*) >= 2
+), rules AS (
+  SELECT part_a AS antecedent, part_b AS consequent, support, sa.s AS s_ante
+  FROM pairs JOIN supp sa ON sa.l_partkey = pairs.part_a
+  UNION ALL
+  SELECT part_b, part_a, support, sb.s
+  FROM pairs JOIN supp sb ON sb.l_partkey = pairs.part_b
+)
+SELECT antecedent, consequent, support, s_ante,
+       {fround_sql(_CONF_EXPR, 6)} AS confidence
+FROM rules
+ORDER BY {_CONF_EXPR} DESC, antecedent, consequent
+LIMIT 50
+"""
+
+
+@register("association_rules_confidence", _RULES_ORACLE)
+def association_rules_confidence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Directional association rules A -> B ranked by confidence =
+    support(A,B)/support(A): each frequent pair yields both rule
+    directions (different denominators), confidence is one shared
+    division, top-50 with a total (confidence, rule) order.
+    Completes the rules suite: support (copurchase_pairs_support),
+    lift (copurchase_lift_topk), significance (copurchase_chi2_topk),
+    confidence here — all from the same basket-local pair table."""
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    supp = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("s")
+    )
+    baskets = items.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("its")
+    )
+    pairs = (
+        baskets.select(F.explode("its").alias("part_a"), "its")
+        .select("part_a", F.explode("its").alias("part_b"))
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    sa = supp.select(
+        F.col("l_partkey").alias("part_a"), F.col("s").alias("_sa")
+    )
+    sb = supp.select(
+        F.col("l_partkey").alias("part_b"), F.col("s").alias("_sb")
+    )
+    fwd = pairs.join(F.broadcast(sa), "part_a").select(
+        F.col("part_a").alias("antecedent"),
+        F.col("part_b").alias("consequent"),
+        "support",
+        F.col("_sa").alias("s_ante"),
+    )
+    rev = pairs.join(F.broadcast(sb), "part_b").select(
+        F.col("part_b").alias("antecedent"),
+        F.col("part_a").alias("consequent"),
+        "support",
+        F.col("_sb").alias("s_ante"),
+    )
+    rules = fwd.unionAll(rev)
+    conf = F.col("support").cast("double") / F.col("s_ante")
+    return (
+        rules.orderBy(conf.desc(), "antecedent", "consequent")
+        .limit(50)
+        .select(
+            "antecedent",
+            "consequent",
+            "support",
+            "s_ante",
+            fround(conf, 6).alias("confidence"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Degree distribution in log2 buckets (power-law tail audit)
+# ---------------------------------------------------------------------------
+
+_DEGREE_ORACLE = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY pa, pb HAVING count(*) >= 2
+), deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT pa AS node FROM pairs UNION ALL SELECT pb FROM pairs
+  ) GROUP BY node
+)
+SELECT CAST(length(printf('%b', d)) - 1 AS INT) AS log2_bucket,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(min(d) AS BIGINT) AS min_degree,
+       CAST(max(d) AS BIGINT) AS max_degree
+FROM deg GROUP BY log2_bucket
+"""
+
+
+@register("degree_distribution_log2", _DEGREE_ORACLE)
+def degree_distribution_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph in log2 buckets
+    (floor(log2(d)) computed as binary-string length minus one — an
+    INTEGER, no libm log) — the power-law tail audit that decides
+    whether the graph operators need hub mitigation
+    (operators/graph.py's degree-oriented triangle bound consumes
+    exactly this shape).  Two bounded rollups."""
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    baskets = items.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("its")
+    )
+    pairs = (
+        baskets.select(F.explode("its").alias("pa"), "its")
+        .select("pa", F.explode("its").alias("pb"))
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("_s"))
+        .filter(F.col("_s") >= 2)
+        .select("pa", "pb")
+    )
+    deg = (
+        pairs.select(F.col("pa").alias("node"))
+        .unionAll(pairs.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    return deg.groupBy(
+        (F.length(F.conv(F.col("d"), 10, 2)) - 1)
+        .cast("int")
+        .alias("log2_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.min("d").cast("long").alias("min_degree"),
+        F.max("d").cast("long").alias("max_degree"),
+    )
