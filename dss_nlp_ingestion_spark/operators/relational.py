@@ -330,11 +330,17 @@ def dense_ids_by_key(
 
     Every stage is parallel; the fact rows move through exactly one
     range exchange.  The broadcast side is num_parts rows."""
+    # The counts branch and the probe branch both hang off the SAME
+    # range exchange, which Catalyst deduplicates (ReusedExchange), so
+    # both read identical shuffle output; above it, the local sort is
+    # total (unique key) and mid assignment is a pure function of the
+    # sorted partition — consistent across branches without pinning
+    # the dataset in executor storage (a .persist() here leaked the
+    # whole input for the session; r5 code-review finding).
     d = (
         df.repartitionByRange(num_parts or 32, F.col(key_col))
         .sortWithinPartitions(key_col)
         .withColumn("_mid", F.monotonically_increasing_id())
-        .persist()
     )
     cnts = d.groupBy(F.shiftright("_mid", 33).alias("_pid")).agg(
         F.count(F.lit(1)).alias("_c"), F.min("_mid").alias("_base")

@@ -527,6 +527,29 @@ SELECT part_a, part_b, support FROM pairs WHERE support >= 2
 """
 
 
+def basket_item_pairs(li: "DataFrame", min_support: int = 2) -> "DataFrame":
+    """The canonical basket-local co-purchase pair table
+    (part_a < part_b, support >= min_support): distinct (order, part)
+    -> sorted item arrays (one order-key shuffle) -> double explode
+    bounded by basket size squared -> one partial-aggregated count.
+    Shared by every pair statistic (support / lift / chi2 /
+    confidence / k-core / degree audit) so thresholds and the
+    distinct step can never silently diverge between them (r5
+    code-review finding: five inline copies)."""
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    baskets = items.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("_its")
+    )
+    return (
+        baskets.select(F.explode("_its").alias("part_a"), "_its")
+        .select("part_a", F.explode("_its").alias("part_b"))
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+
+
 @register("copurchase_pairs_support", _COPURCHASE_ORACLE)
 def copurchase_pairs_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent-itemset mining, the A-Priori L2 step: part pairs
@@ -536,22 +559,7 @@ def copurchase_pairs_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket size squared (TPC-H baskets <= 7 items), never a
     posting-list self-join over the fact table — then one
     partial-aggregated count on the pair key."""
-    li = table(spark, sf_dir, "lineitem")
-    baskets = (
-        li.select("l_orderkey", "l_partkey")
-        .groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
-    )
-    pairs = (
-        baskets.select(F.explode("items").alias("part_a"), "items")
-        .select("part_a", F.explode("items").alias("part_b"))
-        .filter(F.col("part_a") < F.col("part_b"))
-    )
-    return (
-        pairs.groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("support"))
-        .filter(F.col("support") >= 2)
-    )
+    return basket_item_pairs(table(spark, sf_dir, "lineitem"))
 
 
 # ---------------------------------------------------------------------------
@@ -801,17 +809,7 @@ def copurchase_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = items.groupBy("l_partkey").agg(
         F.count(F.lit(1)).cast("long").alias("s")
     )
-    baskets = items.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("items")
-    )
-    pairs = (
-        baskets.select(F.explode("items").alias("part_a"), "items")
-        .select("part_a", F.explode("items").alias("part_b"))
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("support"))
-        .filter(F.col("support") >= 2)
-    )
+    pairs = basket_item_pairs(li)
     sa = supp.select(F.col("l_partkey").alias("part_a"), F.col("s").alias("_sa"))
     sb = supp.select(F.col("l_partkey").alias("part_b"), F.col("s").alias("_sb"))
     scored = (

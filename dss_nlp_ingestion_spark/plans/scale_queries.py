@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from dss_nlp_ingestion_spark.catalog import table
 from dss_nlp_ingestion_spark.functions.dates import epoch_ms
 from dss_nlp_ingestion_spark.operators.fulltext import TOKEN_PATTERN
+from dss_nlp_ingestion_spark.plans.mining_queries import basket_item_pairs
 from dss_nlp_ingestion_spark.operators.relational import (
     coalesce_intervals,
     dense_ids_by_key,
@@ -385,7 +386,12 @@ FROM {prev} GROUP BY a
 
 def _peel_rounds(edges: DataFrame, k: int, rounds: int) -> DataFrame:
     """One peel round = degree count + semi-join restriction to
-    surviving nodes on BOTH endpoints; edges shrink monotonically."""
+    surviving nodes on BOTH endpoints; edges shrink monotonically.
+    Each round's frontier is localCheckpointed (the graph.py
+    superstep discipline): without the lineage cut, round r replays
+    pair generation and all r-1 prior rounds — the 4-round plan was
+    re-deriving the basket explode 4x over (43s -> ~4s at sf0.1)."""
+    edges = edges.localCheckpoint()
     for _ in range(rounds):
         keep = (
             edges.groupBy("a")
@@ -397,6 +403,7 @@ def _peel_rounds(edges: DataFrame, k: int, rounds: int) -> DataFrame:
             edges.join(keep, "a", "left_semi")
             .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
             .select("a", "b")
+            .localCheckpoint()
         )
     return edges
 
@@ -413,19 +420,8 @@ def kcore_copurchase_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     join+agg per round, edges shrink monotonically).  Degree counts
     are per-node aggregations; no round materializes anything bigger
     than the current edge set."""
-    li = table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    baskets = items.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("its")
-    )
-    pairs = (
-        baskets.select(F.explode("its").alias("pa"), "its")
-        .select("pa", F.explode("its").alias("pb"))
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("_s"))
-        .filter(F.col("_s") >= 2)
-        .select("pa", "pb")
+    pairs = basket_item_pairs(table(spark, sf_dir, "lineitem")).select(
+        F.col("part_a").alias("pa"), F.col("part_b").alias("pb")
     )
     edges = pairs.select(
         F.col("pa").alias("a"), F.col("pb").alias("b")
@@ -807,17 +803,7 @@ def copurchase_chi2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = items.groupBy("l_partkey").agg(
         F.count(F.lit(1)).cast("long").alias("s")
     )
-    baskets = items.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("its")
-    )
-    pairs = (
-        baskets.select(F.explode("its").alias("part_a"), "its")
-        .select("part_a", F.explode("its").alias("part_b"))
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("support"))
-        .filter(F.col("support") >= 2)
-    )
+    pairs = basket_item_pairs(li)
     sa = supp.select(F.col("l_partkey").alias("part_a"), F.col("s").alias("sa"))
     sb = supp.select(F.col("l_partkey").alias("part_b"), F.col("s").alias("sb"))
     ct = (
@@ -1054,7 +1040,7 @@ WITH tf AS (
   ) GROUP BY term HAVING count(*) >= 5
 ), w AS (
   SELECT term, c,
-         CAST(floor(sqrt(sqrt(CAST(c * c * c AS DOUBLE)))) AS BIGINT)
+         CAST(floor(sqrt(sqrt(CAST(c AS DOUBLE) * c * c))) AS BIGINT)
            AS weight
   FROM tf
 )
@@ -1094,7 +1080,9 @@ def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c",
         F.floor(
             F.sqrt(
-                F.sqrt((F.col("c") * F.col("c") * F.col("c")).cast("double"))
+                F.sqrt(
+                    F.col("c").cast("double") * F.col("c") * F.col("c")
+                )
             )
         )
         .cast("long")
@@ -1541,32 +1529,28 @@ FROM w
 def winsorized_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust mean with P5/P95 winsorization: cap values at the
     position-selected percentiles (ranks ceil(5n/100), ceil(95n/100)
-    — exact data values, no interpolation), fold to integer cents
-    with the shared rounding, sum exactly.  The mean is one final
-    division.  The caps broadcast as one row; the clamp is
+    via the sort-free rank selector — exact data values, no
+    interpolation, no single-partition ordering), fold to integer
+    cents with the shared rounding, sum exactly.  The mean is one
+    final division.  The caps broadcast as one row; the clamp is
     scan-side."""
     orders = table(spark, sf_dir, "orders")
     o = orders.select(F.col("o_totalprice").alias("v"), "o_orderkey")
-    r = o.select(
-        "v",
-        F.row_number().over(Window.orderBy("v", "o_orderkey")).alias("rn"),
-        F.count(F.lit(1)).over(
-            Window.partitionBy()
-        ).alias("n"),
+    n = o.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    ranks = (
+        spark.createDataFrame([(5,), (95,)], "rank_idx int")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "rank_idx",
+            F.floor((F.col("rank_idx") * F.col("_n") + 99) / 100)
+            .cast("long")
+            .alias("rank_pos"),
+        )
     )
-    caps = r.agg(
-        F.max(
-            F.when(
-                F.col("rn") == F.floor((5 * F.col("n") + 99) / 100),
-                F.col("v"),
-            )
-        ).alias("lo"),
-        F.max(
-            F.when(
-                F.col("rn") == F.floor((95 * F.col("n") + 99) / 100),
-                F.col("v"),
-            )
-        ).alias("hi"),
+    sel = exact_rank_values(o, "v", ranks)
+    caps = sel.agg(
+        F.max(F.when(F.col("rank_idx") == 5, F.col("value"))).alias("lo"),
+        F.max(F.when(F.col("rank_idx") == 95, F.col("value"))).alias("hi"),
     )
     clamped = o.crossJoin(F.broadcast(caps)).select(
         F.floor(
@@ -1881,17 +1865,7 @@ def association_rules_confidence(
     supp = items.groupBy("l_partkey").agg(
         F.count(F.lit(1)).cast("long").alias("s")
     )
-    baskets = items.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("its")
-    )
-    pairs = (
-        baskets.select(F.explode("its").alias("part_a"), "its")
-        .select("part_a", F.explode("its").alias("part_b"))
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("support"))
-        .filter(F.col("support") >= 2)
-    )
+    pairs = basket_item_pairs(li)
     sa = supp.select(
         F.col("l_partkey").alias("part_a"), F.col("s").alias("_sa")
     )
@@ -1958,19 +1932,8 @@ def degree_distribution_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
     whether the graph operators need hub mitigation
     (operators/graph.py's degree-oriented triangle bound consumes
     exactly this shape).  Two bounded rollups."""
-    li = table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    baskets = items.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("its")
-    )
-    pairs = (
-        baskets.select(F.explode("its").alias("pa"), "its")
-        .select("pa", F.explode("its").alias("pb"))
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("_s"))
-        .filter(F.col("_s") >= 2)
-        .select("pa", "pb")
+    pairs = basket_item_pairs(table(spark, sf_dir, "lineitem")).select(
+        F.col("part_a").alias("pa"), F.col("part_b").alias("pb")
     )
     deg = (
         pairs.select(F.col("pa").alias("node"))

@@ -32,16 +32,22 @@ from dss_nlp_ingestion_spark.plans.registry import (
 # EWMA smoothing of the hourly series (integer-exact weights)
 # ---------------------------------------------------------------------------
 
+# The 24 EWMA weights 3^k * 4^(23-k) as EXACT Python integers, shared
+# verbatim by the Spark fold and the SQL oracle — libm pow differs in
+# the last ulp across platforms and Spark's double->long cast
+# truncates while DuckDB's rounds, so weights must never route
+# through pow (r5 code-review finding).
+_EWMA_WEIGHTS = [(k, 3**k * 4 ** (23 - k)) for k in range(24)]
+_EWMA_W_SQL = ", ".join(f"({k}, {w})" for k, w in _EWMA_WEIGHTS)
+
 _EWMA_ORACLE = f"""
 WITH h AS (
   SELECT epoch_ms(ts) // 3600000 AS hb, CAST(count(*) AS BIGINT) AS c
   FROM events GROUP BY hb
 ), p AS (
-  SELECT x.hb, x.c,
-         CAST(pow(3, l.k) * pow(4, 23 - l.k) AS BIGINT) AS w,
-         y.c AS cy
+  SELECT x.hb, x.c, l.w, y.c AS cy
   FROM h x
-  JOIN (SELECT unnest(range(0, 24)) AS k) l ON true
+  JOIN (SELECT * FROM (VALUES {_EWMA_W_SQL}) t(k, w)) l ON true
   JOIN h y ON y.hb = x.hb - l.k
 ), s AS (
   SELECT hb, min(c) AS c,
@@ -81,17 +87,13 @@ def _ewma_fold(h: DataFrame) -> DataFrame:
     """The shared integer-weight EWMA fold over an (hb, c) hourly
     series — used identically by the batch query and the streaming
     drain twin, so stream==batch equality is arithmetic, not luck."""
-    x = h.select(
-        "hb", "c", F.explode(F.sequence(F.lit(0), F.lit(23))).alias("k")
+    lags = F.broadcast(
+        h.sparkSession.createDataFrame(_EWMA_WEIGHTS, "k int, w long")
     )
+    x = h.crossJoin(lags)
     y = h.select(F.col("hb").alias("hb2"), F.col("c").alias("cy"))
     p = x.join(y, F.col("hb") - F.col("k") == F.col("hb2")).select(
-        "hb",
-        "c",
-        (F.pow(F.lit(3.0), F.col("k")) * F.pow(F.lit(4.0), 23 - F.col("k")))
-        .cast("long")
-        .alias("w"),
-        "cy",
+        "hb", "c", "w", "cy"
     )
     s = p.groupBy("hb").agg(
         F.min("c").alias("c"),

@@ -377,17 +377,22 @@ def stream_to_multitxn_tables(
     root: str,
     checkpoint: str,
     query_name: str = "multitxn_sink",
+    app_id: str = "multitxn_sink",
 ) -> None:
     """foreachBatch sink with CROSS-TABLE atomicity: each micro-batch
     (1) commits its raw rows to <root>/events_raw, (2) commits its
     hourly partial counts to <root>/hourly_delta, then (3) publishes
     the multi-table version vector (sources/multitxn.py).  A crash
-    after (1) or (2) but before (3) leaves both tables ahead of the
-    last published vector — readers of the vector still see a
-    matched (raw, rollup) pair, and the replayed batch simply
-    re-appends and publishes a fresh vector (the checkpoint pins
-    batch boundaries).  This closes the dual-write window the
-    reference's ES+Mongo writers leave open."""
+    after (1) or (2) but before (3) leaves tables ahead of the last
+    published vector — readers of the vector still see a matched
+    (raw, rollup) pair.  Replays are guarded PER TABLE with the
+    (app_id, batch_id) stamp (txlog.append_txn, the same
+    last_committed_txn protocol stream_merge_to_txlog_table uses):
+    a redelivered micro-batch skips whichever appends already
+    committed and only re-publishes the vector, so a crash between
+    the two appends can never double-land rows in one table — the
+    exactly-once contract holds across BOTH tables, not just within
+    each."""
     import os
 
     from dss_nlp_ingestion_spark.sources import multitxn, txlog
@@ -395,7 +400,7 @@ def stream_to_multitxn_tables(
     raw = os.path.join(root, "events_raw")
     agg = os.path.join(root, "hourly_delta")
 
-    def _commit(batch_df: DataFrame, _batch_id: int) -> None:
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
         hourly = (
             batch_df.select(
                 F.floor(epoch_ms("ts") / 3600000).cast("long").alias("hb")
@@ -403,14 +408,13 @@ def stream_to_multitxn_tables(
             .groupBy("hb")
             .agg(F.count(F.lit(1)).cast("long").alias("c"))
         )
-        try:
-            txlog.create_table(batch_df, raw)
-        except FileExistsError:
-            txlog.append(batch_df, raw)
-        try:
-            txlog.create_table(hourly, agg)
-        except FileExistsError:
-            txlog.append(hourly, agg)
+        for path, df in ((raw, batch_df), (agg, hourly)):
+            if not txlog._versions(path):
+                try:
+                    txlog.create_table(df.limit(0), path)
+                except FileExistsError:
+                    pass  # concurrent batch-0 retry created it
+            txlog.append_txn(df, path, app_id, batch_id)
         multitxn.commit_txn(
             root,
             {
