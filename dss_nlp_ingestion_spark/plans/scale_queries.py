@@ -1950,3 +1950,160 @@ def degree_distribution_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("d").cast("long").alias("min_degree"),
         F.max("d").cast("long").alias("max_degree"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (fraud/data-quality probe)
+# ---------------------------------------------------------------------------
+
+_BENFORD_ORACLE = """
+WITH c AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders WHERE o_totalprice > 0
+)
+SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS first_digit,
+       CAST(count(*) AS BIGINT) AS n
+FROM c GROUP BY first_digit
+"""
+
+
+@register("benford_first_digit_counts", _BENFORD_ORACLE)
+def benford_first_digit_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order values — the
+    Benford's-law audit fraud and synthetic-data checks start from.
+    The digit is taken from the BIGINT cents' decimal string (both
+    engines print integers identically; never from double formatting,
+    which differs cross-engine).  One 9-key rollup."""
+    orders = table(spark, sf_dir, "orders")
+    c = orders.filter(F.col("o_totalprice") > 0).select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents")
+    )
+    return (
+        c.select(
+            F.substring(F.col("cents").cast("string"), 1, 1)
+            .cast("int")
+            .alias("first_digit")
+        )
+        .groupBy("first_digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency audit (schema-profiling)
+# ---------------------------------------------------------------------------
+
+_FD_ORACLE = """
+WITH nat AS (
+  SELECT CAST(count(DISTINCT n_nationkey) AS BIGINT) AS n_lhs,
+         CAST(count(DISTINCT (CAST(n_nationkey AS VARCHAR) || ':'
+                              || CAST(n_regionkey AS VARCHAR))) AS BIGINT)
+           AS n_pairs
+  FROM nation
+), ord AS (
+  SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_lhs,
+         CAST(count(DISTINCT (CAST(o_custkey AS VARCHAR) || ':'
+                              || o_orderpriority)) AS BIGINT) AS n_pairs
+  FROM orders
+)
+SELECT 'n_nationkey->n_regionkey' AS fd, n_lhs, n_pairs,
+       n_pairs - n_lhs AS violations FROM nat
+UNION ALL
+SELECT 'o_custkey->o_orderpriority', n_lhs, n_pairs,
+       n_pairs - n_lhs FROM ord
+"""
+
+
+@register("fd_violation_audit", _FD_ORACLE)
+def fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit: a candidate FD X -> Y holds iff
+    distinct(X, Y) == distinct(X); the violation count is the
+    difference — zero for the real schema FD (nation -> region),
+    large for the non-FD control (customer -> priority).  This is
+    the profiling primitive schema-inference and normalization
+    checks run table-wide; two distinct-aggregations per candidate,
+    no joins."""
+
+    def _fd(df: DataFrame, lhs: str, rhs: str, name: str) -> DataFrame:
+        return (
+            df.agg(
+                F.countDistinct(F.col(lhs)).cast("long").alias("n_lhs"),
+                F.countDistinct(
+                    F.concat_ws(
+                        ":",
+                        F.col(lhs).cast("string"),
+                        F.col(rhs).cast("string"),
+                    )
+                )
+                .cast("long")
+                .alias("n_pairs"),
+            )
+            .select(
+                F.lit(name).alias("fd"),
+                "n_lhs",
+                "n_pairs",
+                (F.col("n_pairs") - F.col("n_lhs")).alias("violations"),
+            )
+        )
+
+    nat = _fd(
+        table(spark, sf_dir, "nation"),
+        "n_nationkey",
+        "n_regionkey",
+        "n_nationkey->n_regionkey",
+    )
+    orders = _fd(
+        table(spark, sf_dir, "orders"),
+        "o_custkey",
+        "o_orderpriority",
+        "o_custkey->o_orderpriority",
+    )
+    return nat.unionAll(orders)
+
+
+# ---------------------------------------------------------------------------
+# Data-freshness SLA report
+# ---------------------------------------------------------------------------
+
+_FRESHNESS_ORACLE = """
+WITH m AS (
+  SELECT event_type, max(epoch_ms(ts)) AS last_ms,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type
+), g AS (SELECT max(epoch_ms(ts)) AS head_ms FROM events)
+SELECT m.event_type, m.n_events,
+       CAST((g.head_ms - m.last_ms) // 3600000 AS BIGINT)
+         AS staleness_hours,
+       CAST(CASE WHEN g.head_ms - m.last_ms > 86400000 THEN 1 ELSE 0 END
+            AS BIGINT) AS sla_breach
+FROM m CROSS JOIN g
+"""
+
+
+@register("freshness_report", _FRESHNESS_ORACLE)
+def freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source freshness against the pipeline head: hours since
+    each event type's last arrival relative to the newest event
+    anywhere, with a 24h SLA breach flag — the ingest-monitoring
+    complement of missing_hour_gaps (that finds holes inside the
+    stream; this finds sources that STOPPED).  Integer ms and an
+    integer threshold; the head watermark broadcasts as one row."""
+    ev = table(spark, sf_dir, "events")
+    m = ev.groupBy("event_type").agg(
+        F.max(epoch_ms("ts")).alias("last_ms"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    g = ev.agg(F.max(epoch_ms("ts")).alias("head_ms"))
+    return m.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        "n_events",
+        F.floor((F.col("head_ms") - F.col("last_ms")) / 3600000)
+        .cast("long")
+        .alias("staleness_hours"),
+        F.when(F.col("head_ms") - F.col("last_ms") > 86400000, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("sla_breach"),
+    )
