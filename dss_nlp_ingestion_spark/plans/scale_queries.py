@@ -2107,3 +2107,193 @@ def freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sla_breach"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Numeric column correlation profile (integer-scaled Pearson)
+# ---------------------------------------------------------------------------
+
+# Second-order sums ride DECIMAL(38,0): sum(pc^2) brushes int64 max
+# at sf0.1 and exceeds it at sf1 — Spark's long sum would WRAP while
+# DuckDB's would error (registry rule 1 applied to moments).
+_CORR_FORMULA = (
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * sy) / "
+    "sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * sx) * "
+    "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * sy))"
+)
+
+_CORR_PROFILE_ORACLE = f"""
+WITH v AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS pc,
+         CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS dc,
+         CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS tc
+  FROM lineitem
+), s AS (
+  SELECT 'quantity~price' AS pair, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(q) AS BIGINT) AS sx, CAST(sum(pc) AS BIGINT) AS sy,
+         CAST(sum(q * pc) AS DECIMAL(38,0)) AS sxy,
+         CAST(sum(q * q) AS DECIMAL(38,0)) AS sxx,
+         CAST(sum(pc * pc) AS DECIMAL(38,0)) AS syy
+  FROM v
+  UNION ALL
+  SELECT 'discount~tax', CAST(count(*) AS BIGINT),
+         CAST(sum(dc) AS BIGINT), CAST(sum(tc) AS BIGINT),
+         CAST(sum(dc * tc) AS DECIMAL(38,0)),
+         CAST(sum(dc * dc) AS DECIMAL(38,0)),
+         CAST(sum(tc * tc) AS DECIMAL(38,0))
+  FROM v
+)
+SELECT pair, n, {fround_sql(_CORR_FORMULA, 6)} AS corr
+FROM s
+"""
+
+
+@register("column_corr_profile", _CORR_PROFILE_ORACLE)
+def column_corr_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric-profiling correlations between column pairs, exact to
+    the last bit before one shared closed-form expression: every
+    moment is an integer sum over integer-scaled values (quantity is
+    integral; money/rates fold to cents with the shared rounding), so
+    1000-way partial aggregation cannot perturb the Pearson inputs —
+    unlike F.corr, whose float accumulator is order-dependent.  One
+    scan, two aggregate rows."""
+    li = table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.col("l_quantity").cast("long").alias("q"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("pc"),
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("dc"),
+        F.floor(F.col("l_tax") * 100 + F.lit(0.5)).cast("long").alias("tc"),
+    )
+
+    def _mom(x: str, y: str, name: str) -> DataFrame:
+        return v.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col(x)).cast("long").alias("sx"),
+            F.sum(F.col(y)).cast("long").alias("sy"),
+            F.sum((F.col(x) * F.col(y)).cast("decimal(38,0)")).alias("sxy"),
+            F.sum((F.col(x) * F.col(x)).cast("decimal(38,0)")).alias("sxx"),
+            F.sum((F.col(y) * F.col(y)).cast("decimal(38,0)")).alias("syy"),
+        ).select(F.lit(name).alias("pair"), "n", "sx", "sy", "sxy", "sxx", "syy")
+
+    s = _mom("q", "pc", "quantity~price").unionAll(
+        _mom("dc", "tc", "discount~tax")
+    )
+    num = F.col("n").cast("double") * F.col("sxy").cast("double") - F.col(
+        "sx"
+    ).cast("double") * F.col("sy")
+    den = F.sqrt(
+        (
+            F.col("n").cast("double") * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx")
+        )
+        * (
+            F.col("n").cast("double") * F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy")
+        )
+    )
+    return s.select("pair", "n", fround(num / den, 6).alias("corr"))
+
+
+# ---------------------------------------------------------------------------
+# Clamped running balance (nonlinear fold inside codegen)
+# ---------------------------------------------------------------------------
+
+_BALANCE_ORACLE = """
+WITH d AS (
+  SELECT user_id, epoch_ms(ts) AS ms, event_id,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+              WHEN event_type = 'error'
+              THEN -CAST(floor(value * 100 + 0.5) AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS delta
+  FROM events
+), seqs AS (
+  SELECT user_id,
+         list(struct_pack(ms := ms, eid := event_id, delta := delta)
+              ORDER BY ms, event_id) AS s
+  FROM d GROUP BY user_id
+), folded AS (
+  -- DuckDB list_reduce evaluates struct fields IN PLACE: a later
+  -- field expression sees earlier fields already overwritten, so
+  -- peak (which reads the OLD bal) must come FIRST and the fold must
+  -- be branch-free (CASE branches amplified the hazard).
+  SELECT user_id, list_reduce(
+    [struct_pack(peak := CAST(0 AS BIGINT), bal := CAST(0 AS BIGINT))] ||
+    list_transform(s, e -> struct_pack(peak := CAST(0 AS BIGINT),
+                                       bal := e.delta)),
+    (acc, e) -> struct_pack(
+      peak := greatest(acc.peak, greatest(acc.bal + e.bal,
+                                          CAST(0 AS BIGINT))),
+      bal := greatest(acc.bal + e.bal, CAST(0 AS BIGINT)))
+  ) AS r
+  FROM seqs
+)
+SELECT user_id, CAST(r.bal AS BIGINT) AS final_cents,
+       CAST(r.peak AS BIGINT) AS peak_cents
+FROM folded
+"""
+
+
+@register("clamped_running_balance", _BALANCE_ORACLE)
+def clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-clamped running balance per user (purchases credit,
+    errors debit, balance never below zero) plus the peak — the
+    inventory / credit-limit fold that no window frame can express
+    (the clamp makes it non-linear), run as F.aggregate over each
+    user's time-sorted struct array so the fold executes INSIDE
+    whole-stage codegen (no UDF), with the DuckDB twin replaying the
+    identical list_reduce.  The clamp is expressed branch-free via
+    greatest() with the peak field ordered FIRST — DuckDB 1.0's
+    list_reduce updates struct fields in place, so any field reading
+    a previously-assigned field silently folds with the NEW value
+    (found by the hash gate; the crafted pytest pins it).  One
+    user-keyed shuffle; per-user state is one struct."""
+    ev = table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        epoch_ms("ts").alias("ms"),
+        "event_id",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+        )
+        .when(
+            F.col("event_type") == "error",
+            -F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("delta"),
+    )
+    seqs = d.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ms", F.col("event_id").alias("eid"), "delta"))
+        ).alias("s")
+    )
+
+    def _pack(peak, bal):
+        return F.struct(
+            peak.cast("long").alias("peak"), bal.cast("long").alias("bal")
+        )
+
+    init = _pack(F.lit(0), F.lit(0))
+
+    def fold(acc, e):
+        nb = F.greatest(acc["bal"] + e["delta"], F.lit(0).cast("long"))
+        return _pack(F.greatest(acc["peak"], nb), nb)
+
+    r = seqs.select(
+        "user_id", F.aggregate("s", init, fold).alias("r")
+    )
+    return r.select(
+        "user_id",
+        F.col("r.bal").cast("long").alias("final_cents"),
+        F.col("r.peak").cast("long").alias("peak_cents"),
+    )
