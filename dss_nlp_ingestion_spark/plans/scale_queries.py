@@ -2297,3 +2297,145 @@ def clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.bal").cast("long").alias("final_cents"),
         F.col("r.peak").cast("long").alias("peak_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Column-masking governance view
+# ---------------------------------------------------------------------------
+
+_MASKED_ORACLE = """
+SELECT c_custkey,
+       'cust_' || substr(sha256('mask:' || c_name), 1, 8) AS masked_name,
+       CAST(c_nationkey // 5 AS BIGINT) AS geo_bucket,
+       CAST(floor(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) / 100000.0)
+            AS BIGINT) * 1000 AS acctbal_bucket,
+       c_mktsegment
+FROM customer
+"""
+
+
+@register("masked_customer_view", _MASKED_ORACLE)
+def masked_customer_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level masking for the governance tier below row
+    erasure (the GDPR cascade handles deletion; analysts still need
+    a JOINABLE but de-identified dimension): names become salted
+    sha256 tokens (stable -> still groupable), nation keys
+    generalize to 5-nation geo buckets (the k-anonymity hierarchy
+    step), balances coarsen to $1000 buckets via integer cents
+    (floor through the shared rounding — no double formatting).
+    Pure scan-side expressions; the masked view costs a projection."""
+    cust = table(spark, sf_dir, "customer")
+    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+    return cust.select(
+        "c_custkey",
+        F.concat(
+            F.lit("cust_"),
+            F.substring(
+                F.sha2(F.concat(F.lit("mask:"), F.col("c_name")), 256), 1, 8
+            ),
+        ).alias("masked_name"),
+        F.floor(F.col("c_nationkey") / 5).cast("long").alias("geo_bucket"),
+        (F.floor(cents / F.lit(100000.0)).cast("long") * 1000).alias(
+            "acctbal_bucket"
+        ),
+        "c_mktsegment",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cold-start recommendation fallback (personal top part else segment's)
+# ---------------------------------------------------------------------------
+
+_RECO_ORACLE = """
+WITH cust_part AS (
+  SELECT c.c_custkey, c.c_mktsegment, l.l_partkey,
+         CAST(count(*) AS BIGINT) AS n
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY c.c_custkey, c.c_mktsegment, l.l_partkey
+), personal AS (
+  SELECT c_custkey, l_partkey, n FROM (
+    SELECT c_custkey, l_partkey, n,
+           row_number() OVER (PARTITION BY c_custkey
+                              ORDER BY n DESC, l_partkey) AS rn
+    FROM cust_part
+  ) WHERE rn = 1 AND n >= 2
+), seg_pop AS (
+  SELECT c_mktsegment, l_partkey FROM (
+    SELECT c_mktsegment, l_partkey,
+           row_number() OVER (PARTITION BY c_mktsegment
+                              ORDER BY sum(n) DESC, l_partkey) AS rn
+    FROM cust_part GROUP BY c_mktsegment, l_partkey
+  ) WHERE rn = 1
+)
+SELECT c.c_custkey,
+       COALESCE(p.l_partkey, s.l_partkey) AS reco_part,
+       CAST(CASE WHEN p.l_partkey IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS personalized
+FROM customer c
+JOIN seg_pop s ON s.c_mktsegment = c.c_mktsegment
+LEFT JOIN personal p ON p.c_custkey = c.c_custkey
+"""
+
+
+@register("reco_fallback_parts", _RECO_ORACLE)
+def reco_fallback_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cold-start-safe recommendation: each customer gets their own
+    most-purchased part when the signal is strong (>= 2 purchases of
+    it), else the segment's most popular part — the
+    personal-else-population COALESCE pattern every serving layer
+    needs.  Segment winners are a 5-row broadcast; the personal
+    ranking is a customer-keyed window over pre-aggregated counts.
+    Total (count, part) tie-break both levels."""
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    cp = (
+        cust.join(orders, orders["o_custkey"] == cust["c_custkey"])
+        .join(li, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("c_custkey", "c_mktsegment", "l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    personal = (
+        cp.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("c_custkey").orderBy(
+                    F.col("n").desc(), "l_partkey"
+                )
+            ),
+        )
+        .filter((F.col("rn") == 1) & (F.col("n") >= 2))
+        .select("c_custkey", F.col("l_partkey").alias("p_part"))
+    )
+    seg_pop = (
+        cp.groupBy("c_mktsegment", "l_partkey")
+        .agg(F.sum("n").alias("sn"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("c_mktsegment").orderBy(
+                    F.col("sn").desc(), "l_partkey"
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("c_mktsegment", F.col("l_partkey").alias("s_part"))
+    )
+    return (
+        cust.join(F.broadcast(seg_pop), "c_mktsegment")
+        .join(personal, "c_custkey", "left")
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("p_part"), F.col("s_part")).alias("reco_part"),
+            F.when(F.col("p_part").isNotNull(), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("personalized"),
+        )
+    )
