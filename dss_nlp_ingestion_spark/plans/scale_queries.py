@@ -2439,3 +2439,206 @@ def reco_fallback_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("personalized"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Week-over-week revenue growth per segment
+# ---------------------------------------------------------------------------
+
+_WOW_ORACLE = f"""
+WITH w AS (
+  SELECT c.c_mktsegment AS seg,
+         (epoch_ms(o.o_orderdate) // 86400000) // 7 AS wk,
+         CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev_cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY seg, wk
+), g AS (
+  SELECT seg, wk, rev_cents,
+         lag(rev_cents) OVER (PARTITION BY seg ORDER BY wk) AS prev
+  FROM w
+)
+SELECT seg, wk, rev_cents,
+       {fround_sql('(CAST(rev_cents AS DOUBLE) - prev) / prev', 6)}
+         AS wow_growth
+FROM g
+"""
+
+
+@register("wow_revenue_growth", _WOW_ORACLE)
+def wow_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue growth per market segment: integer-cent
+    weekly sums (exact under any aggregation order), then lag over
+    each segment's week series — the previous EXISTING week, so
+    calendar gaps compare against the last observed week on both
+    engines identically.  First week per segment reports NULL
+    growth.  One partial-agg shuffle; the lag runs on the
+    calendar-bounded aggregate."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    w = (
+        orders.join(
+            F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.floor(F.floor(epoch_ms("o_orderdate") / 86400000) / 7)
+            .cast("long")
+            .alias("wk"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("rev_cents")
+        )
+    )
+    prev = F.lag("rev_cents").over(Window.partitionBy("seg").orderBy("wk"))
+    return w.select(
+        "seg",
+        "wk",
+        "rev_cents",
+        fround(
+            (F.col("rev_cents").cast("double") - prev) / prev, 6
+        ).alias("wow_growth"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cent-exact proportional allocation (largest remainder per order)
+# ---------------------------------------------------------------------------
+
+_ALLOC_ORACLE = """
+WITH l AS (
+  SELECT l.l_orderkey, l.l_linenumber,
+         CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS w,
+         CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+), t AS (
+  SELECT l_orderkey, CAST(sum(w) AS BIGINT) AS bigw,
+         min(total_cents) AS total_cents
+  FROM l GROUP BY l_orderkey
+), b AS (
+  SELECT l.l_orderkey, l.l_linenumber,
+         (t.total_cents * l.w) // t.bigw AS base,
+         (t.total_cents * l.w) % t.bigw AS rem,
+         t.total_cents
+  FROM l JOIN t ON t.l_orderkey = l.l_orderkey
+), lo AS (
+  SELECT l_orderkey,
+         CAST(min(total_cents) - sum(base) AS BIGINT) AS leftover
+  FROM b GROUP BY l_orderkey
+), a AS (
+  SELECT b.l_orderkey, b.total_cents,
+         b.base + CASE WHEN row_number() OVER (
+             PARTITION BY b.l_orderkey
+             ORDER BY b.rem DESC, b.l_linenumber) <= lo.leftover
+           THEN 1 ELSE 0 END AS alloc
+  FROM b JOIN lo ON lo.l_orderkey = b.l_orderkey
+), chk AS (
+  SELECT l_orderkey, min(total_cents) AS total_cents,
+         CAST(sum(alloc) AS BIGINT) AS allocated,
+         CAST(count(*) AS BIGINT) AS n_lines
+  FROM a GROUP BY l_orderkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(n_lines) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN allocated = total_cents THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_exact,
+       CAST(sum(allocated) AS BIGINT) AS allocated_cents
+FROM chk
+"""
+
+
+@register("cent_exact_allocation", _ALLOC_ORACLE)
+def cent_exact_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Financial-grade proportional allocation: each order's total
+    (in cents) is distributed across its lines proportional to
+    extended price using the largest-remainder method — floor shares
+    plus one extra cent to the biggest remainders — so every order's
+    allocations sum EXACTLY to its total (n_exact == n_orders by
+    construction; the query reports the invariant so the gate checks
+    it).  All integer arithmetic; the only windows partition by
+    order key over that order's own lines."""
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("total_cents"),
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("w"),
+    )
+    l = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        "l_orderkey", "l_linenumber", "w", "total_cents"
+    )
+    t = l.groupBy("l_orderkey").agg(
+        F.sum("w").cast("long").alias("bigw"),
+        F.min("total_cents").alias("tc"),
+    )
+    b = l.join(t, "l_orderkey").select(
+        "l_orderkey",
+        "l_linenumber",
+        ((F.col("tc") * F.col("w")) % F.col("bigw")).alias("rem"),
+        F.col("tc").alias("total_cents"),
+        (F.col("tc") * F.col("w")).alias("prod"),
+        F.col("bigw"),
+    )
+    # exact floor division via the modulus: (prod - rem) is an exact
+    # multiple of bigw, and both operands stay under 2^53, so the
+    # double division is exact
+    b = b.select(
+        "l_orderkey",
+        "l_linenumber",
+        ((F.col("prod") - F.col("rem")) / F.col("bigw"))
+        .cast("long")
+        .alias("base"),
+        "rem",
+        "total_cents",
+    )
+    lo = b.groupBy("l_orderkey").agg(
+        (F.min("total_cents") - F.sum("base")).cast("long").alias("leftover")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("l_orderkey").orderBy(
+            F.col("rem").desc(), "l_linenumber"
+        )
+    )
+    a = (
+        b.join(lo, "l_orderkey")
+        .withColumn("rn", rn)
+        .select(
+            "l_orderkey",
+            "total_cents",
+            (
+                F.col("base")
+                + F.when(F.col("rn") <= F.col("leftover"), 1).otherwise(0)
+            ).alias("alloc"),
+        )
+    )
+    chk = a.groupBy("l_orderkey").agg(
+        F.min("total_cents").alias("total_cents"),
+        F.sum("alloc").cast("long").alias("allocated"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+    return chk.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("n_lines").cast("long").alias("n_lines"),
+        F.sum(
+            F.when(F.col("allocated") == F.col("total_cents"), 1).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("n_exact"),
+        F.sum("allocated").cast("long").alias("allocated_cents"),
+    )
