@@ -28,20 +28,34 @@ from dss_nlp_ingestion_spark.plans import series_queries  # noqa: F401,E402
 
 
 def _query_code_hash(name: str) -> str:
-    """Hash of a query's implementation source + oracle SQL — the
-    identity the greenness cache is keyed on, so a rewritten query
-    cannot inherit its pre-rewrite green row (r4 advice: ivf_topk /
-    ngram_jaccard_pairs sorted to the back of the sample on stale
-    greens after heavy rewrites)."""
+    """Hash of a query's implementation source + the sources of the
+    same-module helper FUNCTIONS it calls (one level) + oracle SQL —
+    the identity the greenness cache is keyed on, so neither a
+    rewritten query NOR an edited shared helper (e.g.
+    basket_item_pairs, r5 review finding) can inherit a pre-edit
+    green row."""
     import hashlib
     import inspect
+    import sys
 
+    fn = QUERIES[name]
+    parts = []
     try:
-        src = inspect.getsource(QUERIES[name])
+        parts.append(inspect.getsource(fn))
     except (OSError, TypeError):
-        src = name
+        parts.append(name)
+    mod = sys.modules.get(getattr(fn, "__module__", ""), None)
+    code = getattr(fn, "__code__", None)
+    if mod is not None and code is not None:
+        for ref in sorted(set(code.co_names)):
+            helper = getattr(mod, ref, None)
+            if inspect.isfunction(helper) and helper is not fn:
+                try:
+                    parts.append(inspect.getsource(helper))
+                except (OSError, TypeError):
+                    parts.append(ref)
     return hashlib.sha256(
-        (src + "\x00" + ORACLES.get(name, "")).encode()
+        ("\x00".join(parts) + "\x00" + ORACLES.get(name, "")).encode()
     ).hexdigest()[:16]
 
 

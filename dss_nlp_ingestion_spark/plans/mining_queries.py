@@ -529,16 +529,18 @@ SELECT part_a, part_b, support FROM pairs WHERE support >= 2
 
 def basket_item_pairs(li: "DataFrame", min_support: int = 2) -> "DataFrame":
     """The canonical basket-local co-purchase pair table
-    (part_a < part_b, support >= min_support): distinct (order, part)
-    -> sorted item arrays (one order-key shuffle) -> double explode
+    (part_a < part_b, support >= min_support): sorted distinct item
+    arrays via collect_set (ONE order-key shuffle — no separate
+    distinct pass) -> double explode
     bounded by basket size squared -> one partial-aggregated count.
     Shared by every pair statistic (support / lift / chi2 /
     confidence / k-core / degree audit) so thresholds and the
     distinct step can never silently diverge between them (r5
     code-review finding: five inline copies)."""
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    baskets = items.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("_its")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("_its"))
     )
     return (
         baskets.select(F.explode("_its").alias("part_a"), "_its")

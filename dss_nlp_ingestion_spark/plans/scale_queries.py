@@ -2030,10 +2030,13 @@ def fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             df.agg(
                 F.countDistinct(F.col(lhs)).cast("long").alias("n_lhs"),
+                # F.concat propagates NULLs like the oracle's ||
+                # (concat_ws would SKIP a NULL rhs and miscount pairs
+                # on dirty data — r5 review finding)
                 F.countDistinct(
-                    F.concat_ws(
-                        ":",
+                    F.concat(
                         F.col(lhs).cast("string"),
+                        F.lit(":"),
                         F.col(rhs).cast("string"),
                     )
                 )
@@ -2132,20 +2135,22 @@ WITH v AS (
          CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS dc,
          CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS tc
   FROM lineitem
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(q) AS BIGINT) AS sq, CAST(sum(pc) AS BIGINT) AS spc,
+         CAST(sum(q * pc) AS DECIMAL(38,0)) AS sqpc,
+         CAST(sum(q * q) AS DECIMAL(38,0)) AS sqq,
+         CAST(sum(pc * pc) AS DECIMAL(38,0)) AS spcpc,
+         CAST(sum(dc) AS BIGINT) AS sdc, CAST(sum(tc) AS BIGINT) AS stc,
+         CAST(sum(dc * tc) AS DECIMAL(38,0)) AS sdctc,
+         CAST(sum(dc * dc) AS DECIMAL(38,0)) AS sdcdc,
+         CAST(sum(tc * tc) AS DECIMAL(38,0)) AS stctc
+  FROM v
 ), s AS (
-  SELECT 'quantity~price' AS pair, CAST(count(*) AS BIGINT) AS n,
-         CAST(sum(q) AS BIGINT) AS sx, CAST(sum(pc) AS BIGINT) AS sy,
-         CAST(sum(q * pc) AS DECIMAL(38,0)) AS sxy,
-         CAST(sum(q * q) AS DECIMAL(38,0)) AS sxx,
-         CAST(sum(pc * pc) AS DECIMAL(38,0)) AS syy
-  FROM v
+  SELECT 'quantity~price' AS pair, n, sq AS sx, spc AS sy,
+         sqpc AS sxy, sqq AS sxx, spcpc AS syy FROM m
   UNION ALL
-  SELECT 'discount~tax', CAST(count(*) AS BIGINT),
-         CAST(sum(dc) AS BIGINT), CAST(sum(tc) AS BIGINT),
-         CAST(sum(dc * tc) AS DECIMAL(38,0)),
-         CAST(sum(dc * dc) AS DECIMAL(38,0)),
-         CAST(sum(tc * tc) AS DECIMAL(38,0))
-  FROM v
+  SELECT 'discount~tax', n, sdc, stc, sdctc, sdcdc, stctc FROM m
 )
 SELECT pair, n, {fround_sql(_CORR_FORMULA, 6)} AS corr
 FROM s
@@ -2160,7 +2165,8 @@ def column_corr_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     integral; money/rates fold to cents with the shared rounding), so
     1000-way partial aggregation cannot perturb the Pearson inputs —
     unlike F.corr, whose float accumulator is order-dependent.  One
-    scan, two aggregate rows."""
+    scan computes every moment; the two pair rows are projections of
+    that single aggregate."""
     li = table(spark, sf_dir, "lineitem")
     v = li.select(
         F.col("l_quantity").cast("long").alias("q"),
@@ -2173,18 +2179,48 @@ def column_corr_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("l_tax") * 100 + F.lit(0.5)).cast("long").alias("tc"),
     )
 
-    def _mom(x: str, y: str, name: str) -> DataFrame:
-        return v.agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum(F.col(x)).cast("long").alias("sx"),
-            F.sum(F.col(y)).cast("long").alias("sy"),
-            F.sum((F.col(x) * F.col(y)).cast("decimal(38,0)")).alias("sxy"),
-            F.sum((F.col(x) * F.col(x)).cast("decimal(38,0)")).alias("sxx"),
-            F.sum((F.col(y) * F.col(y)).cast("decimal(38,0)")).alias("syy"),
-        ).select(F.lit(name).alias("pair"), "n", "sx", "sy", "sxy", "sxx", "syy")
-
-    s = _mom("q", "pc", "quantity~price").unionAll(
-        _mom("dc", "tc", "discount~tax")
+    # ONE scan computes all 11 moments; the two pair rows project
+    # from the single aggregate (r5 review: the per-pair agg form
+    # read lineitem twice).
+    m = v.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("q").cast("long").alias("sq"),
+        F.sum("pc").cast("long").alias("spc"),
+        F.sum((F.col("q") * F.col("pc")).cast("decimal(38,0)")).alias("sqpc"),
+        F.sum((F.col("q") * F.col("q")).cast("decimal(38,0)")).alias("sqq"),
+        F.sum((F.col("pc") * F.col("pc")).cast("decimal(38,0)")).alias(
+            "spcpc"
+        ),
+        F.sum("dc").cast("long").alias("sdc"),
+        F.sum("tc").cast("long").alias("stc"),
+        F.sum((F.col("dc") * F.col("tc")).cast("decimal(38,0)")).alias(
+            "sdctc"
+        ),
+        F.sum((F.col("dc") * F.col("dc")).cast("decimal(38,0)")).alias(
+            "sdcdc"
+        ),
+        F.sum((F.col("tc") * F.col("tc")).cast("decimal(38,0)")).alias(
+            "stctc"
+        ),
+    )
+    s = m.select(
+        F.lit("quantity~price").alias("pair"),
+        "n",
+        F.col("sq").alias("sx"),
+        F.col("spc").alias("sy"),
+        F.col("sqpc").alias("sxy"),
+        F.col("sqq").alias("sxx"),
+        F.col("spcpc").alias("syy"),
+    ).unionAll(
+        m.select(
+            F.lit("discount~tax").alias("pair"),
+            "n",
+            F.col("sdc").alias("sx"),
+            F.col("stc").alias("sy"),
+            F.col("sdctc").alias("sxy"),
+            F.col("sdcdc").alias("sxx"),
+            F.col("stctc").alias("syy"),
+        )
     )
     num = F.col("n").cast("double") * F.col("sxy").cast("double") - F.col(
         "sx"

@@ -415,6 +415,9 @@ def stream_to_multitxn_tables(
                 except FileExistsError:
                     pass  # concurrent batch-0 retry created it
             txlog.append_txn(df, path, app_id, batch_id)
+            # keep log replay O(tail) for long-running sinks (same
+            # guard as stream_merge_to_txlog_table)
+            txlog.maybe_checkpoint(path)
         multitxn.commit_txn(
             root,
             {

@@ -80,3 +80,15 @@ def test_hourly_acf_bounded(spark):
     for r in rows:
         assert -1.0 <= r.acf <= 1.0
         assert r.n_pairs > 0
+
+
+def test_dense_ids_branches_reuse_one_exchange(spark):
+    # dense_ids_by_key dropped its .persist() on the strength of
+    # exchange deduplication: the counts branch and the probe branch
+    # must read the SAME shuffle output. Pin that invariant — if a
+    # conf or planner change ever stops ReusedExchange from firing
+    # here, this fails before any silent id skew can.
+    df = QUERIES["dense_ids_orders"](spark, SF_DIR)
+    df.collect()  # AQE inserts ReusedExchange at execution time
+    plan = _fmt(df, spark)
+    assert "ReusedExchange" in plan
