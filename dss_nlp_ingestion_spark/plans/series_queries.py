@@ -973,3 +973,165 @@ def slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("burn_alert"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Post-stratified estimation from a biased hash sample
+# ---------------------------------------------------------------------------
+
+_POSTSTRAT_ORACLE = f"""
+WITH o AS (
+  SELECT c.c_mktsegment AS seg,
+         CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         (('0x' || substr(sha256('pstrat:' || CAST(o.o_orderkey AS VARCHAR)),
+                          1, 13))::BIGINT) AS h
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+), s AS (
+  SELECT seg, cents,
+         CASE WHEN h < CASE WHEN seg = 'BUILDING'
+                            THEN {int(0.10 * (1 << 52))}
+                            ELSE {int(0.30 * (1 << 52))} END
+              THEN 1 ELSE 0 END AS in_sample
+  FROM o
+), g AS (
+  SELECT seg,
+         CAST(count(*) AS BIGINT) AS big_n,
+         CAST(sum(in_sample) AS BIGINT) AS n_sampled,
+         CAST(sum(CASE WHEN in_sample = 1 THEN cents ELSE 0 END) AS BIGINT)
+           AS sampled_cents,
+         CAST(sum(cents) AS BIGINT) AS true_cents
+  FROM s GROUP BY seg
+)
+SELECT seg, big_n, n_sampled, true_cents,
+       {fround_sql(
+           'CAST(sampled_cents AS DOUBLE) * big_n / n_sampled / 100.0', 2
+       )} AS estimated_total
+FROM g WHERE n_sampled > 0
+"""
+
+
+@register("post_stratified_estimate", _POSTSTRAT_ORACLE)
+def post_stratified_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-stratified (Horvitz-Thompson-style) revenue estimation
+    from a DELIBERATELY biased hash sample: BUILDING orders sample at
+    10%, everything else at 30% (membership is the deterministic
+    52-bit sha256 fraction — reruns pick the same rows), then each
+    stratum reweights by N_seg/n_seg so the estimate is unbiased
+    despite the unequal rates.  The oracle and the estimate share
+    exact integer counts/sums; one float expression at the end.
+    This is the correction step every sampled-telemetry pipeline
+    needs before summing to population totals."""
+    from dss_nlp_ingestion_spark.operators.sampling import hash_order_key
+
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    o = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        hash_order_key(F.col("o_orderkey"), "pstrat").alias("h"),
+    )
+    thresh = F.when(
+        F.col("seg") == "BUILDING", F.lit(int(0.10 * (1 << 52)))
+    ).otherwise(F.lit(int(0.30 * (1 << 52))))
+    s = o.select(
+        "seg",
+        "cents",
+        F.when(F.col("h") < thresh, 1).otherwise(0).alias("in_sample"),
+    )
+    g = s.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("big_n"),
+        F.sum("in_sample").cast("long").alias("n_sampled"),
+        F.sum(
+            F.when(F.col("in_sample") == 1, F.col("cents")).otherwise(0)
+        )
+        .cast("long")
+        .alias("sampled_cents"),
+        F.sum("cents").cast("long").alias("true_cents"),
+    )
+    return g.filter(F.col("n_sampled") > 0).select(
+        "seg",
+        "big_n",
+        "n_sampled",
+        "true_cents",
+        fround(
+            F.col("sampled_cents").cast("double")
+            * F.col("big_n")
+            / F.col("n_sampled")
+            / F.lit(100.0),
+            2,
+        ).alias("estimated_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Capture-recapture (Lincoln-Petersen) population estimate
+# ---------------------------------------------------------------------------
+
+_CAPTURE_ORACLE = f"""
+WITH u AS (
+  SELECT DISTINCT user_id FROM events
+), m AS (
+  SELECT user_id,
+         CASE WHEN (('0x' || substr(sha256('capA:' || CAST(user_id AS VARCHAR)),
+                     1, 13))::BIGINT) < {int(0.4 * (1 << 52))}
+              THEN 1 ELSE 0 END AS in_a,
+         CASE WHEN (('0x' || substr(sha256('capB:' || CAST(user_id AS VARCHAR)),
+                     1, 13))::BIGINT) < {int(0.4 * (1 << 52))}
+              THEN 1 ELSE 0 END AS in_b
+  FROM u
+), g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_true,
+         CAST(sum(in_a) AS BIGINT) AS na,
+         CAST(sum(in_b) AS BIGINT) AS nb,
+         CAST(sum(in_a * in_b) AS BIGINT) AS overlap
+  FROM m
+)
+SELECT n_true, na, nb, overlap,
+       {fround_sql('CAST(na AS DOUBLE) * nb / overlap', 2)} AS n_hat
+FROM g WHERE overlap > 0
+"""
+
+
+@register("capture_recapture_estimate", _CAPTURE_ORACLE)
+def capture_recapture_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lincoln-Petersen capture-recapture: two INDEPENDENT
+    deterministic hash samples of the user population (different
+    salts -> independent membership), population estimate
+    N^ = nA*nB/overlap next to the true count — the estimator used
+    to size populations only observable through overlapping partial
+    views (two crawlers, two log pipelines).  Both samples are pure
+    scan-side predicates; the whole query is one aggregate."""
+    from dss_nlp_ingestion_spark.operators.sampling import hash_order_key
+
+    ev = table(spark, sf_dir, "events")
+    u = ev.select("user_id").distinct()
+    lim = F.lit(int(0.4 * (1 << 52)))
+    m = u.select(
+        F.when(hash_order_key(F.col("user_id"), "capA") < lim, 1)
+        .otherwise(0)
+        .alias("in_a"),
+        F.when(hash_order_key(F.col("user_id"), "capB") < lim, 1)
+        .otherwise(0)
+        .alias("in_b"),
+    )
+    g = m.agg(
+        F.count(F.lit(1)).cast("long").alias("n_true"),
+        F.sum("in_a").cast("long").alias("na"),
+        F.sum("in_b").cast("long").alias("nb"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("overlap"),
+    )
+    return g.filter(F.col("overlap") > 0).select(
+        "n_true",
+        "na",
+        "nb",
+        "overlap",
+        fround(
+            F.col("na").cast("double") * F.col("nb") / F.col("overlap"), 2
+        ).alias("n_hat"),
+    )
