@@ -137,8 +137,14 @@ def _rotate_for_driver_sample() -> None:
         rnd, row = latest.get(name, (0, None))
         as_of = cache.get(name, {}).get("as_of_round", 0)
         is_green = row is not None and _green_row(row) and rnd >= as_of
-        # Non-green first (0), then green ordered oldest-sample-first.
-        return (1, rnd) if is_green else (0, 0)
+        # Non-green first (0), ordered never-driver-sampled first
+        # (rnd == 0), then oldest-sampled round; the stable sort keeps
+        # registration order within each tie.  (r5 verdict #1: the old
+        # constant (0, 0) tie left ALL non-green queries in
+        # registration order, so the driver's 50-slot sample re-
+        # verified r1-era core queries while 181 never-sampled ones
+        # waited.)  Green queries last, oldest-sample-first.
+        return (1, rnd) if is_green else (0, rnd)
 
     order = sorted(QUERIES, key=_sort_key)  # stable sort
     for d in (QUERIES, ORACLES):

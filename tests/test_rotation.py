@@ -1,0 +1,74 @@
+"""Driver-sample rotation ordering (plans/__init__._rotate_for_driver_sample).
+
+The driver verifies only the first N registry entries each round, so
+the rotation decides how fast the correctness backlog retires.  Pin
+the r6 fix (verdict r5 #1): among NON-GREEN queries, every
+never-driver-sampled query must precede every previously-sampled one,
+and previously-sampled non-green queries must be ordered
+oldest-sampled-first.  Green queries sort after all non-green ones.
+"""
+
+import json
+import re
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parents[1]
+
+
+def _load_state():
+    latest = {}
+    for p in sorted(ROOT.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)", p.name)
+        rnd = int(m.group(1)) if m else 0
+        try:
+            for name, row in json.loads(p.read_text()).items():
+                latest[name] = (rnd, row)
+        except (OSError, ValueError, AttributeError):
+            pass
+    try:
+        cache = json.loads((ROOT / "QUERY_HASHES.json").read_text())
+    except (OSError, ValueError):
+        cache = {}
+    return latest, cache
+
+
+def _green(name, latest, cache):
+    if name not in latest:
+        return False
+    rnd, row = latest[name]
+    if not isinstance(row, dict):
+        return False
+    ok = row.get("hash_match") is True or (
+        row.get("err") is None and row.get("spark_rows") is not None
+    )
+    return ok and rnd >= cache.get(name, {}).get("as_of_round", 0)
+
+
+def test_rotation_never_sampled_first():
+    from dss_nlp_ingestion_spark.plans import QUERIES
+
+    latest, cache = _load_state()
+    if not latest:  # no correctness files: rotation is a no-op
+        return
+    order = list(QUERIES)
+    # Partition the registry as the rotation saw it.
+    nongreen = [n for n in order if not _green(n, latest, cache)]
+    greens = [n for n in order if _green(n, latest, cache)]
+    # 1. All non-green queries precede all green queries.
+    if nongreen and greens:
+        assert max(order.index(n) for n in nongreen) < min(
+            order.index(n) for n in greens
+        ), "a green query sorted before a non-green one"
+    # 2. Within non-green: never-sampled strictly before ever-sampled.
+    never = [n for n in nongreen if n not in latest]
+    stale = [n for n in nongreen if n in latest]
+    if never and stale:
+        assert max(order.index(n) for n in never) < min(
+            order.index(n) for n in stale
+        ), "a previously-sampled non-green query sorted before a never-sampled one"
+    # 3. Within ever-sampled non-green: oldest sampled round first.
+    rounds = [latest[n][0] for n in stale]
+    assert rounds == sorted(rounds), "stale non-green not oldest-first"
+    # 4. Greens oldest-sample-first too (rolling re-verification).
+    grounds = [latest[n][0] for n in greens]
+    assert grounds == sorted(grounds), "green queries not oldest-sample-first"
