@@ -41,7 +41,10 @@ def _mg_candidates(key: str, counters: int):
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counts: dict = {}
+        dtype = "int64"
         for pdf in batches:
+            if pdf[key].dtype == object:
+                dtype = "object"
             for v, c in pdf[key].value_counts().items():
                 counts[v] = counts.get(v, 0) + int(c)
             if len(counts) > counters:
@@ -52,7 +55,7 @@ def _mg_candidates(key: str, counters: int):
                 vals = sorted(counts.values(), reverse=True)
                 thresh = vals[counters]
                 counts = {v: c - thresh for v, c in counts.items() if c > thresh}
-        yield pd.DataFrame({key: pd.Series(list(counts), dtype="int64")})
+        yield pd.DataFrame({key: pd.Series(list(counts), dtype=dtype)})
 
     return gen
 
@@ -68,13 +71,34 @@ def heavy_hitters_exact(
     and the margin keeps candidate counts low even under adversarial
     batch boundaries. Integer threshold arithmetic (``cnt * k > n``)
     so the cut is bit-exact across engines.
+
+    Supported key types: integral (served as BIGINT) and STRING
+    (served natively). Anything else raises ``TypeError`` up front —
+    the old behavior silently cast to long, so string keys became
+    NULL and the result was silently empty (r5 advisor finding).
+    NULL keys count toward ``n`` but are never reported as hitters
+    (SQL GROUP BY would report them; callers needing that should
+    fill NULLs with a sentinel first).
     """
+    from pyspark.sql import types as T
+
     m = counters if counters is not None else 2 * k
     if m < k:
         raise ValueError(f"counters ({m}) must be >= k ({k})")
-    keyed = df.select(F.col(key_col).cast("long").alias(key_col))
+    kind = df.schema[key_col].dataType
+    if isinstance(kind, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        keyed = df.select(F.col(key_col).cast("long").alias(key_col))
+        key_ddl = f"{key_col} long"
+    elif isinstance(kind, T.StringType):
+        keyed = df.select(key_col)
+        key_ddl = f"{key_col} string"
+    else:
+        raise TypeError(
+            f"heavy_hitters_exact: unsupported key type {kind.simpleString()} "
+            f"for {key_col!r} (integral or string required)"
+        )
     candidates = (
-        keyed.mapInPandas(_mg_candidates(key_col, m), schema=f"{key_col} long")
+        keyed.mapInPandas(_mg_candidates(key_col, m), schema=key_ddl)
         .distinct()
     )
     totals = keyed.agg(F.count(F.lit(1)).alias("n"))

@@ -24,11 +24,21 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _key_cond(tgt: DataFrame, src: DataFrame, key_cols: Sequence[str],
+              null_safe: bool) -> Column:
+    if null_safe:
+        terms = [tgt[k].eqNullSafe(src[f"_s_{k}"]) for k in key_cols]
+    else:
+        terms = [tgt[k] == src[f"_s_{k}"] for k in key_cols]
+    return reduce(lambda a, b: a & b, terms)
+
+
 def merge_into(
     target: DataFrame,
     source: DataFrame,
     key_cols: Sequence[str],
     insert_only: bool = False,
+    null_safe: bool = False,
 ) -> DataFrame:
     """Return ``target`` merged with ``source`` on ``key_cols``:
 
@@ -39,22 +49,24 @@ def merge_into(
       INSERT *);
     - target rows with no match are kept.
 
-    ``source`` must have (at least) the target's columns. The join is
-    PLAIN equality, so NULL merge keys never match (SQL MERGE
-    semantics): a NULL-keyed source row falls out as an unmatched
-    source row and is INSERTED with its values intact. Which side a
-    joined row carries is decided by always-non-null presence markers
-    added before the join — never by key-null inspection, so NULL
-    source values are not mistaken for "no match".
+    ``source`` must have (at least) the target's columns. By default
+    the join is PLAIN equality, so NULL merge keys never match (SQL
+    MERGE semantics): a NULL-keyed source row falls out as an
+    unmatched source row and is INSERTED with its values intact.
+    ``null_safe`` switches the key comparison to ``<=>`` (eqNullSafe)
+    for callers whose keys are GROUP-BY outputs — there NULL is an
+    ordinary key value and plain equality silently duplicates the
+    NULL-keyed group (r5 advisor finding on the matview refresh).
+    Which side a joined row carries is decided by always-non-null
+    presence markers added before the join — never by key-null
+    inspection, so NULL source values are not mistaken for "no match".
     """
     cols = target.columns
     src = source.select(
         [F.col(c).alias(f"_s_{c}") for c in cols]
     ).withColumn("_s_present", F.lit(True))
     tgt = target.withColumn("_t_present", F.lit(True))
-    cond: Column = reduce(
-        lambda a, b: a & b, [tgt[k] == src[f"_s_{k}"] for k in key_cols]
-    )
+    cond = _key_cond(tgt, src, key_cols, null_safe)
     joined = tgt.join(src, cond, "full_outer")
     has_source = src["_s_present"].isNotNull()
     has_target = tgt["_t_present"].isNotNull()
@@ -72,23 +84,24 @@ def merge_into_with_delete(
     source: DataFrame,
     key_cols: Sequence[str],
     delete_col: str,
+    null_safe: bool = False,
 ) -> DataFrame:
     """Full MERGE surface: WHEN MATCHED AND source.<delete_col> THEN
     DELETE / WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN
     INSERT *. ``delete_col`` is a boolean column on ``source``
     (tombstone flag — the CDC convention); a flagged row whose key is
     absent from the target is a no-op, matching Delta/Iceberg MERGE.
-    Same single full-outer join shape as :func:`merge_into` — the
-    delete clause adds a filter, not a stage."""
+    ``null_safe`` as in :func:`merge_into` (``<=>`` keys for GROUP-BY-
+    keyed callers like the matview). Same single full-outer join shape
+    as :func:`merge_into` — the delete clause adds a filter, not a
+    stage."""
     cols = target.columns
     src = source.select(
         [F.col(c).alias(f"_s_{c}") for c in cols]
         + [F.col(delete_col).alias("_s_del")]
     ).withColumn("_s_present", F.lit(True))
     tgt = target.withColumn("_t_present", F.lit(True))
-    cond: Column = reduce(
-        lambda a, b: a & b, [tgt[k] == src[f"_s_{k}"] for k in key_cols]
-    )
+    cond = _key_cond(tgt, src, key_cols, null_safe)
     joined = tgt.join(src, cond, "full_outer")
     has_source = src["_s_present"].isNotNull()
     has_target = tgt["_t_present"].isNotNull()

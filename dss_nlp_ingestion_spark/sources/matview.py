@@ -25,6 +25,8 @@ per-group heaps (documented non-goal; recompute those).
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -122,15 +124,47 @@ def refresh_matview(
         )
         return {"from": applied, "to": head, "skipped": False}
     delta = feed.groupBy(*group_cols).agg(*_delta_exprs(agg_specs))
-    cur = txlog.read(spark, view_path).join(
-        delta.select(*group_cols), group_cols, "left_semi"
-    )
+    # GROUP-BY keys can legitimately be NULL, and NULL is ONE group —
+    # every key comparison below must be null-safe (<=>), else the
+    # NULL group's delta never matches its view row and gets inserted
+    # NEXT TO the stale one (r5 advisor finding, verified repro).
+    dkeys = {c: f"_dk_{c}" for c in group_cols}
     dcols = {c: f"_d_{c}" for c in agg_specs}
     dren = delta.select(
-        *group_cols, *[F.col(c).alias(dcols[c]) for c in agg_specs]
+        *[F.col(c).alias(dkeys[c]) for c in group_cols],
+        *[F.col(c).alias(dcols[c]) for c in agg_specs],
     )
-    merged = cur.join(dren, group_cols, "full_outer")
-    sels = list(group_cols)
+    view_df = txlog.read(spark, view_path)
+    # Fresh attribute names for the semi-join keys: touched_keys and
+    # dren share the delta's lineage, and reusing dren's _dk_* output
+    # attributes on both sides of the downstream full-outer trips
+    # Spark's ambiguous-self-join detection.
+    touched_keys = dren.select(
+        *[F.col(dkeys[c]).alias(f"_tk_{c}") for c in group_cols]
+    )
+    sem = reduce(
+        lambda a, b: a & b,
+        [view_df[c].eqNullSafe(touched_keys[f"_tk_{c}"]) for c in group_cols],
+    )
+    cur = view_df.join(touched_keys, sem, "left_semi").alias("_mv_cur")
+    dlt = dren.alias("_mv_dlt")
+    # Qualified (SubqueryAlias) resolution: cur and dlt share the
+    # delta's lineage, and attribute-based resolution trips Spark's
+    # ambiguous-self-join detection.
+    cond = reduce(
+        lambda a, b: a & b,
+        [
+            F.col(f"_mv_cur.{c}").eqNullSafe(F.col(f"_mv_dlt.{dkeys[c]}"))
+            for c in group_cols
+        ],
+    )
+    merged = cur.join(dlt, cond, "full_outer")
+    # Coalesce key sides explicitly (a USING join would do this, but
+    # USING full-outer matches keys with plain equality).
+    sels = [
+        F.coalesce(F.col(f"_mv_cur.{c}"), F.col(f"_mv_dlt.{dkeys[c]}")).alias(c)
+        for c in group_cols
+    ]
     for name, (kind, _col) in agg_specs.items():
         z = F.lit(0).cast("long" if kind == "count" else "decimal(38,2)")
         sels.append(
@@ -156,5 +190,6 @@ def refresh_matview(
         delete_col="_mv_del",
         stats_cols=list(group_cols[:1]),
         txn=(_APP, head),
+        null_safe=True,
     )
     return {"from": applied, "to": head, "skipped": res["skipped"]}

@@ -37,6 +37,7 @@ import os
 import re
 import time
 import uuid
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -304,10 +305,7 @@ def read(
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
-    df = reader.parquet(*files)
-    for old_name, new_name in _folded_renames(path, version):
-        df = df.withColumnRenamed(old_name, new_name)
-    return df
+    return _apply_renames(reader.parquet(*files), path, version)
 
 
 def compact(
@@ -342,23 +340,40 @@ def compact(
     raise TxConflictError(f"compaction lost {max_retries} rewrite races at {path}")
 
 
-def vacuum(path: str) -> list[str]:
+def vacuum(path: str, grace_seconds: float = 3600.0) -> list[str]:
     """Delete orphan data files no log entry references (crashed
     writers' staging leftovers). Never touches referenced files, so
-    time travel to every committed version keeps working."""
+    time travel to every committed version keeps working.
+
+    ``grace_seconds`` (default 1 h, Delta-style retention guard):
+    unreferenced files YOUNGER than the window are kept — a concurrent
+    writer stages its data files BEFORE committing the log entry, so
+    an ungraced vacuum racing an in-flight append/rewrite would delete
+    files the winning commit then references, tearing the table (r5
+    advisor finding). The window makes the common race safe; running
+    with ``grace_seconds=0`` requires the caller to guarantee no
+    writer is active (same precondition as :func:`vacuum_retain`)."""
     referenced: set[str] = set()
     for v in _versions(path):
         e = _read_entry(path, v)
         referenced.update(e.get("add", []))
     data_root = os.path.join(path, "data")
+    now = time.time()
     removed = []
     for dirpath, _dirs, names in os.walk(data_root):
         for n in names:
             full = os.path.join(dirpath, n)
             rel = os.path.relpath(full, data_root)
-            if n.endswith(".parquet") and rel not in referenced:
-                os.remove(full)
-                removed.append(rel)
+            if not n.endswith(".parquet") or rel in referenced:
+                continue
+            try:
+                age = now - os.path.getmtime(full)
+            except OSError:
+                continue  # racing writer renamed/removed it — skip
+            if age < grace_seconds:
+                continue
+            os.remove(full)
+            removed.append(rel)
     return removed
 
 
@@ -402,17 +417,26 @@ def net_changes(
     added = added_files_between(path, v_from, v_to)
     removed = removed_files_between(path, v_from, v_to)
     parts = []
+    # Rename resolution (as in read()): a pre-rename removed file and
+    # a post-rename added file carry different PHYSICAL names for the
+    # same logical column; fold the chain on each side so copied rows
+    # align under unionByName and cancel, and the feed exposes the
+    # logical schema consumers filter on.
     if added:
         parts.append(
-            spark.read.option("mergeSchema", "true")
-            .parquet(*added)
-            .withColumn("_sign", F.lit(1).cast("long"))
+            _apply_renames(
+                spark.read.option("mergeSchema", "true").parquet(*added),
+                path,
+                v_to,
+            ).withColumn("_sign", F.lit(1).cast("long"))
         )
     if removed:
         parts.append(
-            spark.read.option("mergeSchema", "true")
-            .parquet(*removed)
-            .withColumn("_sign", F.lit(-1).cast("long"))
+            _apply_renames(
+                spark.read.option("mergeSchema", "true").parquet(*removed),
+                path,
+                v_to,
+            ).withColumn("_sign", F.lit(-1).cast("long"))
         )
     if not parts:
         raise ValueError(f"no changes between v{v_from} and v{v_to} at {path}")
@@ -502,18 +526,28 @@ def plan_pruned_files(
     Returns (files to scan, files skipped). Pure driver-side metadata
     work: at 100 TB this turns a point/range query on a clustered
     commit pattern into an O(matching files) scan, the same plan step
-    Delta/Iceberg data skipping performs."""
+    Delta/Iceberg data skipping performs.
+
+    ``col`` may be a LOGICAL (post-rename) or physical name: stats
+    are consulted under every physical name that folds to it, so
+    pruning keeps working across ``rename_column``."""
     live, stats = _fold_live_and_stats(path, version)
+    cands = _physical_candidates(path, col, version)
     keep, skipped = [], 0
     for rel in live:
-        f = os.path.join(path, "data", rel)
-        per = stats.get(rel, {}).get(col)
-        if per is not None and (
-            (hi is not None and per[0] > hi) or (lo is not None and per[1] < lo)
-        ):
+        per_file = stats.get(rel, {})
+        disjoint = any(
+            per is not None
+            and (
+                (hi is not None and per[0] > hi)
+                or (lo is not None and per[1] < lo)
+            )
+            for per in (per_file.get(name) for name in cands)
+        )
+        if disjoint:
             skipped += 1
             continue
-        keep.append(f)
+        keep.append(os.path.join(path, "data", rel))
     return keep, skipped
 
 
@@ -527,13 +561,20 @@ def read_pruned(
 ) -> DataFrame:
     """Snapshot read planned through :func:`plan_pruned_files`. The
     range predicate is ALSO applied as a real filter (pruning is a
-    superset guarantee, the filter is the semantics)."""
+    superset guarantee, the filter is the semantics).
+
+    ``col`` is the LOGICAL (post-rename) name: pruning consults the
+    logged stats under every physical name that folds to it, and the
+    returned DataFrame carries the same rename-resolved schema as
+    :func:`read`."""
     from pyspark.sql import functions as F
 
     files, _ = plan_pruned_files(path, col, lo, hi, version)
     if not files:
         raise ValueError(f"no files overlap [{lo}, {hi}] at {path}")
-    df = spark.read.parquet(*files)
+    df = _apply_renames(
+        spark.read.option("mergeSchema", "true").parquet(*files), path, version
+    )
     if lo is not None:
         df = df.filter(F.col(col) >= lo)
     if hi is not None:
@@ -828,6 +869,7 @@ def merge_into_table(
     stats_cols: list[str] | None = None,
     max_retries: int = 3,
     txn: tuple[str, int] | None = None,
+    null_safe: bool = False,
 ) -> dict:
     """ACID ``MERGE INTO`` on a tx table — the Delta/Iceberg merge
     plan re-expressed over this log: (1) PRUNE candidate files from
@@ -850,7 +892,12 @@ def merge_into_table(
 
     ``delete_col`` names a boolean tombstone column on ``source``
     (WHEN MATCHED AND <flag> THEN DELETE); ``insert_only`` keeps
-    matched target rows (replicate-if-absent). Returns a summary dict:
+    matched target rows (replicate-if-absent). ``null_safe`` compares
+    keys with ``<=>`` — for GROUP-BY-keyed callers (matview refresh)
+    where NULL is an ordinary key value; it also disables stat
+    pruning when the source carries a NULL key, because parquet
+    min/max stats ignore NULLs, so a file holding NULL-keyed rows can
+    sit outside every stats range. Returns a summary dict:
     version committed, files touched/total/stat-skipped, and whether
     the commit degraded to an append."""
     from pyspark.sql import functions as F
@@ -879,10 +926,18 @@ def merge_into_table(
         candidates = live
         if len(key_cols) == 1:
             key = key_cols[0]
+            # One aggregate job yields the pruning bounds AND (for the
+            # null-safe path) whether any source key is NULL — min/max
+            # ignore NULLs, so NULL presence needs its own flag.
             bounds = source.agg(
-                F.min(key).alias("lo"), F.max(key).alias("hi")
+                F.min(key).alias("lo"),
+                F.max(key).alias("hi"),
+                F.max(F.col(key).isNull().cast("int")).alias("has_null"),
             ).collect()[0]
-            if bounds["lo"] is not None:
+            source_has_null_key = bool(bounds["has_null"])
+            if bounds["lo"] is not None and not (
+                null_safe and source_has_null_key
+            ):
                 candidates, skipped = plan_pruned_files(
                     path, key, bounds["lo"], bounds["hi"], version=head
                 )
@@ -891,13 +946,27 @@ def merge_into_table(
             cand_keys = spark.read.parquet(*candidates).select(
                 *key_cols, F.input_file_name().alias("_f")
             )
+            src_keys = source.select(
+                *[F.col(k).alias(f"_sk_{k}") for k in key_cols]
+            ).distinct()
+            if null_safe:
+                sem = reduce(
+                    lambda a, b: a & b,
+                    [
+                        cand_keys[k].eqNullSafe(src_keys[f"_sk_{k}"])
+                        for k in key_cols
+                    ],
+                )
+            else:
+                sem = reduce(
+                    lambda a, b: a & b,
+                    [cand_keys[k] == src_keys[f"_sk_{k}"] for k in key_cols],
+                )
             # input_file_name() yields file: URIs; the log stores
             # plain paths — normalize before diffing against it.
             touched = [
                 re.sub(r"^file:/{0,2}(?=/)", "", r["_f"])
-                for r in cand_keys.join(
-                    source.select(*key_cols).distinct(), key_cols, "left_semi"
-                )
+                for r in cand_keys.join(src_keys, sem, "left_semi")
                 .select("_f")
                 .distinct()
                 .collect()
@@ -949,11 +1018,13 @@ def merge_into_table(
         target_touched = spark.read.parquet(*touched)
         if delete_col is not None:
             merged = merge_into_with_delete(
-                target_touched, source, key_cols, delete_col
+                target_touched, source, key_cols, delete_col,
+                null_safe=null_safe,
             )
         else:
             merged = merge_into(
-                target_touched, source, key_cols, insert_only=insert_only
+                target_touched, source, key_cols, insert_only=insert_only,
+                null_safe=null_safe,
             )
         rel = [_stored_name(path, f) for f in touched]
         try:
@@ -1062,11 +1133,19 @@ def delete_from_table(
             )
         touched: list[str] = []
         if candidates:
+            # Predicates are written against the LOGICAL schema:
+            # resolve the rename chain before evaluating (r5 advisor —
+            # raw parquet exposes physical names).
             touched = [
                 re.sub(r"^file:/{0,2}(?=/)", "", r["_f"])
-                for r in spark.read.parquet(*candidates)
+                for r in _apply_renames(
+                    spark.read.parquet(*candidates)
+                    .withColumn("_f", F.input_file_name()),
+                    path,
+                    head,
+                )
                 .filter(F.expr(predicate))
-                .select(F.input_file_name().alias("_f"))
+                .select("_f")
                 .distinct()
                 .collect()
             ]
@@ -1077,7 +1156,12 @@ def delete_from_table(
                 "files_total": len(live),
                 "files_skipped_by_stats": skipped,
             }
-        kept = spark.read.parquet(*touched).filter(~F.expr(predicate))
+        kept = _unapply_renames(
+            _apply_renames(spark.read.parquet(*touched), path, head)
+            .filter(~F.expr(predicate)),
+            path,
+            head,
+        )
         rel = [_stored_name(path, f) for f in touched]
         try:
             v = rewrite(
@@ -1129,11 +1213,18 @@ def update_table(
             )
         touched: list[str] = []
         if candidates:
+            # Predicates/SET expressions target the LOGICAL schema —
+            # resolve the rename chain before evaluating.
             touched = [
                 re.sub(r"^file:/{0,2}(?=/)", "", r["_f"])
-                for r in spark.read.parquet(*candidates)
+                for r in _apply_renames(
+                    spark.read.parquet(*candidates)
+                    .withColumn("_f", F.input_file_name()),
+                    path,
+                    head,
+                )
                 .filter(F.expr(predicate))
-                .select(F.input_file_name().alias("_f"))
+                .select("_f")
                 .distinct()
                 .collect()
             ]
@@ -1144,7 +1235,7 @@ def update_table(
                 "files_total": len(live),
                 "files_skipped_by_stats": skipped,
             }
-        tgt = spark.read.parquet(*touched)
+        tgt = _apply_renames(spark.read.parquet(*touched), path, head)
         unknown = set(set_exprs) - set(tgt.columns)
         if unknown:
             raise ValueError(
@@ -1165,7 +1256,11 @@ def update_table(
         rel = [_stored_name(path, f) for f in touched]
         try:
             v = rewrite(
-                updated, path, rel, expect_version=head, op="update",
+                _unapply_renames(updated, path, head),
+                path,
+                rel,
+                expect_version=head,
+                op="update",
                 stats_cols=stats_cols,
             )
         except TxConflictError as exc:
@@ -1437,6 +1532,41 @@ def _folded_renames(path: str, version: int | None = None) -> list[tuple[str, st
     return out
 
 
+def _apply_renames(df: DataFrame, path: str, version: int | None = None) -> DataFrame:
+    """Fold the rename chain onto a raw-parquet DataFrame — the same
+    logical-schema resolution :func:`read` performs; every other
+    snapshot reader must apply it too or it exposes physical column
+    names (r5 advisor finding on read_pruned/net_changes)."""
+    for old_name, new_name in _folded_renames(path, version):
+        df = df.withColumnRenamed(old_name, new_name)
+    return df
+
+
+def _unapply_renames(df: DataFrame, path: str, version: int | None = None) -> DataFrame:
+    """Inverse of :func:`_apply_renames`: fold a LOGICAL-schema
+    DataFrame back to the physical column names, so COW rewrites
+    (delete/update) keep data files in the physical schema every
+    snapshot reader resolves from."""
+    for old_name, new_name in reversed(_folded_renames(path, version)):
+        df = df.withColumnRenamed(new_name, old_name)
+    return df
+
+
+def _physical_candidates(path: str, col: str, version: int | None = None) -> list[str]:
+    """Every physical column name that folds to LOGICAL ``col`` at
+    ``version``, newest first: a file written before rename a->b
+    stores (and logged stats under) ``a``; one written after stores
+    ``b``. Pruning must consult whichever name the file actually
+    carries."""
+    names = [col]
+    cur = col
+    for old_name, new_name in reversed(_folded_renames(path, version)):
+        if cur == new_name:
+            cur = old_name
+            names.append(old_name)
+    return names
+
+
 def read_pruned_multi(
     spark: SparkSession,
     path: str,
@@ -1448,26 +1578,37 @@ def read_pruned_multi(
     per-column pruning — the multi-dimensional planning step Z-ordered
     layouts exist to serve). Statless files/columns are always kept
     (no false negatives); the ranges are also applied as real
-    filters."""
+    filters. Columns are LOGICAL names: stats are consulted under
+    every physical name that folds to each, and the result carries
+    :func:`read`'s rename-resolved schema."""
     from pyspark.sql import functions as F
 
     live, stats = _fold_live_and_stats(path, version)
+    cands = {col: _physical_candidates(path, col, version) for col in ranges}
     keep = []
     for rel in live:
         ok = True
         for col, (lo, hi) in ranges.items():
-            per = stats.get(rel, {}).get(col)
-            if per is not None and (
-                (hi is not None and per[0] > hi)
-                or (lo is not None and per[1] < lo)
-            ):
+            disjoint = any(
+                per is not None
+                and (
+                    (hi is not None and per[0] > hi)
+                    or (lo is not None and per[1] < lo)
+                )
+                for per in (
+                    stats.get(rel, {}).get(name) for name in cands[col]
+                )
+            )
+            if disjoint:
                 ok = False
                 break
         if ok:
             keep.append(os.path.join(path, "data", rel))
     if not keep:
         raise ValueError(f"no files overlap {ranges} at {path}")
-    df = spark.read.option("mergeSchema", "true").parquet(*keep)
+    df = _apply_renames(
+        spark.read.option("mergeSchema", "true").parquet(*keep), path, version
+    )
     for col, (lo, hi) in ranges.items():
         if lo is not None:
             df = df.filter(F.col(col) >= lo)

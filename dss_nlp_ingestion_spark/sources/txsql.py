@@ -11,6 +11,12 @@ Supported statements (case-insensitive keywords):
     OPTIMIZE <t> ZORDER BY (c1, c2)
     VACUUM <t> [RETAIN <version>]
     RESTORE <t> TO VERSION AS OF <v>
+
+``VACUUM <t>`` keeps txlog.vacuum's default mtime grace window, so
+files a concurrent writer has staged but not yet committed survive;
+``VACUUM <t> RETAIN <v>`` reclaims time-travel history and REQUIRES
+that no writers are active (see ``txlog.vacuum_retain``).
+
     ALTER TABLE <t> RENAME COLUMN <a> TO <b>
 
 Predicates/SET expressions pass through VERBATIM to the engine ops

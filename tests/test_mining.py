@@ -129,3 +129,31 @@ def test_prefix_filter_integer_ceil_boundary(spark):
         .select("id_a", "id_b", "shared", "union_sz")
     )
     assert fast == brute
+
+
+def test_heavy_hitters_string_keys_native(spark):
+    """r5 advisor: string keys used to be silently cast to long (all
+    NULL -> silently empty result). Now served natively."""
+    rows = [(f"u{k}",) for k in itertools.chain.from_iterable(
+        [i] * (800 // (i + 1)) for i in range(80)
+    )]
+    df = spark.createDataFrame(rows, "user string").repartition(5)
+    k = 30
+    got = {(r.user, r.cnt) for r in
+           heavy_hitters_exact(df, "user", k).collect()}
+    n = len(rows)
+    truth = {
+        (r.user, r.cnt)
+        for r in df.groupBy("user").agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * k > n).collect()
+    }
+    assert got == truth and len(truth) > 0
+
+
+def test_heavy_hitters_rejects_unsupported_key_type(spark):
+    df = spark.createDataFrame([(1.5,)], "x double")
+    try:
+        heavy_hitters_exact(df, "x", k=10)
+        raise AssertionError("expected TypeError")
+    except TypeError:
+        pass

@@ -47,11 +47,17 @@ def test_staged_files_invisible_until_commit(spark):
     txlog._write_data_files(_tbl(spark, [(99, "zz")]), path)
     got = sorted(r["k"] for r in txlog.read(spark, path).collect())
     assert got == [1]
-    # vacuum removes exactly the orphaned staging files
-    removed = txlog.vacuum(path)
+    # The default grace window protects JUST-staged files — a
+    # concurrent writer stages before it commits, so an ungraced
+    # vacuum racing it would tear the winner's table (r5 advisor).
+    assert txlog.vacuum(path) == []
+    assert sorted(r["k"] for r in txlog.read(spark, path).collect()) == [1]
+    # grace_seconds=0 is the explicit no-active-writers mode: it
+    # removes exactly the orphaned staging files.
+    removed = txlog.vacuum(path, grace_seconds=0)
     assert removed and all(r.endswith(".parquet") for r in removed)
     assert sorted(r["k"] for r in txlog.read(spark, path).collect()) == [1]
-    assert txlog.vacuum(path) == []  # nothing left to clean
+    assert txlog.vacuum(path, grace_seconds=0) == []  # nothing left
 
 
 def test_append_retries_past_commit_race(spark):
@@ -975,3 +981,61 @@ def test_streaming_sink_auto_checkpoints_the_log(spark):
     # and the folded state stays exact
     got = sorted(r["k"] for r in txlog.read(spark, base + "/t").collect())
     assert got == sorted(range(24))
+
+
+def test_matview_null_group_key_refreshes_exactly(spark):
+    """r5 advisor (medium): NULL is ONE group for GROUP BY, but plain
+    equality joins never match NULL keys — before the null-safe fix
+    the NULL group's delta was INSERTED next to the stale row (view
+    held 2/30.00 and 1/40.00 instead of one 3/70.00 row)."""
+    from dss_nlp_ingestion_spark.sources import matview
+
+    src = tempfile.mkdtemp(prefix="dss_mvnull_src_")
+    view = tempfile.mkdtemp(prefix="dss_mvnull_view_") + "/v"
+    rows = [(1, None, 10.0), (2, None, 20.0), (3, "b", 5.0)]
+    txlog.create_table(
+        spark.createDataFrame(rows, "k long, c string, p double"), src
+    )
+    matview.create_matview(spark, src, view, ["c"], _mv_specs())
+    txlog.append(
+        spark.createDataFrame(
+            [(4, None, 40.0), (5, "new", 1.0)], "k long, c string, p double"
+        ),
+        src,
+    )
+    r = matview.refresh_matview(spark, src, view, ["c"], _mv_specs())
+    assert not r["skipped"]
+    got = {
+        row["c"]: (row["n_rows"], float(row["p_sum"]))
+        for row in txlog.read(spark, view).collect()
+    }
+    assert got == {None: (3, 70.0), "b": (1, 5.0), "new": (1, 1.0)}
+    assert txlog.read(spark, view).count() == 3  # exactly one NULL row
+    # deleting the whole NULL group removes its single view row
+    txlog.delete_from_table(spark, src, "c IS NULL")
+    matview.refresh_matview(spark, src, view, ["c"], _mv_specs())
+    got2 = {r2["c"]: r2["n_rows"] for r2 in txlog.read(spark, view).collect()}
+    assert got2 == {"b": 1, "new": 1}
+
+
+def test_pruned_reads_and_cdf_follow_renames(spark):
+    """r5 advisor: read_pruned / read_pruned_multi / net_changes must
+    resolve the rename chain like read() — prune on the PHYSICAL name
+    the stats were logged under, return the LOGICAL schema."""
+    path = tempfile.mkdtemp(prefix="dss_txrenprune_")
+    txlog.create_table(_orders_tbl(spark, n=40, files=4), path, stats_cols=["k"])
+    v_ren = txlog.rename_column(path, "k", "order_id")
+    # pruning on the logical name consults stats logged under "k"
+    out = txlog.read_pruned(spark, path, "order_id", lo=10, hi=19)
+    assert "order_id" in out.columns and "k" not in out.columns
+    assert sorted(r["order_id"] for r in out.collect()) == list(range(10, 20))
+    files, skipped = txlog.plan_pruned_files(path, "k", 10, 19)
+    assert skipped > 0  # the physical stats do prune
+    multi = txlog.read_pruned_multi(spark, path, {"order_id": (10, 19)})
+    assert sorted(r["order_id"] for r in multi.collect()) == list(range(10, 20))
+    # CDF across the rename exposes the logical schema and nets out
+    txlog.delete_from_table(spark, path, "order_id = 11")
+    feed = txlog.net_changes(spark, path, v_ren)
+    rows = feed.collect()
+    assert feed.columns[1:4] == ["order_id", "c", "p"]
+    assert [(r["change"], r["order_id"]) for r in rows] == [("delete", 11)]

@@ -232,6 +232,7 @@ def test_stream_writer_appends_exactly_once_across_replay(spark, tmp_path):
     rows2 = sorted(r["k"] for r in txlog.read(spark, table).collect())
     assert rows2 == rows1
     # replayed batches left only unreferenced staged files: vacuum
-    # reclaims them and the table still reads identically
-    txlog.vacuum(table)
+    # (no-active-writers mode) reclaims them and the table still
+    # reads identically
+    txlog.vacuum(table, grace_seconds=0)
     assert sorted(r["k"] for r in txlog.read(spark, table).collect()) == rows1
