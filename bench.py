@@ -23,6 +23,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from dss_nlp_ingestion_spark.plans import QUERIES  # noqa: E402
+from dss_nlp_ingestion_spark.plans.registry import (  # noqa: E402
+    PROBES,
+    SETUPS,
+    TAGS,
+)
 from dss_nlp_ingestion_spark.session import get_spark, release_cached  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -124,8 +129,34 @@ def main() -> None:
     # (exception type + message, the part a truncated traceback loses)
     # and the sweep continues.
     errors: dict[str, str] = {}
+    # Split composites (registry.SETUPS/PROBES): fixture build timed
+    # separately from the measured operator, so a real operator
+    # regression can't hide inside table-write IO noise (r5 verdict
+    # #2). setup_obs collects one observation per pass; the committed
+    # record reports the per-query MIN like the query timings.
+    setup_obs: dict[str, list[float]] = {}
 
     def _time(name: str) -> float | None:
+        if name in SETUPS:
+            t0 = time.perf_counter()
+            try:
+                ctx = SETUPS[name](spark, SF_DIR)
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = f"setup {type(exc).__name__}: {exc}"[:500]
+                return None
+            t_setup = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            try:
+                n = PROBES[name](spark, ctx).count()
+                assert n >= 0
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                return None
+            errors.pop(name, None)
+            setup_obs.setdefault(name, []).append(t_setup)
+            dt = round(time.perf_counter() - t0, 3)
+            release_cached(spark)
+            return dt
         t0 = time.perf_counter()
         try:
             n = QUERIES[name](spark, SF_DIR).count()
@@ -208,6 +239,12 @@ def main() -> None:
         "headline": list(names),
         "cold_total": cold_total,
         "all_queries_total": round(sum(timings.values()), 3),
+        # Split composites: `queries` above carries ONLY the measured
+        # operator (probe); the fixture-build half is reported here.
+        "setup_sec": {n: round(min(v), 3) for n, v in setup_obs.items()},
+        # Documented-slow compatibility paths — their full-sweep cost
+        # is intentional, not a regression (see each tag).
+        "tags": dict(sorted(TAGS.items())),
         "errors": errors,
         "skew_demo": skew,
         "sf": _sf_from_dir(SF_DIR),

@@ -528,21 +528,57 @@ def load_encoder_artifact(path: str) -> dict:
         }
 
 
-def quantized_encoder_udf(model: dict):
+def default_text_embedding_udf(anchor_text: str | None = None):
+    """The DEFAULT N8/N10 text-embedding serving path (r5 verdict #5):
+    the committed learned encoder artifact. Returns the serving
+    pandas UDF, or ``None`` when the artifact is unavailable — the
+    caller then falls back to the :func:`embed_tokens` hash heuristic
+    (kept as the artifact-free path)."""
+    try:
+        model = load_encoder_artifact(DEFAULT_ENCODER_ARTIFACT)
+    except (OSError, KeyError, ValueError):
+        return None
+    anchor = (
+        encode_text_int64(model, anchor_text) if anchor_text is not None else None
+    )
+    return quantized_encoder_udf(model, anchor)
+
+
+def encode_text_int64(model: dict, text: str):
+    """Driver-side single-text encode: the EXACT int64 embedding the
+    serving UDF computes (e = b_q*n + W_q·counts). Used to embed
+    anchor/query strings at plan time so the cosine against them is
+    a closed-form both engines replay."""
+    import numpy as np
+
+    w_q = np.asarray(model["w_q"], dtype=np.int64)
+    b_q = np.asarray(model["b_q"], dtype=np.int64)
+    counts, n = _sum_bow_counts(text or "", int(model["dim"]))
+    return b_q * max(n, 1) + w_q @ counts
+
+
+def quantized_encoder_udf(model: dict, anchor_vec=None):
     """Serve the encoder as one Arrow-vectorized pandas UDF returning
-    (emb_sha, probe_cos): emb_sha = sha256 of the comma-joined RAW
-    int64 embedding (bit-exact identity of the vector), probe_cos =
-    cosine of the embedding against the first probe axis e_0 — exact
-    integer dot/norms, one sqrt+division at the end (IEEE sqrt is
-    correctly rounded, so both engines agree), fround-6."""
+    (emb_sha, probe_cos | anchor_cos): emb_sha = sha256 of the
+    comma-joined RAW int64 embedding (bit-exact identity of the
+    vector); the cosine is against the first probe axis e_0 by
+    default, or against ``anchor_vec`` (an int64 vector from
+    :func:`encode_text_int64`) when given — exact big-int dot/norms,
+    one sqrt+division at the end (IEEE sqrt is correctly rounded, so
+    both engines agree), fround-6."""
     import numpy as np
 
     w_q = np.asarray(model["w_q"], dtype=np.int64)
     b_q = np.asarray(model["b_q"], dtype=np.int64)
     dim = int(model["dim"])
-    k = int(model["emb_dim"])
+    cos_col = "probe_cos" if anchor_vec is None else "anchor_cos"
+    a_obj = None
+    a_norm = None
+    if anchor_vec is not None:
+        a_obj = np.asarray(anchor_vec, dtype=np.int64).astype(object)
+        a_norm = float(np.sqrt(float(int((a_obj**2).sum()))))
 
-    @pandas_udf("emb_sha string, probe_cos double")
+    @pandas_udf(f"emb_sha string, {cos_col} double")
     def _encode(text: pd.Series) -> pd.DataFrame:
         import hashlib
 
@@ -557,16 +593,20 @@ def quantized_encoder_udf(model: dict):
             shas.append(
                 hashlib.sha256(",".join(str(int(x)) for x in e).encode()).hexdigest()
             )
-            # cosine against axis 0: e[0] / ||e||  (exact ints -> one sqrt)
-            sumsq = int((e.astype(object) ** 2).sum())  # exact big-int
+            e_obj = e.astype(object)
+            sumsq = int((e_obj**2).sum())  # exact big-int
             if sumsq == 0:
                 cos[i] = 0.0
-            else:
+            elif a_obj is None:
+                # cosine against axis 0: e[0] / ||e||
                 c = float(int(e[0])) / float(np.sqrt(float(sumsq)))
                 cos[i] = np.floor(c * 1e6 + 0.5) / 1e6
-        return pd.DataFrame({"emb_sha": shas, "probe_cos": cos})
+            else:
+                dot = int((e_obj * a_obj).sum())  # exact big-int
+                c = float(dot) / (float(np.sqrt(float(sumsq))) * a_norm)
+                cos[i] = np.floor(c * 1e6 + 0.5) / 1e6
+        return pd.DataFrame({"emb_sha": shas, cos_col: cos})
 
-    _ = k
     return _encode
 
 

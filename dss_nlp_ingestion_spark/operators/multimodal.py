@@ -74,15 +74,11 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, str]:
 
 # --- real BMP codec (pure numpy — no external codec dependency) ----------
 
-def encode_bmp(pixels) -> bytes:
-    """Encode an (h, w, 3) uint8 array (file byte order, i.e. BGR) as
-    a standard 24-bit uncompressed BMP: 14-byte file header +
-    40-byte BITMAPINFOHEADER, rows bottom-up, each padded to 4 bytes.
-    A real, spec-conformant writer — the output opens in any viewer."""
-    import numpy as np
-
-    h, w, c = pixels.shape
-    assert c == 3 and pixels.dtype == np.uint8
+def _bmp_headers(w: int, h: int) -> bytes:
+    """The 54 header bytes (file header + BITMAPINFOHEADER) every
+    24-bit uncompressed (w, h) BMP this writer produces shares —
+    factored out so the batched encoder emits bytes identical to
+    :func:`encode_bmp`."""
     stride = (w * 3 + 3) & ~3
     img_size = stride * h
     file_size = 54 + img_size
@@ -98,9 +94,22 @@ def encode_bmp(pixels) -> bytes:
         + (2835).to_bytes(4, "little") * 2  # 72 DPI
         + (0).to_bytes(4, "little") * 2
     )
+    return header + info
+
+
+def encode_bmp(pixels) -> bytes:
+    """Encode an (h, w, 3) uint8 array (file byte order, i.e. BGR) as
+    a standard 24-bit uncompressed BMP: 14-byte file header +
+    40-byte BITMAPINFOHEADER, rows bottom-up, each padded to 4 bytes.
+    A real, spec-conformant writer — the output opens in any viewer."""
+    import numpy as np
+
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    stride = (w * 3 + 3) & ~3
     rows = np.zeros((h, stride), dtype=np.uint8)
     rows[:, : w * 3] = pixels.reshape(h, w * 3)
-    return header + info + rows[::-1].tobytes()  # bottom-up row order
+    return _bmp_headers(w, h) + rows[::-1].tobytes()  # bottom-up row order
 
 
 def decode_bmp(data: bytes):
@@ -521,15 +530,42 @@ def synth_pixels(doc_id: int):
 
 def synth_bmp_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas stage: (doc_id) -> (doc_id, payload) where payload
-    is a REAL spec-conformant BMP of the deterministic content."""
+    is a REAL spec-conformant BMP of the deterministic content.
+
+    Batched by SHAPE GROUP (dims derive from doc_id mod 9/5, so a
+    batch holds ≤45 distinct shapes): all images of one shape are
+    synthesized and laid out as ONE (n, file_len) uint8 matrix —
+    identical bytes to per-image :func:`encode_bmp` (pinned by test),
+    without its per-image Python overhead, which was the bench's #1
+    cost at tiny image sizes (r5 verdict #6)."""
+    import numpy as np
+
     for pdf in batches:
-        ids = pdf["doc_id"].astype("int64")
-        yield pd.DataFrame(
-            {
-                "doc_id": ids,
-                "payload": [encode_bmp(synth_pixels(int(i))) for i in ids],
-            }
-        )
+        ids = pdf["doc_id"].astype("int64").to_numpy()
+        payloads = np.empty(len(ids), dtype=object)
+        ws, hs = 8 + ids % 9, 4 + ids % 5
+        for key in np.unique(ws * 100 + hs):
+            w, h = int(key) // 100, int(key) % 100
+            idx = np.nonzero((ws == w) & (hs == h))[0]
+            g = ids[idx]
+            n = len(g)
+            x = 7 * np.arange(w, dtype=np.int64)[None, None, :, None]
+            y = 11 * np.arange(h, dtype=np.int64)[None, :, None, None]
+            c = 13 * np.arange(3, dtype=np.int64)[None, None, None, :]
+            px = ((3 * g[:, None, None, None] + x + y + c) % 256).astype(
+                np.uint8
+            )
+            stride = (w * 3 + 3) & ~3
+            rows = np.zeros((n, h, stride), dtype=np.uint8)
+            rows[:, :, : w * 3] = px.reshape(n, h, w * 3)
+            body = rows[:, ::-1, :].reshape(n, h * stride)
+            head = np.frombuffer(_bmp_headers(w, h), dtype=np.uint8)
+            mat = np.concatenate(
+                [np.broadcast_to(head, (n, head.size)), body], axis=1
+            )
+            for j, k in enumerate(idx):
+                payloads[k] = mat[j].tobytes()
+        yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
 
 def synth_png_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -593,16 +629,75 @@ PIXEL_STATS_SCHEMA = StructType(
 )
 
 
+def _bmp_group_stats(blobs: list[bytes]):
+    """Decode a group of BMPs sharing IDENTICAL 54 header bytes and
+    file length as ONE (n, file_len) matrix: the header is parsed
+    once (same fields, same spec checks as :func:`decode_bmp`), the
+    pixel region is sliced per the parsed offset/stride, and the
+    per-image sums reduce in a single vectorized pass. Returns
+    (w, h, sums) or raises ValueError like the scalar parser."""
+    import numpy as np
+
+    b0 = blobs[0]
+    if b0[:2] != b"BM":
+        raise ValueError("not a BMP (missing 'BM' magic)")
+    data_offset = int.from_bytes(b0[10:14], "little")
+    w = int.from_bytes(b0[18:22], "little", signed=True)
+    h = int.from_bytes(b0[22:26], "little", signed=True)
+    bpp = int.from_bytes(b0[28:30], "little")
+    compression = int.from_bytes(b0[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    h = abs(h)  # sum is row-order invariant; no flip needed
+    stride = (w * 3 + 3) & ~3
+    flen = len(b0)
+    if data_offset + stride * h > flen:
+        raise ValueError("truncated BMP pixel data")
+    mat = np.frombuffer(b"".join(blobs), dtype=np.uint8).reshape(-1, flen)
+    region = mat[:, data_offset : data_offset + stride * h]
+    px = region.reshape(-1, h, stride)[:, :, : w * 3]
+    return w, h, px.sum(axis=(1, 2), dtype=np.int64)
+
+
 def bmp_pixel_stats_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas stage: (doc_id, payload) -> per-image pixel stats
     via the REAL BMP parse (header fields, stride padding, bottom-up
-    flip) — the downstream proof the decoder read actual pixel data."""
+    flip) — the downstream proof the decoder read actual pixel data.
+
+    BMPs are grouped by (file length, 54 header bytes) and reduced
+    via :func:`_bmp_group_stats` — one vectorized pass per spec-
+    identical group instead of per-image Python (r5 verdict #6: the
+    per-image loop was the bench's #1 cost). PNG/JPEG streams are
+    inherently per-image (DEFLATE/Huffman) and keep the scalar path,
+    as does any BMP whose group fails the batched parse."""
     import numpy as np
 
     for pdf in batches:
-        out = {"doc_id": [], "width": [], "height": [], "n_pixels": [], "px_sum": []}
-        for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+        n_rows = len(pdf)
+        doc_ids = pdf["doc_id"].astype("int64").to_numpy()
+        widths = np.zeros(n_rows, dtype=np.int32)
+        heights = np.zeros(n_rows, dtype=np.int32)
+        sums = np.zeros(n_rows, dtype=np.int64)
+        groups: dict[tuple, list[int]] = {}
+        scalar: list[int] = []
+        blobs: list[bytes] = []
+        for i, p in enumerate(pdf["payload"]):
             b = bytes(p)
+            blobs.append(b)
+            if b[:2] == b"BM":
+                groups.setdefault((len(b), b[:54]), []).append(i)
+            else:
+                scalar.append(i)
+        for idx in groups.values():
+            try:
+                w, h, s = _bmp_group_stats([blobs[i] for i in idx])
+            except ValueError:
+                scalar.extend(idx)
+                continue
+            ii = np.asarray(idx)
+            widths[ii], heights[ii], sums[ii] = w, h, s
+        for i in scalar:
+            b = blobs[i]
             if b[:8] == PNG_SIG:
                 w, h, px = decode_png(b)
             elif b[:2] == b"\xff\xd8":
@@ -611,18 +706,18 @@ def bmp_pixel_stats_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
                 w, h, px = decode_jpeg(b)
             else:
                 w, h, px = decode_bmp(b)
-            out["doc_id"].append(int(doc_id))
-            out["width"].append(w)
-            out["height"].append(h)
-            out["n_pixels"].append(w * h)
-            out["px_sum"].append(int(px.astype(np.int64).sum()))
+            widths[i], heights[i] = w, h
+            sums[i] = int(px.astype(np.int64).sum())
         yield pd.DataFrame(
             {
-                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
-                "width": pd.Series(out["width"], dtype="int32"),
-                "height": pd.Series(out["height"], dtype="int32"),
-                "n_pixels": pd.Series(out["n_pixels"], dtype="int64"),
-                "px_sum": pd.Series(out["px_sum"], dtype="int64"),
+                "doc_id": pd.Series(doc_ids, dtype="int64"),
+                "width": pd.Series(widths, dtype="int32"),
+                "height": pd.Series(heights, dtype="int32"),
+                "n_pixels": pd.Series(
+                    widths.astype(np.int64) * heights.astype(np.int64),
+                    dtype="int64",
+                ),
+                "px_sum": pd.Series(sums, dtype="int64"),
             }
         )
 

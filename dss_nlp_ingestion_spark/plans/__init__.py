@@ -39,21 +39,25 @@ def _query_code_hash(name: str) -> str:
     import sys
 
     fn = QUERIES[name]
+    # Split composites (register_split) hash their real setup/probe
+    # sources, not the thin wrapper in registry.py.
+    targets = [fn, *getattr(fn, "_split", ())]
     parts = []
-    try:
-        parts.append(inspect.getsource(fn))
-    except (OSError, TypeError):
-        parts.append(name)
-    mod = sys.modules.get(getattr(fn, "__module__", ""), None)
-    code = getattr(fn, "__code__", None)
-    if mod is not None and code is not None:
-        for ref in sorted(set(code.co_names)):
-            helper = getattr(mod, ref, None)
-            if inspect.isfunction(helper) and helper is not fn:
-                try:
-                    parts.append(inspect.getsource(helper))
-                except (OSError, TypeError):
-                    parts.append(ref)
+    for tgt in targets:
+        try:
+            parts.append(inspect.getsource(tgt))
+        except (OSError, TypeError):
+            parts.append(name)
+        mod = sys.modules.get(getattr(tgt, "__module__", ""), None)
+        code = getattr(tgt, "__code__", None)
+        if mod is not None and code is not None:
+            for ref in sorted(set(code.co_names)):
+                helper = getattr(mod, ref, None)
+                if inspect.isfunction(helper) and helper not in targets:
+                    try:
+                        parts.append(inspect.getsource(helper))
+                    except (OSError, TypeError):
+                        parts.append(ref)
     return hashlib.sha256(
         ("\x00".join(parts) + "\x00" + ORACLES.get(name, "")).encode()
     ).hexdigest()[:16]

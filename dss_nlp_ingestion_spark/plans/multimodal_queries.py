@@ -21,7 +21,7 @@ from dss_nlp_ingestion_spark.operators.multimodal import (
     video_scene_changes,
     with_binary_payload,
 )
-from dss_nlp_ingestion_spark.plans.registry import fround, fround_sql, register
+from dss_nlp_ingestion_spark.plans.registry import TAGS, fround, fround_sql, register
 
 # ---------------------------------------------------------------------------
 
@@ -461,3 +461,15 @@ def media_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     compared — the front end of any video dedup/segmentation
     pipeline."""
     return video_scene_changes(table(spark, sf_dir, "documents"))
+
+
+# Bench-record note: the pure-Python codecs are a per-batch throughput
+# ceiling, not a scale flaw (parallel mapInPandas, no collect, no
+# shuffle); a native codec is the documented plug seam
+# (operators/multimodal.py).
+for _n in ("media_decode_real", "media_decode_png", "media_decode_jpeg",
+           "media_decode_video"):
+    TAGS[_n] = (
+        "documented-slow: pure-Python codec (encode+decode per Arrow "
+        "batch); native-codec plug seam is the production path"
+    )

@@ -16,7 +16,12 @@ from pyspark.sql import functions as F
 from dss_nlp_ingestion_spark.catalog import table
 from dss_nlp_ingestion_spark.functions import nlp as N
 from dss_nlp_ingestion_spark.functions.text import EN_STOPWORDS, token_count, ws_tokens
-from dss_nlp_ingestion_spark.plans.registry import fround, fround_sql, register
+from dss_nlp_ingestion_spark.plans.registry import (
+    ORACLES,
+    fround,
+    fround_sql,
+    register,
+)
 
 _POS_PAT = r"\b(" + "|".join(N.POS_WORDS) + r")\b"
 _NEG_PAT = r"\b(" + "|".join(N.NEG_WORDS) + r")\b"
@@ -294,12 +299,43 @@ FROM e
 """
 
 
-@register("text_embeddings", _EMBED_ORACLE)
+@register("text_embeddings")
 def text_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N8/N10 hashed-projection text embeddings (8-dim) + N7/N9
-    cosine against a fixed anchor sentence — the text-similarity
-    surface (tencent_api.py:98-136) as pure expressions."""
+    """N8/N10 text embeddings + N7/N9 anchor cosine, DEFAULT path
+    (r5 verdict #5): the committed LEARNED encoder artifact
+    (functions/encoder_model_v1.npz) served through
+    ``N.default_text_embedding_udf`` — emb_sha pins the int64 vector
+    bit-exactly, anchor_cos is the cosine against the anchor
+    sentence's embedding under the same model. When the artifact is
+    unavailable the library falls back to the hash-projection
+    heuristic (kept registered as ``text_embeddings_hashed``). The
+    oracle below replays the LEARNED path; the fallback only engages
+    artifact-less deployments (reference surface:
+    tencent_api.py:98-136)."""
+    enc = N.default_text_embedding_udf(_ANCHOR)
     docs = table(spark, sf_dir, "documents")
+    if enc is not None:
+        out = docs.where(F.trim(F.col("text")) != "").select(
+            "doc_id", enc(F.col("text")).alias("_e")
+        )
+        return out.select(
+            "doc_id",
+            F.col("_e.emb_sha").alias("emb_sha"),
+            F.col("_e.anchor_cos").alias("anchor_cos"),
+        )
+    return _hashed_embeddings(docs)
+
+
+@register("text_embeddings_hashed", _EMBED_ORACLE)
+def text_embeddings_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N8/N10 hashed-projection text embeddings (8-dim) + N7/N9
+    cosine against a fixed anchor sentence — the artifact-free
+    FALLBACK embedding path (pure expressions, zero Python;
+    tencent_api.py:98-136)."""
+    return _hashed_embeddings(table(spark, sf_dir, "documents"))
+
+
+def _hashed_embeddings(docs: DataFrame) -> DataFrame:
     comps = N.embed_tokens(F.col("text"), N.EMBED_DIM)
     anchor = N.embed_tokens(F.lit(_ANCHOR), N.EMBED_DIM)
     dot = None
@@ -545,12 +581,16 @@ def topic_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 # N8/N10 model-backed variant: the SHIPPED learned text encoder
 # ---------------------------------------------------------------------------
 
-def _encoder_oracle() -> str:
+def _encoder_oracle(anchor_text: str | None = None) -> str:
     """Oracle from the committed encoder artifact: the int64 embedding
     is reassembled per (doc, k) from the weights VALUES table, its
     identity pinned by sha256 of the comma-joined components, and the
-    probe cosine replayed with HUGEINT squares (a 16-term sum of
-    ~1e18 squares overflows int64) + one IEEE sqrt/division."""
+    cosine replayed with HUGEINT products (a 16-term sum of ~1e18
+    squares overflows int64) + one IEEE sqrt/division. With
+    ``anchor_text`` the cosine targets that text's int64 embedding
+    (anchor components inlined as VALUES; its norm inlined as the
+    identical double constant the serving UDF uses); without, the
+    first probe axis e_0."""
     m = N.load_encoder_artifact(N.DEFAULT_ENCODER_ARTIFACT)
     dim, scale = m["dim"], m["scale"]
     _ = scale
@@ -563,9 +603,31 @@ def _encoder_oracle() -> str:
     crows = ", ".join(
         f"({k}, {int(m['b_q'][k])})" for k in range(m["emb_dim"])
     )
+    if anchor_text is None:
+        cos_sel = """
+         CASE WHEN sumsq = 0 THEN 0.0 ELSE
+           CAST(floor(CAST(e0 AS DOUBLE) / sqrt(CAST(sumsq AS DOUBLE))
+                * 1000000.0 + 0.5) / 1000000.0 AS DOUBLE) END AS probe_cos"""
+        anc_cte = ""
+        dot_sel = "max(CASE WHEN k = 0 THEN ek END) AS e0"
+        e_src = "e"
+    else:
+        import numpy as np
+
+        a = N.encode_text_int64(m, anchor_text)
+        a_norm = float(np.sqrt(float(int((a.astype(object) ** 2).sum()))))
+        arows = ", ".join(f"({k}, {int(v)})" for k, v in enumerate(a))
+        anc_cte = f", anc(k, ak) AS (VALUES {arows})"
+        dot_sel = "sum(CAST(ek AS HUGEINT) * CAST(ak AS HUGEINT)) AS dot"
+        e_src = "e JOIN anc USING (k)"
+        cos_sel = f"""
+         CASE WHEN sumsq = 0 THEN 0.0 ELSE
+           CAST(floor(CAST(dot AS DOUBLE)
+                / (sqrt(CAST(sumsq AS DOUBLE)) * {a_norm!r})
+                * 1000000.0 + 0.5) / 1000000.0 AS DOUBLE) END AS anchor_cos"""
     return f"""
 WITH {_bow_cte(dim)}, wt(k, bucket, w) AS (VALUES {wrows}),
-cl(k, b_q) AS (VALUES {crows}),
+cl(k, b_q) AS (VALUES {crows}){anc_cte},
 dots AS (
   SELECT counts.doc_id, wt.k, CAST(sum(wt.w * counts.c) AS BIGINT) AS s
   FROM counts JOIN wt USING (bucket) GROUP BY counts.doc_id, wt.k
@@ -578,15 +640,18 @@ dots AS (
   SELECT doc_id,
          sha256(string_agg(CAST(ek AS VARCHAR), ',' ORDER BY k)) AS emb_sha,
          sum(CAST(ek AS HUGEINT) * CAST(ek AS HUGEINT)) AS sumsq,
-         max(CASE WHEN k = 0 THEN ek END) AS e0
-  FROM e GROUP BY doc_id
+         {dot_sel}
+  FROM {e_src} GROUP BY doc_id
 )
-SELECT doc_id, emb_sha,
-       CASE WHEN sumsq = 0 THEN 0.0 ELSE
-         CAST(floor(CAST(e0 AS DOUBLE) / sqrt(CAST(sumsq AS DOUBLE))
-              * 1000000.0 + 0.5) / 1000000.0 AS DOUBLE) END AS probe_cos
+SELECT doc_id, emb_sha,{cos_sel}
 FROM agg
 """
+
+
+# text_embeddings (the DEFAULT embedding path, registered above) gets
+# its learned-path oracle here — _encoder_oracle needs the artifact
+# loader defined first.
+ORACLES["text_embeddings"] = _encoder_oracle(_ANCHOR)
 
 
 @register("embedding_model_vectors", _encoder_oracle())

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from dss_nlp_ingestion_spark.catalog import load_all, table
 from dss_nlp_ingestion_spark.operators.similarity import cosine, hyperplane_bucket
-from dss_nlp_ingestion_spark.plans.registry import fround, fround_sql, register
+from dss_nlp_ingestion_spark.plans.registry import fround, fround_sql, register, register_split
 
 # ---------------------------------------------------------------------------
 # Pure-SQL query through spark.sql over registered views
@@ -285,11 +285,22 @@ FROM orders t FULL JOIN src s ON t.o_orderkey = s.o_orderkey
 """
 
 
-@register("merge_cow_orders", _MERGE_COW_ORACLE)
-def merge_cow_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MERGE as a STORE write-path with partition-scoped copy-on-write:
-    orders materialized as a parquet store partitioned by
-    o_orderpriority; a delta touching only the two hot priorities is
+def _cow_setup(spark: SparkSession, sf_dir: str):
+    """SETUP: materialize orders as the partitioned parquet store the
+    merge targets."""
+    import tempfile
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority"]
+    orders = table(spark, sf_dir, "orders").select(*cols)
+    store = tempfile.mkdtemp(prefix="dss_cow_store_")
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(store)
+    return store, orders
+
+
+def _cow_probe(spark: SparkSession, ctx) -> DataFrame:
+    """PROBE — MERGE as a STORE write-path with partition-scoped
+    copy-on-write: a delta touching only the two hot priorities is
     merged via dynamic partition overwrite, so 2 of 5 partitions are
     read+rewritten and 3 are never opened (the full-table-rewrite
     MERGE of r3 is retired as the write path; the relational
@@ -297,16 +308,12 @@ def merge_cow_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     bumps prices by an exact +100.00 so the store schema stays
     decimal(15,2) across touched and untouched partitions. Returned
     relation = the store read back after the merge."""
-    import tempfile
-
     from dss_nlp_ingestion_spark.sources.sinks import (
         merge_into_partitioned_store,
         read_store,
     )
 
-    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
-            "o_orderpriority"]
-    orders = table(spark, sf_dir, "orders").select(*cols)
+    store, orders = ctx
     hot = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     updates = orders.filter((F.col("o_orderkey") % 7 == 0) & hot).select(
         "o_orderkey",
@@ -322,8 +329,6 @@ def merge_cow_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         "o_orderpriority",
     )
-    store = tempfile.mkdtemp(prefix="dss_cow_store_")
-    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(store)
     merge_into_partitioned_store(
         spark,
         store,
@@ -339,6 +344,9 @@ def merge_cow_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.col("o_totalprice"), 2).alias("o_totalprice"),
         "o_orderpriority",
     )
+
+
+register_split("merge_cow_orders", _cow_setup, _cow_probe, _MERGE_COW_ORACLE)
 
 
 _PROBE_LIST = ", ".join(["bucket"] + [f"xor(bucket, {1 << p})" for p in range(_N_PLANES)])

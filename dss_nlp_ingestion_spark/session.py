@@ -92,6 +92,12 @@ def get_spark(
     tests and bench share one code path; on a cluster pass ``None`` and
     let spark-submit decide.
     """
+    # Wire a protobuf runtime (driver + worker PYTHONPATH) BEFORE the
+    # JVM launches — Spark-4 typed-state streaming needs it in every
+    # Python worker; best-effort no-op when none exists on disk.
+    from dss_nlp_ingestion_spark.pbcompat import ensure_protobuf
+
+    ensure_protobuf()
     builder = SparkSession.builder.appName(app_name)
     if master is None and "SPARK_GRAFT_CPUS" in os.environ:
         master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"

@@ -1609,3 +1609,42 @@ def test_time_decayed_value_halves_per_hour(spark, tmp_path):
     # 800 + 400 + 200 + 0
     assert out["decayed_value"] == 1400
     assert out["n_events"] == 4
+
+
+def test_batched_bmp_paths_match_scalar_codec():
+    """r6: synth_bmp_batch / bmp_pixel_stats_batch vectorize over
+    shape groups — bytes and stats must stay IDENTICAL to the scalar
+    encode_bmp/decode_bmp path, including a PNG mixed into the batch
+    (scalar fallback) and a corrupt BMP group (error parity)."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from dss_nlp_ingestion_spark.operators.multimodal import (
+        bmp_pixel_stats_batch,
+        decode_bmp,
+        encode_bmp,
+        encode_png,
+        synth_bmp_batch,
+        synth_pixels,
+    )
+
+    ids = pd.DataFrame({"doc_id": np.arange(200, dtype="int64")})
+    out = list(synth_bmp_batch(iter([ids])))[0]
+    for i in range(0, 200, 17):
+        assert out["payload"][i] == encode_bmp(synth_pixels(i))
+    # mix a PNG into the batch: routed through the scalar decoder
+    mixed = out.copy()
+    mixed.loc[3, "payload"] = encode_png(synth_pixels(3))
+    stats = list(bmp_pixel_stats_batch(iter([mixed])))[0]
+    for i in [0, 3, 44, 123, 199]:
+        w, h, px = decode_bmp(encode_bmp(synth_pixels(i)))
+        assert (int(stats["width"][i]), int(stats["height"][i])) == (w, h)
+        assert int(stats["px_sum"][i]) == int(px.astype(np.int64).sum())
+        assert int(stats["n_pixels"][i]) == w * h
+    # a whole group of unsupported BMPs still errors like the scalar path
+    bad = bytearray(encode_bmp(synth_pixels(1)))
+    bad[28] = 8  # bpp=8 -> unsupported in both paths
+    broken = pd.DataFrame({"doc_id": [1], "payload": [bytes(bad)]})
+    with pytest.raises(ValueError, match="unsupported BMP"):
+        list(bmp_pixel_stats_batch(iter([broken])))

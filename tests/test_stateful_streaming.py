@@ -110,10 +110,14 @@ def test_tryadd_state_survives_across_batches(spark, tmp_path):
 
 def test_tryadd_tws_matches_applyinpandaswithstate(spark, tmp_path):
     # transformWithStateInPandas (Spark 4 typed-state API) twin of the
-    # GroupState form.  Its Python driver worker needs protobuf, which
-    # this container lacks — skip there; the operator itself is plain
-    # DataFrame API and runs wherever pyspark[connect] deps exist.
-    pytest.importorskip("google.protobuf.descriptor")
+    # GroupState form.  Its Python workers need protobuf; pbcompat
+    # discovers an on-disk pure-Python runtime when the pip package is
+    # absent (get_spark wired it before the JVM launched). Skip only
+    # when NO runtime exists anywhere.
+    from dss_nlp_ingestion_spark.pbcompat import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("no protobuf runtime available on this host")
 
     from pyspark.sql import functions as F
 
@@ -130,17 +134,35 @@ def test_tryadd_tws_matches_applyinpandaswithstate(spark, tmp_path):
     src = str(tmp_path / "tws_src")
     ev.write.mode("overwrite").parquet(src)
 
+    # transformWithState requires the (Spark-bundled) RocksDB state
+    # store — it creates one column family per typed-state handle,
+    # which the default HDFS-backed provider rejects. Scoped to this
+    # test; the GroupState twin runs under the default provider.
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    default_provider = spark.conf.get(provider_key, None)
     outs = {}
-    for name, op in (("gs", tryadd_dedup_stream), ("tws", tryadd_dedup_stream_tws)):
-        stream = spark.readStream.schema(ev.schema).parquet(src)
-        q = (
-            op(stream)
-            .writeStream.format("memory")
-            .queryName(f"tryadd_{name}")
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        outs[name] = sorted(map(tuple, spark.table(f"tryadd_{name}").collect()))
+    try:
+        for name, op in (("gs", tryadd_dedup_stream), ("tws", tryadd_dedup_stream_tws)):
+            if name == "tws":
+                spark.conf.set(
+                    provider_key,
+                    "org.apache.spark.sql.execution.streaming.state."
+                    "RocksDBStateStoreProvider",
+                )
+            stream = spark.readStream.schema(ev.schema).parquet(src)
+            q = (
+                op(stream)
+                .writeStream.format("memory")
+                .queryName(f"tryadd_{name}")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            outs[name] = sorted(map(tuple, spark.table(f"tryadd_{name}").collect()))
+    finally:
+        if default_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, default_provider)
     assert outs["gs"] == outs["tws"]
