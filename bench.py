@@ -32,6 +32,12 @@ from dss_nlp_ingestion_spark.session import get_spark, release_cached  # noqa: E
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+#: Output record (default BENCH_FULL.json); the sf1 scaling run
+#: (tools/make_sf.py data) writes BENCH_SF1.json instead.
+BENCH_OUT = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+#: 1 = time only the headline set (the sf1 scaling run skips the
+#: 290-query full sweep).
+HEADLINE_ONLY = os.environ.get("SPARK_GRAFT_HEADLINE_ONLY", "") == "1"
 
 #: Headline set: the heaviest representatives of each operator family
 #: (relational core, windows/rollups, dedup suite, similarity search,
@@ -102,6 +108,9 @@ BENCH_QUERIES = (
     # and session path mining.
     "bucketed_join_segments",
     "dense_ids_orders",
+    # Round 6: the lakehouse-default flagship (documents resolved
+    # through the tx-log snapshot; setup = table materialization).
+    "flagship_doc_profile_txlog",
     "embedding_scatter_matrix",
     "ivm_scatter_matrix",
     "sliding_distinct_users",
@@ -210,11 +219,12 @@ def main() -> None:
         if steady_a[name] is not None or steady_b[name] is not None
     }
     total = round(sum(timings.values()), 3)
-    for name in QUERIES:
-        if name not in timings and name not in errors and not name.startswith("streaming_"):
-            t = _time(name)
-            if t is not None:
-                timings[name] = t
+    if not HEADLINE_ONLY:
+        for name in QUERIES:
+            if name not in timings and name not in errors and not name.startswith("streaming_"):
+                t = _time(name)
+                if t is not None:
+                    timings[name] = t
     # Skew-guard demonstration (verdict r2 ask #6): synthetic hot-key
     # fixtures, three arms each for the bucket self-join and the
     # fact-dim join — see dss_nlp_ingestion_spark/bench_support.py.
@@ -249,7 +259,7 @@ def main() -> None:
         "skew_demo": skew,
         "sf": _sf_from_dir(SF_DIR),
     }
-    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), BENCH_OUT)
     with open(full_path, "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
         fh.write("\n")
@@ -264,7 +274,7 @@ def main() -> None:
         "n_errors": len(errors),
         "errors": dict(list({k: v[:60] for k, v in errors.items()}.items())[:3]),
         "sf": _sf_from_dir(SF_DIR),
-        "full": "BENCH_FULL.json",
+        "full": BENCH_OUT,
     }
     line = json.dumps(summary, separators=(",", ":"))
     if len(line) > 500:  # errors overflowed the budget — keep the counts

@@ -34,6 +34,28 @@ BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part"})
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: Lakehouse overrides: table name -> transaction-log table path
+#: (sources/txlog.py). A registered table resolves through the tx
+#: log's snapshot file list instead of a raw directory scan — at
+#: 100 TB that replaces per-query object-store LISTing with an
+#: O(log entries) driver-side fold, and brings logged-stats file
+#: pruning, time travel, and ACID snapshot isolation to the same
+#: catalog call sites (SCALE.md's stated manifest gap).
+_TXLOG_TABLES: dict[str, str] = {}
+
+
+def set_txlog_table(name: str, path: str) -> None:
+    """Route ``table(spark, sf_dir, name)`` through the tx table at
+    ``path`` (any sf_dir). Pass the override map through
+    :func:`clear_txlog_table` to restore the raw-parquet scan."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    _TXLOG_TABLES[name] = path
+
+
+def clear_txlog_table(name: str) -> None:
+    _TXLOG_TABLES.pop(name, None)
+
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table from ``sf_dir`` (parquet, schema-on-read).
@@ -45,6 +67,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name in _TXLOG_TABLES:
+        from dss_nlp_ingestion_spark.sources import txlog
+
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        return txlog.read(spark, _TXLOG_TABLES[name])
     path = os.path.join(sf_dir, f"{name}.parquet")
     # The generator has shipped `ts` as both TIMESTAMP(NANOS) and plain
     # timestamp[us] with isAdjustedToUTC=false; the latter would infer

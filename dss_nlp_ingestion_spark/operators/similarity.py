@@ -180,6 +180,7 @@ def ivf_topk(
     n_probe: int = 2,
     k: int = 5,
     literal_cell_cap: int = _LITERAL_CELL_CAP,
+    centroid_max: int | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: partition the corpus into inverted
     lists by nearest centroid, probe only the ``n_probe`` lists
@@ -210,12 +211,22 @@ def ivf_topk(
     assigned corpus, and only the k-bounded per-query ranking windows
     shuffle. Recall knobs: ``n_probe`` up, ``centroid_mod`` down.
 
+    ``centroid_max`` bounds the centroid ID range so the centroid
+    COUNT is a fixed design parameter (FAISS's nlist) instead of
+    growing with the corpus — without it, assignment cost is
+    N x (N / centroid_mod), which the r6 sf1 bench measured as the
+    one super-linear headline query (16x for 10x data; capped, the
+    whole plan is linear in N).
+
     Returns (query_id, neighbor_id, score, rank).
     """
+    cents = corpus.filter(F.col(id_col) % centroid_mod == 0)
+    if centroid_max is not None:
+        cents = cents.filter(F.col(id_col) < centroid_max)
     cent_rows = sorted(
-        corpus.filter(F.col(id_col) % centroid_mod == 0)
-        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("_cvec"))
-        .collect(),
+        cents.select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("_cvec")
+        ).collect(),
         key=lambda r: r["cent_id"],
     )
     if not cent_rows:

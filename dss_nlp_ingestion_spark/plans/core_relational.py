@@ -26,6 +26,7 @@ from dss_nlp_ingestion_spark.plans.registry import (
     fround,
     fround_sql,
     register,
+    register_split,
 )
 
 # ---------------------------------------------------------------------------
@@ -63,7 +64,13 @@ def flagship_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     content dedup via sha2 (replacing Python hash, newsfilter.py:167)
     -> per-collection profile (the per-source Mongo collections,
     configs.yaml:11-42)."""
-    docs = table(spark, sf_dir, "documents")
+    return _flagship_body(table(spark, sf_dir, "documents"))
+
+
+def _flagship_body(docs: DataFrame) -> DataFrame:
+    """The flagship dataflow over any ``documents`` relation — shared
+    by the raw-parquet and txlog-backed entries so the two can never
+    drift."""
     toks = docs.select(
         "doc_id",
         "source",
@@ -80,6 +87,51 @@ def flagship_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         fround(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 4).alias("avg_chars"),
     )
+
+
+def _flagship_txlog_setup(spark: SparkSession, sf_dir: str):
+    """SETUP: materialize ``documents`` as a transaction-log table
+    (doc_id stats logged per file) and route the catalog's
+    ``documents`` resolution through it — the lakehouse-default store
+    SCALE.md calls for (per-query directory LISTing does not survive
+    100 TB; the log fold + logged-stats pruning does)."""
+    import tempfile
+
+    from dss_nlp_ingestion_spark import catalog
+    from dss_nlp_ingestion_spark.sources import txlog
+
+    docs = table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="dss_docstore_") + "/documents"
+    txlog.create_table(
+        docs.repartitionByRange(8, "doc_id"), path, stats_cols=["doc_id"]
+    )
+    catalog.set_txlog_table("documents", path)
+    return sf_dir, path
+
+
+def _flagship_txlog_probe(spark: SparkSession, ctx) -> DataFrame:
+    """PROBE — the flagship profile with ``documents`` resolved
+    through the tx table's snapshot (catalog.set_txlog_table): same
+    plan shape as ``flagship_doc_profile`` (the file list is handed
+    to the parquet reader, so pushdown/pruning still apply — the
+    pruning effect itself is plan-locked in tests/test_txlog.py).
+    The catalog override is popped once the plan is built: snapshot
+    resolution happens at plan time, exactly like Delta/Iceberg."""
+    from dss_nlp_ingestion_spark import catalog
+
+    sf_dir, _path = ctx
+    try:
+        return _flagship_body(table(spark, sf_dir, "documents"))
+    finally:
+        catalog.clear_txlog_table("documents")
+
+
+register_split(
+    "flagship_doc_profile_txlog",
+    _flagship_txlog_setup,
+    _flagship_txlog_probe,
+    _FLAGSHIP_ORACLE,
+)
 
 
 # ---------------------------------------------------------------------------

@@ -653,6 +653,35 @@ FROM agg
 # loader defined first.
 ORACLES["text_embeddings"] = _encoder_oracle(_ANCHOR)
 
+_ENC_TOPK = 20
+
+_ENC_TOPK_ORACLE = f"""
+WITH base AS ({_encoder_oracle(_ANCHOR)}),
+ranked AS (
+  SELECT doc_id, anchor_cos,
+         row_number() OVER (ORDER BY anchor_cos DESC, doc_id ASC) AS rank
+  FROM base
+)
+SELECT doc_id, anchor_cos, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_ENC_TOPK}
+"""
+
+
+@register("encoder_anchor_topk", _ENC_TOPK_ORACLE)
+def encoder_anchor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic retrieval THROUGH the default learned embedding path
+    (r5 verdict #5's consumer side): top-{_ENC_TOPK} documents by
+    cosine against the anchor sentence under the shipped encoder
+    artifact. The candidate cut is TakeOrderedAndProject (per-
+    partition top-k fold + driver merge — no global sort, no
+    single-partition window on the corpus); the rank column is a
+    window over only the {_ENC_TOPK} survivors. Ties break on doc_id
+    (registry rule 5)."""
+    scored = text_embeddings(spark, sf_dir).select("doc_id", "anchor_cos")
+    top = scored.orderBy(F.desc("anchor_cos"), F.asc("doc_id")).limit(_ENC_TOPK)
+    w = Window.orderBy(F.desc("anchor_cos"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
 
 @register("embedding_model_vectors", _encoder_oracle())
 def embedding_model_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:

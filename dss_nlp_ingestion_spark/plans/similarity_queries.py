@@ -183,6 +183,12 @@ def embedding_near_dups_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _CENT_MOD, _N_PROBE, _IVF_K = 71, 2, 5
+#: Fixed centroid-count bound (FAISS nlist analogue): centroids are
+#: the multiples of _CENT_MOD BELOW this id, so the index has <= 32
+#: lists at ANY corpus size — without the cap, assignment work is
+#: N x (N/71), the one super-linear headline query in the r6 sf1
+#: bench (16x time for 10x data; capped, the plan is linear).
+_CENT_MAX = _CENT_MOD * 32
 
 _CENT_SCORE = (
     f"{_dot_sql('v', 'cvec')} / (sqrt({_dot_sql('v', 'v')}) * sqrt({_dot_sql('cvec', 'cvec')}))"
@@ -249,6 +255,7 @@ def ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroid_mod=_CENT_MOD,
         n_probe=_N_PROBE,
         k=_IVF_K,
+        centroid_max=_CENT_MAX,
     )
     return out.select(
         "query_id", "neighbor_id", fround(F.col("score"), 6).alias("score"), "rank"

