@@ -312,6 +312,36 @@ def ivf_topk(
     )
 
 
+def _centroid_assign_udf(cent_rows: list):
+    """BLAS nearest-centroid argmax as an Arrow pandas UDF — the
+    above-literal-cap assignment path shared by the IVF index and
+    SemDeDup. cent_ids are sorted ascending and np.argmax keeps the
+    FIRST max, so ties break to the lowest cent_id exactly like the
+    codegen literal fold; float64 matmul may differ from the
+    sequential fold in the last ulp (documented acceptable for
+    approximate indexes at the scale where thousands of centroids
+    exist)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cent_ids = np.array([int(r["cent_id"]) for r in cent_rows], dtype=np.int64)
+    cent_mat = np.array(
+        [[float(x) for x in r["_cvec"]] for r in cent_rows], dtype=np.float64
+    )
+    cnorms = np.sqrt((cent_mat * cent_mat).sum(axis=1))
+
+    def _assign_fn(vs):
+        if len(vs) == 0:
+            return pd.Series([], dtype="int64")
+        mat = np.array([[float(x) for x in v] for v in vs], dtype=np.float64)
+        vnorms = np.sqrt((mat * mat).sum(axis=1))
+        scores = (mat @ cent_mat.T) / np.outer(vnorms, cnorms)
+        return pd.Series(cent_ids[np.argmax(scores, axis=1)])
+
+    return pandas_udf(_assign_fn, "long")
+
+
 def _ivf_topk_pandas(
     corpus: DataFrame,
     queries: DataFrame,
@@ -535,6 +565,7 @@ def semdedup(
     vec_col: str = "embedding",
     centroid_mod: int = 31,
     threshold: float = 0.4,
+    literal_cell_cap: int = 64 * 64,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic dedup by clustering the
     embedding space and pruning, WITHIN each cluster, every vector
@@ -556,39 +587,54 @@ def semdedup(
     import math
 
     cent_rows = collect_centroids(corpus, id_col, vec_col, centroid_mod)
+    dim = len(cent_rows[0]["_cvec"]) if cent_rows else 0
+    if cent_rows and len(cent_rows) * dim > literal_cell_cap:
+        # Above the codegen-literal budget (the cap is LOWER than the
+        # IVF one: SemDeDup assigns the WHOLE corpus, so the literal
+        # fold's N x C expression cost bites sooner — the r6 sf1
+        # bench measured 15.8x time for 10x data with ~282 literal
+        # centroids): assignment rides the shared BLAS pandas UDF;
+        # pair scoring below stays the bit-deterministic expression
+        # either way, and the oracle-gated small-sf path is always
+        # the literal fold.
+        assigned = corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            l2_norm(F.col(vec_col)).alias("vn"),
+        ).withColumn("cent_id", _centroid_assign_udf(cent_rows)(F.col("v")))
+    else:
+        def _py_norm(vec) -> float:
+            acc = 0.0
+            for x in vec:
+                acc += float(x) * float(x)
+            return acc and math.sqrt(acc)
 
-    def _py_norm(vec) -> float:
-        acc = 0.0
-        for x in vec:
-            acc += float(x) * float(x)
-        return acc and math.sqrt(acc)
-
-    cent_lit = F.array(
-        *[
-            F.struct(
-                F.lit(int(r["cent_id"])).cast("long").alias("cent_id"),
-                F.array(*[F.lit(float(x)) for x in r["_cvec"]]).alias("cvec"),
-                F.lit(_py_norm(r["_cvec"])).alias("cnorm"),
-            )
-            for r in cent_rows
-        ]
-    )
-
-    def _best_cent(vec: Column, vec_norm: Column) -> Column:
-        scored = F.transform(
-            cent_lit,
-            lambda c: F.struct(
-                (dot_exact(vec, c["cvec"]) / (vec_norm * c["cnorm"])).alias("s"),
-                (-c["cent_id"]).alias("nid"),
-            ),
+        cent_lit = F.array(
+            *[
+                F.struct(
+                    F.lit(int(r["cent_id"])).cast("long").alias("cent_id"),
+                    F.array(*[F.lit(float(x)) for x in r["_cvec"]]).alias("cvec"),
+                    F.lit(_py_norm(r["_cvec"])).alias("cnorm"),
+                )
+                for r in cent_rows
+            ]
         )
-        return -F.array_max(scored)["nid"]
 
-    assigned = corpus.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        l2_norm(F.col(vec_col)).alias("vn"),
-    ).withColumn("cent_id", _best_cent(F.col("v"), F.col("vn")))
+        def _best_cent(vec: Column, vec_norm: Column) -> Column:
+            scored = F.transform(
+                cent_lit,
+                lambda c: F.struct(
+                    (dot_exact(vec, c["cvec"]) / (vec_norm * c["cnorm"])).alias("s"),
+                    (-c["cent_id"]).alias("nid"),
+                ),
+            )
+            return -F.array_max(scored)["nid"]
+
+        assigned = corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            l2_norm(F.col(vec_col)).alias("vn"),
+        ).withColumn("cent_id", _best_cent(F.col("v"), F.col("vn")))
 
     a = assigned.alias("a")
     b = assigned.alias("b")
