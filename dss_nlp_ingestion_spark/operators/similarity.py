@@ -492,6 +492,7 @@ def kmeans_update_step(
     vec_col: str = "embedding",
     centroid_mod: int = 31,
     scale: int = 10**6,
+    literal_cell_cap: int = 64 * 64,
 ) -> DataFrame:
     """One distributed k-means (Lloyd) update: assign every vector to
     its nearest seed centroid (cosine, scan-side literal argmax — the
@@ -507,8 +508,21 @@ def kmeans_update_step(
     cannot be regression-tested. Iterating = feeding the output back
     as the next seed set; the per-step cost is one scan + one
     (cent_id, dim)-keyed exchange of bounded size (centroids x dims
-    rows), which is the MLlib k-means superstep shape."""
+    rows), which is the MLlib k-means superstep shape.
+
+    Like :func:`semdedup`, assignment hops to the shared BLAS pandas
+    UDF above ``literal_cell_cap`` literal cells — training runs use
+    hundreds-to-thousands of centroids, where the codegen literal
+    fold's N x C expression cost dominates the step (r6 sf1 sweep);
+    the oracle-gated small-sf path stays the bit-exact literal
+    fold."""
     cent_rows = collect_centroids(corpus, id_col, vec_col, centroid_mod)
+    dim_n = len(cent_rows[0]["_cvec"]) if cent_rows else 0
+    if cent_rows and len(cent_rows) * dim_n > literal_cell_cap:
+        assigned = corpus.select(F.col(vec_col).alias("_cv")).withColumn(
+            "cent_id", _centroid_assign_udf(cent_rows)(F.col("_cv"))
+        )
+        return _kmeans_member_means(assigned, scale)
 
     import math
 
@@ -542,6 +556,13 @@ def kmeans_update_step(
     assigned = corpus.select(
         F.col(vec_col).alias("_cv"), l2_norm(F.col(vec_col)).alias("_vn")
     ).select("_cv", _best_cent(F.col("_cv"), F.col("_vn")).alias("cent_id"))
+    return _kmeans_member_means(assigned, scale)
+
+
+def _kmeans_member_means(assigned: DataFrame, scale: int) -> DataFrame:
+    """Per-(centroid, dimension) exact integer member means over an
+    assigned corpus — the shuffle half of the Lloyd step, shared by
+    both assignment paths."""
     expl = assigned.select(
         "cent_id", F.posexplode(F.col("_cv")).alias("_pos", "_x")
     ).select(

@@ -431,3 +431,13 @@ def test_heavy_hitters_verify_join_broadcasts(spark):
     # shuffles only candidate-filtered rows.
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_encoder_anchor_topk_uses_take_ordered(spark):
+    # Retrieval through the learned embedding: the global top-20 cut
+    # must compile to TakeOrderedAndProject (per-partition top-k fold
+    # + driver merge), never a full Sort or a single-partition window
+    # over the corpus.
+    plan = _formatted(spark, "encoder_anchor_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [anchor_cos" not in plan
