@@ -312,6 +312,106 @@ def ivf_topk(
     )
 
 
+def assign_nearest_centroid(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cent_rows: list,
+    literal_cell_cap: int = 64 * 64,
+    n_best: int = 1,
+) -> DataFrame:
+    """Scan-side nearest-centroid assignment shared by the IVF index,
+    SemDeDup, the k-means step and the incremental index: returns
+    (id, v, vn, cent_id) with NO exchange on ``df``. ``n_best > 1``
+    yields one row per (input row, nearest cell) — the multi-probe
+    form (cells ordered score DESC, cent_id ASC). Below
+    ``literal_cell_cap`` centroid cells the argmax is the codegen
+    literal fold (bit-deterministic — the oracle-gated path); above
+    it, the BLAS pandas UDF (ties still break to the lowest cent_id;
+    last-ulp ordering may differ — documented acceptable for
+    approximate indexes at the scale where thousands of centroids
+    exist)."""
+    import math
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        l2_norm(F.col(vec_col)).alias("vn"),
+    )
+    dim = len(cent_rows[0]["_cvec"]) if cent_rows else 0
+    if cent_rows and len(cent_rows) * dim > literal_cell_cap:
+        if n_best == 1:
+            return base.withColumn(
+                "cent_id", _centroid_assign_udf(cent_rows)(F.col("v"))
+            )
+        return base.withColumn(
+            "cent_id",
+            F.explode(_centroid_probe_udf(cent_rows, n_best)(F.col("v"))),
+        )
+
+    def _py_norm(vec) -> float:
+        acc = 0.0
+        for x in vec:
+            acc += float(x) * float(x)
+        return acc and math.sqrt(acc)
+
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["cent_id"])).cast("long").alias("cent_id"),
+                F.array(*[F.lit(float(x)) for x in r["_cvec"]]).alias("cvec"),
+                F.lit(_py_norm(r["_cvec"])).alias("cnorm"),
+            )
+            for r in cent_rows
+        ]
+    )
+    scored = F.transform(
+        cent_lit,
+        lambda c: F.struct(
+            (dot_exact(F.col("v"), c["cvec"]) / (F.col("vn") * c["cnorm"])).alias("s"),
+            (-c["cent_id"]).alias("nid"),
+        ),
+    )
+    if n_best == 1:
+        return base.withColumn("cent_id", -F.array_max(scored)["nid"])
+    # Struct sort is lexicographic (s DESC, then nid DESC = cent_id
+    # ASC) — identical to the oracle's ORDER BY score DESC, cent_id
+    # ASC with rn <= n_best.
+    best = F.slice(F.sort_array(scored, asc=False), 1, n_best)
+    return (
+        base.withColumn("_pc", F.explode(best))
+        .withColumn("cent_id", -F.col("_pc")["nid"])
+        .drop("_pc")
+    )
+
+
+def _centroid_probe_udf(cent_rows: list, n_best: int):
+    """BLAS multi-probe twin of :func:`_centroid_assign_udf`: the
+    ``n_best`` nearest cells per vector (stable argsort — ties to the
+    lowest cent_id), returned as array<long> for a downstream
+    explode."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cent_ids = np.array([int(r["cent_id"]) for r in cent_rows], dtype=np.int64)
+    cent_mat = np.array(
+        [[float(x) for x in r["_cvec"]] for r in cent_rows], dtype=np.float64
+    )
+    cnorms = np.sqrt((cent_mat * cent_mat).sum(axis=1))
+
+    def _probe_fn(vs):
+        if len(vs) == 0:
+            return pd.Series([], dtype="object")
+        mat = np.array([[float(x) for x in v] for v in vs], dtype=np.float64)
+        vnorms = np.sqrt((mat * mat).sum(axis=1))
+        scores = (mat @ cent_mat.T) / np.outer(vnorms, cnorms)
+        order = np.argsort(-scores, axis=1, kind="stable")[:, :n_best]
+        return pd.Series([cent_ids[row].tolist() for row in order])
+
+    return pandas_udf(_probe_fn, "array<long>")
+
+
 def _centroid_assign_udf(cent_rows: list):
     """BLAS nearest-centroid argmax as an Arrow pandas UDF — the
     above-literal-cap assignment path shared by the IVF index and
@@ -517,45 +617,9 @@ def kmeans_update_step(
     the oracle-gated small-sf path stays the bit-exact literal
     fold."""
     cent_rows = collect_centroids(corpus, id_col, vec_col, centroid_mod)
-    dim_n = len(cent_rows[0]["_cvec"]) if cent_rows else 0
-    if cent_rows and len(cent_rows) * dim_n > literal_cell_cap:
-        assigned = corpus.select(F.col(vec_col).alias("_cv")).withColumn(
-            "cent_id", _centroid_assign_udf(cent_rows)(F.col("_cv"))
-        )
-        return _kmeans_member_means(assigned, scale)
-
-    import math
-
-    def _py_norm(vec) -> float:
-        acc = 0.0
-        for x in vec:
-            acc += float(x) * float(x)
-        return acc and math.sqrt(acc)
-
-    cent_lit = F.array(
-        *[
-            F.struct(
-                F.lit(int(r["cent_id"])).cast("long").alias("cent_id"),
-                F.array(*[F.lit(float(x)) for x in r["_cvec"]]).alias("cvec"),
-                F.lit(_py_norm(r["_cvec"])).alias("cnorm"),
-            )
-            for r in cent_rows
-        ]
-    )
-
-    def _best_cent(vec: Column, vec_norm: Column) -> Column:
-        scored = F.transform(
-            cent_lit,
-            lambda c: F.struct(
-                (dot_exact(vec, c["cvec"]) / (vec_norm * c["cnorm"])).alias("s"),
-                (-c["cent_id"]).alias("nid"),
-            ),
-        )
-        return -F.array_max(scored)["nid"]
-
-    assigned = corpus.select(
-        F.col(vec_col).alias("_cv"), l2_norm(F.col(vec_col)).alias("_vn")
-    ).select("_cv", _best_cent(F.col("_cv"), F.col("_vn")).alias("cent_id"))
+    assigned = assign_nearest_centroid(
+        corpus, id_col, vec_col, cent_rows, literal_cell_cap
+    ).select(F.col("v").alias("_cv"), "cent_id")
     return _kmeans_member_means(assigned, scale)
 
 
@@ -608,54 +672,15 @@ def semdedup(
     import math
 
     cent_rows = collect_centroids(corpus, id_col, vec_col, centroid_mod)
-    dim = len(cent_rows[0]["_cvec"]) if cent_rows else 0
-    if cent_rows and len(cent_rows) * dim > literal_cell_cap:
-        # Above the codegen-literal budget (the cap is LOWER than the
-        # IVF one: SemDeDup assigns the WHOLE corpus, so the literal
-        # fold's N x C expression cost bites sooner — the r6 sf1
-        # bench measured 15.8x time for 10x data with ~282 literal
-        # centroids): assignment rides the shared BLAS pandas UDF;
-        # pair scoring below stays the bit-deterministic expression
-        # either way, and the oracle-gated small-sf path is always
-        # the literal fold.
-        assigned = corpus.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("v"),
-            l2_norm(F.col(vec_col)).alias("vn"),
-        ).withColumn("cent_id", _centroid_assign_udf(cent_rows)(F.col("v")))
-    else:
-        def _py_norm(vec) -> float:
-            acc = 0.0
-            for x in vec:
-                acc += float(x) * float(x)
-            return acc and math.sqrt(acc)
-
-        cent_lit = F.array(
-            *[
-                F.struct(
-                    F.lit(int(r["cent_id"])).cast("long").alias("cent_id"),
-                    F.array(*[F.lit(float(x)) for x in r["_cvec"]]).alias("cvec"),
-                    F.lit(_py_norm(r["_cvec"])).alias("cnorm"),
-                )
-                for r in cent_rows
-            ]
-        )
-
-        def _best_cent(vec: Column, vec_norm: Column) -> Column:
-            scored = F.transform(
-                cent_lit,
-                lambda c: F.struct(
-                    (dot_exact(vec, c["cvec"]) / (vec_norm * c["cnorm"])).alias("s"),
-                    (-c["cent_id"]).alias("nid"),
-                ),
-            )
-            return -F.array_max(scored)["nid"]
-
-        assigned = corpus.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("v"),
-            l2_norm(F.col(vec_col)).alias("vn"),
-        ).withColumn("cent_id", _best_cent(F.col("v"), F.col("vn")))
+    # Assignment is the shared two-path helper: codegen literal fold
+    # below the budget (the oracle-gated bit-exact form), BLAS pandas
+    # UDF above it (the r6 sf1 bench measured the literal fold at
+    # N x C cost here — 15.8x time for 10x data with ~282 literal
+    # centroids). Pair scoring below stays the bit-deterministic
+    # expression on both paths.
+    assigned = assign_nearest_centroid(
+        corpus, id_col, vec_col, cent_rows, literal_cell_cap
+    )
 
     a = assigned.alias("a")
     b = assigned.alias("b")

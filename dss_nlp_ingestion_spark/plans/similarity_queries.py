@@ -15,7 +15,12 @@ from dss_nlp_ingestion_spark.operators.similarity import (
     hyperplane_bucket,
     l2_norm,
 )
-from dss_nlp_ingestion_spark.plans.registry import fround, fround_sql, register
+from dss_nlp_ingestion_spark.plans.registry import (
+    fround,
+    fround_sql,
+    register,
+    register_split,
+)
 
 _DIM = 64
 
@@ -260,6 +265,137 @@ def ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", fround(F.col("score"), 6).alias("score"), "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental IVF index on the ACID table format: assignments persisted
+# once, probed and maintained in O(batch) — the ANN twin of
+# lsh_index_incremental_dedup (daily-embedding-increment shape).
+# ---------------------------------------------------------------------------
+
+_IVF_INC_SHIFT = 5_000_000
+
+_IVF_INC_ORACLE = f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+  WHERE vec_id % {_CENT_MOD} = 0 AND vec_id < {_CENT_MAX}
+), assigned AS (
+  SELECT neighbor_id, v, cent_id FROM (
+    SELECT c.vec_id AS neighbor_id, c.embedding AS v, cents.cent_id,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY {_CENT_SCORE} DESC, cents.cent_id ASC) AS rn
+    FROM embeddings c CROSS JOIN cents
+  ) WHERE rn = 1
+), incoming AS (
+  SELECT vec_id + {_IVF_INC_SHIFT} AS query_id, embedding AS qv
+  FROM embeddings WHERE vec_id % 7 = 0
+), probes AS (
+  SELECT query_id, qv, cent_id FROM (
+    SELECT q.query_id, q.qv, cents.cent_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_QC_SCORE} DESC, cents.cent_id ASC) AS rn
+    FROM incoming q CROSS JOIN cents
+  ) WHERE rn <= {_N_PROBE}
+), scored AS (
+  SELECT p.query_id, a.neighbor_id, {_QV_SCORE} AS score
+  FROM assigned a JOIN probes p ON a.cent_id = p.cent_id
+), ranked AS (
+  SELECT query_id, neighbor_id, score,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, {fround_sql('score', 6)} AS score, rank
+FROM ranked WHERE rank <= {_IVF_K}
+"""
+
+
+def _ivf_inc_setup(spark: SparkSession, sf_dir: str):
+    """SETUP: assign the corpus to the capped centroid set ONCE and
+    persist (vec_id, cent_id, vector) as the inverted-list index —
+    a transaction-log table, so increments are O_EXCL commits and
+    readers get snapshot isolation."""
+    import tempfile
+
+    from dss_nlp_ingestion_spark.operators.similarity import (
+        assign_nearest_centroid,
+        collect_centroids,
+    )
+    from dss_nlp_ingestion_spark.sources import txlog
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents = collect_centroids(
+        emb.filter(F.col("vec_id") < _CENT_MAX), "vec_id", "embedding", _CENT_MOD
+    )
+    index = assign_nearest_centroid(emb, "vec_id", "embedding", cents).select(
+        "id", "v", "cent_id"
+    )
+    path = tempfile.mkdtemp(prefix="dss_ivfidx_") + "/index"
+    txlog.create_table(index, path, stats_cols=["cent_id"])
+    return sf_dir, path, cents
+
+
+def _ivf_inc_probe(spark: SparkSession, ctx) -> DataFrame:
+    """PROBE — an incoming embedding batch (every 7th vector,
+    id-shifted: the daily increment) assigns ONLY ITSELF against the
+    fixed centroid set, probes the PERSISTED inverted lists for its
+    top-k neighbors, and appends its own assignments back through the
+    same commit protocol — index maintenance is O(batch), never a
+    corpus re-index. The oracle replays both assignments from
+    scratch: the hash match proves persisted-index search equals the
+    recompute-everything semantics. (In-query assert: the index
+    snapshot grew by exactly the batch.)"""
+    from pyspark.sql import Window
+
+    from dss_nlp_ingestion_spark.operators.similarity import (
+        assign_nearest_centroid,
+        cosine,
+    )
+    from dss_nlp_ingestion_spark.sources import txlog
+
+    sf_dir, path, cents = ctx
+    emb = table(spark, sf_dir, "embeddings")
+    incoming = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + _IVF_INC_SHIFT).alias("vec_id"), "embedding"
+    )
+    probes = (
+        assign_nearest_centroid(
+            incoming, "vec_id", "embedding", cents, n_best=_N_PROBE
+        )
+        .select(F.col("id").alias("query_id"), F.col("v").alias("_qv"), "cent_id")
+    )
+    idx = txlog.read(spark, path).select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("_cv"), "cent_id"
+    )
+    scored = idx.join(F.broadcast(probes), "cent_id").select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("_qv"), F.col("_cv")).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    out = (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _IVF_K)
+        .select("query_id", "neighbor_id", fround(F.col("score"), 6).alias("score"), "rank")
+    )
+    # Maintenance: the batch's own assignments enter the index.
+    before = txlog.snapshot_row_count(path)
+    batch_assigned = assign_nearest_centroid(
+        incoming, "vec_id", "embedding", cents
+    ).select("id", "v", "cent_id")
+    txlog.append(batch_assigned, path, stats_cols=["cent_id"])
+    grew = txlog.snapshot_row_count(path) - before
+    assert grew == incoming.count(), (grew, "index growth != batch size")
+    return out
+
+
+register_split(
+    "ivf_index_incremental", _ivf_inc_setup, _ivf_inc_probe, _IVF_INC_ORACLE
+)
 
 
 # ---------------------------------------------------------------------------
