@@ -500,3 +500,110 @@ def gopher_repetition_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(passes, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("passes"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Soft dedup: duplicate-DOWNWEIGHTED token budget (SoftDeDup / D4-style
+# alternative to dropping: each exact-dup cluster contributes its token
+# mass once, spread 1/cluster_size per member)
+# ---------------------------------------------------------------------------
+
+_SOFTDEDUP_ORACLE = """
+WITH t AS (
+  SELECT doc_id, source, lang, sha256(text) AS sha,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+), sz AS (
+  SELECT sha, CAST(count(*) AS BIGINT) AS cl_size FROM t GROUP BY sha
+), j AS (
+  SELECT t.source, t.lang, t.sha, t.n_tokens, sz.cl_size,
+         (t.n_tokens * 1000000) // sz.cl_size AS eff_micro
+  FROM t JOIN sz USING (sha)
+)
+SELECT source, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT sha) AS BIGINT) AS n_unique,
+       CAST(sum(n_tokens) AS BIGINT) AS raw_tokens,
+       CAST(sum(eff_micro) AS BIGINT) AS eff_tokens_micro
+FROM j GROUP BY source, lang
+"""
+
+
+@register("softdedup_token_budget", _SOFTDEDUP_ORACLE)
+def softdedup_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-DOWNWEIGHTED corpus budget (the SoftDeDup / D4-style
+    alternative to hard dropping): every exact-duplicate cluster
+    (sha256 of text) contributes its token mass once, spread
+    1/cluster_size across members — the per-(source, lang) effective
+    token count a mixture planner would feed its sampling weights.
+    All-integer arithmetic (micro-token units, integer division) so
+    the budget is bit-exact cross-engine: a DOUBLE sum of 1/k weights
+    would be partial-agg-order dependent. Scale shape: one
+    crypto-uniform shuffle on the digest (sizes), one digest-keyed
+    join, one partial-aggregated group-by — no skew risk, no window
+    over the corpus."""
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.sha2(F.col("text"), 256).alias("sha"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    sizes = t.groupBy("sha").agg(F.count(F.lit(1)).cast("long").alias("cl_size"))
+    j = t.join(sizes, "sha").withColumn(
+        "eff_micro", F.expr("(n_tokens * 1000000) div cl_size")
+    )
+    return j.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("sha").cast("long").alias("n_unique"),
+        F.sum("n_tokens").cast("long").alias("raw_tokens"),
+        F.sum("eff_micro").cast("long").alias("eff_tokens_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence-length histogram (the packing-planner input: choose
+# max_seq_len / packing factor from the length distribution)
+# ---------------------------------------------------------------------------
+
+_SEQLEN_ORACLE = """
+WITH t AS (
+  SELECT lang,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT lang,
+       CAST(length(printf('%b', n_tokens)) - 1 AS INT) AS log2_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS bucket_tokens,
+       CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+       CAST(max(n_tokens) AS BIGINT) AS max_tokens
+FROM t GROUP BY lang, log2_bucket
+"""
+
+
+@register("seqlen_histogram", _SEQLEN_ORACLE)
+def seqlen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language sequence-length histogram in log2 buckets
+    (integer binary-length log, no libm) with per-bucket token mass —
+    the distribution a packing planner reads to pick max_seq_len and
+    predict padding/packing efficiency (pack_training_shards consumes
+    the lengths this summarizes). One partial-aggregated shuffle of
+    (lang, bucket) rows; token counting stays scan-side."""
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    return t.groupBy(
+        "lang",
+        (F.length(F.conv(F.col("n_tokens"), 10, 2)) - 1)
+        .cast("int")
+        .alias("log2_bucket"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("bucket_tokens"),
+        F.min("n_tokens").cast("long").alias("min_tokens"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+    )

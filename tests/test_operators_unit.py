@@ -1648,3 +1648,38 @@ def test_batched_bmp_paths_match_scalar_codec():
     broken = pd.DataFrame({"doc_id": [1], "payload": [bytes(bad)]})
     with pytest.raises(ValueError, match="unsupported BMP"):
         list(bmp_pixel_stats_batch(iter([broken])))
+
+
+def test_assign_nearest_centroid_paths_agree(spark):
+    """r6: the literal-fold and BLAS-pandas assignment paths (and
+    their n_best multi-probe forms) must agree away from float ties —
+    synthetic well-separated vectors make every argmax decisive."""
+    from dss_nlp_ingestion_spark.operators.similarity import (
+        assign_nearest_centroid,
+        collect_centroids,
+    )
+
+    rows = []
+    for i in range(60):
+        v = [0.01] * 8
+        v[i % 4] = 5.0 + (i % 3)  # strongly aligned with axis i%4
+        v[(i + 1) % 4] = 2.0 + (i % 2)  # decisive SECOND choice too
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = collect_centroids(df, "vec_id", "embedding", 15)  # ids 0,15,30,45
+    for n_best in (1, 2):
+        lit = {
+            (r["id"], r["cent_id"])
+            for r in assign_nearest_centroid(
+                df, "vec_id", "embedding", cents,
+                literal_cell_cap=10**9, n_best=n_best,
+            ).collect()
+        }
+        blas = {
+            (r["id"], r["cent_id"])
+            for r in assign_nearest_centroid(
+                df, "vec_id", "embedding", cents,
+                literal_cell_cap=0, n_best=n_best,
+            ).collect()
+        }
+        assert lit == blas and len(lit) == 60 * n_best
