@@ -25,7 +25,7 @@ from dss_nlp_ingestion_spark.operators.dedup import (
     simhash_near_pairs,
 )
 from dss_nlp_ingestion_spark.functions.text import shingles_auto
-from dss_nlp_ingestion_spark.plans.registry import fround, fround_sql, register
+from dss_nlp_ingestion_spark.plans.registry import fround, fround_sql, register, register_split
 
 # DuckDB CTE fragments shared by the shingle-based oracles.
 _WS_CTE = r"""
@@ -1177,21 +1177,9 @@ FROM ibands i JOIN cbands c
 """
 
 
-@register("lsh_index_incremental_dedup", _INCR_LSH_ORACLE)
-def lsh_index_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental near-dup dedup — the daily-crawl-increment shape:
-    the corpus's LSH band signatures are PERSISTED as a tx-log table
-    (built once, maintained forever), and an incoming batch (here:
-    mutated copies of every 9th document, tail-perturbed so most
-    shingles survive) computes ONLY ITS OWN signatures and joins the
-    index on the band key. At 100 TB this replaces re-signing the
-    whole corpus per batch with O(batch) signature work + a
-    band-key-bucketed join against the index; the non-duplicate
-    newcomers' signatures are then APPENDED to the index through the
-    same O_EXCL commit protocol, keeping it current without a
-    rewrite. The oracle replays both signature chains from scratch —
-    the hash match proves the persisted-index path equals the
-    recompute-everything semantics."""
+def _lshidx_setup(spark: SparkSession, sf_dir: str):
+    """SETUP: sign the corpus once and persist the LSH band index as
+    a tx-log table — built once, maintained forever."""
     import tempfile
 
     from dss_nlp_ingestion_spark.sources import txlog
@@ -1202,7 +1190,25 @@ def lsh_index_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = tempfile.mkdtemp(prefix="dss_lshidx_") + "/index"
     txlog.create_table(index, path)
+    return sf_dir, path
 
+
+def _lshidx_probe(spark: SparkSession, ctx) -> DataFrame:
+    """PROBE — incremental near-dup dedup, the daily-crawl-increment
+    shape: an incoming batch (mutated copies of every 9th document,
+    tail-perturbed so most shingles survive) computes ONLY ITS OWN
+    signatures and joins the PERSISTED index on the band key. At
+    100 TB this replaces re-signing the whole corpus per batch with
+    O(batch) signature work + a band-key-bucketed join against the
+    index; the non-duplicate newcomers' signatures are then APPENDED
+    to the index through the same O_EXCL commit protocol, keeping it
+    current without a rewrite. The oracle replays both signature
+    chains from scratch — the hash match proves the persisted-index
+    path equals the recompute-everything semantics."""
+    from dss_nlp_ingestion_spark.sources import txlog
+
+    sf_dir, path = ctx
+    docs = table(spark, sf_dir, "documents")
     incoming = docs.filter(F.col("doc_id") % 9 == 0).select(
         (F.col("doc_id") + 10000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(_INCR_TAIL)).alias("text"),
@@ -1228,6 +1234,11 @@ def lsh_index_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     txlog.append(fresh, path)
     return dups
+
+
+register_split(
+    "lsh_index_incremental_dedup", _lshidx_setup, _lshidx_probe, _INCR_LSH_ORACLE
+)
 
 
 # ---------------------------------------------------------------------------

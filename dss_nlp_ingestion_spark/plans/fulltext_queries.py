@@ -20,7 +20,7 @@ from dss_nlp_ingestion_spark.operators.fulltext import (
     TOKEN_PATTERN,
     bm25_topk,
 )
-from dss_nlp_ingestion_spark.plans.registry import register
+from dss_nlp_ingestion_spark.plans.registry import register, register_split
 
 #: Literal query set: (query_id, query text) — terms drawn from the
 #: synthetic corpus vocabulary so every query matches documents.
@@ -390,22 +390,10 @@ FROM toks GROUP BY token
 """
 
 
-@register("fulltext_index_incremental", _FT_IVM_ORACLE)
-def fulltext_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """An inverted-index TERM-STATS table maintained INCREMENTALLY as
-    a materialized view over an ACID postings table — the
-    search-index-refresh story: ingest appends postings, GC deletes
-    them, and the document-frequency table folds the net changes
-    instead of recomputing the corpus.
-
-    Build: postings (doc_id, token — DISTINCT per doc, tokenized
-    scan-side at write time) for 80% of the corpus ->
-    create_matview(count by token) -> APPEND the remaining 20% ->
-    DELETE doc_id % 17 = 0 -> refresh (CDF delta fold, join against
-    touched terms only, file-pruned merge, watermarked exactly-once;
-    sources/matview.py). The oracle recomputes df from the FINAL live
-    doc set, so the hash match proves delta-maintained == recomputed
-    through appends AND deletes."""
+def _ftivm_setup(spark: SparkSession, sf_dir: str):
+    """SETUP: the postings ACID table (80% of the corpus), the
+    term-df matview's initial build, and the churn (APPEND the
+    remaining 20%, DELETE doc_id % 17 = 0) the refresh folds."""
     import tempfile
 
     from dss_nlp_ingestion_spark.sources import matview, txlog
@@ -427,5 +415,25 @@ def fulltext_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     matview.create_matview(spark, src, view, ["token"], {"df": ("count", None)})
     txlog.append(postings.filter(F.col("doc_id") % 10 >= 8), src)
     txlog.delete_from_table(spark, src, "doc_id % 17 = 0", stats_cols=["doc_id"])
+    return src, view
+
+
+def _ftivm_probe(spark: SparkSession, ctx) -> DataFrame:
+    """PROBE — an inverted-index TERM-STATS table maintained
+    INCREMENTALLY as a materialized view over an ACID postings table:
+    ONE refresh folds the net changes (CDF delta fold, join against
+    touched terms only, file-pruned merge, watermarked exactly-once;
+    sources/matview.py) instead of recomputing the corpus. The
+    oracle recomputes df from the FINAL live doc set, so the hash
+    match proves delta-maintained == recomputed through appends AND
+    deletes — the search-index-refresh story."""
+    from dss_nlp_ingestion_spark.sources import matview, txlog
+
+    src, view = ctx
     matview.refresh_matview(spark, src, view, ["token"], {"df": ("count", None)})
     return txlog.read(spark, view).select("token", "df")
+
+
+register_split(
+    "fulltext_index_incremental", _ftivm_setup, _ftivm_probe, _FT_IVM_ORACLE
+)
