@@ -36,15 +36,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _mg_candidates(key: str, counters: int):
-    """Partition-wise Misra-Gries summary over Arrow batches."""
+def _mg_candidates(key: str, counters: int, dtype: str):
+    """Partition-wise Misra-Gries summary over Arrow batches.
+
+    ``dtype`` is the pandas dtype of the key as DECIDED by the
+    caller's type check — it must not be sniffed from observed
+    batches, because an EMPTY partition sees no batch at all and a
+    wrong empty-Series dtype fails Arrow conversion against the
+    declared schema (r6 review finding, reproduced on string keys
+    with any empty input partition)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counts: dict = {}
-        dtype = "int64"
         for pdf in batches:
-            if pdf[key].dtype == object:
-                dtype = "object"
             for v, c in pdf[key].value_counts().items():
                 counts[v] = counts.get(v, 0) + int(c)
             if len(counts) > counters:
@@ -88,17 +92,17 @@ def heavy_hitters_exact(
     kind = df.schema[key_col].dataType
     if isinstance(kind, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
         keyed = df.select(F.col(key_col).cast("long").alias(key_col))
-        key_ddl = f"{key_col} long"
+        key_ddl, pd_dtype = f"{key_col} long", "int64"
     elif isinstance(kind, T.StringType):
         keyed = df.select(key_col)
-        key_ddl = f"{key_col} string"
+        key_ddl, pd_dtype = f"{key_col} string", "object"
     else:
         raise TypeError(
             f"heavy_hitters_exact: unsupported key type {kind.simpleString()} "
             f"for {key_col!r} (integral or string required)"
         )
     candidates = (
-        keyed.mapInPandas(_mg_candidates(key_col, m), schema=key_ddl)
+        keyed.mapInPandas(_mg_candidates(key_col, m, pd_dtype), schema=key_ddl)
         .distinct()
     )
     totals = keyed.agg(F.count(F.lit(1)).alias("n"))

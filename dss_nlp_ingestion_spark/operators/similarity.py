@@ -669,8 +669,6 @@ def semdedup(
 
     Returns (id, cent_id, pruned 0/1).
     """
-    import math
-
     cent_rows = collect_centroids(corpus, id_col, vec_col, centroid_mod)
     # Assignment is the shared two-path helper: codegen literal fold
     # below the budget (the oracle-gated bit-exact form), BLAS pandas

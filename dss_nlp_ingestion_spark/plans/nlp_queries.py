@@ -650,13 +650,26 @@ FROM agg
 
 # text_embeddings (the DEFAULT embedding path, registered above) gets
 # its learned-path oracle here — _encoder_oracle needs the artifact
-# loader defined first.
-ORACLES["text_embeddings"] = _encoder_oracle(_ANCHOR)
+# loader defined first. The artifact-free fallback must be REAL (r6
+# review finding): without the committed artifact the module still
+# imports, text_embeddings serves (and its oracle replays) the hash
+# heuristic, and the two learned-vector queries simply don't register
+# (a model query cannot exist without its model).
+try:
+    _ENC_BASE_ORACLE: str | None = _encoder_oracle()
+    _ENC_ANCHOR_ORACLE: str | None = _encoder_oracle(_ANCHOR)
+except (OSError, KeyError, ValueError):
+    _ENC_BASE_ORACLE = _ENC_ANCHOR_ORACLE = None
+
+ORACLES["text_embeddings"] = (
+    _ENC_ANCHOR_ORACLE if _ENC_ANCHOR_ORACLE is not None else _EMBED_ORACLE
+)
 
 _ENC_TOPK = 20
 
-_ENC_TOPK_ORACLE = f"""
-WITH base AS ({_encoder_oracle(_ANCHOR)}),
+if _ENC_ANCHOR_ORACLE is not None:
+    _ENC_TOPK_ORACLE = f"""
+WITH base AS ({_ENC_ANCHOR_ORACLE}),
 ranked AS (
   SELECT doc_id, anchor_cos,
          row_number() OVER (ORDER BY anchor_cos DESC, doc_id ASC) AS rank
@@ -666,24 +679,22 @@ SELECT doc_id, anchor_cos, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {_ENC_TOPK}
 """
 
+    @register("encoder_anchor_topk", _ENC_TOPK_ORACLE)
+    def encoder_anchor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Semantic retrieval THROUGH the default learned embedding
+        path (r5 verdict #5's consumer side): top-20 documents by
+        cosine against the anchor sentence under the shipped encoder
+        artifact. The candidate cut is TakeOrderedAndProject (per-
+        partition top-k fold + driver merge — no global sort, no
+        single-partition window on the corpus); the rank column is a
+        window over only the 20 survivors. Ties break on doc_id
+        (registry rule 5)."""
+        scored = text_embeddings(spark, sf_dir).select("doc_id", "anchor_cos")
+        top = scored.orderBy(F.desc("anchor_cos"), F.asc("doc_id")).limit(_ENC_TOPK)
+        w = Window.orderBy(F.desc("anchor_cos"), F.asc("doc_id"))
+        return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
-@register("encoder_anchor_topk", _ENC_TOPK_ORACLE)
-def encoder_anchor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic retrieval THROUGH the default learned embedding path
-    (r5 verdict #5's consumer side): top-{_ENC_TOPK} documents by
-    cosine against the anchor sentence under the shipped encoder
-    artifact. The candidate cut is TakeOrderedAndProject (per-
-    partition top-k fold + driver merge — no global sort, no
-    single-partition window on the corpus); the rank column is a
-    window over only the {_ENC_TOPK} survivors. Ties break on doc_id
-    (registry rule 5)."""
-    scored = text_embeddings(spark, sf_dir).select("doc_id", "anchor_cos")
-    top = scored.orderBy(F.desc("anchor_cos"), F.asc("doc_id")).limit(_ENC_TOPK)
-    w = Window.orderBy(F.desc("anchor_cos"), F.asc("doc_id"))
-    return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
-
-@register("embedding_model_vectors", _encoder_oracle())
 def embedding_model_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The N8/N10 embedding slot serving REAL LEARNED WEIGHTS: a
     16-probe linear encoder (the class-weight matrix of a softmax
@@ -705,6 +716,12 @@ def embedding_model_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("_e.emb_sha").alias("emb_sha"),
         F.col("_e.probe_cos").alias("probe_cos"),
+    )
+
+
+if _ENC_BASE_ORACLE is not None:
+    register("embedding_model_vectors", _ENC_BASE_ORACLE)(
+        embedding_model_vectors
     )
 
 

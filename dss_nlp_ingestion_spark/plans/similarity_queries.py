@@ -208,7 +208,7 @@ _QV_SCORE = (
 _IVF_ORACLE = f"""
 WITH cents AS (
   SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
-  WHERE vec_id % {_CENT_MOD} = 0
+  WHERE vec_id % {_CENT_MOD} = 0 AND vec_id < {_CENT_MAX}
 ), assigned AS (
   SELECT neighbor_id, v, cent_id FROM (
     SELECT c.vec_id AS neighbor_id, c.embedding AS v, cents.cent_id,

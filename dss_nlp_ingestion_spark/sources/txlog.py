@@ -943,9 +943,15 @@ def merge_into_table(
                 )
         touched: list[str] = []
         if candidates:
-            cand_keys = spark.read.parquet(*candidates).select(
-                *key_cols, F.input_file_name().alias("_f")
-            )
+            # Source keys target the LOGICAL schema — resolve the
+            # rename chain before matching, like every other snapshot
+            # reader (r6 review finding).
+            cand_keys = _apply_renames(
+                spark.read.parquet(*candidates)
+                .withColumn("_f", F.input_file_name()),
+                path,
+                head,
+            ).select(*key_cols, "_f")
             src_keys = source.select(
                 *[F.col(k).alias(f"_sk_{k}") for k in key_cols]
             ).distinct()
@@ -974,7 +980,9 @@ def merge_into_table(
         if not touched:
             # No key matches anywhere: pure insert, commutes with
             # every concurrent commit -> blind retryable append.
-            inserts = source
+            # Fold back to the PHYSICAL schema so appended data files
+            # keep the invariant every snapshot reader resolves from.
+            inserts = _unapply_renames(source, path, head)
             if delete_col is not None:
                 inserts = inserts.filter(
                     ~F.coalesce(F.col(delete_col), F.lit(False))
@@ -1001,12 +1009,13 @@ def merge_into_table(
                     "appended": False,
                     "skipped": False,
                 }
+            phys_stats = _physical_stats_cols(path, stats_cols, head)
             if txn is not None:
                 v = append_txn(
-                    inserts, path, txn[0], txn[1], stats_cols=stats_cols
+                    inserts, path, txn[0], txn[1], stats_cols=phys_stats
                 )
             else:
-                v = append(inserts, path, stats_cols=stats_cols)
+                v = append(inserts, path, stats_cols=phys_stats)
             return {
                 "version": v,
                 "files_touched": 0,
@@ -1015,7 +1024,9 @@ def merge_into_table(
                 "appended": True,
                 "skipped": v is None,
             }
-        target_touched = spark.read.parquet(*touched)
+        target_touched = _apply_renames(
+            spark.read.parquet(*touched), path, head
+        )
         if delete_col is not None:
             merged = merge_into_with_delete(
                 target_touched, source, key_cols, delete_col,
@@ -1029,12 +1040,12 @@ def merge_into_table(
         rel = [_stored_name(path, f) for f in touched]
         try:
             v = rewrite(
-                merged,
+                _unapply_renames(merged, path, head),
                 path,
                 rel,
                 expect_version=head,
                 op="merge",
-                stats_cols=stats_cols,
+                stats_cols=_physical_stats_cols(path, stats_cols, head),
                 txn=txn,
             )
         except TxConflictError as exc:
@@ -1166,7 +1177,7 @@ def delete_from_table(
         try:
             v = rewrite(
                 kept, path, rel, expect_version=head, op="delete",
-                stats_cols=stats_cols,
+                stats_cols=_physical_stats_cols(path, stats_cols, head),
             )
         except TxConflictError as exc:
             last_err = exc
@@ -1261,7 +1272,7 @@ def update_table(
                 rel,
                 expect_version=head,
                 op="update",
-                stats_cols=stats_cols,
+                stats_cols=_physical_stats_cols(path, stats_cols, head),
             )
         except TxConflictError as exc:
             last_err = exc
@@ -1550,6 +1561,17 @@ def _unapply_renames(df: DataFrame, path: str, version: int | None = None) -> Da
     for old_name, new_name in reversed(_folded_renames(path, version)):
         df = df.withColumnRenamed(new_name, old_name)
     return df
+
+
+def _physical_stats_cols(
+    path: str, stats_cols: list[str] | None, version: int | None = None
+) -> list[str] | None:
+    """Map LOGICAL stats column names to the PHYSICAL names the data
+    files (and so the parquet footers) actually carry — a rename-
+    unaware lookup would silently log no stats and disable pruning."""
+    if not stats_cols:
+        return stats_cols
+    return [_physical_candidates(path, c, version)[-1] for c in stats_cols]
 
 
 def _physical_candidates(path: str, col: str, version: int | None = None) -> list[str]:

@@ -157,3 +157,17 @@ def test_heavy_hitters_rejects_unsupported_key_type(spark):
         raise AssertionError("expected TypeError")
     except TypeError:
         pass
+
+
+def test_heavy_hitters_survives_empty_partitions(spark):
+    """r6 review finding: an empty input partition sees no Arrow
+    batch, so the candidate dtype must come from the declared key
+    type, not be sniffed from batches (string keys used to crash
+    with ArrowTypeError)."""
+    rows = [("hot",)] * 8 + [("a",), ("b",)]
+    df = spark.createDataFrame(rows, "user string").repartition(40)
+    got = {(r.user, r.cnt) for r in heavy_hitters_exact(df, "user", 3).collect()}
+    assert got == {("hot", 8)}
+    dfl = spark.createDataFrame([(7,)] * 8 + [(1,), (2,)], "k long").repartition(40)
+    gotl = {(r.k, r.cnt) for r in heavy_hitters_exact(dfl, "k", 3).collect()}
+    assert gotl == {(7, 8)}

@@ -1079,3 +1079,35 @@ def test_catalog_txlog_override_and_docstore_pruning(spark):
     )
     # the pruned plan scans ONLY the kept files
     assert len(lo_hi.inputFiles()) == len(keep)
+
+
+def test_merge_into_table_follows_renames(spark):
+    """r6 review finding: MERGE was the one snapshot reader/writer
+    left out of the rename-chain resolution — source keys target the
+    LOGICAL schema, data files must stay PHYSICAL, and logged stats
+    must land under the physical name so pruning keeps working."""
+    path = tempfile.mkdtemp(prefix="dss_txrenmerge_")
+    txlog.create_table(_orders_tbl(spark, n=20, files=2), path, stats_cols=["k"])
+    txlog.rename_column(path, "k", "order_id")
+    src = spark.createDataFrame(
+        [(3, "upd", 999.0, False), (7, "gone", 0.0, True), (100, "new", 1.0, False)],
+        "order_id long, c string, p double, _del boolean",
+    )
+    res = txlog.merge_into_table(
+        spark, path, src, ["order_id"], delete_col="_del", stats_cols=["order_id"]
+    )
+    assert res["files_touched"] >= 1
+    got = {r["order_id"]: (r["c"], r["p"]) for r in txlog.read(spark, path).collect()}
+    assert got[3] == ("upd", 999.0) and got[100] == ("new", 1.0)
+    assert 7 not in got and len(got) == 20  # 20 - 1 delete + 1 insert
+    # data files stayed physical: the raw footer schema still says "k"
+    import pyarrow.parquet as pq
+
+    for f in txlog.snapshot_files(path):
+        assert "k" in pq.ParquetFile(f).schema_arrow.names
+    # logged stats landed under the physical name -> pruning works on
+    # both the logical and the physical handle
+    _, skipped = txlog.plan_pruned_files(path, "order_id", 0, 2)
+    assert skipped >= 1
+    out = txlog.read_pruned(spark, path, "order_id", 100, 100)
+    assert [r["order_id"] for r in out.collect()] == [100]
