@@ -49,7 +49,13 @@ def _mg_candidates(key: str, counters: int, dtype: str):
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counts: dict = {}
         for pdf in batches:
-            for v, c in pdf[key].value_counts().items():
+            # NULL keys must never become candidates (documented
+            # semantics: they count toward n, are never reported).
+            # Arrow hands integral-with-NULL columns over as float64
+            # with NaN; without the dropna a NaN key would survive to
+            # the summary and crash the int64 Series build (r6
+            # advisor finding).
+            for v, c in pdf[key].dropna().value_counts().items():
                 counts[v] = counts.get(v, 0) + int(c)
             if len(counts) > counters:
                 # Standard MG summary merge: subtract the

@@ -348,21 +348,83 @@ def decode_wav(data: bytes):
     return rate, channels, samples
 
 
+#: Native-decoder probe state: False = not probed yet; None = probed,
+#: nothing available (this container); "pillow"/"cv2" otherwise.
+_NATIVE_BACKEND: str | None | bool = False
+
+
+def native_image_backend() -> str | None:
+    """Probe ONCE (per worker process) for a native image decoder —
+    Pillow first, OpenCV second — and cache the answer.  This is the
+    auto-detect half of the codec plug seam (r6 verdict #7): when a
+    native lib is installed, :func:`decode_image_batch` routes JPEG
+    (the costly pure-Python path) through it; when not — this
+    container ships neither — the pure decoders stay the documented
+    fallback and the seam test records the probe result."""
+    global _NATIVE_BACKEND
+    if _NATIVE_BACKEND is False:
+        try:
+            import PIL.Image  # noqa: F401
+
+            _NATIVE_BACKEND = "pillow"
+        except ImportError:
+            try:
+                import cv2  # noqa: F401
+
+                _NATIVE_BACKEND = "cv2"
+            except ImportError:
+                _NATIVE_BACKEND = None
+    return _NATIVE_BACKEND
+
+
+def _native_decode_meta(b: bytes, backend: str):
+    """(width, height, channels, format) via the probed native lib —
+    same metadata contract as the pure decoders, so the two ends of
+    the seam are interchangeable under the oracle."""
+    if backend == "pillow":
+        import io
+
+        import PIL.Image
+
+        with PIL.Image.open(io.BytesIO(b)) as im:
+            channels = {"L": 1, "P": 1, "RGB": 3, "RGBA": 4}.get(
+                im.mode, len(im.getbands())
+            )
+            return im.width, im.height, channels, (im.format or "?").lower()
+    if backend == "cv2":
+        import cv2
+        import numpy as np
+
+        arr = cv2.imdecode(np.frombuffer(b, dtype=np.uint8), cv2.IMREAD_UNCHANGED)
+        if arr is None:
+            raise ValueError("cv2.imdecode failed")
+        h, w = arr.shape[:2]
+        channels = 1 if arr.ndim == 2 else arr.shape[2]
+        fmt = {b"BM": "bmp", b"\xff\xd8": "jpeg"}.get(b[:2], "png" if b[:8] == PNG_SIG else "?")
+        return w, h, channels, fmt
+    raise NotImplementedError(f"unknown native backend {backend!r}")
+
+
 def decode_image_batch(
-    batches: Iterator[pd.DataFrame], fake: bool = True
+    batches: Iterator[pd.DataFrame], fake: bool = True, backend: str | None = "auto"
 ) -> Iterator[pd.DataFrame]:
     """mapInPandas stage: (doc_id, payload) -> MEDIA_META_SCHEMA rows.
 
     Format is sniffed per payload: BMP magic routes to the REAL
     pure-numpy decoder (:func:`decode_bmp`), the PNG signature to the
     REAL zlib+numpy decoder (:func:`decode_png` — actual DEFLATE
-    inflate + scanline unfiltering); other formats fall back to the
+    inflate + scanline unfiltering); JPEG routes through the probed
+    NATIVE decoder when one is installed (``backend="auto"`` →
+    :func:`native_image_backend`), else the pure-Python baseline
+    decoder (operators/jpeg.py). Other formats fall back to the
     deterministic fake when ``fake=True`` and raise otherwise (the
-    plug point where a PIL/ffmpeg-class decoder lands for JPEG/video).
+    plug point where an ffmpeg-class decoder lands for video).
 
     Arrow delivers ``batches`` of bounded size; each batch is decoded
     vectorized-per-batch (loop is over rows *within* an Arrow batch,
     never a driver-side collect)."""
+    if backend == "auto":
+        backend = native_image_backend()
     for pdf in batches:
         metas = []
         for p in pdf["payload"]:
@@ -374,10 +436,13 @@ def decode_image_batch(
                 w, h, _px = decode_png(b)
                 metas.append((w, h, 3, "png"))
             elif b[:2] == b"\xff\xd8":
-                from dss_nlp_ingestion_spark.operators.jpeg import decode_jpeg
+                if backend:
+                    metas.append(_native_decode_meta(b, backend))
+                else:
+                    from dss_nlp_ingestion_spark.operators.jpeg import decode_jpeg
 
-                w, h, px = decode_jpeg(b)
-                metas.append((w, h, 1 if px.ndim == 2 else 3, "jpeg"))
+                    w, h, px = decode_jpeg(b)
+                    metas.append((w, h, 1 if px.ndim == 2 else 3, "jpeg"))
             elif fake:
                 metas.append(_fake_decode(b))
             else:
@@ -446,6 +511,26 @@ def resize_stub_batch(
     target = width * height
     for pdf in batches:
         if not fake:
+            if native_image_backend() == "pillow":
+                import io
+
+                import PIL.Image
+
+                out = []
+                for p in pdf["payload"]:
+                    with PIL.Image.open(io.BytesIO(bytes(p))) as im:
+                        buf = io.BytesIO()
+                        im.resize((width, height)).save(buf, format=im.format or "PNG")
+                        out.append(buf.getvalue())
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"].astype("int64"),
+                        "payload": out,
+                        "width": pd.Series([width] * len(out), dtype="int32"),
+                        "height": pd.Series([height] * len(out), dtype="int32"),
+                    }
+                )
+                continue
             raise NotImplementedError(
                 "real image resize requires pillow; run with fake=True"
             )
@@ -641,6 +726,12 @@ def _bmp_group_stats(blobs: list[bytes]):
     b0 = blobs[0]
     if b0[:2] != b"BM":
         raise ValueError("not a BMP (missing 'BM' magic)")
+    if len(b0) < 54:
+        # A <54-byte blob yields EMPTY header slices -> all-zero
+        # fields that sail past the truncation check and report
+        # width=0/height=0/px_sum=0 where the scalar decode raises —
+        # keep error parity instead (r6 advisor finding).
+        raise ValueError("truncated BMP header")
     data_offset = int.from_bytes(b0[10:14], "little")
     w = int.from_bytes(b0[18:22], "little", signed=True)
     h = int.from_bytes(b0[22:26], "little", signed=True)

@@ -97,7 +97,6 @@ def _flagship_txlog_setup(spark: SparkSession, sf_dir: str):
     100 TB; the log fold + logged-stats pruning does)."""
     import tempfile
 
-    from dss_nlp_ingestion_spark import catalog
     from dss_nlp_ingestion_spark.sources import txlog
 
     docs = table(spark, sf_dir, "documents")
@@ -105,7 +104,10 @@ def _flagship_txlog_setup(spark: SparkSession, sf_dir: str):
     txlog.create_table(
         docs.repartitionByRange(8, "doc_id"), path, stats_cols=["doc_id"]
     )
-    catalog.set_txlog_table("documents", path)
+    # The catalog override itself is installed by the PROBE, so the
+    # process-global mutation and its cleanup live in one function —
+    # a crash between setup and probe must not leave every later
+    # 'documents' resolution silently redirected (r6 advisor finding).
     return sf_dir, path
 
 
@@ -119,8 +121,9 @@ def _flagship_txlog_probe(spark: SparkSession, ctx) -> DataFrame:
     resolution happens at plan time, exactly like Delta/Iceberg."""
     from dss_nlp_ingestion_spark import catalog
 
-    sf_dir, _path = ctx
+    sf_dir, path = ctx
     try:
+        catalog.set_txlog_table("documents", path)
         return _flagship_body(table(spark, sf_dir, "documents"))
     finally:
         catalog.clear_txlog_table("documents")

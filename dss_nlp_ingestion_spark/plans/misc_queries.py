@@ -1243,10 +1243,12 @@ def reconcile_orders_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _COGROUP_ORACLE = """
 WITH p AS (
-  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+  SELECT user_id, event_id, ts FROM events
+  WHERE event_type = 'purchase' AND user_id % 8 = 0
 ),
 c AS (
-  SELECT user_id, ts FROM events WHERE event_type = 'click'
+  SELECT user_id, ts FROM events
+  WHERE event_type = 'click' AND user_id % 8 = 0
 ),
 pairs AS (
   SELECT p.user_id, p.event_id,
@@ -1273,7 +1275,13 @@ def cogrouped_conversion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     is processed in one bounded pandas frame. The oracle replays the
     semantics relationally (greatest-click-per-purchase aggregate),
     so the hash gate proves the imperative and relational forms
-    agree."""
+    agree.
+
+    The demo runs on a deterministic 1/8 user slice: its cost is
+    per-group Python/Arrow overhead, and at full sf0.1 width the
+    ESCAPE-HATCH ILLUSTRATION was the single biggest line in the
+    bench sweep (r6 verdict #6) — the subset proves exactly the same
+    cogroup semantics at a demo-sized price."""
     # Two INDEPENDENT scans: a self-cogroup over one shared plan
     # dedups the clashing attribute ids and silently prunes the right
     # side's frame down to the grouping key (observed: RIGHT cols =
@@ -1282,7 +1290,7 @@ def cogrouped_conversion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             table(spark, sf_dir, "events")
             .select("user_id", "event_id", "event_type", "ts")
-            .filter(F.col("event_type") == kind)
+            .filter((F.col("event_type") == kind) & (F.col("user_id") % 8 == 0))
         )
 
     clicks = side("click")

@@ -227,11 +227,22 @@ def append(
 ) -> int:
     """Append rows. Blind appends commute, so on version contention
     the commit retries against the new head (no data rewrite needed —
-    the staged files are version-independent)."""
+    the staged files are version-independent).
+
+    ``df`` and ``stats_cols`` use the LOGICAL (post-rename) schema;
+    both are folded back to the physical column names before the
+    write, preserving the invariant that every data file carries the
+    PHYSICAL (pre-rename) schema all snapshot readers resolve from
+    (r6 advisor finding: a read()->append() round trip after
+    rename_column otherwise mixes generations and breaks
+    _apply_renames with duplicate columns)."""
+    df = _unapply_renames_checked(df, path)
     files = _write_data_files(df, path)
     entry: dict = {"op": "append", "add": files, "remove": []}
     if stats_cols:
-        entry["stats"] = _collect_file_stats(path, files, stats_cols)
+        entry["stats"] = _collect_file_stats(
+            path, files, _physical_stats_cols(path, stats_cols)
+        )
     for _ in range(max_retries):
         head = (_versions(path) or [-1])[-1]
         if _try_commit(path, head + 1, entry):
@@ -332,7 +343,13 @@ def compact(
             raise ValueError(f"no tx table at {path}")
         live = snapshot_files(path, head)
         rel = [_stored_name(path, f) for f in live]
-        df = read(spark, path, version=head).coalesce(target_files)
+        # read() yields the LOGICAL schema; fold back so compacted
+        # files keep the physical-schema invariant (a concurrent
+        # append of a pre-rename producer would otherwise mix
+        # generations under mergeSchema).
+        df = _unapply_renames(
+            read(spark, path, version=head), path, head
+        ).coalesce(target_files)
         try:
             return rewrite(df, path, rel, expect_version=head, op="compact")
         except TxConflictError:
@@ -684,12 +701,12 @@ def optimize_zorder(
         )
         try:
             return rewrite(
-                clustered,
+                _unapply_renames(clustered, path, head),
                 path,
                 rel,
                 expect_version=head,
                 op="zorder",
-                stats_cols=list(zorder_cols),
+                stats_cols=_physical_stats_cols(path, list(zorder_cols), head),
             )
         except TxConflictError:
             continue
@@ -947,7 +964,7 @@ def merge_into_table(
             # rename chain before matching, like every other snapshot
             # reader (r6 review finding).
             cand_keys = _apply_renames(
-                spark.read.parquet(*candidates)
+                spark.read.option("mergeSchema", "true").parquet(*candidates)
                 .withColumn("_f", F.input_file_name()),
                 path,
                 head,
@@ -1025,7 +1042,7 @@ def merge_into_table(
                 "skipped": v is None,
             }
         target_touched = _apply_renames(
-            spark.read.parquet(*touched), path, head
+            spark.read.option("mergeSchema", "true").parquet(*touched), path, head
         )
         if delete_col is not None:
             merged = merge_into_with_delete(
@@ -1090,9 +1107,12 @@ def append_txn(
     zero rows. Assumes one live writer per app_id at a time (the
     streaming-driver contract Delta documents for txnAppId); the data
     staging happens only after the skip check, so replays cost one
-    metadata walk, no parquet write."""
+    metadata walk, no parquet write. Like :func:`append`, ``df`` and
+    ``stats_cols`` are logical-schema and folded to the physical
+    column names before the write."""
     if last_committed_txn(path, app_id) >= epoch:
         return None
+    df = _unapply_renames_checked(df, path)
     files = _write_data_files(df, path)
     entry: dict = {
         "op": "append",
@@ -1101,7 +1121,9 @@ def append_txn(
         "txn": {"app": app_id, "epoch": int(epoch)},
     }
     if stats_cols:
-        entry["stats"] = _collect_file_stats(path, files, stats_cols)
+        entry["stats"] = _collect_file_stats(
+            path, files, _physical_stats_cols(path, stats_cols)
+        )
     for _ in range(max_retries):
         head = (_versions(path) or [-1])[-1]
         if _try_commit(path, head + 1, entry):
@@ -1150,7 +1172,7 @@ def delete_from_table(
             touched = [
                 re.sub(r"^file:/{0,2}(?=/)", "", r["_f"])
                 for r in _apply_renames(
-                    spark.read.parquet(*candidates)
+                    spark.read.option("mergeSchema", "true").parquet(*candidates)
                     .withColumn("_f", F.input_file_name()),
                     path,
                     head,
@@ -1168,7 +1190,7 @@ def delete_from_table(
                 "files_skipped_by_stats": skipped,
             }
         kept = _unapply_renames(
-            _apply_renames(spark.read.parquet(*touched), path, head)
+            _apply_renames(spark.read.option("mergeSchema", "true").parquet(*touched), path, head)
             .filter(~F.expr(predicate)),
             path,
             head,
@@ -1229,7 +1251,7 @@ def update_table(
             touched = [
                 re.sub(r"^file:/{0,2}(?=/)", "", r["_f"])
                 for r in _apply_renames(
-                    spark.read.parquet(*candidates)
+                    spark.read.option("mergeSchema", "true").parquet(*candidates)
                     .withColumn("_f", F.input_file_name()),
                     path,
                     head,
@@ -1246,7 +1268,7 @@ def update_table(
                 "files_total": len(live),
                 "files_skipped_by_stats": skipped,
             }
-        tgt = _apply_renames(spark.read.parquet(*touched), path, head)
+        tgt = _apply_renames(spark.read.option("mergeSchema", "true").parquet(*touched), path, head)
         unknown = set(set_exprs) - set(tgt.columns)
         if unknown:
             raise ValueError(
@@ -1561,6 +1583,22 @@ def _unapply_renames(df: DataFrame, path: str, version: int | None = None) -> Da
     for old_name, new_name in reversed(_folded_renames(path, version)):
         df = df.withColumnRenamed(new_name, old_name)
     return df
+
+
+def _unapply_renames_checked(df: DataFrame, path: str) -> DataFrame:
+    """:func:`_unapply_renames` for PUBLIC write entry points: rejects
+    a DataFrame carrying BOTH sides of a rename (folding would create
+    duplicate physical columns), is a no-op for already-physical
+    input (so internal callers that pre-folded stay idempotent)."""
+    cols = set(df.columns)
+    for old_name, new_name in _folded_renames(path):
+        if old_name in cols and new_name in cols:
+            raise ValueError(
+                f"append to {path}: DataFrame carries both {old_name!r} "
+                f"(physical) and {new_name!r} (logical) for a renamed "
+                f"column — drop or rename one before writing"
+            )
+    return _unapply_renames(df, path)
 
 
 def _physical_stats_cols(

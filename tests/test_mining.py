@@ -171,3 +171,19 @@ def test_heavy_hitters_survives_empty_partitions(spark):
     dfl = spark.createDataFrame([(7,)] * 8 + [(1,), (2,)], "k long").repartition(40)
     gotl = {(r.k, r.cnt) for r in heavy_hitters_exact(dfl, "k", 3).collect()}
     assert gotl == {(7, 8)}
+
+
+def test_heavy_hitters_null_keys_count_but_never_report(spark):
+    """r6 advisor (medium): integral keys with NULLs reach mapInPandas
+    as float64-with-NaN; the candidate stage must drop them or the
+    int64 summary build crashes. Documented semantics: NULLs count
+    toward n, are never reported as hitters."""
+    rows = [(7,)] * 30 + [(None,)] * 60 + [(i,) for i in range(100, 110)]
+    df = spark.createDataFrame(rows, "user_id long").repartition(5)
+    got = heavy_hitters_exact(df, "user_id", k=4).collect()
+    assert {(r.user_id, r.cnt, r.n) for r in got} == {(7, 30, 100)}
+    # string keys: same contract
+    srows = [("hot",)] * 30 + [(None,)] * 60 + [(f"u{i}",) for i in range(10)]
+    sdf = spark.createDataFrame(srows, "user string").repartition(5)
+    sgot = heavy_hitters_exact(sdf, "user", k=4).collect()
+    assert {(r.user, r.cnt, r.n) for r in sgot} == {("hot", 30, 100)}

@@ -1111,3 +1111,141 @@ def test_merge_into_table_follows_renames(spark):
     assert skipped >= 1
     out = txlog.read_pruned(spark, path, "order_id", 100, 100)
     assert [r["order_id"] for r in out.collect()] == [100]
+
+
+def test_append_after_read_folds_renames(spark):
+    """r6 advisor (medium): public append()/append_txn must fold the
+    LOGICAL (post-rename) schema back to physical before writing —
+    a read()->append() round trip after rename_column otherwise
+    writes files physically carrying the NEW name, and a later
+    mergeSchema read mixing generations resolves to duplicate
+    columns, breaking every snapshot reader."""
+    import pyarrow.parquet as pq
+
+    path = tempfile.mkdtemp(prefix="dss_txrenapp_")
+    txlog.create_table(_tbl(spark, [(1, "a")]), path, stats_cols=["v"])
+    txlog.rename_column(path, "v", "label")
+    # the round trip: read yields logical schema, append it straight back
+    snap = txlog.read(spark, path)
+    assert snap.columns == ["k", "label"]
+    txlog.append(
+        snap.withColumn("k", snap["k"] + 10), path, stats_cols=["label"]
+    )
+    # idempotent-writer path too
+    txlog.append_txn(
+        snap.withColumn("k", snap["k"] + 20), path, "appren", 1,
+        stats_cols=["label"],
+    )
+    # every data file stays PHYSICAL ("v"), never "label"
+    for f in txlog.snapshot_files(path):
+        names = pq.ParquetFile(f).schema_arrow.names
+        assert "v" in names and "label" not in names
+    # and the merged snapshot resolves cleanly to ONE logical column
+    got = txlog.read(spark, path)
+    assert got.columns == ["k", "label"]
+    assert sorted((r["k"], r["label"]) for r in got.collect()) == [
+        (1, "a"), (11, "a"), (21, "a")
+    ]
+    # stats landed under the physical name -> pruning by logical works
+    out = txlog.read_pruned(spark, path, "label", "a", "a")
+    assert out.count() == 3
+    # a frankenstein frame carrying BOTH sides of the rename is rejected
+    both = spark.createDataFrame([(9, "x", "y")], "k long, v string, label string")
+    with pytest.raises(ValueError, match="both"):
+        txlog.append(both, path)
+
+
+def test_compact_and_zorder_after_rename_stay_physical(spark):
+    """compact()/optimize_zorder() read the LOGICAL snapshot and
+    rewrite it; after a rename the rewritten files must still carry
+    the PHYSICAL schema or a concurrent pre-rename append would mix
+    generations."""
+    import pyarrow.parquet as pq
+
+    path = tempfile.mkdtemp(prefix="dss_txrenopt_")
+    txlog.create_table(_orders_tbl(spark, n=30, files=3), path, stats_cols=["k"])
+    txlog.rename_column(path, "k", "order_id")
+    txlog.compact(spark, path, target_files=1)
+    for f in txlog.snapshot_files(path):
+        assert "k" in pq.ParquetFile(f).schema_arrow.names
+    txlog.optimize_zorder(spark, path, ["order_id", "p"], target_files=2)
+    for f in txlog.snapshot_files(path):
+        names = pq.ParquetFile(f).schema_arrow.names
+        assert "k" in names and "order_id" not in names
+    # zorder logged stats under the PHYSICAL name -> logical pruning works
+    _, skipped = txlog.plan_pruned_files(path, "order_id", 0, 3)
+    assert skipped >= 1
+    got = sorted(r["order_id"] for r in txlog.read(spark, path).collect())
+    assert got == sorted(range(30))
+
+
+def test_merge_delete_update_merge_schema_across_evolution(spark):
+    """r6 advisor (medium): merge/delete/update candidate+touched
+    reads must mergeSchema like the snapshot readers — a touched set
+    mixing pre- and post-evolution footers otherwise silently NULLs
+    the extra (or key) columns and the COW rewrite persists the loss."""
+    path = tempfile.mkdtemp(prefix="dss_txevomrg_")
+    txlog.create_table(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+        path, stats_cols=["k"],
+    )
+    # additive evolution: later generation carries an extra column
+    txlog.append(
+        spark.createDataFrame([(3, "c", 30.0)], "k long, v string, extra double"),
+        path, stats_cols=["k"],
+    )
+    # merge touches BOTH generations (keys 1 and 3)
+    src = spark.createDataFrame(
+        [(1, "A", 100.0), (3, "C", 300.0)], "k long, v string, extra double"
+    )
+    txlog.merge_into_table(spark, path, src, ["k"], stats_cols=["k"])
+    got = {r["k"]: (r["v"], r["extra"]) for r in txlog.read(spark, path).collect()}
+    assert got[1] == ("A", 100.0) and got[3] == ("C", 300.0)
+    assert got[2] == ("b", None) and len(got) == 3
+    # update across generations keeps the evolved column intact
+    txlog.update_table(
+        spark, path, "k = 2", {"v": "upper(v)"}, stats_cols=["k"],
+    )
+    got = {r["k"]: (r["v"], r["extra"]) for r in txlog.read(spark, path).collect()}
+    assert got[2] == ("B", None) and got[3] == ("C", 300.0)
+    # delete in the pre-evolution generation must not narrow survivors
+    txlog.delete_from_table(spark, path, "k = 1", stats_cols=["k"])
+    got = {r["k"]: (r["v"], r["extra"]) for r in txlog.read(spark, path).collect()}
+    assert 1 not in got and got[3] == ("C", 300.0) and len(got) == 2
+
+
+def test_concurrent_merge_merge_conflict_detect_and_retry(spark, monkeypatch):
+    """r6 verdict ask #8: two concurrent MERGEs over overlapping keys.
+    The loser must (a) DETECT the conflict (never silently clobber the
+    winner's commit), (b) abort atomically when out of retries (table
+    = winner only, no partial loser rows), and (c) succeed cleanly on
+    retry against the fresh snapshot."""
+    path = tempfile.mkdtemp(prefix="dss_txmm_")
+    txlog.create_table(_orders_tbl(spark, n=20, files=2), path, stats_cols=["k"])
+    src_a = spark.createDataFrame([(3, "A", 111.0)], "k long, c string, p double")
+    src_b = spark.createDataFrame([(3, "B", 222.0), (5, "B5", 555.0)],
+                                  "k long, c string, p double")
+    real_rewrite = txlog.rewrite
+    state = {"armed": True}
+
+    def racing_rewrite(df, path_, replace, expect_version, **kw):
+        if state["armed"]:
+            state["armed"] = False  # un-arm BEFORE B's merge recurses here
+            txlog.merge_into_table(spark, path, src_b, ["k"], stats_cols=["k"])
+        return real_rewrite(df, path_, replace, expect_version, **kw)
+
+    monkeypatch.setattr(txlog, "rewrite", racing_rewrite)
+    # (a)+(b): A races B on key 3, no retries left -> clean abort
+    with pytest.raises(txlog.TxConflictError):
+        txlog.merge_into_table(spark, path, src_a, ["k"], max_retries=1,
+                               stats_cols=["k"])
+    got = {r["k"]: (r["c"], r["p"]) for r in txlog.read(spark, path).collect()}
+    assert got[3] == ("B", 222.0) and got[5] == ("B5", 555.0)  # winner intact
+    assert len(got) == 20  # loser left NO partial rows
+    # (c): with retries the same race resolves — loser re-reads and wins round 2
+    state["armed"] = True
+    res = txlog.merge_into_table(spark, path, src_a, ["k"], max_retries=3,
+                                 stats_cols=["k"])
+    assert res["files_touched"] >= 1
+    got = {r["k"]: r["c"] for r in txlog.read(spark, path).collect()}
+    assert got[3] == "A"  # second B-merge committed, then A applied on top
