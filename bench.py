@@ -38,6 +38,17 @@ BENCH_OUT = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
 #: 1 = time only the headline set (the sf1 scaling run skips the
 #: 290-query full sweep).
 HEADLINE_ONLY = os.environ.get("SPARK_GRAFT_HEADLINE_ONLY", "") == "1"
+#: Comma-separated query names to EXCLUDE from this run (recorded in
+#: the output under "skipped"). Used by the sf1 tail sweep to leave
+#: out the documented small-sf verifier twins whose cost is
+#: quadratic BY DESIGN (their scale-shaped defaults are measured
+#: instead — e.g. ngram_jaccard_dups vs ngram_jaccard_dups_capped,
+#: embedding_near_dups_exact vs the guarded default).
+SKIP = {
+    n.strip()
+    for n in os.environ.get("SPARK_GRAFT_SKIP", "").split(",")
+    if n.strip()
+}
 
 #: Headline set: the heaviest representatives of each operator family
 #: (relational core, windows/rollups, dedup suite, similarity search,
@@ -131,7 +142,7 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("WARN")
 
-    names = [n for n in BENCH_QUERIES if n in QUERIES]
+    names = [n for n in BENCH_QUERIES if n in QUERIES and n not in SKIP]
     # One broken query must never zero out the whole round's perf
     # signal (r3: a single AnalysisException killed the process before
     # the JSON line). Every timing call is fenced; errors are recorded
@@ -221,6 +232,8 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     if not HEADLINE_ONLY:
         for name in QUERIES:
+            if name in SKIP:
+                continue
             if name not in timings and name not in errors and not name.startswith("streaming_"):
                 t = _time(name)
                 if t is not None:
@@ -257,6 +270,7 @@ def main() -> None:
         "tags": dict(sorted(TAGS.items())),
         "errors": errors,
         "skew_demo": skew,
+        "skipped": sorted(SKIP),
         "sf": _sf_from_dir(SF_DIR),
     }
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), BENCH_OUT)

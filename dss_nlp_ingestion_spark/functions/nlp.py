@@ -174,16 +174,23 @@ def sentiment_model_udf(model: dict):
 
 def _sum_bow_counts(text: str, dim: int):
     """Hashed bag-of-words with an ENGINE-PORTABLE hash: token bucket
-    = (sum of character codepoints) mod ``dim``. Weaker than crc32 as
-    a hash but exactly reproducible in ANSI SQL (DuckDB: list_sum of
-    ascii codes), which is what puts the served model under the
-    oracle gate. Returns (bucket-count int64 vector, n_tokens)."""
+    = (sum of position-weighted character codepoints, ``(i+1) *
+    ord(ch)``) mod ``dim``. Weaker than crc32 as a hash but exactly
+    reproducible in ANSI SQL (DuckDB: list_sum over ascii*position),
+    which is what puts the served model under the oracle gate.
+
+    The POSITION weight matters: the plain codepoint sum aliased
+    every digit-swapped token pair ('tok06' == 'tok15' == 'tok24' at
+    ANY dim), which capped the encoder's held-out retrieval below the
+    zero-parameter hash baseline (r7 NLP_EVAL finding: 0.875 -> 1.0
+    1-NN accuracy from this one change). Returns (bucket-count int64
+    vector, n_tokens)."""
     import numpy as np
 
     counts = np.zeros(dim, dtype=np.int64)
     toks = text.strip().lower().split()
     for t in toks:
-        counts[sum(map(ord, t)) % dim] += 1
+        counts[sum((i + 1) * ord(ch) for i, ch in enumerate(t)) % dim] += 1
     return counts, len(toks)
 
 

@@ -84,7 +84,7 @@ def _bow_cte(dim: int) -> str:
 ), bt AS (
   SELECT doc_id,
          CAST(list_sum(list_transform(range(1, length(tok) + 1),
-                                      i -> ascii(tok[i]))) % {dim} AS BIGINT) AS bucket
+                                      i -> ascii(tok[i]) * i)) % {dim} AS BIGINT) AS bucket
   FROM toks WHERE tok <> ''
 ), n AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM bt GROUP BY doc_id

@@ -141,10 +141,10 @@ def test_committed_sentiment_artifact_provenance_and_quality():
 
     corpus = json.load(open("tests/fixtures/sentiment_corpus.json"))
     retrained = N.train_quantized_sentiment(
-        [t for t, _ in corpus], [l for _, l in corpus], dim=512, epochs=800
+        [t for t, _ in corpus], [l for _, l in corpus], dim=1024, epochs=2400
     )
     shipped = N.load_sentiment_artifact(N.DEFAULT_SENTIMENT_ARTIFACT)
-    assert shipped["dim"] == 512 and shipped["scale"] == retrained["scale"]
+    assert shipped["dim"] == 1024 and shipped["scale"] == retrained["scale"]
     assert shipped["b_q"] == retrained["b_q"]
     assert np.array_equal(shipped["w_q"], retrained["w_q"])
     assert int((shipped["w_q"] != 0).sum()) > 100

@@ -1,0 +1,52 @@
+"""Held-out quality eval for the four shipped NLP artifacts (r6
+verdict #4): the committed NLP_EVAL.md table must be exactly what
+tools/nlp_eval.py recomputes, and every model must beat its
+zero-parameter heuristic baseline on the held-out fixtures."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+import nlp_eval  # noqa: E402
+
+
+def test_models_beat_baselines_on_held_out():
+    s, t, e, k = nlp_eval.compute_all()
+    # sentiment: learned weights must decisively beat the fixed lexicon
+    assert s["model"]["acc"] >= s["baseline"]["acc"] + 0.2
+    assert s["model"]["acc"] >= 0.8
+    # topic: above the rule-density heuristic
+    assert t["model"]["acc"] > t["baseline"]["acc"]
+    assert t["model"]["acc"] >= 0.9
+    # encoder: at least the hash-projection baseline (r7: the
+    # positional featurizer fix took this from 0.875 to 1.0)
+    assert e["model"]["acc"] >= e["baseline"]["acc"]
+    assert e["model"]["acc"] >= 0.95
+    # keywords: IDF weighting must beat plain TF
+    assert k["model"]["f1"] > k["baseline"]["f1"]
+
+
+def test_committed_eval_table_reproduces():
+    committed = open(
+        os.path.join(os.path.dirname(__file__), "..", "NLP_EVAL.md")
+    ).read()
+    assert nlp_eval.render(nlp_eval.compute_all()) == committed
+
+
+def test_eval_fixtures_disjoint_from_training():
+    fix = os.path.join(os.path.dirname(__file__), "fixtures")
+
+    def texts(name, key=None):
+        with open(os.path.join(fix, name)) as fh:
+            data = json.load(fh)
+        if key:
+            return {d[key] for d in data}
+        return {t for t, _ in data}
+
+    assert not texts("sentiment_eval.json") & texts("sentiment_corpus.json")
+    assert not texts("topic_eval.json") & texts("topic_corpus.json")
+    assert not texts("encoder_eval.json") & texts("encoder_corpus.json")

@@ -1,0 +1,258 @@
+"""NLP quality eval: held-out accuracy/F1 for the four SHIPPED model
+artifacts vs the engine's heuristic baselines (r6 verdict #4).
+
+The reference serves these slots with commercial APIs (Tencent NLU,
+src/utils/tencent_api.py:27-136; Baidu NLP, src/utils/baidu_api.py:
+108-169) — non-reproducible and un-oracle-able. The engine ships
+small deterministic artifacts instead; this eval QUANTIFIES what that
+buys over the zero-parameter heuristics on committed HELD-OUT
+fixtures (none of the eval texts appear in any training corpus):
+
+- sentiment_model_v1.npz  vs the lexicon-ratio heuristic
+  (functions/nlp.py POS_WORDS/NEG_WORDS)  — accuracy / macro-F1
+- topic_model_v1.npz      vs TOPIC_RULES density argmax — accuracy /
+  macro-F1 (rule classes mapped execution→query_engine,
+  storage→data_mgmt, streaming→streaming)
+- encoder_model_v1.npz    vs the hashed-nibble embedding
+  (embed_tokens, dim 8) — 1-NN cosine retrieval accuracy against the
+  training corpus as the index
+- keyword_idf_v1.npz      vs plain TF top-k — mean F1@5 against gold
+  keywords
+
+Pure driver-side numpy (the serving ARITHMETIC is identical to the
+pandas-UDF/codegen paths — int64 dot products — and Spark parity for
+those paths is separately pinned by the oracle suite).
+
+Run:  python tools/nlp_eval.py         # prints the table
+      python tools/nlp_eval.py --write # rewrites NLP_EVAL.md
+tests/test_nlp_eval.py re-runs this and asserts the committed table
+matches the recomputation (and the models beat their baselines).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import re
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dss_nlp_ingestion_spark.functions import nlp  # noqa: E402
+
+FIX = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "tests", "fixtures")
+
+
+def _load(name):
+    with open(os.path.join(FIX, name)) as fh:
+        return json.load(fh)
+
+
+def _macro_f1(y_true, y_pred, classes) -> float:
+    f1s = []
+    for c in classes:
+        tp = sum(1 for t, p in zip(y_true, y_pred) if t == c and p == c)
+        fp = sum(1 for t, p in zip(y_true, y_pred) if t != c and p == c)
+        fn = sum(1 for t, p in zip(y_true, y_pred) if t == c and p != c)
+        f1s.append(2 * tp / (2 * tp + fp + fn) if (2 * tp + fp + fn) else 0.0)
+    return sum(f1s) / len(f1s)
+
+
+def _acc(y_true, y_pred) -> float:
+    return sum(1 for t, p in zip(y_true, y_pred) if t == p) / len(y_true)
+
+
+# --- sentiment -------------------------------------------------------------
+
+def eval_sentiment() -> dict:
+    data = _load("sentiment_eval.json")
+    texts, y = [t for t, _ in data], [l for _, l in data]
+    model = nlp.load_sentiment_artifact(nlp.DEFAULT_SENTIMENT_ARTIFACT)
+    w_q = np.asarray(model["w_q"], dtype=np.int64)
+    preds_m = []
+    for t in texts:
+        counts, n = nlp._sum_bow_counts(t, model["dim"])
+        z = (model["b_q"] * max(n, 1) + int(counts @ w_q)) / (max(n, 1) * model["scale"])
+        preds_m.append(1 if z > 0 else 0)
+    pos_pat = r"\b(" + "|".join(nlp.POS_WORDS) + r")\b"
+    neg_pat = r"\b(" + "|".join(nlp.NEG_WORDS) + r")\b"
+    preds_h = []
+    for t in texts:
+        p = len(re.findall(pos_pat, t.lower()))
+        q = len(re.findall(neg_pat, t.lower()))
+        preds_h.append(1 if p > q else 0)
+    return {
+        "task": "sentiment (binary, n=%d held-out)" % len(y),
+        "model": {"acc": _acc(y, preds_m), "f1": _macro_f1(y, preds_m, (0, 1))},
+        "baseline": {"acc": _acc(y, preds_h), "f1": _macro_f1(y, preds_h, (0, 1))},
+        "baseline_name": "lexicon ratio (POS/NEG_WORDS)",
+    }
+
+
+# --- topic -----------------------------------------------------------------
+
+_RULE_TO_CLASS = {"execution": 0, "streaming": 1, "storage": 2}
+
+
+def eval_topic() -> dict:
+    data = _load("topic_eval.json")
+    texts, y = [t for t, _ in data], [l for _, l in data]
+    model = nlp.load_topic_artifact(nlp.DEFAULT_TOPIC_ARTIFACT)
+    w_q = np.asarray(model["w_q"], dtype=np.int64)
+    b_q = np.asarray(model["b_q"], dtype=np.int64)
+    preds_m = []
+    for t in texts:
+        counts, n = nlp._sum_bow_counts(t, model["dim"])
+        s = b_q * max(n, 1) + w_q @ counts
+        order = np.lexsort((np.arange(len(s)), -s))
+        preds_m.append(int(order[0]))
+    preds_h = []
+    for t in texts:
+        toks = t.lower().split()
+        dens = {}
+        for rule, words in nlp.TOPIC_RULES.items():
+            pat = r"\b(" + "|".join(words) + r")\b"
+            dens[_RULE_TO_CLASS[rule]] = len(re.findall(pat, t.lower())) / max(len(toks), 1)
+        preds_h.append(min(sorted(dens, key=lambda c: (-dens[c], c))[:1][0] for _ in (0,)))
+    return {
+        "task": "topic (3-class, n=%d held-out)" % len(y),
+        "model": {"acc": _acc(y, preds_m), "f1": _macro_f1(y, preds_m, (0, 1, 2))},
+        "baseline": {"acc": _acc(y, preds_h), "f1": _macro_f1(y, preds_h, (0, 1, 2))},
+        "baseline_name": "TOPIC_RULES density argmax",
+    }
+
+
+# --- encoder ---------------------------------------------------------------
+
+def _hash_embed(text: str, dim: int = 8) -> np.ndarray:
+    """Numpy twin of functions.nlp.embed_tokens (hashed-nibble BOW
+    projection): component j sums nibble_j(sha256(token)) - 7.5."""
+    toks = text.strip().split()
+    v = np.zeros(dim)
+    for t in toks:
+        hx = hashlib.sha256(t.encode()).hexdigest()
+        for j in range(dim):
+            v[j] += int(hx[j], 16) - 7.5
+    return v / max(len(toks), 1)
+
+
+def _nn_acc(train_vecs, train_y, test_vecs, test_y) -> float:
+    def norm(m):
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        return m / np.where(n == 0, 1, n)
+
+    sims = norm(np.asarray(test_vecs, dtype="float64")) @ norm(
+        np.asarray(train_vecs, dtype="float64")
+    ).T
+    nn = sims.argmax(axis=1)  # ties -> lowest index: deterministic
+    return _acc(test_y, [train_y[i] for i in nn])
+
+
+def eval_encoder() -> dict:
+    train = _load("encoder_corpus.json")
+    test = _load("encoder_eval.json")
+    model = nlp.load_encoder_artifact(nlp.DEFAULT_ENCODER_ARTIFACT)
+    tr_m = [nlp.encode_text_int64(model, t).astype("float64") for t, _ in train]
+    te_m = [nlp.encode_text_int64(model, t).astype("float64") for t, _ in test]
+    tr_h = [_hash_embed(t) for t, _ in train]
+    te_h = [_hash_embed(t) for t, _ in test]
+    ty = [l for _, l in train]
+    sy = [l for _, l in test]
+    return {
+        "task": "encoder 1-NN retrieval (16 clusters, n=%d held-out)" % len(sy),
+        "model": {"acc": _nn_acc(tr_m, ty, te_m, sy)},
+        "baseline": {"acc": _nn_acc(tr_h, ty, te_h, sy)},
+        "baseline_name": "hashed-nibble embedding (embed_tokens, dim 8)",
+    }
+
+
+# --- keywords --------------------------------------------------------------
+
+def eval_keywords(k: int = 5) -> dict:
+    docs = _load("keyword_eval.json")
+    model = nlp.load_keyword_artifact(nlp.DEFAULT_KEYWORD_ARTIFACT)
+    idf = dict(zip(model["vocab"], model["idf_q"]))
+    default_q = model["default_q"]
+
+    def f1_at_k(pred, gold):
+        tp = len(set(pred) & set(gold))
+        return 2 * tp / (len(pred) + len(gold))
+
+    f1_m, f1_t = [], []
+    for d in docs:
+        toks = d["text"].lower().split()
+        tf: dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        by_tfidf = sorted(tf, key=lambda t: (-tf[t] * idf.get(t, default_q), t))[:k]
+        by_tf = sorted(tf, key=lambda t: (-tf[t], t))[:k]
+        f1_m.append(f1_at_k(by_tfidf, d["gold"]))
+        f1_t.append(f1_at_k(by_tf, d["gold"]))
+    return {
+        "task": "keyword extraction F1@%d (n=%d held-out docs)" % (k, len(docs)),
+        "model": {"f1": sum(f1_m) / len(f1_m)},
+        "baseline": {"f1": sum(f1_t) / len(f1_t)},
+        "baseline_name": "plain TF top-k",
+    }
+
+
+# --- report ----------------------------------------------------------------
+
+def compute_all() -> list[dict]:
+    return [eval_sentiment(), eval_topic(), eval_encoder(), eval_keywords()]
+
+
+def render(results: list[dict]) -> str:
+    lines = [
+        "# NLP artifact quality eval (held-out)",
+        "",
+        "Generated by `python tools/nlp_eval.py --write`; asserted "
+        "reproducible by `tests/test_nlp_eval.py`. Held-out fixtures: "
+        "`tests/fixtures/{sentiment,topic,encoder,keyword}_eval.json` "
+        "(disjoint from every training corpus).",
+        "",
+        "| task | shipped artifact | metric | model | heuristic baseline |",
+        "|---|---|---|---|---|",
+    ]
+    arts = ["sentiment_model_v1.npz", "topic_model_v1.npz",
+            "encoder_model_v1.npz", "keyword_idf_v1.npz"]
+    for r, art in zip(results, arts):
+        for metric in ("acc", "f1"):
+            if metric in r["model"]:
+                lines.append(
+                    "| %s | %s | %s | %.4f | %.4f (%s) |"
+                    % (r["task"], art, metric, r["model"][metric],
+                       r["baseline"][metric], r["baseline_name"])
+                )
+    lines += [
+        "",
+        "Reading: the shipped artifacts are tiny but genuinely learned — "
+        "each beats its zero-parameter heuristic on held-out data. The "
+        "reference's bar for these slots is commercial NLP APIs "
+        "(src/utils/tencent_api.py:27-136, baidu_api.py:108-169); the gap "
+        "to that bar is the model capacity, not the serving plumbing — a "
+        "real ONNX/torch artifact drops into the same pandas-UDF slots "
+        "with no plan change.",
+        "",
+    ]
+    return "\n".join(lines)
+
+
+def main() -> None:
+    results = compute_all()
+    text = render(results)
+    if "--write" in sys.argv:
+        out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                           "NLP_EVAL.md")
+        with open(out, "w") as fh:
+            fh.write(text)
+        print(f"wrote {out}")
+    print(text)
+
+
+if __name__ == "__main__":
+    main()
