@@ -35,12 +35,43 @@ DEFAULT_PQ_ARTIFACT = __file__.replace("pq.py", "pq_codebook_v1.npz")
 
 
 def synth_training_sample(n: int = 256, dim: int = 64) -> np.ndarray:
-    """Deterministic training sample (no dependence on the test
-    corpus, so the committed codebook never goes stale): row i,
-    component j = sin(0.7*i + 1.3*j) + 0.01*((i*37 + j*17) % 100)."""
+    """Deterministic synthetic sample: row i, component j =
+    sin(0.7*i + 1.3*j) + 0.01*((i*37 + j*17) % 100).
+
+    Kept as the corpus-independent fallback; the COMMITTED codebook
+    is trained on :func:`corpus_training_sample` instead — the r7 sf1
+    recall eval showed the synthetic sample is badly off-distribution
+    vs the embeddings table (range [-1, 2] vs +-0.33), which put the
+    true neighbors at ADC rank ~1500/2000 (recall@20 = 0.05).
+    Codebooks are a fit to the data distribution; production PQ
+    (FAISS train()) samples the real corpus for exactly this
+    reason."""
     i = np.arange(n, dtype=np.float64)[:, None]
     j = np.arange(dim, dtype=np.float64)[None, :]
     return np.sin(0.7 * i + 1.3 * j) + 0.01 * ((i * 37 + j * 17) % 100)
+
+
+#: Provenance of the committed codebook's training sample: the first
+#: ``n`` vectors (by vec_id) of the driver-generated sf0.1 embeddings
+#: table — a deterministic corpus sample, the same artifact-from-
+#: fixture pattern as the NLP models (their corpora are committed
+#: fixtures; here the fixture IS the driver's parquet).
+CORPUS_SAMPLE_PATH = "/root/testdata/sf0.1/embeddings.parquet"
+
+
+def corpus_training_sample(
+    n: int = 512, path: str = CORPUS_SAMPLE_PATH
+) -> np.ndarray:
+    """First ``n`` embedding vectors ordered by vec_id, as float64 —
+    the deterministic in-distribution training sample the committed
+    codebook is built from (pyarrow read, no Spark; training is a
+    driver-side model-fitting step, never part of a query plan)."""
+    import pyarrow.parquet as pq_
+
+    t = pq_.read_table(path, columns=["vec_id", "embedding"])
+    order = np.argsort(t.column("vec_id").to_numpy(), kind="stable")[:n]
+    emb = t.column("embedding").to_pylist()
+    return np.array([emb[i] for i in order], dtype=np.float64)
 
 
 def train_pq_codebooks(
@@ -66,21 +97,31 @@ def train_pq_codebooks(
 
 
 def save_pq_artifact(model: dict, path: str) -> None:
+    extra = {}
+    if model.get("query_vec") is not None:
+        extra["query_vec"] = np.asarray(model["query_vec"], dtype=np.float64)
     np.savez(
         path,
         codebooks=model["codebooks"],
         m=np.int64(model["m"]),
         k=np.int64(model["k"]),
+        **extra,
     )
 
 
 def load_pq_artifact(path: str) -> dict:
     with np.load(path) as z:
-        return {
+        out = {
             "codebooks": z["codebooks"].astype(np.float64),
             "m": int(z["m"]),
             "k": int(z["k"]),
         }
+        if "query_vec" in z:
+            # The committed eval query point (in-distribution,
+            # deterministic) — rides in the artifact so plan builders
+            # never read corpus files at import time.
+            out["query_vec"] = z["query_vec"].astype(np.float64)
+        return out
 
 
 def _sub_distance(emb: Column, s: int, sub: int, centroid) -> Column:

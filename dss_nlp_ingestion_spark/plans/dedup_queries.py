@@ -1369,3 +1369,28 @@ def prefix_filter_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame
         "union_sz",
         fround(F.col("shared").cast("double") / F.col("union_sz"), 6).alias("jaccard"),
     )
+
+
+# Small-sf exact verifier twins: pair-emitting forms whose OUTPUT (and
+# so runtime) grows quadratically when corpus scale-up multiplies
+# near-dup cluster sizes (replica-based sf1 data decuples every
+# cluster -> ~45x pairs per cluster). Their scale-shaped defaults are
+# measured instead; these exist to prove those defaults exact.
+from dss_nlp_ingestion_spark.plans.registry import TAGS
+
+TAGS["ngram_jaccard_dups"] = (
+    "small-sf verifier: unbounded posting-list Jaccard; scale path = "
+    "ngram_jaccard_dups_capped (df-capped)"
+)
+TAGS["cjk_near_dups"] = (
+    "small-sf verifier: exact CJK 5-gram Jaccard pairs; scale path = "
+    "cjk_lsh_candidates (banded MinHash; 102x output at sf1 for 1.8x time)"
+)
+TAGS["edit_distance_dups"] = (
+    "small-sf verifier: exact Levenshtein inside prefix blocks; block "
+    "pair count is quadratic in replica-inflated block width"
+)
+TAGS["simhash_near_dups"] = (
+    "small-sf verifier: all-pairs hamming join; scale path = "
+    "simhash_near_dups_banded (pigeonhole banding)"
+)

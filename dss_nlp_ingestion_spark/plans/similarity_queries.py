@@ -298,6 +298,123 @@ def ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Trained-centroid IVF: the committed spherical-k-means artifact
+# ---------------------------------------------------------------------------
+
+_TRAINED_N_PROBE = 4
+
+
+def _trained_cents_sql() -> str:
+    """cents-CTE body from the committed centroid artifact — the
+    32x64 trained centers as VALUES literals, so both engines score
+    against byte-identical model parameters."""
+    from dss_nlp_ingestion_spark.operators.similarity import load_ivf_centroids
+
+    rows = ", ".join(
+        f"({cid}, [{', '.join(repr(float(x)) for x in vec)}])"
+        for cid, vec in load_ivf_centroids()
+    )
+    return f"SELECT * FROM (VALUES {rows}) AS t(cent_id, cvec)"
+
+
+_IVF_TRAINED_ORACLE = f"""
+WITH cents AS (
+  {_trained_cents_sql()}
+), assigned AS (
+  SELECT neighbor_id, v, cent_id FROM (
+    SELECT c.vec_id AS neighbor_id, c.embedding AS v, cents.cent_id,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY {_CENT_SCORE} DESC, cents.cent_id ASC) AS rn
+    FROM embeddings c CROSS JOIN cents
+  ) WHERE rn = 1
+), probes AS (
+  SELECT query_id, qv, cent_id FROM (
+    SELECT q.vec_id AS query_id, q.embedding AS qv, cents.cent_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_QC_SCORE} DESC, cents.cent_id ASC) AS rn
+    FROM embeddings q CROSS JOIN cents
+    WHERE q.vec_id < 10
+  ) WHERE rn <= {_TRAINED_N_PROBE}
+), scored AS (
+  SELECT p.query_id, a.neighbor_id, {_QV_SCORE} AS score
+  FROM assigned a JOIN probes p ON a.cent_id = p.cent_id
+  WHERE a.neighbor_id != p.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, score,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, {fround_sql('score', 6)} AS score, rank
+FROM ranked WHERE rank <= {_IVF_K}
+"""
+
+
+@register("ivf_topk_trained", _IVF_TRAINED_ORACLE)
+def ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search over TRAINED centers — the committed spherical
+    k-means artifact (operators/similarity.py ivf_centroids_v1.npz)
+    supplied as model parameters: NO corpus action at plan time (the
+    %71 rule's collect disappears), same scan-side assignment kernel.
+    Proves the operator's documented 'swap in k-means centroids
+    without touching the plan shape' claim, and fixes the recall the
+    r7 eval exposed: 0.36 (training-free, n_probe=2) -> 0.84 here."""
+    from dss_nlp_ingestion_spark.operators.similarity import (
+        ivf_topk,
+        load_ivf_centroids,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    out = ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        "vec_id",
+        "embedding",
+        n_probe=_TRAINED_N_PROBE,
+        k=_IVF_K,
+        centroids=load_ivf_centroids(),
+    )
+    return out.select(
+        "query_id", "neighbor_id", fround(F.col("score"), 6).alias("score"), "rank"
+    )
+
+
+_TRAINED_RECALL_ORACLE = f"""
+WITH bf AS ({_TOPK_ORACLE}),
+approx AS ({_IVF_TRAINED_ORACLE})
+SELECT bf.query_id,
+       CAST(count(approx.neighbor_id) AS BIGINT) AS n_hit,
+       {fround_sql('CAST(count(approx.neighbor_id) AS DOUBLE) / 5.0', 4)} AS recall_at_5
+FROM bf LEFT JOIN approx
+  ON approx.query_id = bf.query_id AND approx.neighbor_id = bf.neighbor_id
+GROUP BY bf.query_id
+"""
+
+
+@register("ann_recall_trained_eval", _TRAINED_RECALL_ORACLE)
+def ann_recall_trained_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of the trained-centroid IVF vs exact brute force —
+    the eval that justified committing the centroid artifact (mean
+    0.84 at sf0.1 vs 0.36 training-free; 1.0 at sf1). Same composed
+    hash-checked-metric shape as ann_recall_eval."""
+    bf = cosine_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    ap = ivf_topk_trained(spark, sf_dir).select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
+    )
+    joined = bf.join(
+        ap,
+        (F.col("aq") == F.col("query_id")) & (F.col("an") == F.col("neighbor_id")),
+        "left",
+    )
+    return joined.groupBy("query_id").agg(
+        F.count("an").cast("long").alias("n_hit"),
+        fround(F.count("an").cast("double") / F.lit(5.0), 4).alias("recall_at_5"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Incremental IVF index on the ACID table format: assignments persisted
 # once, probed and maintained in O(batch) — the ANN twin of
 # lsh_index_incremental_dedup (daily-embedding-increment shape).
@@ -598,7 +715,13 @@ def _adc_query_and_oracle():
     )
 
     model = load_pq_artifact(DEFAULT_PQ_ARTIFACT)
-    qvec = synth_training_sample(1, 64)[0]
+    # The artifact carries its eval query point (in-distribution —
+    # an off-cloud query makes all distances near-equal and ADC
+    # ranking meaningless, r7 recall finding); synth is the fallback
+    # for artifacts predating the field.
+    qvec = model.get("query_vec")
+    if qvec is None:
+        qvec = synth_training_sample(1, 64)[0]
     lut = adc_lookup_table(model, qvec)
     adc_sql = pq_adc_sql(model, lut)
     oracle = f"""
@@ -707,9 +830,16 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _adc_query_vec() -> list[float]:
-    from dss_nlp_ingestion_spark.operators.pq import synth_training_sample
+    from dss_nlp_ingestion_spark.operators.pq import (
+        DEFAULT_PQ_ARTIFACT,
+        load_pq_artifact,
+        synth_training_sample,
+    )
 
-    return [float(x) for x in synth_training_sample(1, 64)[0]]
+    q = load_pq_artifact(DEFAULT_PQ_ARTIFACT).get("query_vec")
+    if q is None:
+        q = synth_training_sample(1, 64)[0]
+    return [float(x) for x in q]
 
 
 def _adc_exact_col():
@@ -782,3 +912,132 @@ def pq_adc_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at_k"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# ADC + refine: shortlist by compressed distance, re-rank exactly
+# ---------------------------------------------------------------------------
+
+#: Refine shortlist width (FAISS IndexRefineFlat's k_factor * k):
+#: the serving tier scans 8-byte codes for the whole corpus, keeps
+#: the best _ADC_SHORTLIST by compressed distance, and pays full
+#: O(dim) arithmetic for only those — at a billion vectors the exact
+#: stage touches 256 rows, not 10^9. r7 measurement: raw ADC
+#: recall@20 = 0.45 on this corpus/codebook; refine@512 = 1.0.
+#: The shortlist is a FIXED width — 26%% of the sf0.1 toy corpus but
+#: 2.6%% at sf1 and vanishing at production scale.
+_ADC_SHORTLIST = 512
+
+_ADC_REFINE_ORACLE = f"""
+WITH scored AS (
+  SELECT vec_id, {{adc_sql}} AS adc FROM embeddings
+), short AS (
+  SELECT vec_id FROM scored ORDER BY adc ASC, vec_id ASC LIMIT {_ADC_SHORTLIST}
+), ref AS (
+  SELECT e.vec_id, {{exact_sql}} AS d2
+  FROM embeddings e JOIN short ON short.vec_id = e.vec_id
+), top AS (
+  SELECT vec_id, d2 FROM ref ORDER BY d2 ASC, vec_id ASC LIMIT {_ADC_K}
+)
+SELECT vec_id,
+       CAST(row_number() OVER (ORDER BY d2 ASC, vec_id ASC) AS BIGINT) AS rank,
+       {fround_sql('d2', 8)} AS d2
+FROM top
+"""
+
+
+def _adc_refine_oracle() -> str:
+    from dss_nlp_ingestion_spark.operators.pq import pq_adc_sql
+
+    return _ADC_REFINE_ORACLE.format(
+        adc_sql=pq_adc_sql(_ADC_MODEL, _ADC_LUT), exact_sql=_ADC_EXACT_SQL
+    )
+
+
+@register("pq_adc_refine_topk", _adc_refine_oracle())
+def pq_adc_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION PQ serving shape (Jégou et al. §V, FAISS
+    IndexRefineFlat): compressed-domain ADC scan selects a shortlist
+    of {_ADC_SHORTLIST}, then exact squared-L2 re-ranks ONLY the
+    shortlist to the final top-{_ADC_K}. The corpus pass stays
+    8-bytes-per-vector; the exact pass is shortlist-sized (a
+    broadcast semi-join, never a second corpus scan) — recall goes
+    0.55 -> 1.0 on this corpus for two bounded stages."""
+    from pyspark.sql import Window
+
+    from dss_nlp_ingestion_spark.operators.pq import pq_adc_column
+
+    emb = table(spark, sf_dir, "embeddings")
+    adc = pq_adc_column(_ADC_MODEL, _ADC_LUT)
+    short = (
+        emb.select("vec_id", adc.alias("adc"))
+        .orderBy(F.col("adc").asc(), F.col("vec_id").asc())
+        .limit(_ADC_SHORTLIST)
+        .select("vec_id")
+    )
+    ref = (
+        emb.join(F.broadcast(short), "vec_id")
+        .select("vec_id", _adc_exact_col().alias("d2"))
+        .orderBy(F.col("d2").asc(), F.col("vec_id").asc())
+        .limit(_ADC_K)
+    )
+    w = Window.orderBy(F.col("d2").asc(), F.col("vec_id").asc())
+    return ref.select(
+        "vec_id",
+        F.row_number().over(w).cast("long").alias("rank"),
+        fround(F.col("d2"), 8).alias("d2"),
+    )
+
+
+_ADC_REFINE_RECALL_ORACLE = f"""
+WITH approx AS ({{refine_oracle}}),
+exact AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, {{exact_sql}} AS d2 FROM embeddings
+  ) ORDER BY d2 ASC, vec_id ASC LIMIT {_ADC_K}
+)
+SELECT CAST(count(approx.vec_id) AS BIGINT) AS n_hit,
+       {fround_sql(f'CAST(count(approx.vec_id) AS DOUBLE) / {_ADC_K}', 4)} AS recall_at_k
+FROM exact LEFT JOIN approx ON approx.vec_id = exact.vec_id
+"""
+
+
+@register(
+    "pq_adc_refine_recall_eval",
+    _ADC_REFINE_RECALL_ORACLE.format(
+        refine_oracle=_adc_refine_oracle(), exact_sql=_ADC_EXACT_SQL
+    ),
+)
+def pq_adc_refine_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@{_ADC_K} of the refine pipeline against the exact
+    top-{_ADC_K} — the number that justifies shipping 8-byte codes:
+    compression does the corpus scan, the shortlist re-rank restores
+    exactness (1.0 here; raw ADC alone is 0.45, see
+    pq_adc_recall_eval)."""
+    emb = table(spark, sf_dir, "embeddings")
+    exact = (
+        emb.select("vec_id", _adc_exact_col().alias("d2"))
+        .orderBy(F.col("d2").asc(), F.col("vec_id").asc())
+        .limit(_ADC_K)
+        .select("vec_id")
+    )
+    approx = pq_adc_refine_topk(spark, sf_dir).select(
+        F.col("vec_id").alias("a_vec")
+    )
+    joined = exact.join(
+        F.broadcast(approx), exact["vec_id"] == approx["a_vec"], "left"
+    )
+    return joined.agg(
+        F.count("a_vec").cast("long").alias("n_hit"),
+        fround(F.count("a_vec").cast("double") / F.lit(float(_ADC_K)), 4).alias(
+            "recall_at_k"
+        ),
+    )
+
+
+from dss_nlp_ingestion_spark.plans.registry import TAGS
+
+TAGS["embedding_near_dups_exact"] = (
+    "small-sf verifier: unguarded bucket self-join kept to prove the "
+    "skew-guarded default (embedding_near_dups) result-identical"
+)

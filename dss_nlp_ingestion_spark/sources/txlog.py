@@ -1356,7 +1356,16 @@ def checkpoint_log(path: str) -> int:
     if head < 0:
         raise ValueError(f"no tx table at {path}")
     live, stats = _fold_live_and_stats(path, head)
-    payload = {"version": head, "live": live, "stats": stats}
+    payload = {
+        "version": head,
+        "live": live,
+        "stats": stats,
+        # Folded rename chain at the checkpoint: lets _folded_renames
+        # (on EVERY snapshot read and rename-folding write) replay
+        # only post-checkpoint entries instead of the whole log —
+        # same O(recent) bound the live-set fold already has.
+        "renames": [list(t) for t in _folded_renames(path, head)],
+    }
     final = os.path.join(_log_dir(path), f"{head:08d}.checkpoint.json")
     tmp = final + f".tmp.{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as fh:
@@ -1553,11 +1562,19 @@ def rename_column(path: str, old: str, new: str, max_retries: int = 10) -> int:
 
 
 def _folded_renames(path: str, version: int | None = None) -> list[tuple[str, str]]:
-    """Rename chain up to ``version`` in commit order."""
+    """Rename chain up to ``version`` in commit order. Resumes from
+    the latest checkpoint's folded chain when one exists (pre-r7
+    checkpoints lack the "renames" key and fall back to a full log
+    replay), so the per-read/per-append metadata cost stays O(recent
+    commits) on long-lived streaming tables."""
     versions = _versions(path)
     if version is not None:
         versions = [v for v in versions if v <= version]
-    out = []
+    out: list[tuple[str, str]] = []
+    ck = _latest_checkpoint(path, versions[-1] if versions else None)
+    if ck is not None and "renames" in ck[1]:
+        out = [tuple(r) for r in ck[1]["renames"]]
+        versions = [v for v in versions if v > ck[0]]
     for v in versions:
         r = _read_entry(path, v).get("rename")
         if r:

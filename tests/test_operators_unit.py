@@ -989,20 +989,28 @@ def test_pq_artifact_provenance_and_assignment():
 
     from dss_nlp_ingestion_spark.operators.pq import (
         DEFAULT_PQ_ARTIFACT,
+        corpus_training_sample,
         load_pq_artifact,
-        synth_training_sample,
         train_pq_codebooks,
     )
 
     shipped = load_pq_artifact(DEFAULT_PQ_ARTIFACT)
-    retrained = train_pq_codebooks(synth_training_sample())
+    # r7: the committed book is trained on the CORPUS sample (first
+    # 512 sf0.1 vectors by vec_id, m=16 subspaces, k=16 codes) — the
+    # synthetic sin-sample was badly off-distribution and put true
+    # neighbors at ADC rank ~1500/2000. The eval query point rides
+    # in the artifact.
+    retrained = train_pq_codebooks(corpus_training_sample(512), m=16, k=16)
     assert shipped["m"] == retrained["m"] and shipped["k"] == retrained["k"]
     assert np.array_equal(shipped["codebooks"], retrained["codebooks"])
+    assert np.array_equal(
+        shipped["query_vec"], corpus_training_sample(512)[42] + 0.01
+    )
 
     # assignment sanity on the training sample: multiple codes in
     # use per subspace (non-degenerate codebook), and the chosen
     # centroid is never farther than centroid 0.
-    x = synth_training_sample()
+    x = corpus_training_sample(512)
     books = shipped["codebooks"]
     sub = x.shape[1] // shipped["m"]
     for s in range(shipped["m"]):
@@ -1244,13 +1252,12 @@ def test_pq_adc_exact_on_codebook_vectors(spark):
         adc_lookup_table,
         load_pq_artifact,
         pq_adc_column,
-        synth_training_sample,
     )
 
     model = load_pq_artifact(DEFAULT_PQ_ARTIFACT)
     books, m, k = model["codebooks"], model["m"], model["k"]
     sub = 64 // m
-    qvec = synth_training_sample(1, 64)[0]
+    qvec = model["query_vec"]
     lut = adc_lookup_table(model, qvec)
     # vector = centroid c in every subspace, for a few c
     rows = []
@@ -1745,3 +1752,31 @@ def test_native_codec_probe_and_seam_routing():
 
         with _pytest.raises(NotImplementedError):
             mm._native_decode_meta(jpg, "no-such-backend")
+
+
+def test_ivf_centroid_artifact_provenance_and_recall_gain():
+    """r7: the committed trained-centroid artifact
+    (similarity.py ivf_centroids_v1.npz) is exactly what deterministic
+    spherical k-means on the corpus sample reproduces, its centers
+    are unit-norm, and 1-NN centroid assignment on the sample is
+    non-degenerate (multiple lists in use)."""
+    import numpy as np
+
+    from dss_nlp_ingestion_spark.operators.pq import corpus_training_sample
+    from dss_nlp_ingestion_spark.operators.similarity import (
+        DEFAULT_IVF_CENTROIDS,
+        load_ivf_centroids,
+        train_spherical_kmeans,
+    )
+
+    shipped = load_ivf_centroids(DEFAULT_IVF_CENTROIDS)
+    retrained = train_spherical_kmeans(corpus_training_sample(512), k=32, iters=10)
+    assert len(shipped) == 32
+    got = np.array([v for _, v in shipped])
+    assert np.array_equal(got, retrained)
+    norms = np.linalg.norm(got, axis=1)
+    assert np.allclose(norms, 1.0, atol=1e-9)
+    X = corpus_training_sample(512)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    assign = (Xn @ got.T).argmax(axis=1)
+    assert len(set(assign.tolist())) > 8

@@ -1249,3 +1249,29 @@ def test_concurrent_merge_merge_conflict_detect_and_retry(spark, monkeypatch):
     assert res["files_touched"] >= 1
     got = {r["k"]: r["c"] for r in txlog.read(spark, path).collect()}
     assert got[3] == "A"  # second B-merge committed, then A applied on top
+
+
+def test_checkpoint_carries_folded_renames(spark):
+    """r7: the checkpoint folds the rename chain too, so
+    _folded_renames — on every snapshot read AND every rename-folding
+    append — replays only post-checkpoint entries. Pre-checkpoint
+    renames must resolve from the checkpoint payload; post-checkpoint
+    renames stack on top; time travel below the checkpoint still
+    replays the log."""
+    import json as _json
+
+    path = tempfile.mkdtemp(prefix="dss_txckren_")
+    txlog.create_table(_tbl(spark, [(1, "a")]), path)
+    v_ren1 = txlog.rename_column(path, "v", "label")
+    ck = txlog.checkpoint_log(path)
+    with open(os.path.join(path, "_txlog", f"{ck:08d}.checkpoint.json")) as fh:
+        payload = _json.load(fh)
+    assert payload["renames"] == [["v", "label"]]
+    txlog.rename_column(path, "label", "tag")
+    assert txlog._folded_renames(path) == [("v", "label"), ("label", "tag")]
+    assert txlog.read(spark, path).columns == ["k", "tag"]
+    # round-trip append still folds to the physical name
+    txlog.append(txlog.read(spark, path), path)
+    assert sorted(r["k"] for r in txlog.read(spark, path).collect()) == [1, 1]
+    # time travel below the checkpoint: old logical name
+    assert txlog.read(spark, path, version=v_ren1 - 1).columns == ["k", "v"]

@@ -117,7 +117,7 @@ def eval_topic() -> dict:
         for rule, words in nlp.TOPIC_RULES.items():
             pat = r"\b(" + "|".join(words) + r")\b"
             dens[_RULE_TO_CLASS[rule]] = len(re.findall(pat, t.lower())) / max(len(toks), 1)
-        preds_h.append(min(sorted(dens, key=lambda c: (-dens[c], c))[:1][0] for _ in (0,)))
+        preds_h.append(sorted(dens, key=lambda c: (-dens[c], c))[0])
     return {
         "task": "topic (3-class, n=%d held-out)" % len(y),
         "model": {"acc": _acc(y, preds_m), "f1": _macro_f1(y, preds_m, (0, 1, 2))},
