@@ -1041,3 +1041,17 @@ TAGS["embedding_near_dups_exact"] = (
     "small-sf verifier: unguarded bucket self-join kept to prove the "
     "skew-guarded default (embedding_near_dups) result-identical"
 )
+
+for _pq_name in (
+    "pq_encode_embeddings",
+    "pq_adc_topk",
+    "pq_adc_recall_eval",
+    "pq_adc_refine_topk",
+    "pq_adc_refine_recall_eval",
+):
+    TAGS[_pq_name] = (
+        "codebook-literal codegen: janino compile dominates at toy SF "
+        "(~2-5 s/plan) and amortizes at scale; r7 corpus-trained book "
+        "(m=16) costs ~2 s more compile than the old m=8 book and "
+        "buys ADC recall 0.05 -> 0.45 raw / 1.0 refined"
+    )

@@ -441,3 +441,27 @@ def test_encoder_anchor_topk_uses_take_ordered(spark):
     plan = _formatted(spark, "encoder_anchor_topk")
     assert "TakeOrderedAndProject" in plan
     assert "Sort [anchor_cos" not in plan
+
+
+def test_pq_adc_refine_exact_stage_is_shortlist_sized(spark):
+    """r7 refine stage: the exact re-rank must touch ONLY the ADC
+    shortlist — a broadcast join onto the corpus scan (no shuffle of
+    the corpus, no cartesian), with both top-k stages running as
+    TakeOrdered (k rows per task), never a global sort exchange."""
+    plan = _formatted(spark, "pq_adc_refine_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("TakeOrderedAndProject") >= 2
+    # corpus side of the refine join carries no hash exchange
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_ivf_topk_trained_has_no_corpus_collect_or_exchange(spark):
+    """Trained-centroid IVF: centroids are plan-time literals (no
+    corpus action), assignment is scan-side, and the only shuffles
+    are the k-bounded per-query ranking windows."""
+    plan = _formatted(spark, "ivf_topk_trained")
+    # assignment stays in the scan: no corpus-wide hash exchange
+    # before the probe join; the probe table broadcasts.
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
