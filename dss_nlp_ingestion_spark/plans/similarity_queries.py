@@ -1055,3 +1055,9 @@ for _pq_name in (
         "(m=16) costs ~2 s more compile than the old m=8 book and "
         "buys ADC recall 0.05 -> 0.45 raw / 1.0 refined"
     )
+
+TAGS["embedding_near_dups_guarded"] = (
+    "split-path demo: cap=4 deliberately tiny so the block-split "
+    "machinery is exercised at oracle SF; the production guard is "
+    "embedding_near_dups (cap=128)"
+)
