@@ -52,9 +52,10 @@ def _mg_candidates(key: str, counters: int, dtype: str):
             # NULL keys must never become candidates (documented
             # semantics: they count toward n, are never reported).
             # Arrow hands integral-with-NULL columns over as float64
-            # with NaN; without the dropna a NaN key would survive to
-            # the summary and crash the int64 Series build (r6
-            # advisor finding).
+            # with NaN; value_counts() drops NaN by default, and the
+            # explicit dropna() pins that contract against a future
+            # dropna=False default or dtype change rather than
+            # fixing a live bug.
             for v, c in pdf[key].dropna().value_counts().items():
                 counts[v] = counts.get(v, 0) + int(c)
             if len(counts) > counters:

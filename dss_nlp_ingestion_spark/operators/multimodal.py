@@ -400,8 +400,9 @@ def _native_decode_meta(b: bytes, backend: str):
             raise ValueError("cv2.imdecode failed")
         h, w = arr.shape[:2]
         channels = 1 if arr.ndim == 2 else arr.shape[2]
-        fmt = {b"BM": "bmp", b"\xff\xd8": "jpeg"}.get(b[:2], "png" if b[:8] == PNG_SIG else "?")
-        return w, h, channels, fmt
+        # the caller's sniffing already dispatched BMP/PNG to the
+        # pure decoders — only JPEG reaches a native backend
+        return w, h, channels, "jpeg"
     raise NotImplementedError(f"unknown native backend {backend!r}")
 
 
@@ -463,13 +464,24 @@ def decode_image_batch(
         )
 
 
-def extract_media_metadata(df: DataFrame, fake: bool = True) -> DataFrame:
-    """Run the decode stage over (doc_id, payload)."""
+def extract_media_metadata(
+    df: DataFrame, fake: bool = True, backend: str | None = None
+) -> DataFrame:
+    """Run the decode stage over (doc_id, payload).
+
+    ``backend`` defaults to ``None`` — the PURE decoders — because
+    this is the oracle-gated entry point: with ``"auto"`` the result
+    would depend on which workers happen to have Pillow/cv2 installed
+    (a progressive/CMYK JPEG errors on the pure path but decodes — to
+    different channel metadata — natively), making the committed
+    hashes environment-dependent (r7 review finding). Pass
+    ``backend="auto"`` to opt into native routing explicitly."""
     from dss_nlp_ingestion_spark.catalog import ensure_parallelism
 
     binary = ensure_parallelism(df.select("doc_id", "payload"))
     return binary.mapInPandas(
-        lambda it: decode_image_batch(it, fake=fake), schema=MEDIA_META_SCHEMA
+        lambda it: decode_image_batch(it, fake=fake, backend=backend),
+        schema=MEDIA_META_SCHEMA,
     )
 
 

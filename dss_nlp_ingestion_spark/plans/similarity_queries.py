@@ -962,7 +962,7 @@ def pq_adc_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortlist to the final top-{_ADC_K}. The corpus pass stays
     8-bytes-per-vector; the exact pass is shortlist-sized (a
     broadcast semi-join, never a second corpus scan) — recall goes
-    0.55 -> 1.0 on this corpus for two bounded stages."""
+    0.45 -> 1.0 on this corpus for two bounded stages."""
     from pyspark.sql import Window
 
     from dss_nlp_ingestion_spark.operators.pq import pq_adc_column

@@ -236,12 +236,13 @@ def append(
     (r6 advisor finding: a read()->append() round trip after
     rename_column otherwise mixes generations and breaks
     _apply_renames with duplicate columns)."""
-    df = _unapply_renames_checked(df, path)
+    renames = _folded_renames(path)  # ONE metadata walk per append
+    df = _unapply_renames_checked(df, path, renames=renames)
     files = _write_data_files(df, path)
     entry: dict = {"op": "append", "add": files, "remove": []}
     if stats_cols:
         entry["stats"] = _collect_file_stats(
-            path, files, _physical_stats_cols(path, stats_cols)
+            path, files, _physical_stats_cols(path, stats_cols, renames=renames)
         )
     for _ in range(max_retries):
         head = (_versions(path) or [-1])[-1]
@@ -1112,7 +1113,8 @@ def append_txn(
     column names before the write."""
     if last_committed_txn(path, app_id) >= epoch:
         return None
-    df = _unapply_renames_checked(df, path)
+    renames = _folded_renames(path)  # ONE metadata walk per append
+    df = _unapply_renames_checked(df, path, renames=renames)
     files = _write_data_files(df, path)
     entry: dict = {
         "op": "append",
@@ -1122,7 +1124,7 @@ def append_txn(
     }
     if stats_cols:
         entry["stats"] = _collect_file_stats(
-            path, files, _physical_stats_cols(path, stats_cols)
+            path, files, _physical_stats_cols(path, stats_cols, renames=renames)
         )
     for _ in range(max_retries):
         head = (_versions(path) or [-1])[-1]
@@ -1592,44 +1594,78 @@ def _apply_renames(df: DataFrame, path: str, version: int | None = None) -> Data
     return df
 
 
-def _unapply_renames(df: DataFrame, path: str, version: int | None = None) -> DataFrame:
+def _unapply_renames(
+    df: DataFrame,
+    path: str,
+    version: int | None = None,
+    renames: list | None = None,
+) -> DataFrame:
     """Inverse of :func:`_apply_renames`: fold a LOGICAL-schema
     DataFrame back to the physical column names, so COW rewrites
     (delete/update) keep data files in the physical schema every
-    snapshot reader resolves from."""
-    for old_name, new_name in reversed(_folded_renames(path, version)):
+    snapshot reader resolves from. ``renames`` short-circuits the
+    metadata walk when the caller already folded the chain."""
+    chain = _folded_renames(path, version) if renames is None else renames
+    for old_name, new_name in reversed(chain):
         df = df.withColumnRenamed(new_name, old_name)
     return df
 
 
-def _unapply_renames_checked(df: DataFrame, path: str) -> DataFrame:
+def _unapply_renames_checked(
+    df: DataFrame, path: str, renames: list | None = None
+) -> DataFrame:
     """:func:`_unapply_renames` for PUBLIC write entry points: rejects
-    a DataFrame carrying BOTH sides of a rename (folding would create
-    duplicate physical columns), is a no-op for already-physical
-    input (so internal callers that pre-folded stay idempotent)."""
+    a DataFrame carrying MORE THAN ONE name from the same rename
+    chain (folding would create duplicate physical columns). The
+    guard walks the TRANSITIVE closure — after v->label->tag, a frame
+    carrying 'v' and 'tag' collides even though no single rename
+    entry pairs them (r7 review finding). No-op for already-physical
+    input, so internal pre-folded callers stay idempotent."""
+    chain = _folded_renames(path) if renames is None else renames
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent.setdefault(x, x) != x:
+            x = parent[x]
+        return x
+
+    for old_name, new_name in chain:
+        parent[find(new_name)] = find(old_name)
+    groups: dict[str, set[str]] = {}
+    for name in parent:
+        groups.setdefault(find(name), set()).add(name)
     cols = set(df.columns)
-    for old_name, new_name in _folded_renames(path):
-        if old_name in cols and new_name in cols:
+    for g in groups.values():
+        hit = sorted(g & cols)
+        if len(hit) > 1:
             raise ValueError(
-                f"append to {path}: DataFrame carries both {old_name!r} "
-                f"(physical) and {new_name!r} (logical) for a renamed "
-                f"column — drop or rename one before writing"
+                f"append to {path}: DataFrame carries {hit} — multiple "
+                f"generations of the same renamed column; drop or "
+                f"rename all but one before writing"
             )
-    return _unapply_renames(df, path)
+    return _unapply_renames(df, path, renames=chain)
 
 
 def _physical_stats_cols(
-    path: str, stats_cols: list[str] | None, version: int | None = None
+    path: str,
+    stats_cols: list[str] | None,
+    version: int | None = None,
+    renames: list | None = None,
 ) -> list[str] | None:
     """Map LOGICAL stats column names to the PHYSICAL names the data
     files (and so the parquet footers) actually carry — a rename-
     unaware lookup would silently log no stats and disable pruning."""
     if not stats_cols:
         return stats_cols
-    return [_physical_candidates(path, c, version)[-1] for c in stats_cols]
+    return [
+        _physical_candidates(path, c, version, renames=renames)[-1]
+        for c in stats_cols
+    ]
 
 
-def _physical_candidates(path: str, col: str, version: int | None = None) -> list[str]:
+def _physical_candidates(
+    path: str, col: str, version: int | None = None, renames: list | None = None
+) -> list[str]:
     """Every physical column name that folds to LOGICAL ``col`` at
     ``version``, newest first: a file written before rename a->b
     stores (and logged stats under) ``a``; one written after stores
@@ -1637,7 +1673,8 @@ def _physical_candidates(path: str, col: str, version: int | None = None) -> lis
     carries."""
     names = [col]
     cur = col
-    for old_name, new_name in reversed(_folded_renames(path, version)):
+    chain = _folded_renames(path, version) if renames is None else renames
+    for old_name, new_name in reversed(chain):
         if cur == new_name:
             cur = old_name
             names.append(old_name)

@@ -50,3 +50,17 @@ def test_eval_fixtures_disjoint_from_training():
     assert not texts("sentiment_eval.json") & texts("sentiment_corpus.json")
     assert not texts("topic_eval.json") & texts("topic_corpus.json")
     assert not texts("encoder_eval.json") & texts("encoder_corpus.json")
+    # keyword IDF trains on the topic corpus TEXTS; held-out means
+    # (a) no eval doc equals a training text and (b) the GOLD terms
+    # are out-of-vocabulary rare terms (they score via default_q) —
+    # if a gold leaks into the IDF vocab the F1 claim silently
+    # becomes in-corpus evaluation (r7 review finding).
+    with open(os.path.join(fix, "keyword_eval.json")) as fh:
+        kdocs = json.load(fh)
+    corpus_texts = texts("topic_corpus.json")
+    corpus_vocab = {
+        tok for t in corpus_texts for tok in t.lower().split()
+    }
+    for d in kdocs:
+        assert d["text"] not in corpus_texts
+        assert not set(g.lower() for g in d["gold"]) & corpus_vocab

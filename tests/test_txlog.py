@@ -1151,7 +1151,7 @@ def test_append_after_read_folds_renames(spark):
     assert out.count() == 3
     # a frankenstein frame carrying BOTH sides of the rename is rejected
     both = spark.createDataFrame([(9, "x", "y")], "k long, v string, label string")
-    with pytest.raises(ValueError, match="both"):
+    with pytest.raises(ValueError, match="generations"):
         txlog.append(both, path)
 
 
@@ -1275,3 +1275,21 @@ def test_checkpoint_carries_folded_renames(spark):
     assert sorted(r["k"] for r in txlog.read(spark, path).collect()) == [1, 1]
     # time travel below the checkpoint: old logical name
     assert txlog.read(spark, path, version=v_ren1 - 1).columns == ["k", "v"]
+
+
+def test_append_guard_rejects_transitive_rename_chain(spark):
+    """r7 review finding: after v->label->tag, a frame carrying 'v'
+    and 'tag' collides on fold even though no single rename entry
+    pairs them — the guard must walk the transitive closure and
+    raise its clear ValueError, not a deep duplicate-column
+    AnalysisException from the write."""
+    path = tempfile.mkdtemp(prefix="dss_txtrans_")
+    txlog.create_table(_tbl(spark, [(1, "a")]), path)
+    txlog.rename_column(path, "v", "label")
+    txlog.rename_column(path, "label", "tag")
+    both = spark.createDataFrame([(9, "x", "y")], "k long, v string, tag string")
+    with pytest.raises(ValueError, match="generations"):
+        txlog.append(both, path)
+    # and the clean logical round trip still works
+    txlog.append(txlog.read(spark, path), path)
+    assert sorted(r["k"] for r in txlog.read(spark, path).collect()) == [1, 1]
