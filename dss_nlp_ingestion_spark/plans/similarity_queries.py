@@ -459,29 +459,50 @@ FROM ranked WHERE rank <= {_IVF_K}
 """
 
 
-def _ivf_inc_setup(spark: SparkSession, sf_dir: str):
-    """SETUP: assign the corpus to the capped centroid set ONCE and
-    persist (vec_id, cent_id, vector) as the inverted-list index —
-    a transaction-log table, so increments are O_EXCL commits and
-    readers get snapshot isolation."""
+def _ivf_inc_build(spark: SparkSession, sf_dir: str, cents: list, n_probe: int):
+    """Shared index build: assign the corpus to the given centroid set
+    ONCE and persist (vec_id, cent_id, vector) as the inverted-list
+    index — a transaction-log table, so increments are O_EXCL commits
+    and readers get snapshot isolation."""
     import tempfile
 
-    from dss_nlp_ingestion_spark.operators.similarity import (
-        assign_nearest_centroid,
-        collect_centroids,
-    )
+    from dss_nlp_ingestion_spark.operators.similarity import assign_nearest_centroid
     from dss_nlp_ingestion_spark.sources import txlog
 
     emb = table(spark, sf_dir, "embeddings")
-    cents = collect_centroids(
-        emb.filter(F.col("vec_id") < _CENT_MAX), "vec_id", "embedding", _CENT_MOD
-    )
     index = assign_nearest_centroid(emb, "vec_id", "embedding", cents).select(
         "id", "v", "cent_id"
     )
     path = tempfile.mkdtemp(prefix="dss_ivfidx_") + "/index"
     txlog.create_table(index, path, stats_cols=["cent_id"])
-    return sf_dir, path, cents
+    return sf_dir, path, cents, n_probe
+
+
+def _ivf_inc_setup(spark: SparkSession, sf_dir: str):
+    """SETUP (training-free form): centroid seed = the capped %-rule
+    sample, then the shared index build."""
+    from dss_nlp_ingestion_spark.operators.similarity import collect_centroids
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents = collect_centroids(
+        emb.filter(F.col("vec_id") < _CENT_MAX), "vec_id", "embedding", _CENT_MOD
+    )
+    return _ivf_inc_build(spark, sf_dir, cents, _N_PROBE)
+
+
+def _ivf_inc_trained_setup(spark: SparkSession, sf_dir: str):
+    """SETUP (trained form — r7 verdict #3): the committed spherical
+    k-means centroid artifact (ivf_centroids_v1.npz, measured
+    recall@5 0.84 at sf0.1 / 1.0 at sf1 vs 0.36 for the %-rule)
+    seeds the SAME incremental index build — the quality fix threaded
+    into the index-maintenance path, not just the one-shot search."""
+    from dss_nlp_ingestion_spark.operators.similarity import load_ivf_centroids
+
+    cents = [
+        {"cent_id": int(c), "_cvec": [float(x) for x in v]}
+        for c, v in load_ivf_centroids()
+    ]
+    return _ivf_inc_build(spark, sf_dir, cents, _TRAINED_N_PROBE)
 
 
 def _ivf_inc_probe(spark: SparkSession, ctx) -> DataFrame:
@@ -502,14 +523,14 @@ def _ivf_inc_probe(spark: SparkSession, ctx) -> DataFrame:
     )
     from dss_nlp_ingestion_spark.sources import txlog
 
-    sf_dir, path, cents = ctx
+    sf_dir, path, cents, n_probe = ctx
     emb = table(spark, sf_dir, "embeddings")
     incoming = emb.filter(F.col("vec_id") % 7 == 0).select(
         (F.col("vec_id") + _IVF_INC_SHIFT).alias("vec_id"), "embedding"
     )
     probes = (
         assign_nearest_centroid(
-            incoming, "vec_id", "embedding", cents, n_best=_N_PROBE
+            incoming, "vec_id", "embedding", cents, n_best=n_probe
         )
         .select(F.col("id").alias("query_id"), F.col("v").alias("_qv"), "cent_id")
     )
@@ -543,6 +564,117 @@ def _ivf_inc_probe(spark: SparkSession, ctx) -> DataFrame:
 register_split(
     "ivf_index_incremental", _ivf_inc_setup, _ivf_inc_probe, _IVF_INC_ORACLE
 )
+
+
+_IVF_INC_TRAINED_ORACLE = f"""
+WITH cents AS (
+  {_trained_cents_sql()}
+), assigned AS (
+  SELECT neighbor_id, v, cent_id FROM (
+    SELECT c.vec_id AS neighbor_id, c.embedding AS v, cents.cent_id,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY {_CENT_SCORE} DESC, cents.cent_id ASC) AS rn
+    FROM embeddings c CROSS JOIN cents
+  ) WHERE rn = 1
+), incoming AS (
+  SELECT vec_id + {_IVF_INC_SHIFT} AS query_id, embedding AS qv
+  FROM embeddings WHERE vec_id % 7 = 0
+), probes AS (
+  SELECT query_id, qv, cent_id FROM (
+    SELECT q.query_id, q.qv, cents.cent_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_QC_SCORE} DESC, cents.cent_id ASC) AS rn
+    FROM incoming q CROSS JOIN cents
+  ) WHERE rn <= {_TRAINED_N_PROBE}
+), scored AS (
+  SELECT p.query_id, a.neighbor_id, {_QV_SCORE} AS score
+  FROM assigned a JOIN probes p ON a.cent_id = p.cent_id
+), ranked AS (
+  SELECT query_id, neighbor_id, score,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, {fround_sql('score', 6)} AS score, rank
+FROM ranked WHERE rank <= {_IVF_K}
+"""
+
+#: r7 verdict #3: the incremental index users would actually keep,
+#: seeded from the TRAINED centroid artifact instead of the %-rule —
+#: same O(batch) maintenance protocol, good inverted lists.
+_ivf_inc_trained_q = register_split(
+    "ivf_index_incremental_trained",
+    _ivf_inc_trained_setup,
+    _ivf_inc_probe,
+    _IVF_INC_TRAINED_ORACLE,
+    tag=(
+        "setup = corpus assignment to the committed k-means artifact + "
+        "index table write (reported in setup_sec); probe = O(batch) "
+        "search + append, the measured operator"
+    ),
+)
+
+
+_IVF_INC_RECALL_Q = "(vec_id % 7 = 0 AND vec_id < 70)"
+
+_IVF_INC_TRAINED_RECALL_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id + {_IVF_INC_SHIFT} AS query_id, embedding AS qv
+  FROM embeddings WHERE {_IVF_INC_RECALL_Q}
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+), bf_scored AS (
+  SELECT query_id, neighbor_id, {_COS_SCORE} AS score
+  FROM c CROSS JOIN q
+), bf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+    FROM bf_scored
+  ) WHERE rank <= {_IVF_K}
+), approx AS (
+  SELECT query_id, neighbor_id FROM ({_IVF_INC_TRAINED_ORACLE})
+  WHERE query_id < {_IVF_INC_SHIFT + 70}
+)
+SELECT bf.query_id,
+       CAST(count(approx.neighbor_id) AS BIGINT) AS n_hit,
+       {fround_sql('CAST(count(approx.neighbor_id) AS DOUBLE) / 5.0', 4)} AS recall_at_5
+FROM bf LEFT JOIN approx
+  ON approx.query_id = bf.query_id AND approx.neighbor_id = bf.neighbor_id
+GROUP BY bf.query_id
+"""
+
+
+@register("ivf_inc_recall_trained_eval", _IVF_INC_TRAINED_RECALL_ORACLE)
+def ivf_inc_recall_trained_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of the TRAINED incremental IVF index vs exact brute
+    force on a 10-query slice of the incoming batch — the hash-gated
+    quality row for ivf_index_incremental_trained (r7 verdict #3).
+    Incoming ids are shifted past the corpus domain, so the brute
+    force keeps every corpus row (the query's own source vector
+    included — exactly what the persisted index can return)."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(
+        (F.col("vec_id") % 7 == 0) & (F.col("vec_id") < 70)
+    ).select((F.col("vec_id") + _IVF_INC_SHIFT).alias("vec_id"), "embedding")
+    bf = brute_force_topk(emb, queries, "vec_id", "embedding", k=_IVF_K).select(
+        "query_id", "neighbor_id"
+    )
+    ap = _ivf_inc_trained_q(spark, sf_dir).filter(
+        F.col("query_id") < _IVF_INC_SHIFT + 70
+    ).select(F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an"))
+    joined = bf.join(
+        ap,
+        (F.col("aq") == F.col("query_id")) & (F.col("an") == F.col("neighbor_id")),
+        "left",
+    )
+    return joined.groupBy("query_id").agg(
+        F.count("an").cast("long").alias("n_hit"),
+        fround(F.count("an").cast("double") / F.lit(5.0), 4).alias("recall_at_5"),
+    )
 
 
 # ---------------------------------------------------------------------------
