@@ -134,6 +134,71 @@ def _sf_from_dir(sf_dir: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+#: Solo re-measurement (r7 verdict #5): a 200+-query same-process
+#: sweep inflates pair-heavy rows 2-3x through GC pressure, so any
+#: row whose time exceeds SPARK_GRAFT_SOLO_RATIO x its baseline
+#: record (SPARK_GRAFT_SOLO_BASE, e.g. the committed sf0.1 record
+#: when this run is the sf1 sweep) is re-run in a FRESH subprocess
+#: and the clean number lands in the record as solo_sec[name].
+SOLO_BASE = os.environ.get("SPARK_GRAFT_SOLO_BASE", "")
+SOLO_RATIO = float(os.environ.get("SPARK_GRAFT_SOLO_RATIO", "6"))
+#: Internal: set => this process times ONE query solo and exits.
+SOLO_QUERY = os.environ.get("SPARK_GRAFT_SOLO_QUERY", "")
+
+
+def _solo_main() -> None:
+    """Fresh-session single-query timing (the SPARK_GRAFT_SOLO_QUERY
+    mode the solo_sec pass spawns). Same measurement policy as the
+    sweep: setup/probe split honored, min of two timed executions
+    after a warmup of the python-worker pool."""
+    spark = get_spark(
+        app_name=f"dss-bench-solo-{SOLO_QUERY}",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(CPUS, 32),
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(0, 1000, 1, CPUS).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
+    name = SOLO_QUERY
+
+    def once() -> float:
+        if name in SETUPS:
+            ctx = SETUPS[name](spark, SF_DIR)
+            t0 = time.perf_counter()
+            assert PROBES[name](spark, ctx).count() >= 0
+        else:
+            t0 = time.perf_counter()
+            assert QUERIES[name](spark, SF_DIR).count() >= 0
+        dt = time.perf_counter() - t0
+        release_cached(spark)
+        return dt
+
+    t = round(min(once(), once()), 3)
+    print(json.dumps({"query": name, "solo_sec": t}), flush=True)
+    spark.stop()
+
+
+def _solo_rerun(names: list[str]) -> dict[str, float]:
+    """Spawn a fresh python/JVM per flagged query and collect its
+    clean timing; failures record -1 rather than killing the record."""
+    import subprocess
+
+    out: dict[str, float] = {}
+    for name in names:
+        env = dict(os.environ, SPARK_GRAFT_SOLO_QUERY=name)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                capture_output=True, text=True, timeout=1800, env=env,
+            )
+            line = proc.stdout.strip().splitlines()[-1]
+            out[name] = float(json.loads(line)["solo_sec"])
+        except Exception:  # noqa: BLE001 — the sweep number stands
+            out[name] = -1.0
+    return out
+
+
 def main() -> None:
     spark = get_spark(
         app_name="dss-bench",
@@ -248,6 +313,20 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001 — demo must not kill the record
         skew = {"err": f"{type(exc).__name__}: {exc}"[:500]}
 
+    # Solo re-measurement of outlier rows vs the baseline record.
+    solo_sec: dict[str, float] = {}
+    if SOLO_BASE:
+        try:
+            base = json.load(open(SOLO_BASE))["queries"]
+            flagged = sorted(
+                n for n, t in timings.items()
+                if base.get(n, 0) and t / base[n] > SOLO_RATIO
+            )
+        except (OSError, ValueError, KeyError):
+            flagged = []
+        if flagged:
+            solo_sec = _solo_rerun(flagged)
+
     cold_total = round(sum(t for t in cold.values() if t is not None), 3)
     # The full record (per-query map, headline list, skew demo) goes to
     # a committed file: the driver's stdout capture keeps only a ~2 KB
@@ -268,6 +347,10 @@ def main() -> None:
         # Documented-slow compatibility paths — their full-sweep cost
         # is intentional, not a regression (see each tag).
         "tags": dict(sorted(TAGS.items())),
+        # Fresh-session re-measurements of rows that exceeded
+        # SOLO_RATIO x their SOLO_BASE baseline inside the sweep —
+        # the number to read when sweep contention is suspected.
+        "solo_sec": solo_sec,
         "errors": errors,
         "skew_demo": skew,
         "skipped": sorted(SKIP),
@@ -299,4 +382,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if SOLO_QUERY:
+        _solo_main()
+    else:
+        main()

@@ -406,6 +406,129 @@ def _native_decode_meta(b: bytes, backend: str):
     raise NotImplementedError(f"unknown native backend {backend!r}")
 
 
+#: Native VIDEO decoder probe state — same protocol as the image one:
+#: False = not probed; None = probed, nothing available; "pyav" /
+#: "ffprobe" otherwise.
+_NATIVE_VIDEO_BACKEND: str | None | bool = False
+
+
+def native_video_backend() -> str | None:
+    """Probe ONCE (per worker process) for a native video stack —
+    PyAV (ffmpeg bindings) first, an ``ffprobe`` binary on PATH
+    second — and cache the answer.  The video half of the codec plug
+    seam (r7 verdict #7, extending the r7 image probe): when present,
+    :func:`video_container_meta_batch` can route H.264/VP9-class
+    containers through it; this container ships neither, so the pure
+    MJPEG-AVI walk stays the documented default and the seam test
+    records the probe result."""
+    global _NATIVE_VIDEO_BACKEND
+    if _NATIVE_VIDEO_BACKEND is False:
+        try:
+            import av  # noqa: F401
+
+            _NATIVE_VIDEO_BACKEND = "pyav"
+        except ImportError:
+            import shutil
+
+            _NATIVE_VIDEO_BACKEND = (
+                "ffprobe" if shutil.which("ffprobe") else None
+            )
+    return _NATIVE_VIDEO_BACKEND
+
+
+def _native_video_meta(b: bytes, backend: str):
+    """(width, height, fps, n_frames) via the probed native stack —
+    the same container-metadata contract the pure MJPEG-AVI walk
+    returns, so either end of the seam feeds the same downstream
+    plan. An H.264/VP9 payload becomes decodable at exactly this
+    point once PyAV or ffmpeg is installed."""
+    if backend == "pyav":
+        import io
+
+        import av
+
+        with av.open(io.BytesIO(b)) as container:
+            vs = container.streams.video[0]
+            fps = int(round(float(vs.average_rate or 0)))
+            n = int(vs.frames or 0) or sum(1 for _ in container.decode(vs))
+            cc = vs.codec_context
+            return int(cc.width), int(cc.height), fps, int(n)
+    if backend == "ffprobe":
+        import json as _json
+        import os
+        import subprocess
+        import tempfile
+
+        fd, tmp = tempfile.mkstemp(suffix=".video")
+        try:
+            with os.fdopen(fd, "wb") as fh:
+                fh.write(b)
+            out = subprocess.run(
+                [
+                    "ffprobe", "-v", "error", "-select_streams", "v:0",
+                    "-count_frames", "-show_entries",
+                    "stream=width,height,r_frame_rate,nb_read_frames",
+                    "-of", "json", tmp,
+                ],
+                capture_output=True, text=True, check=True,
+            ).stdout
+            s = _json.loads(out)["streams"][0]
+            num, den = s["r_frame_rate"].split("/")
+            fps = int(round(int(num) / max(int(den), 1)))
+            return int(s["width"]), int(s["height"]), fps, int(s["nb_read_frames"])
+        finally:
+            os.unlink(tmp)
+    raise NotImplementedError(f"unknown native video backend {backend!r}")
+
+
+VIDEO_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("fps", IntegerType()),
+        StructField("n_frames", IntegerType()),
+    ]
+)
+
+
+def video_container_meta_batch(
+    batches: Iterator[pd.DataFrame], backend: str | None = None
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage: (doc_id, payload) -> VIDEO_META_SCHEMA rows.
+    Default (``backend=None``) is the deterministic pure MJPEG-AVI
+    container walk; ``backend="auto"`` probes for PyAV/ffprobe and
+    routes through it when installed — same Arrow batch shape either
+    way, so swapping the decoder never changes the plan."""
+    from dss_nlp_ingestion_spark.operators.video import decode_avi_mjpeg
+
+    if backend == "auto":
+        backend = native_video_backend()
+    for pdf in batches:
+        rows = {k: [] for k in ("doc_id", "width", "height", "fps", "n_frames")}
+        for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(p)
+            if backend:
+                w, h, fps, n = _native_video_meta(b, backend)
+            else:
+                w, h, fps, frames = decode_avi_mjpeg(b)
+                n = len(frames)
+            rows["doc_id"].append(int(doc_id))
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["fps"].append(fps)
+            rows["n_frames"].append(n)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "width": pd.Series(rows["width"], dtype="int32"),
+                "height": pd.Series(rows["height"], dtype="int32"),
+                "fps": pd.Series(rows["fps"], dtype="int32"),
+                "n_frames": pd.Series(rows["n_frames"], dtype="int32"),
+            }
+        )
+
+
 def decode_image_batch(
     batches: Iterator[pd.DataFrame], fake: bool = True, backend: str | None = "auto"
 ) -> Iterator[pd.DataFrame]:

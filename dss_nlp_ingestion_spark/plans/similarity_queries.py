@@ -20,6 +20,7 @@ from dss_nlp_ingestion_spark.plans.registry import (
     fround_sql,
     register,
     register_split,
+    register_warm,
 )
 
 _DIM = 64
@@ -271,7 +272,15 @@ FROM ranked WHERE rank <= {_IVF_K}
 """
 
 
-@register("ivf_topk", _IVF_ORACLE)
+@register_warm(
+    "ivf_topk",
+    _IVF_ORACLE,
+    tag=(
+        "setup_sec = centroid collect (index build) + compile of the "
+        "centroid-literal plan; recorded time = the probe execution, "
+        "the O(data) part"
+    ),
+)
 def ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest neighbors for the first 10 query
     vectors: inverted lists by nearest deterministic centroid (every
@@ -352,7 +361,7 @@ FROM ranked WHERE rank <= {_IVF_K}
 """
 
 
-@register("ivf_topk_trained", _IVF_TRAINED_ORACLE)
+@register_warm("ivf_topk_trained", _IVF_TRAINED_ORACLE)
 def ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search over TRAINED centers — the committed spherical
     k-means artifact (operators/similarity.py ivf_centroids_v1.npz)
@@ -393,7 +402,7 @@ GROUP BY bf.query_id
 """
 
 
-@register("ann_recall_trained_eval", _TRAINED_RECALL_ORACLE)
+@register_warm("ann_recall_trained_eval", _TRAINED_RECALL_ORACLE)
 def ann_recall_trained_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@5 of the trained-centroid IVF vs exact brute force —
     the eval that justified committing the centroid artifact (mean
@@ -714,7 +723,7 @@ FROM embeddings
 """
 
 
-@register("pq_encode_embeddings", _pq_oracle())
+@register_warm("pq_encode_embeddings", _pq_oracle())
 def pq_encode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization (Jégou et al.) — the compressor that
     makes billion-vector ANN serveable (64 floats -> 8 codebook
@@ -874,7 +883,7 @@ FROM top
 _ADC_MODEL, _ADC_LUT, _ADC_ORACLE = _adc_query_and_oracle()
 
 
-@register("pq_adc_topk", _ADC_ORACLE)
+@register_warm("pq_adc_topk", _ADC_ORACLE)
 def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ search the way a billion-vector serving tier runs it
     (Jégou et al. §III): the query is preprocessed driver-side into
@@ -1016,7 +1025,7 @@ FROM exact LEFT JOIN approx ON approx.vec_id = exact.vec_id
 """
 
 
-@register("pq_adc_recall_eval", _ADC_RECALL_ORACLE)
+@register_warm("pq_adc_recall_eval", _ADC_RECALL_ORACLE)
 def pq_adc_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADC search quality measured IN the engine: recall@{_ADC_K} of
     the PQ lookup-table search against the exact squared-L2 top-k for
@@ -1086,7 +1095,7 @@ def _adc_refine_oracle() -> str:
     )
 
 
-@register("pq_adc_refine_topk", _adc_refine_oracle())
+@register_warm("pq_adc_refine_topk", _adc_refine_oracle())
 def pq_adc_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION PQ serving shape (Jégou et al. §V, FAISS
     IndexRefineFlat): compressed-domain ADC scan selects a shortlist
@@ -1134,7 +1143,7 @@ FROM exact LEFT JOIN approx ON approx.vec_id = exact.vec_id
 """
 
 
-@register(
+@register_warm(
     "pq_adc_refine_recall_eval",
     _ADC_REFINE_RECALL_ORACLE.format(
         refine_oracle=_adc_refine_oracle(), exact_sql=_ADC_EXACT_SQL

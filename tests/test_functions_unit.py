@@ -141,7 +141,8 @@ def test_committed_sentiment_artifact_provenance_and_quality():
 
     corpus = json.load(open("tests/fixtures/sentiment_corpus.json"))
     retrained = N.train_quantized_sentiment(
-        [t for t, _ in corpus], [l for _, l in corpus], dim=1024, epochs=2400
+        [t for t, _ in corpus], [l for _, l in corpus], dim=1024, epochs=6000,
+        lr=1.0
     )
     shipped = N.load_sentiment_artifact(N.DEFAULT_SENTIMENT_ARTIFACT)
     assert shipped["dim"] == 1024 and shipped["scale"] == retrained["scale"]

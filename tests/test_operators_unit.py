@@ -1754,6 +1754,36 @@ def test_native_codec_probe_and_seam_routing():
             mm._native_decode_meta(jpg, "no-such-backend")
 
 
+def test_native_video_probe_and_seam_routing():
+    """r7 verdict #7: the codec plug seam extends to VIDEO — probe
+    PyAV, then an ffprobe binary, once per process.  This container
+    ships neither, so the test DOCUMENTS the probe result and proves
+    the seam contract: the pure MJPEG-AVI walk produces the container
+    metadata row, a probed native backend (when present) must produce
+    the identical row, and an unknown backend fails loudly."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from dss_nlp_ingestion_spark.operators import multimodal as mm
+    from dss_nlp_ingestion_spark.operators.video import encode_avi_mjpeg
+
+    probed = mm.native_video_backend()
+    assert probed in (None, "pyav", "ffprobe")  # document the probe
+    assert mm.native_video_backend() is probed  # cached, probe-once
+
+    avi = encode_avi_mjpeg(mm.synth_video_frames(4), fps=7)
+    pdf = pd.DataFrame({"doc_id": [4], "payload": [avi]})
+    pure = list(mm.video_container_meta_batch(iter([pdf])))[0]
+    assert pure["n_frames"][0] == len(mm.synth_video_frames(4))
+    assert pure["fps"][0] == 7 and pure["width"][0] > 0
+    if probed:
+        nat = list(mm.video_container_meta_batch(iter([pdf]), backend=probed))[0]
+        assert nat.equals(pure)
+    else:
+        with _pytest.raises(NotImplementedError):
+            mm._native_video_meta(avi, "no-such-backend")
+
+
 def test_ivf_centroid_artifact_provenance_and_recall_gain():
     """r7: the committed trained-centroid artifact
     (similarity.py ivf_centroids_v1.npz) is exactly what deterministic
