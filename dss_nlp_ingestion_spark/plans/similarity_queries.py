@@ -16,6 +16,7 @@ from dss_nlp_ingestion_spark.operators.similarity import (
     l2_norm,
 )
 from dss_nlp_ingestion_spark.plans.registry import (
+    TAGS,
     fround,
     fround_sql,
     register,
@@ -181,6 +182,14 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.3,
         max_bucket=_NEAR_DUP_CAP,
     ).select("id_a", "id_b", "bucket", fround(F.col("score"), 6).alias("score"))
+
+
+TAGS["embedding_near_dups"] = (
+    "skew guard (_NEAR_DUP_CAP=128, blocked self-pairs) is the DEFAULT "
+    "since r7: ~+1.4s at sf0.1 vs the unguarded twin "
+    "(embedding_near_dups_exact) - the price of the bounded per-task "
+    "pair budget that holds at sf1 hot buckets and beyond"
+)
 
 
 @register("embedding_near_dups_exact", _NEAR_ORACLE)
@@ -573,6 +582,13 @@ def _ivf_inc_probe(spark: SparkSession, ctx) -> DataFrame:
 register_split(
     "ivf_index_incremental", _ivf_inc_setup, _ivf_inc_probe, _IVF_INC_ORACLE
 )
+TAGS["ivf_index_incremental"] = (
+    "probe cost is O(batch x avg inverted-list size); the FIXTURE "
+    "batch is corpus/7 (vec_id % 7), so this row's sf1/sf0.1 ratio "
+    "reflects 10x queries x 10x list sizes - per-(query,candidate) "
+    "cost is flat. A production increment is a fixed-size batch: "
+    "O(batch), independent of corpus."
+)
 
 
 _IVF_INC_TRAINED_ORACLE = f"""
@@ -620,8 +636,10 @@ _ivf_inc_trained_q = register_split(
     _IVF_INC_TRAINED_ORACLE,
     tag=(
         "setup = corpus assignment to the committed k-means artifact + "
-        "index table write (reported in setup_sec); probe = O(batch) "
-        "search + append, the measured operator"
+        "index table write (reported in setup_sec); probe = the search "
+        "+ append. Same fixture-scaling note as ivf_index_incremental: "
+        "the batch is corpus/7 by design, so sf ratios multiply batch "
+        "growth by list growth; a production increment is O(batch)."
     ),
 )
 
