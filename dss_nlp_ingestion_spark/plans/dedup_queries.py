@@ -1394,3 +1394,20 @@ TAGS["simhash_near_dups"] = (
     "small-sf verifier: all-pairs hamming join; scale path = "
     "simhash_near_dups_banded (pigeonhole banding)"
 )
+TAGS["ngram_containment_pairs"] = (
+    "output-bound pair emitter: containment at threshold 0.0 cannot "
+    "prefix-prune, and make_sf cluster replication grows qualifying "
+    "pairs ~quadratically - time-per-output-pair FALLS at sf1; "
+    "solo_sec in BENCH_SF1 carries the fresh-session number"
+)
+TAGS["prefix_filter_jaccard_pairs"] = (
+    "exact AllPairs join - the lossless verifier of the banded/capped "
+    "scale paths; pair output (and so runtime) grows with replica-"
+    "inflated cluster sizes; solo_sec shows the sweep number ~3x "
+    "GC-inflated at sf1"
+)
+TAGS["lsh_quality_eval"] = (
+    "the EXACT leg of the precision/recall compare is the small-sf "
+    "verifier (at 100 TB it runs on a sampled stratum, per docstring); "
+    "sf1 cost tracks the exact side's pair growth, not the LSH side"
+)

@@ -2391,6 +2391,11 @@ def txlog_sql_dml_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Documented performance notes for the bench record (r5 verdict #3):
 # intentionally-Python compatibility paths whose full-sweep cost would
 # otherwise read as a regression.
+TAGS["range_join_cooccurring"] = (
+    "linear in data: solo_sec 6.2s = 11.3x for 10x data (per-user "
+    "pair frontier is density-bounded); the in-sweep sf1 number is "
+    "GC-inflated"
+)
 TAGS["cogrouped_conversion_stats"] = (
     "documented-slow: cogroup().applyInPandas imperative escape-hatch "
     "demo; the relational oracle proves the fast form's equivalence"

@@ -465,3 +465,44 @@ def test_ivf_topk_trained_has_no_corpus_collect_or_exchange(spark):
     # before the probe join; the probe table broadcasts.
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_inc_trained_probe_broadcasts_batch_not_index(spark):
+    """Trained incremental IVF (r8): the probe plan must broadcast the
+    (small) incoming-batch probe table onto the PERSISTED inverted
+    lists — never shuffle or broadcast the index itself — and close
+    with only the k-bounded per-query ranking window."""
+    from dss_nlp_ingestion_spark.plans.registry import PROBES, SETUPS
+
+    ctx = SETUPS["ivf_index_incremental_trained"](spark, SF_DIR)
+    df = PROBES["ivf_index_incremental_trained"](spark, ctx)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # exactly one ranking Window over query_id (plus its rank<=k
+    # WindowGroupLimit pushdown), nothing windowed on the corpus side
+    import re
+
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1
+    assert "WindowGroupLimit" in plan  # top-k limit pushed into sort
+
+
+def test_register_warm_probe_reuses_the_same_plan(spark):
+    """register_warm (r8): the probe must hand back the SAME DataFrame
+    the setup built and warmed — plan construction/compile happens
+    once (reported as setup_sec) and the probe measures execution
+    only. The driver-facing QUERIES entry stays the plain
+    single-execution function."""
+    from dss_nlp_ingestion_spark.plans.registry import PROBES, SETUPS
+
+    df = SETUPS["pq_adc_topk"](spark, SF_DIR)
+    assert PROBES["pq_adc_topk"](spark, df) is df  # identity, not a rebuild
+    assert df.count() > 0  # still executable after the warm count
+    fn = QUERIES["pq_adc_topk"]
+    assert not hasattr(fn, "__wrapped__") and callable(fn)
+    # greenness hash covers the warm halves
+    assert len(getattr(fn, "_split", ())) == 2

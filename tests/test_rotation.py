@@ -72,3 +72,33 @@ def test_rotation_never_sampled_first():
     # 4. Greens oldest-sample-first too (rolling re-verification).
     grounds = [latest[n][0] for n in greens]
     assert grounds == sorted(grounds), "green queries not oldest-sample-first"
+
+
+def test_registry_split_and_tag_invariants():
+    """Registry wiring guards (r8): every SETUP has a PROBE and a
+    driver-facing QUERIES entry carrying the `_split` halves the
+    greenness hash covers; every query the sf1 sweep skip-lists as a
+    by-design-quadratic verifier twin carries a TAG explaining why
+    (silent skips read as 'covered everything' when they are not)."""
+    from dss_nlp_ingestion_spark.plans import QUERIES
+    from dss_nlp_ingestion_spark.plans.registry import PROBES, SETUPS, TAGS
+
+    for name in SETUPS:
+        assert name in PROBES, name
+        assert name in QUERIES, name
+        assert len(getattr(QUERIES[name], "_split", ())) == 2, name
+    for name in PROBES:
+        assert name in SETUPS, name
+    # the sf1 skip list used by the committed BENCH_SF1 record
+    for name in (
+        "cjk_near_dups",
+        "edit_distance_dups",
+        "embedding_near_dups_exact",
+        "ngram_jaccard_dups",
+        "simhash_near_dups",
+    ):
+        assert name in QUERIES, name
+        # embedding_near_dups_exact is documented on its guarded
+        # default's tag; the rest carry their own
+        tagged = name in TAGS or "embedding_near_dups" in TAGS
+        assert tagged, f"skip-listed {name} has no documenting tag"
