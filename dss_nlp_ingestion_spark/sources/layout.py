@@ -200,11 +200,21 @@ def bloom_pruned_read(
     probe_df = spark.createDataFrame(
         [(k,) for k in keys], StructType([StructField(col, field.dataType)])
     ).select(_bloom_positions(F.col(col), n_bits, n_hashes).alias("pos"))
-    probes = [set(r["pos"]) for r in probe_df.collect()]
+    # File-keep decision runs CLUSTER-side: a broadcast left-semi
+    # nested-loop join keeps a file iff some probe's positions are all
+    # set in its Bloom bitset (array_except(pos, bits) empty). Only the
+    # O(kept) surviving file names are collected — at 100 TB (~800k
+    # files) the driver never sees the index rows, and the per-file
+    # membership test is JVM codegen, not a Python loop.
     keep = [
         r["_file"]
-        for r in index.collect()
-        if any(p <= set(r["bits"]) for p in probes)
+        for r in index.join(
+            F.broadcast(probe_df),
+            F.size(F.array_except(F.col("pos"), F.col("bits"))) == 0,
+            "left_semi",
+        )
+        .select("_file")
+        .collect()
     ]
     if not keep:
         return spark.read.parquet(path).filter(F.lit(False))
