@@ -179,14 +179,20 @@ def _solo_main() -> None:
     spark.stop()
 
 
-def _solo_rerun(names: list[str]) -> dict[str, float]:
+def _solo_rerun(names: list[str]) -> dict[str, object]:
     """Spawn a fresh python/JVM per flagged query and collect its
-    clean timing; failures record -1 rather than killing the record."""
+    clean timing. A failure records -1 WITH its reason (exception
+    type / last stderr line) so a -1 in the committed record is
+    diagnosable, and each flagged re-run is logged to stderr (r8
+    advisor: silent -1s + 1800 s timeouts could add tens of
+    undiagnosable minutes to a sweep)."""
     import subprocess
 
-    out: dict[str, float] = {}
+    out: dict[str, object] = {}
     for name in names:
         env = dict(os.environ, SPARK_GRAFT_SOLO_QUERY=name)
+        print(f"[bench] solo re-run: {name}", file=sys.stderr, flush=True)
+        proc = None
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
@@ -194,8 +200,19 @@ def _solo_rerun(names: list[str]) -> dict[str, float]:
             )
             line = proc.stdout.strip().splitlines()[-1]
             out[name] = float(json.loads(line)["solo_sec"])
-        except Exception:  # noqa: BLE001 — the sweep number stands
-            out[name] = -1.0
+        except Exception as exc:  # noqa: BLE001 — the sweep number stands
+            reason = f"{type(exc).__name__}: {exc}"[:200]
+            stderr_tail = ""
+            if proc is not None and proc.stderr:
+                lines = proc.stderr.strip().splitlines()
+                if lines:
+                    stderr_tail = lines[-1][:200]
+            out[name] = {"solo_sec": -1.0, "reason": reason, "stderr": stderr_tail}
+            print(
+                f"[bench] solo re-run FAILED: {name}: {reason}",
+                file=sys.stderr,
+                flush=True,
+            )
     return out
 
 
@@ -351,6 +368,14 @@ def main() -> None:
         # SOLO_RATIO x their SOLO_BASE baseline inside the sweep —
         # the number to read when sweep contention is suspected.
         "solo_sec": solo_sec,
+        # r8 verdict #8: every >2 s row must carry a documenting TAGS
+        # note. Violations are recorded here (never crash the sweep —
+        # the driver still needs a record) and
+        # tests/test_rotation.py::test_committed_bench_heavy_rows_tagged
+        # asserts the committed record is clean.
+        "untagged_heavy": sorted(
+            n for n, t in timings.items() if t > 2.0 and n not in TAGS
+        ),
         "errors": errors,
         "skew_demo": skew,
         "skipped": sorted(SKIP),

@@ -26,6 +26,7 @@ no RNG anywhere, so the committed artifact is exactly reproducible
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -268,6 +269,222 @@ def pq_adc_sql(
             f"list_extract({lut_lit}, list_position([{dlist}], list_min([{dlist}])))"
         )
     return "(" + " + ".join(terms) + ")"
+
+
+def pq_query_lut_column(
+    model: dict, vec_col: str = "embedding", dim: int = 64
+) -> Column:
+    """Per-QUERY ADC lookup table as one ``array<double>`` column of
+    m*k entries (s-major: entry ``s*k + c`` is the squared L2 distance
+    between the query's subvector ``s`` and codebook centroid ``c``).
+
+    This is the batched-query form of :func:`adc_lookup_table` — the
+    query vector is a COLUMN (an incoming batch), so the LUT is
+    computed engine-side once per query row, and per-candidate ADC
+    becomes m array lookups instead of O(dim) arithmetic (Jégou et
+    al., 2011 §III — the IVFADC search kernel). Same transform-over-
+    literal-centroids codegen form as :func:`_sub_argmin` (compact
+    generated code), same 0.0-seeded left fold, so the DuckDB twin
+    (:func:`pq_query_lut_sql`, a '+'-chain per entry) is
+    bit-identical."""
+    m, k = model["m"], model["k"]
+    books = model["codebooks"]
+    sub = dim // m
+    emb = F.col(vec_col)
+    parts = []
+    for s in range(m):
+        cents = F.array(
+            *[
+                F.array(*[F.lit(float(books[s][c][j])) for j in range(sub)])
+                for c in range(k)
+            ]
+        )
+        subvec = F.slice(emb, s * sub + 1, sub)
+
+        def _dist(cv):
+            # ``subvec`` is bound via enclosing scope, NOT a default
+            # arg (a default arg would make F.transform treat this as
+            # the binary (element, index) lambda — hyperplane_bucket's
+            # NB); the eager transform call below freezes it per
+            # iteration.
+            return F.aggregate(
+                F.zip_with(
+                    subvec,
+                    cv,
+                    lambda x, cc: (x.cast("double") - cc) * (x.cast("double") - cc),
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+
+        parts.append(F.transform(cents, lambda cv: _dist(cv)))  # noqa: B023
+    return F.concat(*parts)
+
+
+def pq_query_lut_sql(model: dict, emb_sql: str = "qv", dim: int = 64) -> str:
+    """DuckDB twin of :func:`pq_query_lut_column`: the same m*k
+    entries in the same s-major order, each a left-associated
+    '+'-chain of per-component squares (identical IEEE ops).
+
+    Literals are emitted as ``CAST('<repr>' AS DOUBLE)`` — a BARE
+    float literal is parsed by DuckDB as DECIMAL and its
+    decimal->double conversion can land one ulp away from Python/
+    Java's correctly-rounded strtod, which would shift LUT entries
+    (and thus shortlist boundaries) off the Spark values. String->
+    double casts are strtod in both engines."""
+    books = model["codebooks"]
+    m, k = model["m"], model["k"]
+    sub = dim // m
+
+    def _entry(s: int, c: int) -> str:
+        terms = []
+        for j in range(sub):
+            x = f"CAST({emb_sql}[{s * sub + j + 1}] AS DOUBLE)"
+            lit = f"CAST('{float(books[s][c][j])!r}' AS DOUBLE)"
+            terms.append(f"({x} - {lit}) * ({x} - {lit})")
+        return "(" + " + ".join(terms) + ")"
+
+    entries = [_entry(s, c) for s in range(m) for c in range(k)]
+    return "[" + ", ".join(entries) + "]"
+
+
+def pq_code_array_column(
+    model: dict, emb_col: str = "embedding", dim: int = 64
+) -> Column:
+    """The m per-subspace codes as an ``array<int>`` column (0-based
+    argmin indices, same first-match tie-break as
+    :func:`pq_code_columns`) — the storage form ADC joins want: a
+    probe-side lookup is one array load, with no per-row string
+    split (the comma-string form re-parsed 16x per candidate pair in
+    the shortlist stage)."""
+    m = model["m"]
+    emb = F.col(emb_col)
+    return F.array(
+        *[_sub_argmin(model, s, emb, dim)["i"].cast("int") for s in range(m)]
+    )
+
+
+def pq_query_lut_udf(model: dict, dim: int = 64):
+    """Arrow-vectorized twin of :func:`pq_query_lut_column` (same
+    values, bit-for-bit): per subspace s and centroid c the squared
+    distance is accumulated COMPONENT-SEQUENTIALLY (``acc = acc +
+    (x_j - c_j)^2`` over j, vectorized across rows) — numpy
+    elementwise ufuncs are plain IEEE ops with no FMA/reassociation,
+    so the fold matches the SQL '+' chain exactly, while the plan
+    shrinks from 256 literal expression trees (interpreted
+    higher-order functions, ~ms/row) to ONE Arrow batch stage."""
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    books = model["codebooks"]
+    m, k = model["m"], model["k"]
+    sub = dim // m
+    b = np.asarray(books, dtype=np.float64)  # (m, k, sub)
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def _lut(vs: pd.Series) -> pd.Series:
+        q = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])  # (n, dim)
+        n = q.shape[0]
+        out = np.empty((n, m * k), dtype=np.float64)
+        for s in range(m):
+            qs = q[:, s * sub : (s + 1) * sub]  # (n, sub)
+            for c in range(k):
+                acc = None
+                for j in range(sub):
+                    d = qs[:, j] - b[s, c, j]
+                    t = d * d
+                    acc = t if acc is None else acc + t
+                out[:, s * k + c] = acc
+        return pd.Series(list(out))
+
+    return _lut
+
+
+def pq_code_array_udf(model: dict, dim: int = 64):
+    """Arrow-vectorized twin of :func:`pq_code_array_column`: same
+    component-sequential distance fold (bit-exact, see
+    :func:`pq_query_lut_udf`), argmin via ``np.argmin`` — first
+    occurrence on ties, the same tie-break as ``array_min`` /
+    ``list_position``. The encode stage drops from interpreted
+    literal-HOF evaluation to one Arrow batch pass."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    books = model["codebooks"]
+    m, k = model["m"], model["k"]
+    sub = dim // m
+    b = np.asarray(books, dtype=np.float64)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _codes(vs: pd.Series) -> pd.Series:
+        q = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        n = q.shape[0]
+        codes = np.empty((n, m), dtype=np.int32)
+        for s in range(m):
+            qs = q[:, s * sub : (s + 1) * sub]
+            dists = np.empty((n, k), dtype=np.float64)
+            for c in range(k):
+                acc = None
+                for j in range(sub):
+                    d = qs[:, j] - b[s, c, j]
+                    t = d * d
+                    acc = t if acc is None else acc + t
+                dists[:, c] = acc
+            codes[:, s] = np.argmin(dists, axis=1)
+        return pd.Series(list(codes))
+
+    return _codes
+
+
+def pq_adc_from_lut_column(
+    model: dict, lut_col: str = "lut", codes_col: str = "codes"
+) -> Column:
+    """ADC distance of one (query, candidate) pair from the query's
+    LUT column and the candidate's stored ``array<int>`` codes: a
+    left-associated sum of m 0-based array lookups — the per-pair
+    search kernel is m loads + m adds, no per-dimension arithmetic."""
+    m, k = model["m"], model["k"]
+    codes_arr = F.col(codes_col)
+    terms = [
+        F.get(
+            F.col(lut_col),
+            F.lit(s * k) + F.element_at(codes_arr, s + 1),
+        )
+        for s in range(m)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def pq_adc_from_lut_sql(
+    model: dict, lut_sql: str = "l.lut", clist_sql: str = "k.clist"
+) -> str:
+    """DuckDB twin of :func:`pq_adc_from_lut_column` — ``clist`` holds
+    1-BASED codes (list_position output), so ``s*k + clist[s+1]`` is
+    the 1-based LUT index matching Spark's ``s*k + code`` 0-based
+    ``F.get``. Same left-associated '+' chain."""
+    m, k = model["m"], model["k"]
+    terms = [
+        f"list_extract({lut_sql}, {s * k} + list_extract({clist_sql}, {s + 1}))"
+        for s in range(m)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def pq_codes_list_sql(model: dict, emb_sql: str = "embedding", dim: int = 64) -> str:
+    """DuckDB twin of the encoder for ADC joins: the m per-subspace
+    codes as a LIST of 1-based positions (list_position first-match
+    argmin — same tie-break as :func:`pq_code_columns`)."""
+    books = model["codebooks"]
+    m, k = model["m"], model["k"]
+    sub = dim // m
+    exprs = []
+    for s in range(m):
+        dlist = ", ".join(
+            pq_sub_distance_sql(emb_sql, s, sub, books[s][c]) for c in range(k)
+        )
+        exprs.append(f"list_position([{dlist}], list_min([{dlist}]))")
+    return "[" + ", ".join(exprs) + "]"
 
 
 def pq_sub_distance_sql(

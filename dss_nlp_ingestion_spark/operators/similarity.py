@@ -398,6 +398,59 @@ def assign_nearest_centroid(
     )
 
 
+def centroid_topk_exact_udf(cent_rows: list, n_best: int):
+    """EXACT-fold multi-probe: per vector the ``n_best`` nearest
+    cells by cosine as an ordered array<long> (score DESC, cent_id
+    ASC — np.lexsort, stable). Unlike :func:`_centroid_probe_udf`
+    (BLAS matmul, library-defined summation order), every dot/norm
+    here is a COMPONENT-SEQUENTIAL fold vectorized across rows —
+    ``acc = acc + x_j * c_j`` over j — which is bit-identical to
+    ``dot_exact`` / the oracle's list_reduce chain, so the selected
+    list set (and any cut at n_best) is hash-gate safe, at Arrow
+    speed instead of interpreted higher-order-function cost."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cent_ids = np.array([int(r["cent_id"]) for r in cent_rows], dtype=np.int64)
+    cent_mat = np.array(
+        [[float(x) for x in r["_cvec"]] for r in cent_rows], dtype=np.float64
+    )
+
+    def _seq_norm(row) -> float:
+        acc = 0.0
+        for x in row:
+            acc += float(x) * float(x)
+        return acc and math.sqrt(acc)
+
+    cnorms = np.array([_seq_norm(row) for row in cent_mat], dtype=np.float64)
+    dim = cent_mat.shape[1]
+
+    def _topk_fn(vs):
+        if len(vs) == 0:
+            return pd.Series([], dtype="object")
+        mat = np.array([[float(x) for x in v] for v in vs], dtype=np.float64)
+        dots = None  # (n, k): sequential fold over components
+        qq = None  # (n,): sequential self-dot
+        for j in range(dim):
+            xj = mat[:, j]
+            pj = xj[:, None] * cent_mat[None, :, j]
+            dots = pj if dots is None else dots + pj
+            sq = xj * xj
+            qq = sq if qq is None else qq + sq
+        scores = dots / (np.sqrt(qq)[:, None] * cnorms[None, :])
+        return pd.Series(
+            [
+                cent_ids[np.lexsort((cent_ids, -scores[i]))[:n_best]].tolist()
+                for i in range(len(mat))
+            ]
+        )
+
+    return pandas_udf(_topk_fn, "array<long>")
+
+
 def _centroid_probe_udf(cent_rows: list, n_best: int):
     """BLAS multi-probe twin of :func:`_centroid_assign_udf`: the
     ``n_best`` nearest cells per vector (stable argsort — ties to the

@@ -120,8 +120,23 @@ def register_warm(
             # the probe re-executes the SAME DataFrame, whose analyzed/
             # optimized/compiled plan is cached on the object — so the
             # probe measures execution, the only part that is O(data).
+            #
+            # PRECONDITION (r8 advisor): ``fn`` must not persist()/
+            # cache() internally — a cached intermediate would make
+            # the probe time cached-block reads instead of real
+            # execution. Asserted below: the warmup execution must not
+            # grow the persistent-RDD set.
+            cached_before = spark.sparkContext._jsc.getPersistentRDDs().size()
             df = fn(spark, sf_dir)
             assert df.count() >= 0
+            cached_after = spark.sparkContext._jsc.getPersistentRDDs().size()
+            assert cached_after <= cached_before, (
+                f"register_warm({name!r}): query persisted "
+                f"{cached_after - cached_before} block(s) internally; "
+                "the steady-state probe would measure cache reads, not "
+                "execution — use register_split with an explicit "
+                "setup/probe seam instead"
+            )
             return df
 
         def steady_probe(spark: SparkSession, df: DataFrame) -> DataFrame:

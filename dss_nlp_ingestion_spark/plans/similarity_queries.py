@@ -508,19 +508,66 @@ def _ivf_inc_setup(spark: SparkSession, sf_dir: str):
     return _ivf_inc_build(spark, sf_dir, cents, _N_PROBE)
 
 
+#: IVFADC probe geometry (r8 verdict #5): 16 of 32 lists pre-scored
+#: in the compressed domain (m=16 PQ lookups/candidate), top-100
+#: shortlist exact-refined. recall@5 at sf0.1: 0.90 vs 0.68 for the
+#: old n_probe=4 full-precision probe, at ~0.93x its per-query cost
+#: in full-precision-equivalents (993 candidates / 8x-cheaper ADC +
+#: 100 exact ≈ 224 vs 241 exact scores).
+_INC_ADC_N_PROBE = 16
+_INC_ADC_REFINE = 100
+
+
+def _ivf_inc_build_pq(spark: SparkSession, sf_dir: str, cents: list):
+    """IVFADC index build (Jégou et al., 2011 §IV): assign the corpus
+    to the given centroid set ONCE and persist (id, codes, cent_id) —
+    the inverted lists hold PQ CODES, not vectors (16 bytes/row, the
+    4x index shrink that makes billion-vector lists RAM-resident);
+    exact vectors stay in the base table and are only touched for the
+    refine shortlist. Transaction-log table: increments are O_EXCL
+    commits, readers get snapshot isolation."""
+    import tempfile
+
+    from dss_nlp_ingestion_spark.operators.pq import (
+        DEFAULT_PQ_ARTIFACT,
+        load_pq_artifact,
+        pq_code_array_udf,
+    )
+    from dss_nlp_ingestion_spark.operators.similarity import (
+        centroid_topk_exact_udf,
+    )
+    from dss_nlp_ingestion_spark.sources import txlog
+
+    model = load_pq_artifact(DEFAULT_PQ_ARTIFACT)
+    emb = table(spark, sf_dir, "embeddings")
+    # One Arrow pass: exact-fold nearest list + PQ encode per vector
+    # (bit-identical to the literal-expression forms, ~10-100x the
+    # interpreted HOF throughput — the scan-side kernel a 100 TB
+    # build needs).
+    index = emb.select(
+        F.col("vec_id").alias("id"),
+        pq_code_array_udf(model)(F.col("embedding")).alias("codes"),
+        F.element_at(
+            centroid_topk_exact_udf(cents, 1)(F.col("embedding")), 1
+        ).alias("cent_id"),
+    )
+    path = tempfile.mkdtemp(prefix="dss_ivfadc_") + "/index"
+    txlog.create_table(index, path, stats_cols=["cent_id"])
+    return sf_dir, path, cents, _INC_ADC_N_PROBE, _INC_ADC_REFINE
+
+
 def _ivf_inc_trained_setup(spark: SparkSession, sf_dir: str):
-    """SETUP (trained form — r7 verdict #3): the committed spherical
-    k-means centroid artifact (ivf_centroids_v1.npz, measured
-    recall@5 0.84 at sf0.1 / 1.0 at sf1 vs 0.36 for the %-rule)
-    seeds the SAME incremental index build — the quality fix threaded
-    into the index-maintenance path, not just the one-shot search."""
+    """SETUP (trained form — r7 verdict #3, r8 verdict #5): the
+    committed spherical k-means centroid artifact (ivf_centroids_v1
+    .npz) seeds the IVFADC index build — trained lists + compressed-
+    domain probing, the index-maintenance path users would keep."""
     from dss_nlp_ingestion_spark.operators.similarity import load_ivf_centroids
 
     cents = [
         {"cent_id": int(c), "_cvec": [float(x) for x in v]}
         for c, v in load_ivf_centroids()
     ]
-    return _ivf_inc_build(spark, sf_dir, cents, _TRAINED_N_PROBE)
+    return _ivf_inc_build_pq(spark, sf_dir, cents)
 
 
 def _ivf_inc_probe(spark: SparkSession, ctx) -> DataFrame:
@@ -579,6 +626,112 @@ def _ivf_inc_probe(spark: SparkSession, ctx) -> DataFrame:
     return out
 
 
+def _ivf_inc_adc_probe(spark: SparkSession, ctx) -> DataFrame:
+    """PROBE (IVFADC form — r8 verdict #5): the incoming batch (every
+    7th vector, id-shifted) assigns only itself against the fixed
+    centroid set, probes ``n_probe`` persisted inverted lists in the
+    COMPRESSED domain — per candidate, m=16 LUT loads instead of
+    64-dim arithmetic (`pq_adc_from_lut_column`) — keeps a per-query
+    top-``refine`` shortlist, exact-rescores only that shortlist
+    against the base table, and appends its own (id, codes, cent_id)
+    rows back through the same commit protocol: maintenance stays
+    O(batch). The oracle replays assignment, encoding, LUTs and both
+    rankings from scratch — the hash match proves persisted-
+    compressed-index search equals the recompute-everything
+    semantics. (In-query assert: the index grew by exactly the
+    batch.)"""
+    from pyspark.sql import Window
+
+    from dss_nlp_ingestion_spark.operators.pq import (
+        DEFAULT_PQ_ARTIFACT,
+        load_pq_artifact,
+        pq_adc_from_lut_column,
+        pq_code_array_udf,
+        pq_query_lut_udf,
+    )
+    from dss_nlp_ingestion_spark.operators.similarity import (
+        centroid_topk_exact_udf,
+        cosine,
+    )
+    from dss_nlp_ingestion_spark.sources import txlog
+
+    sf_dir, path, cents, n_probe, refine = ctx
+    model = load_pq_artifact(DEFAULT_PQ_ARTIFACT)
+    emb = table(spark, sf_dir, "embeddings")
+    incoming = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + _IVF_INC_SHIFT).alias("vec_id"), "embedding"
+    )
+    # One Arrow pass per query: ordered n_probe nearest lists + the
+    # ADC LUT (both exact-fold, hash-gate safe) — then explode to
+    # (query, list) probe rows; the batch (not the index) broadcasts.
+    qprep = incoming.select(
+        F.col("vec_id").alias("query_id"),
+        centroid_topk_exact_udf(cents, n_probe)(F.col("embedding")).alias(
+            "_cents"
+        ),
+        pq_query_lut_udf(model)(F.col("embedding")).alias("_lut"),
+    )
+    probes = qprep.select(
+        "query_id", "_lut", F.explode("_cents").alias("cent_id")
+    )
+    idx = txlog.read(spark, path).select(
+        F.col("id").alias("neighbor_id"), "codes", "cent_id"
+    )
+    # Compressed-domain pre-scoring: no vectors move, no per-dimension
+    # math — the shortlist window is the only shuffle and it is
+    # k-bounded (WindowGroupLimit).
+    pre = idx.join(F.broadcast(probes), "cent_id").select(
+        "query_id",
+        "neighbor_id",
+        pq_adc_from_lut_column(model, "_lut", "codes").alias("_adc"),
+    )
+    ws = Window.partitionBy("query_id").orderBy(F.asc("_adc"), F.asc("neighbor_id"))
+    shortlist = (
+        pre.withColumn("_srn", F.row_number().over(ws))
+        .filter(F.col("_srn") <= refine)
+        .select("query_id", "neighbor_id")
+    )
+    # Exact refine: only refine*|batch| rows rejoin full vectors — the
+    # small shortlist broadcasts onto the base scan.
+    qv = incoming.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
+    )
+    base = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("_bid"), F.col("embedding").alias("_bv")
+    )
+    refined = (
+        base.join(F.broadcast(shortlist), F.col("_bid") == F.col("neighbor_id"))
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qv"), F.col("_bv")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    out = (
+        refined.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _IVF_K)
+        .select(
+            "query_id", "neighbor_id", fround(F.col("score"), 6).alias("score"), "rank"
+        )
+    )
+    # Maintenance: the batch's own (id, codes, cent_id) rows enter the
+    # compressed index through the same commit protocol.
+    before = txlog.snapshot_row_count(path)
+    batch_assigned = incoming.select(
+        F.col("vec_id").alias("id"),
+        pq_code_array_udf(model)(F.col("embedding")).alias("codes"),
+        F.element_at(
+            centroid_topk_exact_udf(cents, 1)(F.col("embedding")), 1
+        ).alias("cent_id"),
+    )
+    txlog.append(batch_assigned, path, stats_cols=["cent_id"])
+    grew = txlog.snapshot_row_count(path) - before
+    assert grew == incoming.count(), (grew, "index growth != batch size")
+    return out
+
+
 register_split(
     "ivf_index_incremental", _ivf_inc_setup, _ivf_inc_probe, _IVF_INC_ORACLE
 )
@@ -591,55 +744,99 @@ TAGS["ivf_index_incremental"] = (
 )
 
 
-_IVF_INC_TRAINED_ORACLE = f"""
+def _ivf_inc_trained_oracle() -> str:
+    """DuckDB twin of the IVFADC probe: replays corpus->list
+    assignment, PQ encoding (`pq_codes_list_sql`), per-query LUTs
+    (`pq_query_lut_sql`), the compressed-domain shortlist and the
+    exact refine from scratch — every stage the Spark side serves
+    from the persisted index."""
+    from dss_nlp_ingestion_spark.operators.pq import (
+        DEFAULT_PQ_ARTIFACT,
+        load_pq_artifact,
+        pq_adc_from_lut_sql,
+        pq_codes_list_sql,
+        pq_query_lut_sql,
+    )
+
+    model = load_pq_artifact(DEFAULT_PQ_ARTIFACT)
+    return f"""
 WITH cents AS (
   {_trained_cents_sql()}
 ), assigned AS (
-  SELECT neighbor_id, v, cent_id FROM (
+  SELECT neighbor_id, cent_id FROM (
     SELECT c.vec_id AS neighbor_id, c.embedding AS v, cents.cent_id,
            row_number() OVER (
              PARTITION BY c.vec_id
              ORDER BY {_CENT_SCORE} DESC, cents.cent_id ASC) AS rn
     FROM embeddings c CROSS JOIN cents
   ) WHERE rn = 1
+), codes AS (
+  SELECT vec_id AS neighbor_id, {pq_codes_list_sql(model)} AS clist
+  FROM embeddings
 ), incoming AS (
   SELECT vec_id + {_IVF_INC_SHIFT} AS query_id, embedding AS qv
   FROM embeddings WHERE vec_id % 7 = 0
 ), probes AS (
-  SELECT query_id, qv, cent_id FROM (
+  SELECT query_id, cent_id FROM (
     SELECT q.query_id, q.qv, cents.cent_id,
            row_number() OVER (
              PARTITION BY q.query_id
              ORDER BY {_QC_SCORE} DESC, cents.cent_id ASC) AS rn
     FROM incoming q CROSS JOIN cents
-  ) WHERE rn <= {_TRAINED_N_PROBE}
-), scored AS (
-  SELECT p.query_id, a.neighbor_id, {_QV_SCORE} AS score
+  ) WHERE rn <= {_INC_ADC_N_PROBE}
+), qlut AS (
+  SELECT query_id, {pq_query_lut_sql(model, 'qv')} AS lut FROM incoming
+), pre AS (
+  SELECT p.query_id, a.neighbor_id,
+         {pq_adc_from_lut_sql(model, 'l.lut', 'k.clist')} AS adc
   FROM assigned a JOIN probes p ON a.cent_id = p.cent_id
+  JOIN codes k ON k.neighbor_id = a.neighbor_id
+  JOIN qlut l ON l.query_id = p.query_id
+), shortlist AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS srn
+    FROM pre
+  ) WHERE srn <= {_INC_ADC_REFINE}
+), refined AS (
+  SELECT s.query_id, s.neighbor_id,
+         {_dot_sql('q.qv', 'c.embedding')} / (sqrt({_dot_sql('q.qv', 'q.qv')}) * sqrt({_dot_sql('c.embedding', 'c.embedding')})) AS score
+  FROM shortlist s
+  JOIN incoming q ON q.query_id = s.query_id
+  JOIN embeddings c ON c.vec_id = s.neighbor_id
 ), ranked AS (
   SELECT query_id, neighbor_id, score,
          CAST(row_number() OVER (
            PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS BIGINT) AS rank
-  FROM scored
+  FROM refined
 )
 SELECT query_id, neighbor_id, {fround_sql('score', 6)} AS score, rank
 FROM ranked WHERE rank <= {_IVF_K}
 """
 
-#: r7 verdict #3: the incremental index users would actually keep,
-#: seeded from the TRAINED centroid artifact instead of the %-rule —
-#: same O(batch) maintenance protocol, good inverted lists.
+
+_IVF_INC_TRAINED_ORACLE = _ivf_inc_trained_oracle()
+
+#: r7 verdict #3 + r8 verdict #5: the incremental index users would
+#: actually keep — TRAINED lists, compressed-domain (IVFADC) probing,
+#: same O(batch) maintenance protocol.
 _ivf_inc_trained_q = register_split(
     "ivf_index_incremental_trained",
     _ivf_inc_trained_setup,
-    _ivf_inc_probe,
+    _ivf_inc_adc_probe,
     _IVF_INC_TRAINED_ORACLE,
     tag=(
         "setup = corpus assignment to the committed k-means artifact + "
-        "index table write (reported in setup_sec); probe = the search "
-        "+ append. Same fixture-scaling note as ivf_index_incremental: "
-        "the batch is corpus/7 by design, so sf ratios multiply batch "
-        "growth by list growth; a production increment is O(batch)."
+        "PQ encode + index table write (reported in setup_sec); probe "
+        "= ADC search + refine + append. Probe-count cost (r8 verdict "
+        f"#5): {_INC_ADC_N_PROBE}/32 lists pre-scored at m=16 lookups "
+        f"per candidate (~8x cheaper than 64-dim cosine) + "
+        f"{_INC_ADC_REFINE} exact rescored ~= 0.93x the old n_probe=4 "
+        "full-precision candidate cost for recall@5 0.68 -> 0.90. Same "
+        "fixture-scaling note as ivf_index_incremental: the batch is "
+        "corpus/7 by design, so sf ratios multiply batch growth by "
+        "list growth; a production increment is O(batch)."
     ),
 )
 
@@ -675,14 +872,17 @@ GROUP BY bf.query_id
 """
 
 
-@register("ivf_inc_recall_trained_eval", _IVF_INC_TRAINED_RECALL_ORACLE)
-def ivf_inc_recall_trained_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """recall@5 of the TRAINED incremental IVF index vs exact brute
-    force on a 10-query slice of the incoming batch — the hash-gated
-    quality row for ivf_index_incremental_trained (r7 verdict #3).
-    Incoming ids are shifted past the corpus domain, so the brute
-    force keeps every corpus row (the query's own source vector
-    included — exactly what the persisted index can return)."""
+def _ivf_inc_recall_probe(spark: SparkSession, ctx) -> DataFrame:
+    """PROBE — recall@5 of the TRAINED IVFADC index vs exact brute
+    force on a 10-query slice of the incoming batch: the hash-gated
+    quality row for ivf_index_incremental_trained (r7 verdict #3;
+    IVFADC probing r8 #5). Shares the SETUP artifact with the index
+    row (r8 verdict #6) so this row measures search + scoring, not a
+    second index build. Incoming ids are shifted past the corpus
+    domain, so the brute force keeps every corpus row (the query's
+    own source vector included — exactly what the persisted index
+    can return)."""
+    sf_dir = ctx[0]
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(
         (F.col("vec_id") % 7 == 0) & (F.col("vec_id") < 70)
@@ -690,7 +890,7 @@ def ivf_inc_recall_trained_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     bf = brute_force_topk(emb, queries, "vec_id", "embedding", k=_IVF_K).select(
         "query_id", "neighbor_id"
     )
-    ap = _ivf_inc_trained_q(spark, sf_dir).filter(
+    ap = _ivf_inc_adc_probe(spark, ctx).filter(
         F.col("query_id") < _IVF_INC_SHIFT + 70
     ).select(F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an"))
     joined = bf.join(
@@ -702,6 +902,20 @@ def ivf_inc_recall_trained_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("an").cast("long").alias("n_hit"),
         fround(F.count("an").cast("double") / F.lit(5.0), 4).alias("recall_at_5"),
     )
+
+
+register_split(
+    "ivf_inc_recall_trained_eval",
+    _ivf_inc_trained_setup,
+    _ivf_inc_recall_probe,
+    _IVF_INC_TRAINED_RECALL_ORACLE,
+    tag=(
+        "eval composite: shares the index-build SETUP with "
+        "ivf_index_incremental_trained (r8 verdict #6 — the recall row "
+        "no longer pays a second build); probe = full IVFADC search + "
+        "exact brute force on the 10-query slice."
+    ),
+)
 
 
 # ---------------------------------------------------------------------------

@@ -45,10 +45,20 @@ def test_trained_ivf_recall_floor_small_sf(spark):
 
 
 def test_trained_ivf_incremental_recall_floor_small_sf(spark):
-    # The trained incremental index (r8) must stay in the same recall
-    # class as the one-shot trained search on its query slice
-    # (measured 0.54 at sf0.001; one-shot on the same queries: 0.50).
-    assert _mean_recall(spark, "ivf_inc_recall_trained_eval", SF_DIR) >= 0.45
+    # The trained IVFADC incremental index (r8 probe geometry: 16/32
+    # lists compressed-domain pre-scored, top-100 exact-refined)
+    # measured 0.80 at sf0.001 (was 0.54 with the n_probe=4
+    # full-precision probe); guard well below it.
+    assert _mean_recall(spark, "ivf_inc_recall_trained_eval", SF_DIR) >= 0.7
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(SF01_DIR), reason="sf0.1 fixtures not present"
+)
+def test_trained_ivf_incremental_recall_claim_sf01(spark):
+    # The r8 verdict-#5 claim itself: >= 0.8 at sf0.1 (measured 0.90
+    # with the IVFADC probe vs 0.68 for n_probe=4 full-precision).
+    assert _mean_recall(spark, "ivf_inc_recall_trained_eval", SF01_DIR) >= 0.8
 
 
 @pytest.mark.skipif(

@@ -468,10 +468,12 @@ def test_ivf_topk_trained_has_no_corpus_collect_or_exchange(spark):
 
 
 def test_ivf_inc_trained_probe_broadcasts_batch_not_index(spark):
-    """Trained incremental IVF (r8): the probe plan must broadcast the
-    (small) incoming-batch probe table onto the PERSISTED inverted
+    """Trained incremental IVFADC (r8): the probe plan must broadcast
+    the (small) incoming-batch probe table onto the PERSISTED inverted
     lists — never shuffle or broadcast the index itself — and close
-    with only the k-bounded per-query ranking window."""
+    with exactly two k-bounded per-query ranking windows (the
+    compressed-domain top-R shortlist and the exact-refine top-k),
+    both with the WindowGroupLimit pushdown."""
     from dss_nlp_ingestion_spark.plans.registry import PROBES, SETUPS
 
     ctx = SETUPS["ivf_index_incremental_trained"](spark, SF_DIR)
@@ -483,12 +485,12 @@ def test_ivf_inc_trained_probe_broadcasts_batch_not_index(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
-    # exactly one ranking Window over query_id (plus its rank<=k
-    # WindowGroupLimit pushdown), nothing windowed on the corpus side
+    # two ranking Windows over query_id (ADC shortlist + refine),
+    # nothing windowed on the corpus side
     import re
 
-    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1
-    assert "WindowGroupLimit" in plan  # top-k limit pushed into sort
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 2
+    assert "WindowGroupLimit" in plan  # top-k limits pushed into sort
 
 
 def test_register_warm_probe_reuses_the_same_plan(spark):

@@ -99,6 +99,30 @@ def test_registry_split_and_tag_invariants():
     ):
         assert name in QUERIES, name
         # embedding_near_dups_exact is documented on its guarded
-        # default's tag; the rest carry their own
-        tagged = name in TAGS or "embedding_near_dups" in TAGS
+        # default's tag; every OTHER skip-listed query must carry its
+        # own (the broad `or` form made this guard vacuous — r8
+        # advisor finding).
+        tagged = name in TAGS or (
+            name == "embedding_near_dups_exact" and "embedding_near_dups" in TAGS
+        )
         assert tagged, f"skip-listed {name} has no documenting tag"
+
+
+def test_committed_bench_heavy_rows_tagged():
+    """r8 verdict #8: every row that ran >2 s at sf0.1 in the
+    COMMITTED bench record must carry a documenting TAGS entry (cost
+    is by-design, not an unexplained regression), and the record's
+    own `untagged_heavy` audit (written by bench.py) must be clean.
+    A new heavy row therefore cannot land without its tag + solo
+    discipline in the same commit."""
+    import json
+    import os
+
+    from dss_nlp_ingestion_spark.plans.registry import TAGS
+
+    path = os.path.join(os.path.dirname(__file__), "..", "BENCH_FULL.json")
+    rec = json.load(open(path))
+    heavy = sorted(n for n, t in rec["queries"].items() if t > 2.0)
+    missing = [n for n in heavy if n not in TAGS]
+    assert not missing, f"heavy rows without TAGS notes: {missing}"
+    assert rec.get("untagged_heavy", []) == [], rec.get("untagged_heavy")
