@@ -15,19 +15,30 @@ import nlp_eval  # noqa: E402
 
 
 def test_models_beat_baselines_on_held_out():
+    # Floors are the HONEST r9 numbers on the grown adversarial eval
+    # sets (r8 verdict #3 — the r8 fixtures saturated at 1.0000 and
+    # measured eval-vocab coverage, not generalization; see
+    # tools/gen_eval_fixtures.py and NLP_EVAL.md's reading note).
+    # Measured r9: sentiment 0.6197/0.6190, topic 0.7500, encoder
+    # 0.9313, keyword 0.7000 — floors sit just below so a regression
+    # trips while headroom stays visible.
     s, t, e, k = nlp_eval.compute_all()
-    # sentiment: learned weights must decisively beat the fixed lexicon
-    assert s["model"]["acc"] >= s["baseline"]["acc"] + 0.2
-    assert s["model"]["acc"] >= 0.8
+    # sentiment: must beat the fixed lexicon on both metrics; macro-F1
+    # is the decisive margin (negation/sarcasm cases break both, but
+    # the lexicon collapses to near-one-class predictions)
+    assert s["model"]["acc"] > s["baseline"]["acc"]
+    assert s["model"]["f1"] >= s["baseline"]["f1"] + 0.2
+    assert s["model"]["acc"] >= 0.60
     # topic: above the rule-density heuristic
-    assert t["model"]["acc"] > t["baseline"]["acc"]
-    assert t["model"]["acc"] >= 0.9
-    # encoder: at least the hash-projection baseline (r7: the
-    # positional featurizer fix took this from 0.875 to 1.0)
-    assert e["model"]["acc"] >= e["baseline"]["acc"]
-    assert e["model"]["acc"] >= 0.95
+    assert t["model"]["acc"] >= t["baseline"]["acc"] + 0.1
+    assert t["model"]["acc"] >= 0.72
+    # encoder: above the hash-projection baseline on the
+    # mixed-cluster queries
+    assert e["model"]["acc"] >= e["baseline"]["acc"] + 0.15
+    assert e["model"]["acc"] >= 0.90
     # keywords: IDF weighting must beat plain TF
-    assert k["model"]["f1"] > k["baseline"]["f1"]
+    assert k["model"]["f1"] >= k["baseline"]["f1"] + 0.2
+    assert k["model"]["f1"] >= 0.65
 
 
 def test_committed_eval_table_reproduces():

@@ -238,6 +238,23 @@ def render(results: list[dict]) -> str:
         "real ONNX/torch artifact drops into the same pandas-UDF slots "
         "with no plan change.",
         "",
+        "Eval history: the r8 eval sets (n=40/24/32/8) read 1.0000 across "
+        "the board — and the r8 advisor showed those gains came from "
+        "closing training-VOCABULARY gaps against a fixed eval set, i.e. "
+        "the saturated metric measured eval-vocab coverage, not "
+        "generalization. The r9 sets are ~5x larger and adversarial "
+        "(tools/gen_eval_fixtures.py: negation, contrastives, unseen "
+        "sentiment vocabulary, sarcasm-adjacent and no-sentiment-word "
+        "sentences; cross-class topic distractors; mixed-cluster encoder "
+        "queries; OOV keyword distractors at gold-level term frequency). "
+        "The sub-1.0 numbers above are the honest headroom: a "
+        "position-weighted char-BoW linear model cannot represent "
+        "negation scope or sarcasm (sentiment), class-mixed sentences "
+        "cost the topic head ~1 in 4, and a corpus-IDF ranker has no "
+        "signal to order two OOV terms — these are capacity limits the "
+        "ONNX/torch seam exists for, now visible in the gate instead of "
+        "hidden by a saturated fixture.",
+        "",
     ]
     return "\n".join(lines)
 
