@@ -222,18 +222,27 @@ def _rotate_for_driver_sample() -> None:
         # rows-only queries (no oracle): green iff sampled cleanly.
         return row.get("err") is None and row.get("spark_rows") is not None
 
-    def _sort_key(name: str) -> tuple[int, int]:
+    def _sort_key(name: str) -> tuple[int, int, int]:
         rnd, row = latest.get(name, (0, None))
         as_of = cache.get(name, {}).get("as_of_round", 0)
         is_green = row is not None and _green_row(row) and rnd >= as_of
-        # Non-green first (0), ordered never-driver-sampled first
-        # (rnd == 0), then oldest-sampled round; the stable sort keeps
-        # registration order within each tie.  (r5 verdict #1: the old
-        # constant (0, 0) tie left ALL non-green queries in
-        # registration order, so the driver's 50-slot sample re-
-        # verified r1-era core queries while 181 never-sampled ones
-        # waited.)  Green queries last, oldest-sample-first.
-        return (1, rnd) if is_green else (0, rnd)
+        # Non-green first, ordered: (a) never-driver-sampled, (b)
+        # rows whose LATEST driver result was an actual error —
+        # r8 verdict #2: an errored row is a live correctness question
+        # and must not queue behind hash-stale rows that were green
+        # when last sampled — then (c) stale rows, oldest round first;
+        # the stable sort keeps registration order within each tie.
+        # (r5 verdict #1: the old constant tie left ALL non-green
+        # queries in registration order, so the driver's 50-slot
+        # sample re-verified r1-era core queries while 181
+        # never-sampled ones waited.)  Green queries last,
+        # oldest-sample-first.
+        if is_green:
+            return (1, 0, rnd)
+        if row is None:
+            return (0, 0, 0)  # never sampled
+        errored = not _green_row(row)  # latest sampled row itself bad
+        return (0, 1, rnd) if errored else (0, 2, rnd)
 
     order = sorted(QUERIES, key=_sort_key)  # stable sort
     for d in (QUERIES, ORACLES):

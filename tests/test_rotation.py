@@ -61,14 +61,31 @@ def test_rotation_never_sampled_first():
         ), "a green query sorted before a non-green one"
     # 2. Within non-green: never-sampled strictly before ever-sampled.
     never = [n for n in nongreen if n not in latest]
-    stale = [n for n in nongreen if n in latest]
-    if never and stale:
+    sampled_ng = [n for n in nongreen if n in latest]
+    if never and sampled_ng:
         assert max(order.index(n) for n in never) < min(
-            order.index(n) for n in stale
+            order.index(n) for n in sampled_ng
         ), "a previously-sampled non-green query sorted before a never-sampled one"
-    # 3. Within ever-sampled non-green: oldest sampled round first.
-    rounds = [latest[n][0] for n in stale]
-    assert rounds == sorted(rounds), "stale non-green not oldest-first"
+    # 3. Within ever-sampled non-green: rows whose LATEST driver
+    # result was itself an error precede hash-stale rows that were
+    # green when last sampled (r8 verdict #2), and each subgroup is
+    # oldest-sampled-first.
+    def _row_green(n):
+        row = latest[n][1]
+        return isinstance(row, dict) and (
+            row.get("hash_match") is True
+            or (row.get("err") is None and row.get("spark_rows") is not None)
+        )
+
+    errored = [n for n in sampled_ng if not _row_green(n)]
+    stale = [n for n in sampled_ng if _row_green(n)]
+    if errored and stale:
+        assert max(order.index(n) for n in errored) < min(
+            order.index(n) for n in stale
+        ), "a hash-stale green sorted before a previously-errored row"
+    for group in (errored, stale):
+        rounds = [latest[n][0] for n in group]
+        assert rounds == sorted(rounds), "non-green subgroup not oldest-first"
     # 4. Greens oldest-sample-first too (rolling re-verification).
     grounds = [latest[n][0] for n in greens]
     assert grounds == sorted(grounds), "green queries not oldest-sample-first"
