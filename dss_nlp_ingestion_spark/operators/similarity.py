@@ -332,18 +332,26 @@ def assign_nearest_centroid(
     cent_rows: list,
     literal_cell_cap: int = 64 * 64,
     n_best: int = 1,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Scan-side nearest-centroid assignment shared by the IVF index,
     SemDeDup, the k-means step and the incremental index: returns
     (id, v, vn, cent_id) with NO exchange on ``df``. ``n_best > 1``
     yields one row per (input row, nearest cell) — the multi-probe
     form (cells ordered score DESC, cent_id ASC). Below
-    ``literal_cell_cap`` centroid cells the argmax is the codegen
-    literal fold (bit-deterministic — the oracle-gated path); above
-    it, the BLAS pandas UDF (ties still break to the lowest cent_id;
-    last-ulp ordering may differ — documented acceptable for
-    approximate indexes at the scale where thousands of centroids
-    exist)."""
+    ``literal_cell_cap`` centroid cells the assignment is
+    BIT-DETERMINISTIC (the oracle-gated path) in either ``impl``:
+    ``"arrow"`` (default) runs :func:`centroid_topk_exact_udf`, whose
+    component-sequential numpy folds are bit-identical to the
+    ``"expr"`` literal-expression fold (pinned per element by
+    tests/test_pq_adc_kernels.py) at 10-100x the throughput — Spark
+    evaluates higher-order functions INTERPRETED (~0.7 ms/row for
+    32x64 cells), so the expression form is kept as executable
+    documentation of the fold the oracles mirror, not the hot path.
+    Above the cap, the BLAS pandas UDF (ties still break to the
+    lowest cent_id; last-ulp ordering may differ — documented
+    acceptable for approximate indexes at the scale where thousands
+    of centroids exist)."""
     import math
 
     base = df.select(
@@ -361,6 +369,13 @@ def assign_nearest_centroid(
             "cent_id",
             F.explode(_centroid_probe_udf(cent_rows, n_best)(F.col("v"))),
         )
+    if impl == "arrow":
+        topk = centroid_topk_exact_udf(cent_rows, n_best)
+        if n_best == 1:
+            return base.withColumn(
+                "cent_id", F.element_at(topk(F.col("v")), 1)
+            )
+        return base.withColumn("cent_id", F.explode(topk(F.col("v"))))
 
     def _py_norm(vec) -> float:
         acc = 0.0

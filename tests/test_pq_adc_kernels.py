@@ -81,7 +81,7 @@ def test_centroid_topk_exact_udf_matches_literal_assignment(spark):
     # order — group consecutively driver-side (a groupBy/collect_list
     # would scramble the order across the shuffle).
     lit_rows = assign_nearest_centroid(
-        emb, "vec_id", "embedding", cents, n_best=n_best
+        emb, "vec_id", "embedding", cents, n_best=n_best, impl="expr"
     ).select("id", "cent_id").collect()
     lits: dict[int, list[int]] = {}
     for r in lit_rows:
