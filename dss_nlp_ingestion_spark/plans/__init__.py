@@ -108,6 +108,33 @@ for _name, _note in {
         "CDC replication replay: N source commits -> N incremental "
         "applies by design (multi-commit IO at toy SF)"
     ),
+    # Borderline rows (~1.5-2.4 s at sf0.1) that cross the 2 s tag
+    # threshold under host-contention windows — notes so a noisy
+    # sweep can't produce an untagged_heavy violation.
+    "association_rules_confidence": (
+        "basket self-join for pair supports — candidate-pair-bound "
+        "market-basket kernel"
+    ),
+    "cent_exact_allocation": (
+        "largest-remainder allocation = exact decimal aggregate + "
+        "two rank windows by design"
+    ),
+    "dsir_importance_weights": (
+        "scan-side hashed n-gram featurizer over full text (same "
+        "cost class as dsir_top_selection)"
+    ),
+    "gdpr_cascade_delete": (
+        "multi-table transactional delete cascade: one commit per "
+        "referencing table (write IO at toy SF)"
+    ),
+    "kcore_copurchase_parts": (
+        "iterative k-core peel: one degree-filter superstep per "
+        "round until fixpoint, by design"
+    ),
+    "multitable_txn_snapshot": (
+        "multi-table atomic txn vector: N table writes + snapshot "
+        "reads in one row (commit IO at toy SF)"
+    ),
 }.items():
     _TAGS.setdefault(_name, _note)
 
