@@ -372,10 +372,14 @@ def main() -> None:
         # note. Violations are recorded here (never crash the sweep —
         # the driver still needs a record) and
         # tests/test_rotation.py::test_committed_bench_heavy_rows_tagged
-        # asserts the committed record is clean.
+        # asserts the committed record is clean. The 2 s threshold is
+        # calibrated to sf0.1 — at larger SFs most rows legitimately
+        # exceed it, so the audit only applies to sf<=0.2 sweeps.
         "untagged_heavy": sorted(
             n for n, t in timings.items() if t > 2.0 and n not in TAGS
-        ),
+        )
+        if _sf_from_dir(SF_DIR) <= 0.2
+        else [],
         "errors": errors,
         "skew_demo": skew,
         "skipped": sorted(SKIP),

@@ -197,10 +197,11 @@ def ivf_topk(
     the corpus (the r3 version shuffled the whole corpus through a
     row_number window here) — in one of two physical forms:
 
-    - ``<= literal_cell_cap`` literal cells (centroids x dims): the
-      centroid table embeds as a codegen literal and the argmax runs
-      inside WholeStageCodegen (bit-deterministic sequential folds —
-      the oracle-matched path);
+    - ``<= literal_cell_cap`` cells: the EXACT-fold Arrow kernel
+      (:func:`centroid_topk_exact_udf`) — component-sequential numpy
+      folds bit-identical to the literal-expression form the oracles
+      mirror (pinned by tests/test_pq_adc_kernels.py), at Arrow
+      throughput instead of interpreted higher-order-function cost;
     - above the cap: an Arrow-vectorized pandas UDF holding the
       centroid matrix in a numpy closure (one BLAS matmul per batch).
       Same plan shape; float64 matmul may differ from the sequential
@@ -254,63 +255,26 @@ def ivf_topk(
         return _ivf_topk_pandas(
             corpus, queries, cent_rows, id_col, vec_col, n_probe, k
         )
-    def _py_norm(vec) -> float:
-        # Python twin of l2_norm's sequential fold: float64 products
-        # summed left-to-right from 0.0, then a correctly-rounded
-        # sqrt — bit-identical to the Spark/DuckDB expression, so
-        # embedding it as a literal changes no cosine value.
-        import math
-
-        acc = 0.0
-        for x in vec:
-            acc += float(x) * float(x)
-        return math.sqrt(acc)
-
-    cent_lit = F.array(
-        *[
-            F.struct(
-                F.lit(int(r["cent_id"])).cast("long").alias("cent_id"),
-                F.array(*[F.lit(float(x)) for x in r["_cvec"]]).alias("cvec"),
-                F.lit(_py_norm(r["_cvec"])).alias("cnorm"),
-            )
-            for r in cent_rows
-        ]
-    )
-
-    def _best_cent(vec: Column, vec_norm: Column) -> Column:
-        # max over structs = lexicographic: highest cosine first, then
-        # highest -cent_id (= lowest cent_id) — identical to the
-        # oracle's ORDER BY score DESC, cent_id ASC with rn = 1.
-        # The row norm is hoisted (computed once per row, not once
-        # per centroid) and centroid norms are literals, so the
-        # per-row cost is K dot products + 1 norm, not 3K folds.
-        scored = F.transform(
-            cent_lit,
-            lambda c: F.struct(
-                (dot_exact(vec, c["cvec"]) / (vec_norm * c["cnorm"])).alias("s"),
-                (-c["cent_id"]).alias("nid"),
-            ),
-        )
-        return -F.array_max(scored)["nid"]
-
+    # Assignment and probe selection run the Arrow exact-fold kernel:
+    # bit-identical to the literal-expression fold (ties score DESC,
+    # cent_id ASC — pinned by tests/test_pq_adc_kernels.py) without
+    # the interpreted higher-order-function cost (~0.7 ms/row for
+    # 32x64 cells — Spark never codegens transform/aggregate).
     base = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
-    assigned = base.withColumn("_vnorm", l2_norm(F.col("_cv"))).select(
+    assigned = base.select(
         "neighbor_id",
         "_cv",
-        _best_cent(F.col("_cv"), F.col("_vnorm")).alias("cent_id"),
+        F.element_at(
+            centroid_topk_exact_udf(cent_rows, 1)(F.col("_cv")), 1
+        ).alias("cent_id"),
     )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
-    w_probe = Window.partitionBy("query_id").orderBy(F.desc("_pscore"), F.asc("cent_id"))
-    probes = (
-        q.select("query_id", "_qv", F.explode(cent_lit).alias("_c"))
-        .select(
-            "query_id", "_qv",
-            F.col("_c.cent_id").alias("cent_id"),
-            cosine(F.col("_qv"), F.col("_c.cvec")).alias("_pscore"),
-        )
-        .withColumn("_rn", F.row_number().over(w_probe))
-        .filter(F.col("_rn") <= n_probe)
-        .select("query_id", "_qv", "cent_id")
+    probes = q.select(
+        "query_id",
+        "_qv",
+        F.explode(
+            centroid_topk_exact_udf(cent_rows, n_probe)(F.col("_qv"))
+        ).alias("cent_id"),
     )
     w_rank = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
