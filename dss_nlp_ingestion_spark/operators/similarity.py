@@ -38,8 +38,74 @@ def l2_norm(a: Column) -> Column:
     return F.sqrt(dot_exact(a, a))
 
 
-def cosine(a: Column, b: Column) -> Column:
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Expression-form cosine — the exact fold the DuckDB oracles
+    mirror (dot_exact / list_reduce '+' chains). Spark evaluates the
+    higher-order functions inside INTERPRETED (never codegen), so
+    this form costs ~0.2 ms per pair; it is kept as executable
+    documentation and for contexts where a pandas UDF cannot appear
+    (inside HOF lambdas)."""
     return dot_exact(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+_COSINE_ARROW_UDF = None
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Pair cosine — Arrow exact-fold kernel, bit-identical to
+    :func:`cosine_expr` (component-sequential numpy folds; ufuncs
+    neither fuse nor reassociate — pinned per element by
+    tests/test_pq_adc_kernels.py) at 10-100x the throughput. This is
+    the hot kernel of every candidate-scoring join (bucketed near-dup
+    pairs, LSH/IVF probes, brute-force baselines)."""
+    global _COSINE_ARROW_UDF
+    if _COSINE_ARROW_UDF is None:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        def _cos_fn(va, vb):
+            n = len(va)
+            if n == 0:
+                return pd.Series([], dtype="float64")
+            out = np.empty(n, dtype=np.float64)
+            null = np.zeros(n, dtype=bool)
+            A = []
+            B = []
+            for i in range(n):
+                x, y = va.iloc[i], vb.iloc[i]
+                if x is None or y is None:
+                    null[i] = True
+                    A.append(None)
+                    B.append(None)
+                else:
+                    A.append(np.asarray(x, dtype=np.float64))
+                    B.append(np.asarray(y, dtype=np.float64))
+            if null.all():
+                return pd.Series([None] * n)
+            idx = np.where(~null)[0]
+            Am = np.stack([A[i] for i in idx])
+            Bm = np.stack([B[i] for i in idx])
+            dim = Am.shape[1]
+            dots = aa = bb = None  # component-sequential folds
+            for j in range(dim):
+                pj = Am[:, j] * Bm[:, j]
+                dots = pj if dots is None else dots + pj
+                sa = Am[:, j] * Am[:, j]
+                aa = sa if aa is None else aa + sa
+                sb = Bm[:, j] * Bm[:, j]
+                bb = sb if bb is None else bb + sb
+            with np.errstate(all="ignore"):
+                vals = dots / (np.sqrt(aa) * np.sqrt(bb))
+            out[idx] = vals
+            if null.any():
+                res = out.astype(object)
+                res[null] = None
+                return pd.Series(res)
+            return pd.Series(out)
+
+        _COSINE_ARROW_UDF = pandas_udf(_cos_fn, "double")
+    return _COSINE_ARROW_UDF(a, b)
 
 
 def brute_force_topk(
@@ -75,10 +141,51 @@ def brute_force_topk(
     )
 
 
+_HYPERPLANE_UDFS: dict = {}
+
+
 def hyperplane_bucket(vec_col: Column, n_planes: int = 8, dim: int = 64) -> Column:
     """Random-hyperplane LSH bucket id in [0, 2^n_planes): bit p is
     the sign of the projection onto deterministic integer plane
-    ``w(p,i) = ((p*31 + i*17) % 7) - 3``."""
+    ``w(p,i) = ((p*31 + i*17) % 7) - 3`` — Arrow exact-fold kernel,
+    bit-identical to :func:`hyperplane_bucket_expr` (the projections
+    are the same component-sequential IEEE folds, so every sign bit
+    agrees; pinned by tests/test_pq_adc_kernels.py)."""
+    key = (n_planes, dim)
+    if key not in _HYPERPLANE_UDFS:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        w = np.array(
+            [
+                [float(((p * 31 + i * 17) % 7) - 3) for i in range(dim)]
+                for p in range(n_planes)
+            ]
+        )
+
+        def _bucket_fn(vs):
+            n = len(vs)
+            if n == 0:
+                return pd.Series([], dtype="int64")
+            mat = np.array([[float(x) for x in v] for v in vs], dtype=np.float64)
+            bucket = np.zeros(n, dtype=np.int64)
+            for p in range(n_planes):
+                proj = None  # component-sequential fold
+                for j in range(dim):
+                    t = mat[:, j] * w[p, j]
+                    proj = t if proj is None else proj + t
+                bucket += (proj > 0).astype(np.int64) << p
+            return pd.Series(bucket)
+
+        _HYPERPLANE_UDFS[key] = pandas_udf(_bucket_fn, "long")
+    return _HYPERPLANE_UDFS[key](vec_col)
+
+
+def hyperplane_bucket_expr(vec_col: Column, n_planes: int = 8, dim: int = 64) -> Column:
+    """Expression form of :func:`hyperplane_bucket` — the exact fold
+    the oracles mirror, kept as executable documentation (interpreted
+    HOF evaluation, the slow path)."""
     # NB: the per-plane lambda must stay single-argument — a
     # ``lambda i, p=p`` default-arg closure is seen by F.transform as
     # a binary (element, index) lambda and the index silently replaces

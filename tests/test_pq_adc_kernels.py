@@ -98,3 +98,38 @@ def test_centroid_topk_exact_udf_matches_literal_assignment(spark):
     assert lits and set(lits) == set(uds)
     for vid, ordered in lits.items():
         assert ordered == uds[vid], vid
+
+
+def test_cosine_arrow_matches_expression_form_bitwise(spark):
+    from dss_nlp_ingestion_spark.operators.similarity import cosine, cosine_expr
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("ia") % 13 == F.col("ib") % 13).limit(4000)
+    rows = pairs.select(
+        "ia",
+        "ib",
+        cosine(F.col("va"), F.col("vb")).alias("arrow"),
+        cosine_expr(F.col("va"), F.col("vb")).alias("expr"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert repr(r["arrow"]) == repr(r["expr"]), (r["ia"], r["ib"])
+
+
+def test_hyperplane_bucket_arrow_matches_expression_form(spark):
+    from dss_nlp_ingestion_spark.operators.similarity import (
+        hyperplane_bucket,
+        hyperplane_bucket_expr,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = emb.select(
+        "vec_id",
+        hyperplane_bucket(F.col("embedding")).alias("arrow"),
+        hyperplane_bucket_expr(F.col("embedding")).alias("expr"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["arrow"] == r["expr"], r["vec_id"]
