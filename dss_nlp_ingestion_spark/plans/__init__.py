@@ -135,6 +135,66 @@ for _name, _note in {
         "multi-table atomic txn vector: N table writes + snapshot "
         "reads in one row (commit IO at toy SF)"
     ),
+    "copurchase_chi2_topk": (
+        "basket pair supports + chi-square scoring — candidate-pair-"
+        "bound market-basket kernel (same class as the lift/support "
+        "twins)"
+    ),
+    "copurchase_lift_topk": (
+        "basket pair supports + lift scoring — candidate-pair-bound"
+    ),
+    "copurchase_pairs_support": (
+        "basket pair-support base table — candidate-pair-bound"
+    ),
+    "copurchase_triples_support": (
+        "basket TRIPLE supports — candidate-triple-bound by design"
+    ),
+    "ngram_jaccard_dups": (
+        "uncapped postings self-join — the small-sample exact "
+        "verifier of the df-capped scale default (sf1 skip-listed)"
+    ),
+    "cogrouped_conversion_stats": (
+        "applyInPandas cogroup demo on a 1/8 user slice — the "
+        "documented Python-boundary compatibility path"
+    ),
+    "txlog_ivm_with_deletes": (
+        "IVM through appends AND deletes: multi-commit lifecycle + "
+        "signed-delta refresh (commit IO at toy SF)"
+    ),
+    "ancestor_closure_customers": (
+        "recursive closure: one join superstep per hierarchy level "
+        "until fixpoint, by design"
+    ),
+    "cjk_lsh_candidates": (
+        "character-shingle MinHash banding for unsegmented text — "
+        "shingle volume is chars, not words (denser postings)"
+    ),
+    "fulltext_topk": (
+        "BM25 scoring join over the posting lists + top-k window "
+        "(index-build IO shares the row at toy SF)"
+    ),
+    "fulltext_topk_cjk": (
+        "BM25 over character-shingled CJK postings — denser lists "
+        "than word tokens by design"
+    ),
+    "degree_distribution_log2": (
+        "full trade-graph degree aggregation + log2 binning — one "
+        "graph-wide shuffle by design"
+    ),
+    "incremental_lsh_dedup": (
+        "batch-vs-corpus band-index probe: cost tracks the batch; "
+        "fixture batch is corpus-sized by design"
+    ),
+    "triangle_edge_support": (
+        "per-EDGE triangle supports (k-truss ingredient) — "
+        "adjacency-intersection bound, heavier than the count-only "
+        "twin by design"
+    ),
+    "media_decode_real": (
+        "pure-python baseline-JPEG/PNG decode inside mapInPandas — "
+        "the documented hermetic-container codec path (native seam "
+        "exists)"
+    ),
 }.items():
     _TAGS.setdefault(_name, _note)
 
