@@ -876,14 +876,26 @@ def train_spherical_kmeans(sample, k: int = 32, iters: int = 10):
     normalize, init = first k sample rows, assign by dot product
     (argmax, first-match ties), recenter on the normalized mean;
     empty clusters keep their centroid. No RNG — bit-reproducible,
-    same discipline as every other committed artifact."""
+    same discipline as every other committed artifact.
+
+    The assignment scores fold COMPONENT-SEQUENTIALLY (``S += x_j *
+    c_j`` over j, vectorized across rows) instead of a BLAS GEMM:
+    GEMM blocking — and therefore its summation order — follows the
+    host CPU's kernel dispatch, and a host change silently broke
+    bit-equality of the committed artifact by one ulp (r9 finding).
+    Elementwise ufuncs neither fuse nor reassociate, so the fold is
+    identical on every host — the same exact-fold discipline the
+    Arrow serving kernels use."""
     import numpy as np
 
     X = np.asarray(sample, dtype=np.float64)
     Xn = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
     C = Xn[:k].copy()
     for _ in range(iters):
-        a = (Xn @ C.T).argmax(axis=1)
+        S = np.zeros((Xn.shape[0], C.shape[0]))
+        for j in range(Xn.shape[1]):
+            S += Xn[:, j : j + 1] * C[None, :, j]
+        a = S.argmax(axis=1)
         for c in range(k):
             mask = a == c
             if mask.any():
