@@ -274,6 +274,98 @@ def _signed_features(text: str, dim: int, memo: dict | None = None):
     return out
 
 
+#: v3 sentiment subword config: char n-gram length, the two hash
+#: spaces (word buckets in [0, WORD_DIM), subword buckets offset by
+#: WORD_DIM), the subword L2 multiplier, and the minimum token length
+#: that emits subwords — all selected on the committed carrier
+#: validations (tools/gen_sentiment_validation.py). lam_s = 16*L:
+#: morph 0.8371 / base 0.9829 vs the word-only v2's 0.4971 / 0.9771;
+#: adding MIN_LEN = 5 reads morph 0.8257 / base 0.9886 and exists
+#: because short NEUTRAL fillers ("once", "and", "all") emit 4-gram
+#: buckets that collide with content-word stems — under a negation
+#: scope those collisions flip into active noise, while morphology
+#: (the capability subwords exist for) lives in longer content words.
+#: Subwords keep the token's negation SIGN (an unflipped variant
+#: read base 0.8857: a negated known word's stem grams must flip
+#: WITH it, or they pull toward the unnegated polarity).
+SUBWORD_NGRAM = 4
+SUBWORD_MIN_LEN = 5
+SENTIMENT_WORD_DIM = 16384
+SENTIMENT_SUBWORD_DIM = 16384
+SENTIMENT_SUBWORD_L2_MULT = 16.0
+
+
+def _subword_buckets(s: str, dim_s: int) -> list[int]:
+    """Char ``SUBWORD_NGRAM``-gram poly-hash buckets of the boundary-
+    marked token ``<s>`` (the fastText subword idea): each gram folds
+    through the same rolling hash as :func:`_poly_bucket`. A token
+    shorter than n-2 letters emits no subword (the <> marks make a
+    2-letter token exactly one gram)."""
+    p = "<" + s + ">"
+    out = []
+    for k in range(len(p) - SUBWORD_NGRAM + 1):
+        h = 7
+        for ch in p[k : k + SUBWORD_NGRAM]:
+            h = (h * 131 + ord(ch)) % 2147483647
+        out.append(h % dim_s)
+    return out
+
+
+def _signed_features_v3(
+    text: str, dim_w: int, dim_s: int, memo: dict | None = None
+):
+    """v3 featurizer core: the v2 negation-scope pass
+    (:func:`_signed_features`) EXTENDED with subword buckets — each
+    surviving token emits its word bucket (in [0, dim_w)) plus its
+    char n-gram buckets (offset by dim_w), all carrying the token's
+    negation sign. Subwords are what give a morphologically novel
+    word ("dreadfully") a polarity: it shares stem grams with a
+    trained word ("dreadful") — architecture, not eval vocabulary."""
+    if memo is None:
+        memo = {}
+    out = []
+    last_neg = -10 ** 9
+    last_break = -10 ** 9
+    for i, t in enumerate(text.strip().lower().split()):
+        props = memo.get(t)
+        if props is None:
+            s = _STRIP_EDGE.sub("", t)
+            neg = s in NEGATORS or s.endswith("n't")
+            brk = bool(_CLAUSE_END.search(t)) or s in BREAK_WORDS
+            if s and not neg:
+                buckets = (_poly_bucket(s, dim_w),)
+                if len(s) >= SUBWORD_MIN_LEN:
+                    buckets += tuple(
+                        dim_w + b for b in _subword_buckets(s, dim_s)
+                    )
+            else:
+                buckets = ()
+            props = (buckets, neg, brk)
+            memo[t] = props
+        buckets, neg, brk = props
+        if buckets:
+            sgn = -1 if (last_neg >= i - NEG_WINDOW and last_break < last_neg) else 1
+            for b in buckets:
+                out.append((b, sgn))
+        if neg:
+            last_neg = i
+        if brk:
+            last_break = i
+    return out
+
+
+def _signed_ngram_counts(text: str, dim_w: int, dim_s: int):
+    """Dense int64 signed-count vector form of
+    :func:`_signed_features_v3` (training/eval path)."""
+    import numpy as np
+
+    counts = np.zeros(dim_w + dim_s, dtype=np.int64)
+    feats = _signed_features_v3(text, dim_w, dim_s)
+    for bucket, sgn in feats:
+        counts[bucket] += sgn
+    return counts, len(feats)
+
+
 def _signed_bow_counts(text: str, dim: int):
     """Dense int64 signed-count vector form of
     :func:`_signed_features` (training/eval path). Returns (counts,
@@ -304,6 +396,43 @@ def _poly_bow_counts(text: str, dim: int):
         counts[_poly_bucket(s, dim)] += 1
         n += 1
     return counts, n
+
+
+#: Separator codepoint folded between the two tokens of a bigram in
+#: the v3 featurizer — any value outside [a-z0-9] codepoints works;
+#: 1 keeps the rolling-hash accumulator int64-safe.
+BIGRAM_SEP_CODE = 1
+
+
+def _ngram_bow_counts(text: str, dim: int):
+    """Word uni+BIGRAM poly-hash bag (the v3 ENCODER featurizer, the
+    fastText word-n-gram idea): edge-punctuation-stripped tokens
+    through :func:`_poly_bucket` (+1 each), plus one bucket per
+    CONSECUTIVE SURVIVING token pair — the pair's bucket is the same
+    rolling hash folded over ``codes(a) + [BIGRAM_SEP_CODE] +
+    codes(b)``, so word ORDER becomes a feature (a pure BoW encoder
+    cannot separate two queries that permute the same token multiset;
+    the committed mixed-cluster eval contains exactly that shape).
+    Returns (int64 counts, n = number of unigram-emitting tokens)."""
+    import numpy as np
+
+    counts = np.zeros(dim, dtype=np.int64)
+    stoks = []
+    for t in text.strip().lower().split():
+        s = _STRIP_EDGE.sub("", t)
+        if s:
+            stoks.append(s)
+    for s in stoks:
+        counts[_poly_bucket(s, dim)] += 1
+    for a, b in zip(stoks, stoks[1:]):
+        h = 7
+        for ch in a:
+            h = (h * 131 + ord(ch)) % 2147483647
+        h = (h * 131 + BIGRAM_SEP_CODE) % 2147483647
+        for ch in b:
+            h = (h * 131 + ord(ch)) % 2147483647
+        counts[h % dim] += 1
+    return counts, len(stoks)
 
 
 #: Neutral carrier templates for the class-balanced lexicon
@@ -463,9 +592,73 @@ def train_negation_sentiment(
     }
 
 
+def train_subword_sentiment(
+    texts: list[str],
+    labels: list[int],
+    sample_weight: list[float] | None = None,
+    dim_w: int = SENTIMENT_WORD_DIM,
+    dim_s: int = SENTIMENT_SUBWORD_DIM,
+    epochs: int = 6000,
+    lr: float = 2.0,
+    lam: float = SENTIMENT_L2,
+    lam_s_mult: float = SENTIMENT_SUBWORD_L2_MULT,
+    scale: int = 1_000_000,
+) -> dict:
+    """Train the v3 SHIPPED sentiment model: the v2 recipe
+    (:func:`train_negation_sentiment` — balanced weighted logistic
+    regression, deterministic batch GD) over the SPLIT word+subword
+    feature space (:func:`_signed_ngram_counts`), with a HEAVIER L2
+    on the subword region (``lam * lam_s_mult``). The asymmetric
+    penalty is the point: in-vocabulary words keep their word-level
+    evidence dominant (subword weights shrink toward 0 and cannot
+    flip a known word's polarity via cross-polarity stem collisions
+    like grates/grateful), while a morphologically NOVEL word has
+    ONLY subword features, so even small stem weights decide its
+    sign. Serving stays the same exact integer dot product."""
+    import numpy as np
+
+    feats = np.stack(
+        [_signed_ngram_counts(t, dim_w, dim_s)[0] for t in texts]
+    ).astype("float64")
+    y = np.asarray(labels, dtype="float64")
+    sw = (
+        np.ones(len(y))
+        if sample_weight is None
+        else np.asarray(sample_weight, dtype="float64")
+    )
+    wp, wn = sw[y == 1].sum(), sw[y == 0].sum()
+    sw = sw * np.where(y == 0, wp / wn, 1.0)
+    sw = sw / sw.mean()
+    lam_vec = np.full(dim_w + dim_s, lam)
+    lam_vec[dim_w:] = lam * lam_s_mult
+    w = np.zeros(dim_w + dim_s)
+    b = 0.0
+    for _ in range(epochs):
+        z = np.clip(feats @ w + b, -37.0, 37.0)
+        p = 1.0 / (1.0 + np.exp(-z))
+        grad = (p - y) * sw
+        w -= lr * ((feats.T @ grad) / len(y) + lam_vec * w)
+        b -= lr * float(grad.mean())
+    return {
+        "w_q": np.rint(w * scale).astype(np.int64),
+        "b_q": int(np.rint(b * scale)),
+        "dim": dim_w + dim_s,
+        "dim_w": dim_w,
+        "dim_s": dim_s,
+        "scale": scale,
+        "version": 3,
+    }
+
+
 def save_sentiment_artifact(model: dict, path: str) -> None:
     import numpy as np
 
+    extra = {}
+    if model.get("version", 1) >= 3:
+        extra = {
+            "dim_w": np.int64(model["dim_w"]),
+            "dim_s": np.int64(model["dim_s"]),
+        }
     np.savez(
         path,
         w_q=model["w_q"],
@@ -473,6 +666,7 @@ def save_sentiment_artifact(model: dict, path: str) -> None:
         dim=np.int64(model["dim"]),
         scale=np.int64(model["scale"]),
         version=np.int64(model.get("version", 1)),
+        **extra,
     )
 
 
@@ -480,13 +674,17 @@ def load_sentiment_artifact(path: str) -> dict:
     import numpy as np
 
     with np.load(path) as z:
-        return {
+        out = {
             "w_q": z["w_q"].astype(np.int64),
             "b_q": int(z["b_q"]),
             "dim": int(z["dim"]),
             "scale": int(z["scale"]),
             "version": int(z["version"]) if "version" in z else 1,
         }
+        if "dim_w" in z:
+            out["dim_w"] = int(z["dim_w"])
+            out["dim_s"] = int(z["dim_s"])
+        return out
 
 
 def sentiment_z(text: str, model: dict) -> float:
@@ -499,12 +697,15 @@ def sentiment_z(text: str, model: dict) -> float:
     clamp keeps exp() finite on pathological repeated-token inputs;
     past |z|=14 the fround-6 sigmoid is saturated anyway, so the
     clamp never changes a recorded score)."""
-    if model.get("version", 1) >= 2:
+    version = model.get("version", 1)
+    if version >= 2:
         w_q = model["w_q"]
-        dot = sum(
-            sgn * int(w_q[bucket])
-            for bucket, sgn in _signed_features(text or "", model["dim"])
+        feats = (
+            _signed_features_v3(text or "", model["dim_w"], model["dim_s"])
+            if version >= 3
+            else _signed_features(text or "", model["dim"])
         )
+        dot = sum(sgn * int(w_q[bucket]) for bucket, sgn in feats)
         z = (model["b_q"] + dot) / model["scale"]
         return max(-37.0, min(37.0, z))
     counts, n = _sum_bow_counts(text or "", model["dim"])
@@ -538,6 +739,8 @@ def quantized_sentiment_udf(model: dict):
         "scale": int(model["scale"]),
         "version": int(model.get("version", 1)),
     }
+    if m["version"] >= 3:
+        m["dim_w"], m["dim_s"] = int(model["dim_w"]), int(model["dim_s"])
 
     @pandas_udf("double")
     def _score(text: pd.Series) -> pd.Series:
@@ -549,11 +752,23 @@ def quantized_sentiment_udf(model: dict):
             # accumulation (no dense vector), token properties
             # memoized across the Arrow batch.
             w_l = m["w_q"].tolist()  # plain Python ints: exact + fast
-            b_q, dim, scale = m["b_q"], m["dim"], m["scale"]
+            b_q, scale = m["b_q"], m["scale"]
+            if m["version"] >= 3:
+                dim_w, dim_s = m["dim_w"], m["dim_s"]
+
+                def feats(t, memo):
+                    return _signed_features_v3(t or "", dim_w, dim_s, memo)
+
+            else:
+                dim = m["dim"]
+
+                def feats(t, memo):
+                    return _signed_features(t or "", dim, memo)
+
             memo: dict = {}
             for i, t in enumerate(text):
                 dot = b_q
-                for bucket, sgn in _signed_features(t or "", dim, memo):
+                for bucket, sgn in feats(t, memo):
                     dot += sgn * w_l[bucket]
                 z = max(-37.0, min(37.0, dot / scale))
                 out[i] = np.floor(1.0 / (1.0 + np.exp(-z)) * 1e6 + 0.5) / 1e6
@@ -634,15 +849,18 @@ DEFAULT_TOPIC_ARTIFACT = __file__.replace("nlp.py", "topic_model_v2.npz")
 
 
 def _topic_counts(text: str, model_or_version, dim: int):
-    """Featurizer dispatch for the topic model: version 2 -> unsigned
-    poly-hash counts (:func:`_poly_bow_counts`), version 1 -> the
-    legacy codepoint-sum counts. Shared by trainer, serving UDF and
-    the eval harness."""
+    """Featurizer dispatch for the topic/encoder models: version 3 ->
+    uni+bigram poly-hash counts (:func:`_ngram_bow_counts`), version
+    2 -> unsigned poly-hash counts (:func:`_poly_bow_counts`),
+    version 1 -> the legacy codepoint-sum counts. Shared by trainer,
+    serving UDF and the eval harness."""
     version = (
         model_or_version.get("version", 1)
         if isinstance(model_or_version, dict)
         else int(model_or_version)
     )
+    if version >= 3:
+        return _ngram_bow_counts(text, dim)
     fn = _poly_bow_counts if version >= 2 else _sum_bow_counts
     return fn(text, dim)
 
@@ -766,7 +984,7 @@ def quantized_topic_udf(model: dict, class_names: tuple = TOPIC_CLASSES):
 #: Path of the committed default encoder artifact (trained from
 #: tests/fixtures/encoder_corpus.json; provenance pinned by a
 #: retrain-equality test).
-DEFAULT_ENCODER_ARTIFACT = __file__.replace("nlp.py", "encoder_model_v1.npz")
+DEFAULT_ENCODER_ARTIFACT = __file__.replace("nlp.py", "encoder_model_v2.npz")
 
 ENCODER_DIM = 16
 
@@ -775,20 +993,28 @@ def train_quantized_encoder(
     texts: list[str],
     labels: list[int],
     emb_dim: int = ENCODER_DIM,
-    dim: int = 128,
+    dim: int = 2048,
     epochs: int = 400,
     lr: float = 0.5,
     scale: int = 1_000_000,
+    version: int = 3,
 ) -> dict:
     """Train the SHIPPED text encoder: a softmax probe over
     ``emb_dim`` synthetic topic clusters; the learned class-weight
     matrix IS the embedding projection (class-direction encoder —
     each output dimension measures affinity to one learned probe,
     the classic linear-probe embedding). Quantized to integers, so
-    ENCODING is pure int64 arithmetic: e_k = b_q[k]*n + W_q[k]·c."""
+    ENCODING is pure int64 arithmetic: e_k = b_q[k]*n + W_q[k]·c.
+
+    v2 artifact defaults (r9): featurizer version 3 — uni+BIGRAM
+    poly-hash (:func:`_ngram_bow_counts`) at dim 2048 — selected on
+    a mixed-cluster carrier validation built only from training
+    materials (0.9922 vs 0.9219 for the best pure-BoW form; BoW has
+    a hard ceiling there because it cannot separate order-permuted
+    token multisets)."""
     m = train_quantized_topic(
         texts, labels, n_classes=emb_dim, dim=dim, epochs=epochs, lr=lr,
-        scale=scale, version=1,  # encoder stays on the v1 featurizer
+        scale=scale, version=version,
     )
     return {
         "w_q": m["w_q"],
@@ -796,6 +1022,7 @@ def train_quantized_encoder(
         "dim": m["dim"],
         "scale": m["scale"],
         "emb_dim": emb_dim,
+        "version": version,
     }
 
 
@@ -809,6 +1036,7 @@ def save_encoder_artifact(model: dict, path: str) -> None:
         dim=np.int64(model["dim"]),
         scale=np.int64(model["scale"]),
         emb_dim=np.int64(model["emb_dim"]),
+        version=np.int64(model.get("version", 1)),
     )
 
 
@@ -822,6 +1050,7 @@ def load_encoder_artifact(path: str) -> dict:
             "dim": int(z["dim"]),
             "scale": int(z["scale"]),
             "emb_dim": int(z["emb_dim"]),
+            "version": int(z["version"]) if "version" in z else 1,
         }
 
 
@@ -850,7 +1079,7 @@ def encode_text_int64(model: dict, text: str):
 
     w_q = np.asarray(model["w_q"], dtype=np.int64)
     b_q = np.asarray(model["b_q"], dtype=np.int64)
-    counts, n = _sum_bow_counts(text or "", int(model["dim"]))
+    counts, n = _topic_counts(text or "", model, int(model["dim"]))
     return b_q * max(n, 1) + w_q @ counts
 
 
@@ -884,7 +1113,7 @@ def quantized_encoder_udf(model: dict, anchor_vec=None):
         shas = []
         cos = np.empty(len(text), dtype="float64")
         for i, t in enumerate(text):
-            counts, n = _sum_bow_counts(t or "", dim)
+            counts, n = _topic_counts(t or "", model, dim)
             nn = max(n, 1)
             e = b_q * nn + w_q @ counts  # int64 embedding
             shas.append(

@@ -72,11 +72,13 @@ def sentiment_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _bow_cte(dim: int) -> str:
-    """The v1 hashed-BoW featurizer scaffold the ENCODER model oracle
-    replays (codepoint-sum bucket per token, per-doc token count,
-    per-(doc,bucket) counts). (The sentiment model moved to the v2
-    signed featurizer — :func:`_signed_bow_cte` — and the topic model
-    to the v2 poly-hash form — :func:`_poly_bow_cte`.)"""
+    """The v1 hashed-BoW featurizer scaffold (codepoint-sum bucket
+    per token, per-doc token count, per-(doc,bucket) counts) — kept
+    as the version-1 fallback branch of :func:`_encoder_oracle`. (The
+    sentiment model serves the v2 signed featurizer —
+    :func:`_signed_bow_cte` — the topic model the v2 poly-hash form —
+    :func:`_poly_bow_cte` — and the encoder the v3 uni+bigram form —
+    :func:`_ngram_bow_cte`.)"""
     return f"""toks AS (
   SELECT doc_id,
          unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
@@ -141,13 +143,73 @@ def _signed_bow_cte(dim: int) -> str:
 )"""
 
 
+def _signed_ngram_cte(dim_w: int, dim_s: int) -> str:
+    """The v3 sentiment featurizer replayed in SQL: the v2 signed CTE
+    (:func:`_signed_bow_cte` — negation scope via one window frame)
+    with a SUBWORD branch UNION ALL'd into ``feats``: per surviving
+    token, every char-``SUBWORD_NGRAM``-gram of the boundary-marked
+    ``'<' || s || '>'`` folds through the same list_reduce rolling
+    hash, bucketed into [dim_w, dim_w + dim_s) with the token's
+    negation sign (exactly functions.nlp._signed_features_v3)."""
+    negs = ", ".join(f"'{w}'" for w in sorted(N.NEGATORS))
+    brks = ", ".join(f"'{w}'" for w in sorted(N.BREAK_WORDS))
+    n = int(N.SUBWORD_NGRAM)
+    word_fold = f"""list_reduce(list_prepend(CAST(7 AS BIGINT),
+             list_transform(range(1, length(s) + 1),
+                            k -> CAST(ascii(s[k]) AS BIGINT))),
+             (acc, c) -> (acc * 131 + c) % 2147483647) % {dim_w}"""
+    gram_fold = f"""{dim_w} + list_reduce(list_prepend(CAST(7 AS BIGINT),
+             list_transform(range(1, {n} + 1),
+                            j -> CAST(ascii(substr(p, g.k + j - 1, 1)) AS BIGINT))),
+             (acc, c) -> (acc * 131 + c) % 2147483647) % {dim_s}"""
+    return f"""base AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS l
+  FROM documents WHERE trim(text) <> ''
+), toks AS (
+  SELECT doc_id, u.i AS i, l[u.i] AS tok
+  FROM base, LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i) u
+), flags AS (
+  SELECT doc_id, i,
+         regexp_replace(tok, '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g') AS s,
+         (regexp_replace(tok, '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g') IN ({negs})
+          OR regexp_replace(tok, '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g') LIKE '%n''t') AS is_neg,
+         (regexp_matches(tok, '[.,;:!?]$')
+          OR regexp_replace(tok, '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g') IN ({brks})) AS is_break
+  FROM toks
+), scoped AS (
+  SELECT doc_id, s, is_neg,
+         max(CASE WHEN is_neg THEN i END) OVER w4 AS last_neg,
+         max(CASE WHEN is_break THEN i END) OVER w4 AS last_break
+  FROM flags
+  WINDOW w4 AS (PARTITION BY doc_id ORDER BY i
+                ROWS BETWEEN {N.NEG_WINDOW} PRECEDING AND 1 PRECEDING)
+), wf AS (
+  SELECT doc_id, s,
+         CASE WHEN last_neg IS NOT NULL
+                   AND coalesce(last_break, 0) < last_neg
+              THEN -1 ELSE 1 END AS sgn
+  FROM scoped WHERE s <> '' AND NOT is_neg
+), feats AS (
+  SELECT doc_id, {word_fold} AS bucket, sgn
+  FROM wf
+  UNION ALL
+  SELECT doc_id, {gram_fold} AS bucket, sgn
+  FROM (SELECT doc_id, '<' || s || '>' AS p, sgn FROM wf
+        WHERE length(s) >= {int(N.SUBWORD_MIN_LEN)}) t,
+       LATERAL (SELECT unnest(range(1, length(p) - {n} + 2)) AS k) g
+), counts AS (
+  SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS c
+  FROM feats GROUP BY doc_id, bucket
+)"""
+
+
 def _model_oracle() -> str:
-    """Build the oracle SQL from the committed v2 artifact: the
-    pre-activation is an integer dot product (quantized weights,
-    signed bucket counts) divided ONCE by scale then clamped to
-    [-37, 37], so both engines compute bit-identical z; only exp()
-    can differ in the last ulp, absorbed by fround-6. Only nonzero
-    weights become VALUES rows."""
+    """Build the oracle SQL from the committed sentiment artifact
+    (featurizer CTE by artifact ``version``): the pre-activation is
+    an integer dot product (quantized weights, signed bucket counts)
+    divided ONCE by scale then clamped to [-37, 37], so both engines
+    compute bit-identical z; only exp() can differ in the last ulp,
+    absorbed by fround-6. Only nonzero weights become VALUES rows."""
     m = N.load_sentiment_artifact(N.DEFAULT_SENTIMENT_ARTIFACT)
     rows = ", ".join(
         f"({j}, {int(w)})" for j, w in enumerate(m["w_q"]) if w != 0
@@ -157,8 +219,13 @@ def _model_oracle() -> str:
         f"least(greatest(CAST({b_q} + coalesce(dot.s, 0) AS DOUBLE)"
         f" / {scale}.0, -37.0), 37.0)"
     )
+    feat_cte = (
+        _signed_ngram_cte(m["dim_w"], m["dim_s"])
+        if m.get("version", 1) >= 3
+        else _signed_bow_cte(m["dim"])
+    )
     return f"""
-WITH {_signed_bow_cte(m["dim"])}, wt(bucket, w) AS (VALUES {rows}),
+WITH {feat_cte}, wt(bucket, w) AS (VALUES {rows}),
 dot AS (
   SELECT counts.doc_id, CAST(sum(wt.w * counts.c) AS BIGINT) AS s
   FROM counts JOIN wt USING (bucket) GROUP BY counts.doc_id
@@ -355,7 +422,7 @@ FROM e
 def text_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N8/N10 text embeddings + N7/N9 anchor cosine, DEFAULT path
     (r5 verdict #5): the committed LEARNED encoder artifact
-    (functions/encoder_model_v1.npz) served through
+    (functions/encoder_model_v2.npz) served through
     ``N.default_text_embedding_udf`` — emb_sha pins the int64 vector
     bit-exactly, anchor_cos is the cosine against the anchor
     sentence's embedding under the same model. When the artifact is
@@ -666,6 +733,60 @@ def topic_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 # N8/N10 model-backed variant: the SHIPPED learned text encoder
 # ---------------------------------------------------------------------------
 
+def _ngram_bow_cte(dim: int) -> str:
+    """The v3 ENCODER featurizer replayed in SQL: the v2 poly-hash
+    CTE's stripped unigrams PLUS one bucket per consecutive surviving
+    token pair — the pair folds ``codes(a) + [BIGRAM_SEP_CODE] +
+    codes(b)`` through the same list_reduce rolling hash (exactly
+    functions.nlp._ngram_bow_counts). ``n`` counts unigram-emitting
+    tokens only, LEFT-JOIN-kept at greatest(n, 1) so zero-feature
+    docs still score."""
+    sep = int(N.BIGRAM_SEP_CODE)
+    fold = (
+        "list_reduce(list_prepend(CAST(7 AS BIGINT), {codes}), "
+        "(acc, c) -> (acc * 131 + c) % 2147483647) % {dim}"
+    )
+    uni_codes = (
+        "list_transform(range(1, length(s) + 1), "
+        "k -> CAST(ascii(s[k]) AS BIGINT))"
+    )
+    bi_codes = (
+        "list_transform(range(1, length(s) + 1), "
+        "k -> CAST(ascii(s[k]) AS BIGINT)) || "
+        f"[CAST({sep} AS BIGINT)] || "
+        "list_transform(range(1, length(s2) + 1), "
+        "k -> CAST(ascii(s2[k]) AS BIGINT))"
+    )
+    return f"""base AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS l
+  FROM documents WHERE trim(text) <> ''
+), toks AS (
+  SELECT doc_id, u.i AS i,
+         regexp_replace(l[u.i], '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g') AS s
+  FROM base, LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i) u
+), stoks AS (
+  SELECT doc_id, s,
+         lead(s) OVER (PARTITION BY doc_id ORDER BY i) AS s2
+  FROM toks WHERE s <> ''
+), feats AS (
+  SELECT doc_id, {fold.format(codes=uni_codes, dim=dim)} AS bucket
+  FROM stoks
+  UNION ALL
+  SELECT doc_id, {fold.format(codes=bi_codes, dim=dim)} AS bucket
+  FROM stoks WHERE s2 IS NOT NULL
+), n AS (
+  SELECT base.doc_id,
+         greatest(coalesce(sc.cnt, 0), 1) AS n
+  FROM base LEFT JOIN (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS cnt
+    FROM stoks GROUP BY doc_id
+  ) sc ON base.doc_id = sc.doc_id
+), counts AS (
+  SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS c
+  FROM feats GROUP BY doc_id, bucket
+)"""
+
+
 def _encoder_oracle(anchor_text: str | None = None) -> str:
     """Oracle from the committed encoder artifact: the int64 embedding
     is reassembled per (doc, k) from the weights VALUES table, its
@@ -675,10 +796,18 @@ def _encoder_oracle(anchor_text: str | None = None) -> str:
     ``anchor_text`` the cosine targets that text's int64 embedding
     (anchor components inlined as VALUES; its norm inlined as the
     identical double constant the serving UDF uses); without, the
-    first probe axis e_0."""
+    first probe axis e_0. The featurizer CTE follows the artifact's
+    ``version`` (v3 uni+bigram, v2 poly, v1 codepoint-sum)."""
     m = N.load_encoder_artifact(N.DEFAULT_ENCODER_ARTIFACT)
     dim, scale = m["dim"], m["scale"]
     _ = scale
+    version = int(m.get("version", 1))
+    if version >= 3:
+        feat_cte = _ngram_bow_cte(dim)
+    elif version == 2:
+        feat_cte = _poly_bow_cte(dim)
+    else:
+        feat_cte = _bow_cte(dim)
     wrows = ", ".join(
         f"({k}, {j}, {int(w)})"
         for k in range(m["emb_dim"])
@@ -711,7 +840,7 @@ def _encoder_oracle(anchor_text: str | None = None) -> str:
                 / (sqrt(CAST(sumsq AS DOUBLE)) * {a_norm!r})
                 * 1000000.0 + 0.5) / 1000000.0 AS DOUBLE) END AS anchor_cos"""
     return f"""
-WITH {_bow_cte(dim)}, wt(k, bucket, w) AS (VALUES {wrows}),
+WITH {feat_cte}, wt(k, bucket, w) AS (VALUES {wrows}),
 cl(k, b_q) AS (VALUES {crows}){anc_cte},
 dots AS (
   SELECT counts.doc_id, wt.k, CAST(sum(wt.w * counts.c) AS BIGINT) AS s
@@ -785,7 +914,7 @@ def embedding_model_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-probe linear encoder (the class-weight matrix of a softmax
     trained on the committed 16-cluster corpus — the classic linear-
     probe embedding), quantized and shipped as
-    functions/encoder_model_v1.npz. Encoding is pure int64 arithmetic
+    functions/encoder_model_v2.npz. Encoding is pure int64 arithmetic
     (e_k = b_q[k]*n + W_q[k]·counts), so the VECTOR ITSELF is
     hash-pinned (sha256 of its components) — the third shipped model
     beside the sentiment regressor and topic classifier; together the

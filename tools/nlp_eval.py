@@ -13,7 +13,7 @@ fixtures (none of the eval texts appear in any training corpus):
 - topic_model_v2.npz      vs TOPIC_RULES density argmax — accuracy /
   macro-F1 (rule classes mapped execution→query_engine,
   storage→data_mgmt, streaming→streaming)
-- encoder_model_v1.npz    vs the hashed-nibble embedding
+- encoder_model_v2.npz    vs the hashed-nibble embedding
   (embed_tokens, dim 8) — 1-NN cosine retrieval accuracy against the
   training corpus as the index
 - keyword_idf_v1.npz      vs plain TF top-k — mean F1@5 against gold
@@ -220,7 +220,7 @@ def render(results: list[dict]) -> str:
         "|---|---|---|---|---|",
     ]
     arts = ["sentiment_model_v2.npz", "topic_model_v2.npz",
-            "encoder_model_v1.npz", "keyword_idf_v1.npz"]
+            "encoder_model_v2.npz", "keyword_idf_v1.npz"]
     for r, art in zip(results, arts):
         for metric in ("acc", "f1"):
             if metric in r["model"]:
@@ -302,6 +302,52 @@ def render(results: list[dict]) -> str:
         "front-load in real documents), then token. F1@5 0.69 -> "
         "0.74 on the frozen eval; the same ranking is what "
         "keyword_model_topk serves under the hash gate.",
+        "",
+        "Sentiment v3 subword variant (r9, NOT the default — an "
+        "honest negative result the de-saturated gate caught): "
+        "char-4-gram subword buckets (the fastText subword idea; "
+        "functions/nlp.py:train_subword_sentiment, committed as "
+        "sentiment_model_v3.npz with a full SQL replay in "
+        "_signed_ngram_cte) were built for the morphological-OOV gap "
+        "('dreadfully'). Selected on carrier validations from "
+        "training materials only (tools/gen_sentiment_validation.py: "
+        "morph 0.4971 -> 0.8257, in-vocab base 0.9771 -> 0.9886, "
+        "after two carrier-driven refinements — subwords keep the "
+        "negation sign, and only tokens >= 5 chars emit subwords "
+        "because short neutral fillers' grams collide with content "
+        "stems). The frozen eval DISAGREED: 0.7324 -> 0.7113 (first "
+        "cut 0.6479; per-row diff: +5 OOV-contrastive rows, -6 "
+        "negated-OOV rows, rest world-knowledge noise). Decision: "
+        "v2 stays the default/gate model; the v3 architecture ships "
+        "as a tested, retrain-pinned variant "
+        "(tests/test_functions_unit.py::test_subword_sentiment_"
+        "variant_provenance_and_capability) selectable by artifact "
+        "path. Eval queries spent this round: two (the selection "
+        "ran on carriers).",
+        "",
+        "Encoder v2 (r9, frozen eval; 0.9313 -> 1.0000): two levers, "
+        "stated plainly. (1) ARCHITECTURE: the v3 featurizer adds "
+        "word-BIGRAM poly-hash buckets (the fastText word-n-gram "
+        "idea; functions/nlp.py:_ngram_bow_counts) — a pure BoW "
+        "encoder provably cannot separate queries that permute the "
+        "same token multiset, and the mixed-cluster eval family "
+        "contains exactly that shape; bigrams make word order a "
+        "feature. (2) COVERAGE: tools/gen_encoder_corpus.py appends "
+        "128 deterministic majority-own MIXED-cluster rows to the "
+        "training corpus (192 -> 320; the class probe had never seen "
+        "a mixed document, so 3:1-majority queries retrieved partner-"
+        "cluster neighbors). Featurizer/dim selection (uni+bigram at "
+        "dim 2048: 0.9922, vs 0.9219 for the best BoW form) ran on a "
+        "carrier VALIDATION of the same mixture family built only "
+        "from training materials (different permutation slices + "
+        "different filler tokens, disjoint from the eval — "
+        "reproducible via gen_encoder_corpus.py --report); the eval "
+        "was run once after selection. The 1.0000 means THIS "
+        "adversarial family is solved for the synthetic-token "
+        "fixture; what would de-saturate it again is natural-language "
+        "clusters and unseen-cluster generalization — headroom the "
+        "remaining three sub-1.0 rows already keep visible in the "
+        "gate.",
         "",
     ]
     return "\n".join(lines)
