@@ -404,7 +404,7 @@ def _poly_bow_counts(text: str, dim: int):
 BIGRAM_SEP_CODE = 1
 
 
-def _ngram_bow_counts(text: str, dim: int):
+def _ngram_bow_counts(text: str, dim: int, memo: dict | None = None):
     """Word uni+BIGRAM poly-hash bag (the v3 ENCODER featurizer, the
     fastText word-n-gram idea): edge-punctuation-stripped tokens
     through :func:`_poly_bucket` (+1 each), plus one bucket per
@@ -413,26 +413,44 @@ def _ngram_bow_counts(text: str, dim: int):
     codes(b)``, so word ORDER becomes a feature (a pure BoW encoder
     cannot separate two queries that permute the same token multiset;
     the committed mixed-cluster eval contains exactly that shape).
-    Returns (int64 counts, n = number of unigram-emitting tokens)."""
+    Returns (int64 counts, n = number of unigram-emitting tokens).
+
+    Serving hot path: ``memo`` caches per-DISTINCT-token state across
+    the documents of an Arrow batch — (uni bucket, h = fold(7,
+    codes(t)), B = fold(0, codes(t)), P = 131^len(t) mod p) — and the
+    pair bucket is assembled in O(1) from the parts via the modular
+    identity ``fold(7, codes(a)+[sep]+codes(b)) = ((h_a*131 + sep) *
+    P_b + B_b) mod p`` (the fold is an affine map; Python ints, so
+    the arithmetic is exact and IDENTICAL to the literal fold)."""
     import numpy as np
 
+    if memo is None:
+        memo = {}
+    P = 2147483647
     counts = np.zeros(dim, dtype=np.int64)
-    stoks = []
+    parts = []
     for t in text.strip().lower().split():
-        s = _STRIP_EDGE.sub("", t)
-        if s:
-            stoks.append(s)
-    for s in stoks:
-        counts[_poly_bucket(s, dim)] += 1
-    for a, b in zip(stoks, stoks[1:]):
-        h = 7
-        for ch in a:
-            h = (h * 131 + ord(ch)) % 2147483647
-        h = (h * 131 + BIGRAM_SEP_CODE) % 2147483647
-        for ch in b:
-            h = (h * 131 + ord(ch)) % 2147483647
-        counts[h % dim] += 1
-    return counts, len(stoks)
+        props = memo.get(t)
+        if props is None:
+            s = _STRIP_EDGE.sub("", t)
+            if s:
+                h = 7
+                b0 = 0
+                for ch in s:
+                    c = ord(ch)
+                    h = (h * 131 + c) % P
+                    b0 = (b0 * 131 + c) % P
+                props = (h % dim, h, b0, pow(131, len(s), P))
+            else:
+                props = ()
+            memo[t] = props
+        if props:
+            parts.append(props)
+    for bucket, _, _, _ in parts:
+        counts[bucket] += 1
+    for (_, h_a, _, _), (_, _, b_b, p_b) in zip(parts, parts[1:]):
+        counts[((h_a * 131 + BIGRAM_SEP_CODE) * p_b + b_b) % P % dim] += 1
+    return counts, len(parts)
 
 
 #: Neutral carrier templates for the class-balanced lexicon
@@ -1112,8 +1130,13 @@ def quantized_encoder_udf(model: dict, anchor_vec=None):
 
         shas = []
         cos = np.empty(len(text), dtype="float64")
+        v3 = int(model.get("version", 1)) >= 3
+        memo: dict = {}  # per-batch distinct-token cache (v3 path)
         for i, t in enumerate(text):
-            counts, n = _topic_counts(t or "", model, dim)
+            if v3:
+                counts, n = _ngram_bow_counts(t or "", dim, memo)
+            else:
+                counts, n = _topic_counts(t or "", model, dim)
             nn = max(n, 1)
             e = b_q * nn + w_q @ counts  # int64 embedding
             shas.append(

@@ -228,3 +228,58 @@ def test_bigram_lm_total_and_bounds(spark, texts):
             assert out[i].avg_logprob <= 1e-9  # log P <= 0
         else:
             assert i not in out
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", categories=("Ll", "Lu", "Nd", "Po", "Zs")
+            ),
+            max_size=12,
+        ),
+        max_size=20,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_ngram_bow_affine_fold_matches_literal(tokens):
+    """The serving-path O(1) bigram assembly in _ngram_bow_counts
+    (per-token (h, B, P) parts + the affine identity
+    fold(7, a+[sep]+b) = ((h_a*131+sep)*P_b + B_b) mod p) must be
+    bit-identical to folding the literal concatenated code list —
+    for any text, with and without the per-batch memo."""
+    import numpy as np
+
+    from dss_nlp_ingestion_spark.functions import nlp as N
+
+    text = " ".join(tokens)
+    dim = 64
+
+    def literal(t):
+        counts = np.zeros(dim, dtype=np.int64)
+        stoks = [
+            s
+            for s in (N._STRIP_EDGE.sub("", x) for x in t.strip().lower().split())
+            if s
+        ]
+        for s in stoks:
+            counts[N._poly_bucket(s, dim)] += 1
+        for a, b in zip(stoks, stoks[1:]):
+            h = 7
+            for ch in a:
+                h = (h * 131 + ord(ch)) % 2147483647
+            h = (h * 131 + N.BIGRAM_SEP_CODE) % 2147483647
+            for ch in b:
+                h = (h * 131 + ord(ch)) % 2147483647
+            counts[h % dim] += 1
+        return counts, len(stoks)
+
+    c_ref, n_ref = literal(text)
+    memo: dict = {}
+    for m in (None, memo):
+        c, n = N._ngram_bow_counts(text, dim, m)
+        assert n == n_ref
+        assert np.array_equal(c, c_ref)
+    # memo reuse across calls must not change results
+    c2, n2 = N._ngram_bow_counts(text, dim, memo)
+    assert n2 == n_ref and np.array_equal(c2, c_ref)
