@@ -248,30 +248,12 @@ def _signed_features(text: str, dim: int, memo: dict | None = None):
 
     ``memo`` caches the context-free per-token properties (stripped
     form, bucket, negator/breaker flags) across documents of a batch
-    — the serving-path hot loop; scope state stays per-document."""
-    if memo is None:
-        memo = {}
-    out = []
-    last_neg = -10 ** 9
-    last_break = -10 ** 9
-    for i, t in enumerate(text.strip().lower().split()):
-        props = memo.get(t)
-        if props is None:
-            s = _STRIP_EDGE.sub("", t)
-            neg = s in NEGATORS or s.endswith("n't")
-            brk = bool(_CLAUSE_END.search(t)) or s in BREAK_WORDS
-            bucket = _poly_bucket(s, dim) if s and not neg else -1
-            props = (bucket, neg, brk)
-            memo[t] = props
-        bucket, neg, brk = props
-        if bucket >= 0:
-            sgn = -1 if (last_neg >= i - NEG_WINDOW and last_break < last_neg) else 1
-            out.append((bucket, sgn))
-        if neg:
-            last_neg = i
-        if brk:
-            last_break = i
-    return out
+    — the serving-path hot loop; scope state stays per-document.
+
+    Implemented as the v3 featurizer with an EMPTY subword space
+    (dim_s = 0) so the negation-scope machinery — the subtlest part —
+    has exactly one implementation (r9 review finding)."""
+    return _signed_features_v3(text, dim, 0, memo)
 
 
 #: v3 sentiment subword config: char n-gram length, the two hash
@@ -334,7 +316,7 @@ def _signed_features_v3(
             brk = bool(_CLAUSE_END.search(t)) or s in BREAK_WORDS
             if s and not neg:
                 buckets = (_poly_bucket(s, dim_w),)
-                if len(s) >= SUBWORD_MIN_LEN:
+                if dim_s and len(s) >= SUBWORD_MIN_LEN:
                     buckets += tuple(
                         dim_w + b for b in _subword_buckets(s, dim_s)
                     )
@@ -583,6 +565,30 @@ def train_negation_sentiment(
     feats = np.stack(
         [_signed_bow_counts(t, dim)[0] for t in texts]
     ).astype("float64")
+    w_q, b_q = _fit_signed_logistic(
+        feats, labels, sample_weight, np.full(dim, lam), epochs, lr, scale
+    )
+    return {
+        "w_q": w_q,
+        "b_q": b_q,
+        "dim": dim,
+        "scale": scale,
+        "version": 2,
+    }
+
+
+def _fit_signed_logistic(
+    feats, labels, sample_weight, lam_vec, epochs, lr, scale
+):
+    """The ONE weighted-logistic trainer behind both shipped
+    sentiment models (v2 word-only and v3 word+subword): exact class
+    balance, mean-1 sample weights, deterministic batch GD with a
+    PER-COORDINATE L2 vector (a uniform vector is bitwise-identical
+    to the scalar penalty it replaced — scalar broadcast and
+    elementwise multiply are the same IEEE ops). Returns quantized
+    (w_q, b_q)."""
+    import numpy as np
+
     y = np.asarray(labels, dtype="float64")
     sw = (
         np.ones(len(y))
@@ -593,21 +599,15 @@ def train_negation_sentiment(
     wp, wn = sw[y == 1].sum(), sw[y == 0].sum()
     sw = sw * np.where(y == 0, wp / wn, 1.0)
     sw = sw / sw.mean()
-    w = np.zeros(dim)
+    w = np.zeros(feats.shape[1])
     b = 0.0
     for _ in range(epochs):
         z = np.clip(feats @ w + b, -37.0, 37.0)
         p = 1.0 / (1.0 + np.exp(-z))
         grad = (p - y) * sw
-        w -= lr * ((feats.T @ grad) / len(y) + lam * w)
+        w -= lr * ((feats.T @ grad) / len(y) + lam_vec * w)
         b -= lr * float(grad.mean())
-    return {
-        "w_q": np.rint(w * scale).astype(np.int64),
-        "b_q": int(np.rint(b * scale)),
-        "dim": dim,
-        "scale": scale,
-        "version": 2,
-    }
+    return np.rint(w * scale).astype(np.int64), int(np.rint(b * scale))
 
 
 def train_subword_sentiment(
@@ -638,28 +638,14 @@ def train_subword_sentiment(
     feats = np.stack(
         [_signed_ngram_counts(t, dim_w, dim_s)[0] for t in texts]
     ).astype("float64")
-    y = np.asarray(labels, dtype="float64")
-    sw = (
-        np.ones(len(y))
-        if sample_weight is None
-        else np.asarray(sample_weight, dtype="float64")
-    )
-    wp, wn = sw[y == 1].sum(), sw[y == 0].sum()
-    sw = sw * np.where(y == 0, wp / wn, 1.0)
-    sw = sw / sw.mean()
     lam_vec = np.full(dim_w + dim_s, lam)
     lam_vec[dim_w:] = lam * lam_s_mult
-    w = np.zeros(dim_w + dim_s)
-    b = 0.0
-    for _ in range(epochs):
-        z = np.clip(feats @ w + b, -37.0, 37.0)
-        p = 1.0 / (1.0 + np.exp(-z))
-        grad = (p - y) * sw
-        w -= lr * ((feats.T @ grad) / len(y) + lam_vec * w)
-        b -= lr * float(grad.mean())
+    w_q, b_q = _fit_signed_logistic(
+        feats, labels, sample_weight, lam_vec, epochs, lr, scale
+    )
     return {
-        "w_q": np.rint(w * scale).astype(np.int64),
-        "b_q": int(np.rint(b * scale)),
+        "w_q": w_q,
+        "b_q": b_q,
         "dim": dim_w + dim_s,
         "dim_w": dim_w,
         "dim_s": dim_s,

@@ -71,6 +71,34 @@ def sentiment_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 # N1/N2 model-backed variant: the SHIPPED learned sentiment model
 # ---------------------------------------------------------------------------
 
+#: Python ``str.split()`` whitespace as an explicit RE2 class. The
+#: five MODEL-featurizer CTEs must tokenize exactly like the Python
+#: serving featurizers, whose ``text.strip().lower().split()`` splits
+#: on UNICODE whitespace (NBSP, the CJK ideographic space U+3000,
+#: line/paragraph separators, \\x1c-\\x1f, \\x85) — RE2's ``\\s`` is
+#: ASCII-only, so 'a\\xa0b' would be one SQL token but two Python
+#: tokens and the hash gate would diverge on the first non-ASCII
+#: space in a document (r9 review finding). The strip must remove
+#: the same class from BOTH ends: SQL ``trim()`` removes plain
+#: spaces only, so a leading tab/newline would create an empty first
+#: list element and shift every positional index the negation-scope
+#: window frame depends on. (JVM-expression queries keep ``\\s+``:
+#: their Spark side is Java-regex ``F.split``, which is ASCII too —
+#: that pair is already consistent.)
+_WS = (
+    "[\\t-\\r\\x1c-\\x1f \\x{85}\\x{a0}\\x{1680}\\x{2000}-\\x{200a}"
+    "\\x{2028}\\x{2029}\\x{202f}\\x{205f}\\x{3000}]"
+)
+
+#: ``string_split_regex`` expression yielding exactly the token list
+#: Python's ``text.strip().lower().split()`` produces (no empty
+#: leading/trailing elements, Unicode-whitespace separators).
+_TOK_LIST_SQL = (
+    "string_split_regex(regexp_replace(lower(text), "
+    "'^" + _WS + "+|" + _WS + "+$', '', 'g'), '" + _WS + "+')"
+)
+
+
 def _bow_cte(dim: int) -> str:
     """The v1 hashed-BoW featurizer scaffold (codepoint-sum bucket
     per token, per-doc token count, per-(doc,bucket) counts) — kept
@@ -81,7 +109,7 @@ def _bow_cte(dim: int) -> str:
     :func:`_ngram_bow_cte`.)"""
     return f"""toks AS (
   SELECT doc_id,
-         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+         unnest({_TOK_LIST_SQL}) AS tok
   FROM documents WHERE trim(text) <> ''
 ), bt AS (
   SELECT doc_id,
@@ -96,74 +124,20 @@ def _bow_cte(dim: int) -> str:
 )"""
 
 
-def _signed_bow_cte(dim: int) -> str:
-    """The v2 featurizer replayed in ANSI-ish SQL (DuckDB): positional
-    tokens, edge-punctuation strip, negation-scope sign via ONE window
-    frame (max negator / max breaker position over the 4 preceding
+def _scope_prefix_cte() -> str:
+    """The negation-scope scaffold shared by BOTH signed featurizer
+    CTEs (v2 word-only and v3 word+subword — one source of truth for
+    the subtlest part of the replay): positional tokens,
+    edge-punctuation strip, negator/breaker flags, and the scope
+    window (max negator / max breaker position over the 4 preceding
     tokens — token i is negated iff a negator precedes it within 4
-    positions with no break at-or-after that negator), and the
-    polynomial rolling hash as a ``list_reduce`` fold — each step the
-    exact int64 arithmetic of functions.nlp._signed_bow_counts."""
+    positions with no break at-or-after that negator). Emits
+    ``base/toks/flags/scoped`` plus ``wf(doc_id, s, sgn)`` — the
+    surviving feature tokens with their signs."""
     negs = ", ".join(f"'{w}'" for w in sorted(N.NEGATORS))
     brks = ", ".join(f"'{w}'" for w in sorted(N.BREAK_WORDS))
     return f"""base AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS l
-  FROM documents WHERE trim(text) <> ''
-), toks AS (
-  SELECT doc_id, u.i AS i, l[u.i] AS tok
-  FROM base, LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i) u
-), flags AS (
-  SELECT doc_id, i,
-         regexp_replace(tok, '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g') AS s,
-         (regexp_replace(tok, '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g') IN ({negs})
-          OR regexp_replace(tok, '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g') LIKE '%n''t') AS is_neg,
-         (regexp_matches(tok, '[.,;:!?]$')
-          OR regexp_replace(tok, '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g') IN ({brks})) AS is_break
-  FROM toks
-), scoped AS (
-  SELECT doc_id, s, is_neg,
-         max(CASE WHEN is_neg THEN i END) OVER w4 AS last_neg,
-         max(CASE WHEN is_break THEN i END) OVER w4 AS last_break
-  FROM flags
-  WINDOW w4 AS (PARTITION BY doc_id ORDER BY i
-                ROWS BETWEEN {N.NEG_WINDOW} PRECEDING AND 1 PRECEDING)
-), feats AS (
-  SELECT doc_id,
-         list_reduce(list_prepend(CAST(7 AS BIGINT),
-             list_transform(range(1, length(s) + 1),
-                            k -> CAST(ascii(s[k]) AS BIGINT))),
-             (acc, c) -> (acc * 131 + c) % 2147483647) % {dim} AS bucket,
-         CASE WHEN last_neg IS NOT NULL
-                   AND coalesce(last_break, 0) < last_neg
-              THEN -1 ELSE 1 END AS sgn
-  FROM scoped WHERE s <> '' AND NOT is_neg
-), counts AS (
-  SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS c
-  FROM feats GROUP BY doc_id, bucket
-)"""
-
-
-def _signed_ngram_cte(dim_w: int, dim_s: int) -> str:
-    """The v3 sentiment featurizer replayed in SQL: the v2 signed CTE
-    (:func:`_signed_bow_cte` — negation scope via one window frame)
-    with a SUBWORD branch UNION ALL'd into ``feats``: per surviving
-    token, every char-``SUBWORD_NGRAM``-gram of the boundary-marked
-    ``'<' || s || '>'`` folds through the same list_reduce rolling
-    hash, bucketed into [dim_w, dim_w + dim_s) with the token's
-    negation sign (exactly functions.nlp._signed_features_v3)."""
-    negs = ", ".join(f"'{w}'" for w in sorted(N.NEGATORS))
-    brks = ", ".join(f"'{w}'" for w in sorted(N.BREAK_WORDS))
-    n = int(N.SUBWORD_NGRAM)
-    word_fold = f"""list_reduce(list_prepend(CAST(7 AS BIGINT),
-             list_transform(range(1, length(s) + 1),
-                            k -> CAST(ascii(s[k]) AS BIGINT))),
-             (acc, c) -> (acc * 131 + c) % 2147483647) % {dim_w}"""
-    gram_fold = f"""{dim_w} + list_reduce(list_prepend(CAST(7 AS BIGINT),
-             list_transform(range(1, {n} + 1),
-                            j -> CAST(ascii(substr(p, g.k + j - 1, 1)) AS BIGINT))),
-             (acc, c) -> (acc * 131 + c) % 2147483647) % {dim_s}"""
-    return f"""base AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS l
+  SELECT doc_id, {_TOK_LIST_SQL} AS l
   FROM documents WHERE trim(text) <> ''
 ), toks AS (
   SELECT doc_id, u.i AS i, l[u.i] AS tok
@@ -189,8 +163,47 @@ def _signed_ngram_cte(dim_w: int, dim_s: int) -> str:
                    AND coalesce(last_break, 0) < last_neg
               THEN -1 ELSE 1 END AS sgn
   FROM scoped WHERE s <> '' AND NOT is_neg
-), feats AS (
-  SELECT doc_id, {word_fold} AS bucket, sgn
+)"""
+
+
+#: Shared word-bucket fold (the polynomial rolling hash over the
+#: stripped token's codepoints), parameterized by hash-space size.
+_WORD_FOLD = """list_reduce(list_prepend(CAST(7 AS BIGINT),
+             list_transform(range(1, length(s) + 1),
+                            k -> CAST(ascii(s[k]) AS BIGINT))),
+             (acc, c) -> (acc * 131 + c) % 2147483647) % {dim}"""
+
+
+def _signed_bow_cte(dim: int) -> str:
+    """The v2 featurizer replayed in ANSI-ish SQL (DuckDB): the
+    shared negation-scope scaffold (:func:`_scope_prefix_cte`) plus
+    the word-bucket fold — each step the exact int64 arithmetic of
+    functions.nlp._signed_bow_counts."""
+    return f"""{_scope_prefix_cte()}, feats AS (
+  SELECT doc_id, {_WORD_FOLD.format(dim=dim)} AS bucket, sgn
+  FROM wf
+), counts AS (
+  SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS c
+  FROM feats GROUP BY doc_id, bucket
+)"""
+
+
+def _signed_ngram_cte(dim_w: int, dim_s: int) -> str:
+    """The v3 sentiment featurizer replayed in SQL: the SHARED
+    negation-scope scaffold (:func:`_scope_prefix_cte` — same source
+    of truth as the v2 CTE) with a SUBWORD branch UNION ALL'd into
+    ``feats``: per surviving token of length >= SUBWORD_MIN_LEN,
+    every char-``SUBWORD_NGRAM``-gram of the boundary-marked
+    ``'<' || s || '>'`` folds through the same list_reduce rolling
+    hash, bucketed into [dim_w, dim_w + dim_s) with the token's
+    negation sign (exactly functions.nlp._signed_features_v3)."""
+    n = int(N.SUBWORD_NGRAM)
+    gram_fold = f"""{dim_w} + list_reduce(list_prepend(CAST(7 AS BIGINT),
+             list_transform(range(1, {n} + 1),
+                            j -> CAST(ascii(substr(p, g.k + j - 1, 1)) AS BIGINT))),
+             (acc, c) -> (acc * 131 + c) % 2147483647) % {dim_s}"""
+    return f"""{_scope_prefix_cte()}, feats AS (
+  SELECT doc_id, {_WORD_FOLD.format(dim=dim_w)} AS bucket, sgn
   FROM wf
   UNION ALL
   SELECT doc_id, {gram_fold} AS bucket, sgn
@@ -638,7 +651,7 @@ def _poly_bow_cte(dim: int) -> str:
     an ``n`` CTE that keeps zero-feature docs via LEFT JOIN so every
     ``base`` doc scores (Python serves nn = max(n, 1))."""
     return f"""base AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS l
+  SELECT doc_id, {_TOK_LIST_SQL} AS l
   FROM documents WHERE trim(text) <> ''
 ), toks AS (
   SELECT doc_id, regexp_replace(l[u.i], '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g') AS s
@@ -758,7 +771,7 @@ def _ngram_bow_cte(dim: int) -> str:
         "k -> CAST(ascii(s2[k]) AS BIGINT))"
     )
     return f"""base AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS l
+  SELECT doc_id, {_TOK_LIST_SQL} AS l
   FROM documents WHERE trim(text) <> ''
 ), toks AS (
   SELECT doc_id, u.i AS i,

@@ -490,3 +490,64 @@ FROM base LEFT JOIN dot ON base.doc_id = dot.doc_id
         assert math.isclose(
             got[doc_id], N.sentiment_z(text, model), rel_tol=0, abs_tol=0
         ), (doc_id, text)
+
+
+def test_model_ctes_match_python_on_unicode_whitespace():
+    """r9 review finding: the model-featurizer CTEs must tokenize
+    EXACTLY like the Python serving featurizers, whose str.split()
+    treats Unicode whitespace (NBSP, the CJK ideographic space
+    U+3000, line separators) as separators and whose .strip() removes
+    it from both ends — RE2's \\s is ASCII-only and SQL trim() strips
+    plain spaces only (a leading tab would shift every position the
+    negation window depends on). Pins bucket-count parity of all four
+    model CTEs against the Python featurizers on adversarial docs.
+    Net-zero count rows (a +1/-1 collision cancelling inside one
+    bucket) are allowed on the SQL side: they contribute nothing to
+    the weight dot product."""
+    import duckdb
+    import numpy as np
+
+    from dss_nlp_ingestion_spark.functions import nlp as N
+    from dss_nlp_ingestion_spark.plans.nlp_queries import (
+        _ngram_bow_cte,
+        _poly_bow_cte,
+        _signed_bow_cte,
+        _signed_ngram_cte,
+    )
+
+    docs = [
+        (1, "a b c"),
+        (2, "not wonderful at all"),
+        (3, "\nleading newline not good here"),
+        (4, "cjk　space　not　fine tokens"),
+        (5, "tab\tsep\ttokens, never bad."),
+        (6, " line sep not lovely joined"),
+        (7, "\x1cplain\x1fascii control but fine"),
+        (8, "  double  spaces  not  bad  "),
+        (9, "　"),
+    ]
+    d = duckdb.connect()
+    d.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    d.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+
+    def check(cte_sql, py_counts, tag):
+        sql = (
+            f"WITH {cte_sql} SELECT doc_id, bucket, c FROM counts "
+            "WHERE c <> 0 ORDER BY doc_id, bucket"
+        )
+        got = {}
+        for doc_id, bucket, c in d.execute(sql).fetchall():
+            got.setdefault(doc_id, {})[int(bucket)] = int(c)
+        for doc_id, text in docs:
+            c, _ = py_counts(text)
+            exp = {i: int(v) for i, v in enumerate(c) if v != 0}
+            assert got.get(doc_id, {}) == exp, (tag, doc_id, text)
+
+    check(_signed_bow_cte(64), lambda t: N._signed_bow_counts(t, 64), "v2")
+    check(
+        _signed_ngram_cte(32, 32),
+        lambda t: N._signed_ngram_counts(t, 32, 32),
+        "v3",
+    )
+    check(_poly_bow_cte(64), lambda t: N._poly_bow_counts(t, 64), "topic")
+    check(_ngram_bow_cte(64), lambda t: N._ngram_bow_counts(t, 64), "enc")
