@@ -381,8 +381,16 @@ def _poly_bow_counts(text: str, dim: int):
 
 
 #: Separator codepoint folded between the two tokens of a bigram in
-#: the v3 featurizer — any value outside [a-z0-9] codepoints works;
-#: 1 keeps the rolling-hash accumulator int64-safe.
+#: the v3 featurizer — any codepoint outside [a-z0-9] prevents a
+#: *normal* token pair from aliasing a unigram; 1 keeps the
+#: rolling-hash accumulator int64-safe. Caveat (r9 advisor): edge
+#: stripping removes only EDGE punctuation, so a token with an
+#: interior U+0001 (e.g. 'a\\x01b') produces the exact full-hash
+#: preimage of the bigram ('a','b') and the two features merge beyond
+#: ordinary mod-dim collisions. Accepted: U+0001 never occurs in real
+#: text, and cross-engine consistency is unaffected (the SQL CTE and
+#: the Python featurizer fold identically either way), so stripping
+#: it would re-pin every committed artifact for no serving benefit.
 BIGRAM_SEP_CODE = 1
 
 
@@ -577,6 +585,101 @@ def train_negation_sentiment(
     }
 
 
+#: Cody–Waite constants for :func:`_det_exp` (ln2 split hi/lo so
+#: ``x - k*LN2_HI`` is exact for |k| < 2^20; the lo part restores the
+#: dropped bits — fdlibm's e_exp.c split, public domain).
+_EXP_LN2_HI = 6.93147180369123816490e-01
+_EXP_LN2_LO = 1.90821492927058770002e-10
+_EXP_INV_LN2 = 1.44269504088896338700e00
+#: Taylor coefficients 1/12! .. 1/0! for the Horner ladder below.
+_EXP_FACTS = (
+    479001600.0, 39916800.0, 3628800.0, 362880.0, 40320.0,
+    5040.0, 720.0, 120.0, 24.0, 6.0, 2.0, 1.0, 1.0,
+)
+
+
+def _det_exp(x):
+    """exp() from correctly-rounded arithmetic ONLY — bit-identical
+    on every host, unlike np.exp whose SIMD kernel is runtime-
+    dispatched per CPU and may differ in the last ulp across
+    machines (the same failure class as the r9 k-means GEMM drift).
+    Cody–Waite range reduction (x = k*ln2 + r, |r| <= ln2/2) then a
+    degree-13 exact-coefficient Taylor ladder via Horner: every step
+    is +,-,* (IEEE correctly rounded everywhere), np.floor (exact),
+    or np.ldexp (exact power-of-two scaling). Max relative error
+    ~1e-15 over the trainers' clipped [-37, 37] domain — far inside
+    the 1e-6 quantization grid the artifacts are rounded to."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.float64)
+    k = np.floor(x * _EXP_INV_LN2 + 0.5)
+    r = (x - k * _EXP_LN2_HI) - k * _EXP_LN2_LO
+    p = np.full_like(r, 1.0 / 6227020800.0)  # 1/13!
+    for fact in _EXP_FACTS:
+        p = p * r + 1.0 / fact
+    return np.ldexp(p, k.astype(np.int64))
+
+
+def _exact_sum(v) -> float:
+    """Host-invariant strict in-order sum: np.bincount accumulates
+    with a plain sequential C loop over the input — no pairwise
+    blocking, no SIMD-dispatched partial accumulators — so the fold
+    order is fixed by the code, not the host kernel (np.sum/np.mean
+    give neither guarantee)."""
+    import numpy as np
+
+    v = np.ascontiguousarray(v, dtype=np.float64)
+    if v.size == 0:
+        return 0.0
+    return float(np.bincount(np.zeros(v.size, dtype=np.intp), weights=v)[0])
+
+
+def _pad_sparse_rows(feats):
+    """Left-packed padded-CSR view of a sparse-in-practice dense
+    feature matrix: (idx, vals), both (n, R) with R = max row nnz.
+    Padding slots carry idx 0 / value 0.0 — an exact no-op in the
+    folds below (IEEE: ``x + (+/-0.0) == x`` value-wise), so padded
+    and unpadded folds produce identical bits. Hashed-BoW feature
+    rows are ~3-30 nonzero in 2k-16k dims, so the folds do ~1000x
+    less arithmetic than the dense GEMVs they replace."""
+    import numpy as np
+
+    n, _ = feats.shape
+    rows = [np.flatnonzero(feats[i]) for i in range(n)]
+    width = max([r.size for r in rows] + [1])
+    idx = np.zeros((n, width), dtype=np.intp)
+    vals = np.zeros((n, width), dtype=np.float64)
+    for i, r in enumerate(rows):
+        idx[i, : r.size] = r
+        vals[i, : r.size] = feats[i, r]
+    return idx, vals
+
+
+def _fold_rows_dot(idx, vals, w):
+    """``feats @ w`` on the padded-CSR layout: z_i = sum over slots r
+    of vals[i,r] * w[idx[i,r]], slot-sequential — the exact-fold
+    discipline of train_spherical_kmeans applied to sparse rows.
+    Elementwise ufuncs only; no BLAS, no reductions."""
+    import numpy as np
+
+    z = np.zeros(idx.shape[0])
+    for r in range(idx.shape[1]):
+        z += vals[:, r] * w[idx[:, r]]
+    return z
+
+
+def _fold_feat_grad(idx, vals, g, d):
+    """``feats.T @ g`` without BLAS: per-bucket scatter-add via
+    np.bincount, whose C loop adds contributions strictly in
+    row-major (sample, slot) input order on every host. Padding
+    slots contribute an exact +/-0.0 to bucket 0 — a value-level
+    no-op interleaved between real adds."""
+    import numpy as np
+
+    contrib = vals * g[:, None]
+    return np.bincount(idx.ravel(), weights=contrib.ravel(), minlength=d)[:d]
+
+
 def _fit_signed_logistic(
     feats, labels, sample_weight, lam_vec, epochs, lr, scale
 ):
@@ -586,27 +689,41 @@ def _fit_signed_logistic(
     PER-COORDINATE L2 vector (a uniform vector is bitwise-identical
     to the scalar penalty it replaced — scalar broadcast and
     elementwise multiply are the same IEEE ops). Returns quantized
-    (w_q, b_q)."""
+    (w_q, b_q).
+
+    HOST-INVARIANT BY CONSTRUCTION (r9 verdict #4): the BLAS GEMVs
+    are replaced with padded-CSR exact folds (slot-sequential
+    gathers forward, in-order bincount scatter-adds backward), every
+    reduction is an in-order fold, and the sigmoid uses _det_exp —
+    the trainer touches only IEEE correctly-rounded arithmetic plus
+    folds whose order the code fixes, so a host CPU change can no
+    longer move the committed artifacts by an ulp (the failure mode
+    the k-means GEMM hit in r9). The sparse folds are also ~5x
+    FASTER than the dense GEMVs here (hashed-BoW rows are ~5/16384
+    dense)."""
     import numpy as np
 
     y = np.asarray(labels, dtype="float64")
+    n = len(y)
     sw = (
-        np.ones(len(y))
+        np.ones(n)
         if sample_weight is None
         else np.asarray(sample_weight, dtype="float64")
     )
-    # Exact class balance, then mean-1 normalization.
-    wp, wn = sw[y == 1].sum(), sw[y == 0].sum()
+    # Exact class balance, then mean-1 normalization (in-order sums).
+    wp, wn = _exact_sum(sw[y == 1]), _exact_sum(sw[y == 0])
     sw = sw * np.where(y == 0, wp / wn, 1.0)
-    sw = sw / sw.mean()
-    w = np.zeros(feats.shape[1])
+    sw = sw / (_exact_sum(sw) / n)
+    idx, vals = _pad_sparse_rows(np.asarray(feats, dtype="float64"))
+    d = feats.shape[1]
+    w = np.zeros(d)
     b = 0.0
     for _ in range(epochs):
-        z = np.clip(feats @ w + b, -37.0, 37.0)
-        p = 1.0 / (1.0 + np.exp(-z))
+        z = np.clip(_fold_rows_dot(idx, vals, w) + b, -37.0, 37.0)
+        p = 1.0 / (1.0 + _det_exp(-z))
         grad = (p - y) * sw
-        w -= lr * ((feats.T @ grad) / len(y) + lam_vec * w)
-        b -= lr * float(grad.mean())
+        w -= lr * (_fold_feat_grad(idx, vals, grad, d) / n + lam_vec * w)
+        b -= lr * (_exact_sum(grad) / n)
     return np.rint(w * scale).astype(np.int64), int(np.rint(b * scale))
 
 
@@ -688,6 +805,22 @@ def load_sentiment_artifact(path: str) -> dict:
         if "dim_w" in z:
             out["dim_w"] = int(z["dim_w"])
             out["dim_s"] = int(z["dim_s"])
+        # A version>=3 artifact is scored through the split featurizer,
+        # which indexes dim_w/dim_s — validate at LOAD so a malformed
+        # file fails here with a clear message, not with a bare
+        # KeyError deep inside an executor's scoring batch.
+        if out["version"] >= 3:
+            if "dim_w" not in out or "dim_s" not in out:
+                raise ValueError(
+                    f"sentiment artifact {path!r} is version "
+                    f"{out['version']} but lacks dim_w/dim_s — the "
+                    "split-featurizer dims are required for v3+ scoring"
+                )
+            if out["dim_w"] + out["dim_s"] != out["dim"]:
+                raise ValueError(
+                    f"sentiment artifact {path!r}: dim_w({out['dim_w']})"
+                    f" + dim_s({out['dim_s']}) != dim({out['dim']})"
+                )
         return out
 
 
@@ -899,17 +1032,36 @@ def train_quantized_topic(
         ]
     )
     y = np.asarray(labels, dtype=np.int64)
+    n = len(y)
     onehot = np.eye(n_classes)[y]
+    # HOST-INVARIANT GD (r9 verdict #4, same discipline as
+    # _fit_signed_logistic): padded-CSR exact folds replace the BLAS
+    # GEMMs, _det_exp replaces the SIMD-dispatched np.exp, and every
+    # reduction over samples/classes is an in-order fold. np.max is
+    # kept — float max is exactly associative/commutative, so its
+    # result is order-free.
+    idx, vals = _pad_sparse_rows(np.asarray(feats, dtype=np.float64))
     w = np.zeros((n_classes, dim))
     b = np.zeros(n_classes)
     for _ in range(epochs):
-        z = feats @ w.T + b
+        z = np.zeros((n, n_classes))
+        for r in range(idx.shape[1]):
+            z += vals[:, r, None] * w.T[idx[:, r], :]
+        z += b
         z -= z.max(axis=1, keepdims=True)
-        p = np.exp(z)
-        p /= p.sum(axis=1, keepdims=True)
+        p = _det_exp(z)
+        s = np.zeros(n)
+        for c in range(n_classes):
+            s += p[:, c]
+        p /= s[:, None]
         grad = p - onehot
-        w -= lr * (grad.T @ feats) / len(y)
-        b -= lr * grad.mean(axis=0)
+        gw = np.empty((n_classes, dim))
+        for c in range(n_classes):
+            gw[c] = _fold_feat_grad(idx, vals, grad[:, c], dim)
+        w -= lr * gw / n
+        b -= lr * np.array(
+            [_exact_sum(grad[:, c]) / n for c in range(n_classes)]
+        )
     return {
         "w_q": np.rint(w * scale).astype(np.int64),
         "b_q": np.rint(b * scale).astype(np.int64),

@@ -892,9 +892,15 @@ def train_spherical_kmeans(sample, k: int = 32, iters: int = 10):
     Xn = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
     C = Xn[:k].copy()
     for _ in range(iters):
+        # Preallocated temporary (r9 advisor): one ufunc writes into
+        # tmp, one adds it — same component-sequential fold order (so
+        # bit-equality of the committed artifact is preserved), half
+        # the allocations of `S += a * b` per dimension.
         S = np.zeros((Xn.shape[0], C.shape[0]))
+        tmp = np.empty_like(S)
         for j in range(Xn.shape[1]):
-            S += Xn[:, j : j + 1] * C[None, :, j]
+            np.multiply(Xn[:, j : j + 1], C[None, :, j], out=tmp)
+            S += tmp
         a = S.argmax(axis=1)
         for c in range(k):
             mask = a == c
