@@ -307,6 +307,113 @@ def gen_encoder():
     return orig + out
 
 
+#: 16 natural-prose clusters for the r10 encoder axis (r9 verdict #3 /
+#: advisor: the synthetic-token mixed-cluster family re-saturated at
+#: 1.0000, so the gate lost discriminative power). Every content word
+#: is ordinary English and NONE appears in the synthetic tok00..tok63
+#: encoder training corpus — the axis measures UNSEEN-cluster,
+#: unseen-VOCABULARY generalization, the capability NLP_EVAL.md names
+#: as the remaining headroom. Word pools are pairwise disjoint so the
+#: cluster signal is the topical vocabulary, like real text.
+_NL_CLUSTERS = [
+    ("astronomy", ["telescope", "galaxy", "nebula", "orbit", "comet",
+                   "supernova", "eclipse", "asteroid", "observatory",
+                   "constellation"]),
+    ("cooking", ["simmer", "saucepan", "garlic", "marinade", "whisk",
+                 "oven", "broth", "seasoning", "skillet", "casserole"]),
+    ("football", ["midfielder", "goalkeeper", "penalty", "offside",
+                  "striker", "fixture", "stadium", "referee", "corner",
+                  "defender"]),
+    ("gardening", ["seedling", "compost", "perennial", "mulch",
+                   "trellis", "greenhouse", "pruning", "bloom",
+                   "flowerbed", "weeding"]),
+    ("banking", ["deposit", "mortgage", "ledger", "overdraft",
+                 "statement", "savings", "teller", "loan", "interest",
+                 "cheque"]),
+    ("medicine", ["diagnosis", "symptom", "prescription", "dosage",
+                  "clinic", "vaccine", "therapy", "infection",
+                  "surgeon", "ward"]),
+    ("hiking", ["trailhead", "summit", "ridge", "backpack",
+                "switchback", "campsite", "elevation", "scramble",
+                "valley", "cairn"]),
+    ("programming", ["compiler", "refactor", "debugger", "syntax",
+                     "runtime", "repository", "iterator", "exception",
+                     "variable", "bytecode"]),
+    ("music", ["melody", "chord", "tempo", "rehearsal", "orchestra",
+               "harmony", "verse", "percussion", "conductor",
+               "soprano"]),
+    ("weather", ["forecast", "drizzle", "humidity", "thunderstorm",
+                 "barometer", "overcast", "gust", "frost", "heatwave",
+                 "visibility"]),
+    ("automotive", ["transmission", "carburetor", "odometer", "brake",
+                    "chassis", "ignition", "exhaust", "dashboard",
+                    "alternator", "windscreen"]),
+    ("fishing", ["angler", "bait", "reel", "riverbank", "lure",
+                 "trout", "hook", "waders", "floater", "netting"]),
+    ("law", ["plaintiff", "verdict", "subpoena", "testimony",
+             "barrister", "statute", "appeal", "courtroom", "clause",
+             "acquittal"]),
+    ("fashion", ["runway", "tailoring", "fabric", "hemline", "couture",
+                 "wardrobe", "stitching", "accessory", "mannequin",
+                 "lookbook"]),
+    ("chemistry", ["beaker", "titration", "catalyst", "solvent",
+                   "molecule", "reagent", "distillation", "compound",
+                   "precipitate", "electrolyte"]),
+    ("aviation", ["cockpit", "fuselage", "altitude", "turbulence",
+                  "winglet", "aileron", "taxiway", "throttle",
+                  "airspeed", "hangar"]),
+]
+
+#: Shared grammatical templates (filler words common across clusters,
+#: like real text); cluster identity rides ONLY on the content words.
+#: Five content slots per sentence — topical text reuses its
+#: vocabulary densely; with fewer slots the shared filler/template
+#: structure drowns the cluster signal for EVERY embedding and the
+#: axis measures noise, not generalization (measured: 3-slot
+#: templates put even the training-free hash baseline at 0.28).
+_NL_TEMPLATES = [
+    "the {a} sat by the {b} while the {c} and the {d} hid the {e}",
+    "a {a} needs its {b} its {c} and a clean {d} for the {e}",
+    "we took the {a} from the {b} to the {c} past a {d} and the {e}",
+    "one {a} one {b} and one {c} lay under the {d} near the {e}",
+]
+
+
+def gen_encoder_nl():
+    """12 natural-prose DOCUMENTS per cluster (192 total): each row is
+    THREE sentences — consecutive templates with rotating word slices
+    — so every document carries a near-identical filler/template
+    profile and cosine differences ride on the content vocabulary
+    alone. (Single-sentence rows alias by TEMPLATE: with 4 shared
+    templates the 8-word filler overlap of same-template cross-cluster
+    pairs beats the 2-3-word content overlap of same-cluster pairs,
+    and even the training-free hash baseline drops to 0.28 — an eval
+    measuring sentence-frame noise, not topic generalization. Real
+    retrieval units are multi-sentence documents anyway.)
+    Deterministic, no RNG. tools/nlp_eval.py splits per cluster into
+    8 database rows + 4 queries (every third row); the metric is
+    cosine 1-NN cluster match — the standard retrieval protocol,
+    with the WHOLE axis out-of-distribution for the shipped encoder
+    (training saw only synthetic tok00..tok63)."""
+    pools = [p for _, p in _NL_CLUSTERS]
+    flat = [w for p in pools for w in p]
+    assert len(flat) == len(set(flat)), "cluster word pools must be disjoint"
+    out = []
+    for c, pool in enumerate(pools):
+        for i in range(12):
+            parts = []
+            for s in range(3):
+                w = {
+                    k: pool[(i + 2 * s + off) % 10]
+                    for k, off in zip("abcde", (0, 1, 2, 5, 7))
+                }
+                parts.append(_NL_TEMPLATES[(i + s) % 4].format(**w))
+            out.append([" ".join(parts), c])
+    texts = [t for t, _ in out]
+    assert len(texts) == len(set(texts)), "generated rows must be unique"
+    return out
+
+
 # --- keywords --------------------------------------------------------------
 
 def gen_keywords():
@@ -383,13 +490,16 @@ def main():
     s = gen_sentiment()
     t = gen_topic()
     e = gen_encoder()
+    enl = gen_encoder_nl()
     k = gen_keywords()
     _dump("sentiment_eval.json", s)
     _dump("topic_eval.json", t)
     _dump("encoder_eval.json", e)
+    _dump("encoder_nl_eval.json", enl)
     _dump("keyword_eval.json", k)
     print(
-        f"sentiment {len(s)}  topic {len(t)}  encoder {len(e)}  keyword {len(k)}"
+        f"sentiment {len(s)}  topic {len(t)}  encoder {len(e)}  "
+        f"encoder_nl {len(enl)}  keyword {len(k)}"
     )
 
 

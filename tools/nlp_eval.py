@@ -165,6 +165,38 @@ def eval_encoder() -> dict:
     }
 
 
+def eval_encoder_nl() -> dict:
+    """r10 axis (r9 verdict #3 / advisor): natural-prose clusters,
+    ALL unseen in training — the shipped encoder trained only on
+    synthetic tok00..tok63 rows, so every content word here is
+    out-of-vocabulary. Per cluster: 8 database rows, 4 queries (every
+    third row); cosine 1-NN cluster match. This axis measures the
+    vocabulary-generalization capability the saturated synthetic
+    axis cannot, and it is EXPECTED to favor the training-free hash
+    baseline: a hashed-BoW class probe has ~zero weight in buckets
+    its training corpus never touched (L2 keeps them at 0), while
+    the hash embedding needs no training at all. The honest gap is
+    the finding — closing it takes natural training text or a
+    richer-than-linear-probe encoder (the documented ONNX seam)."""
+    rows = _load("encoder_nl_eval.json")
+    model = nlp.load_encoder_artifact(nlp.DEFAULT_ENCODER_ARTIFACT)
+    db = [(t, y) for i, (t, y) in enumerate(rows) if i % 3 != 0]
+    qs = [(t, y) for i, (t, y) in enumerate(rows) if i % 3 == 0]
+    tr_m = [nlp.encode_text_int64(model, t).astype("float64") for t, _ in db]
+    te_m = [nlp.encode_text_int64(model, t).astype("float64") for t, _ in qs]
+    tr_h = [_hash_embed(t) for t, _ in db]
+    te_h = [_hash_embed(t) for t, _ in qs]
+    ty = [l for _, l in db]
+    sy = [l for _, l in qs]
+    return {
+        "task": "encoder 1-NN retrieval, natural-prose UNSEEN clusters "
+        "(16 clusters, n=%d queries)" % len(sy),
+        "model": {"acc": _nn_acc(tr_m, ty, te_m, sy)},
+        "baseline": {"acc": _nn_acc(tr_h, ty, te_h, sy)},
+        "baseline_name": "hashed-nibble embedding (embed_tokens, dim 8)",
+    }
+
+
 # --- keywords --------------------------------------------------------------
 
 def eval_keywords(k: int = 5) -> dict:
@@ -204,7 +236,13 @@ def eval_keywords(k: int = 5) -> dict:
 # --- report ----------------------------------------------------------------
 
 def compute_all() -> list[dict]:
-    return [eval_sentiment(), eval_topic(), eval_encoder(), eval_keywords()]
+    return [
+        eval_sentiment(),
+        eval_topic(),
+        eval_encoder(),
+        eval_encoder_nl(),
+        eval_keywords(),
+    ]
 
 
 def render(results: list[dict]) -> str:
@@ -220,7 +258,8 @@ def render(results: list[dict]) -> str:
         "|---|---|---|---|---|",
     ]
     arts = ["sentiment_model_v2.npz", "topic_model_v2.npz",
-            "encoder_model_v2.npz", "keyword_idf_v1.npz"]
+            "encoder_model_v2.npz", "encoder_model_v2.npz",
+            "keyword_idf_v1.npz"]
     for r, art in zip(results, arts):
         for metric in ("acc", "f1"):
             if metric in r["model"]:
@@ -348,6 +387,47 @@ def render(results: list[dict]) -> str:
         "clusters and unseen-cluster generalization — headroom the "
         "remaining three sub-1.0 rows already keep visible in the "
         "gate.",
+        "",
+        "Sentiment morphological-OOV, second swing (r10 — negative "
+        "result, zero frozen-eval spend): per the selection "
+        "discipline, seven v4 featurizer candidates were trained and "
+        "scored on the CARRIERS only (tools/gen_sentiment_validation."
+        "py): stem-only gram caps (first 3 / first 4 grams), per-token "
+        "unique-gram dedupe, subword L2 multiplier 8 and 32, "
+        "min-length 6, and cap3+lam8 jointly. None beat the shipped "
+        "v3 carrier point (morph 0.8257 / base 0.9886): gram caps "
+        "KILL morph transfer (0.55-0.65 — variants share interior "
+        "grams too, capping discards most shared evidence), lam8 "
+        "trades base for nothing, lam32/minlen6 lose morph outright; "
+        "the only non-loss (unique-dedupe, morph +0.0014 = one "
+        "validation row) is noise. Decision: no frozen-eval run "
+        "spent, v3 config stands as the committed variant, v2 stays "
+        "default. The morphological-OOV remainder is capacity for "
+        "the ONNX seam, not for this featurizer family.",
+        "",
+        "Encoder natural-prose axis (r10, new — the de-saturation the "
+        "r9 advisor asked for): tests/fixtures/encoder_nl_eval.json "
+        "holds 192 three-sentence documents over 16 NATURAL clusters "
+        "(astronomy, cooking, law, ... — tools/gen_eval_fixtures.py:"
+        "gen_encoder_nl) whose content vocabulary is 100% outside the "
+        "synthetic tok00..tok63 training corpus; per cluster 8 "
+        "database rows + 4 queries, cosine 1-NN. The axis is EVAL-"
+        "ONLY — training was deliberately not grown toward it, so it "
+        "keeps measuring headroom instead of re-saturating. Result: "
+        "the shipped probe scores 0.4688 while the training-free "
+        "hash baseline scores 0.9062 — the one row where the "
+        "baseline wins, by design and stated plainly: a hashed-BoW "
+        "class probe has ~zero weight in buckets its corpus never "
+        "touched (L2 keeps them at 0), so out-of-vocabulary text "
+        "projects onto noise + the bias direction, while the hash "
+        "embedding is vocabulary-agnostic. The 0.4688 (vs 0.0625 "
+        "random) comes from natural words accidentally sharing "
+        "buckets with trained tokens. Closing the gap takes natural "
+        "training text or a richer-than-linear-probe encoder — the "
+        "documented ONNX/torch seam; until then this row is the "
+        "honest ceiling of the synthetic-corpus artifact, and the "
+        "floor test only guards gross regression (>= 0.40), not "
+        "beats-baseline.",
         "",
     ]
     return "\n".join(lines)
