@@ -551,3 +551,92 @@ def test_model_ctes_match_python_on_unicode_whitespace():
     )
     check(_poly_bow_cte(64), lambda t: N._poly_bow_counts(t, 64), "topic")
     check(_ngram_bow_cte(64), lambda t: N._ngram_bow_counts(t, 64), "enc")
+
+
+def test_exact_fold_trainer_primitives():
+    """The host-invariance primitives behind the r10 trainers
+    (functions/nlp.py): _det_exp must track exp() to ~2 ulp over the
+    trainers' clipped domain using only correctly-rounded arithmetic;
+    the padded-CSR folds must equal their BLAS counterparts; the
+    in-order sum must be a strict left-to-right fold (the 1e16 probe
+    distinguishes it from pairwise/blocked summation)."""
+    import numpy as np
+
+    from dss_nlp_ingestion_spark.functions.nlp import (
+        _det_exp,
+        _exact_sum,
+        _fold_feat_grad,
+        _fold_rows_dot,
+        _pad_sparse_rows,
+    )
+
+    x = np.concatenate(
+        [np.linspace(-37.0, 37.0, 20001), [0.0, 1.0, -1.0, 36.999, -36.999]]
+    )
+    rel = np.abs(_det_exp(x) - np.exp(x)) / np.exp(x)
+    assert rel.max() < 1e-15
+    # strict in-order fold: ((1e16 + 1) - 1e16) == 0.0 sequentially,
+    # while any blocked/pairwise order can recover the 1.0.
+    assert _exact_sum(np.array([1e16, 1.0, -1e16])) == 0.0
+    assert _exact_sum(np.array([])) == 0.0
+    # padded-CSR folds == BLAS on a deterministic sparse matrix.
+    F = np.zeros((40, 300))
+    for i in range(40):
+        for k in range(1 + i % 5):
+            F[i, (7 * i + 13 * k) % 300] = 0.5 + i - k
+    idx, vals = _pad_sparse_rows(F)
+    w = np.arange(300, dtype=np.float64) / 7.0 - 20.0
+    g = np.arange(40, dtype=np.float64) / 3.0 - 6.0
+    assert np.allclose(_fold_rows_dot(idx, vals, w), F @ w, rtol=1e-12)
+    assert np.allclose(_fold_feat_grad(idx, vals, g, 300), F.T @ g, rtol=1e-12)
+    # padding slots must be value-level no-ops: an all-zero row makes
+    # width-R padding rows of pure padding.
+    Fz = np.vstack([F, np.zeros((1, 300))])
+    iz, vz = _pad_sparse_rows(Fz)
+    assert _fold_rows_dot(iz, vz, w)[-1] == 0.0
+
+
+def test_v3_sentiment_artifact_load_validation(tmp_path):
+    """A version>=3 artifact missing dim_w/dim_s (or with inconsistent
+    dims) must fail AT LOAD with a clear message, not with a KeyError
+    at scoring time (r9 advisor)."""
+    import numpy as np
+    import pytest
+
+    from dss_nlp_ingestion_spark.functions import nlp as N
+
+    good = {
+        "w_q": np.zeros(8, dtype=np.int64),
+        "b_q": 0,
+        "dim": 8,
+        "scale": 1_000_000,
+        "version": 3,
+        "dim_w": 4,
+        "dim_s": 4,
+    }
+    p = str(tmp_path / "ok.npz")
+    N.save_sentiment_artifact(good, p)
+    assert N.load_sentiment_artifact(p)["dim_w"] == 4
+
+    # np.savez appends .npz; write a v3 artifact WITHOUT the split
+    # dims by abusing the v1 writer path.
+    bad = dict(good)
+    del bad["dim_w"], bad["dim_s"]
+    bad["version"] = 3
+    pb = str(tmp_path / "bad")
+    np.savez(
+        pb,
+        w_q=bad["w_q"],
+        b_q=np.int64(0),
+        dim=np.int64(8),
+        scale=np.int64(1_000_000),
+        version=np.int64(3),
+    )
+    with pytest.raises(ValueError, match="dim_w/dim_s"):
+        N.load_sentiment_artifact(pb + ".npz")
+
+    inconsistent = dict(good, dim_s=3)
+    pi = str(tmp_path / "inc.npz")
+    N.save_sentiment_artifact(inconsistent, pi)
+    with pytest.raises(ValueError, match="!= dim"):
+        N.load_sentiment_artifact(pi)
