@@ -12,12 +12,26 @@ ranges so snapshot/merge/dedup semantics stay well-defined:
   within every replica and key spaces never collide.
 - events: event_id shifts; user_id is kept, so per-user activity
   densifies 10x (the realistic direction for a stream at scale).
-- documents: doc_id shifts; replicas > 0 append a per-replica token to
-  the text (n_chars updated) so near-dup structure stays ~constant per
-  document instead of every doc acquiring 9 exact clones (which would
-  scale LSH candidate PAIRS quadratically and misrepresent linear
-  corpus growth).
-- embeddings: vec_id shifts, vectors kept (ANN work scales with rows).
+- documents: doc_id shifts; replicas > 0 get a per-replica TOKEN-LEVEL
+  perturbation — every 3rd token is suffixed with the replica tag (plus
+  the appended tail token; n_chars recomputed) — so replicas of the
+  same document are NOT near-duplicates of each other: with word
+  3-shingles nearly every shingle spans a perturbed position, so
+  cross-replica Jaccard collapses while WITHIN-replica near-dup
+  structure (both members of an original near-dup pair perturb
+  identically) is preserved. Duplicate-CLUSTER size therefore stays
+  ~constant as the corpus grows — how real corpora scale — and every
+  pair-emitting dedup operator's OUTPUT grows linearly with K. (The
+  r9-era generator only appended a tail token, which left replicas
+  ~99% shingle-identical: at K=100 every doc acquired 99 near-clones,
+  so exact pair emitters' outputs grew QUADRATICALLY in K and the
+  sweep measured that data artifact, not operator scaling — the r10
+  sf10 probe caught it as an embedding_near_dups "cliff".)
+- embeddings: vec_id shifts; replica i's vector is CYCLICALLY SHIFTED
+  by i positions (same reasoning: identical copies made every LSH
+  bucket hold K exact clones — quadratic in-bucket pair growth BY
+  DATA; a shifted copy is ~uncorrelated with the original, while
+  within-replica cosine structure is shift-invariant and preserved).
 - region/nation/supplier/part: copied as-is — catalog-sized dims stay
   catalog-sized at any scale factor (catalog.BROADCAST_DIMS).
 
@@ -93,13 +107,40 @@ def main() -> None:
     def doc_text(r, i):
         if i == 0:
             return r
-        sfx = F.lit(f" r{i}")
-        return r.withColumn("text", F.concat(F.col("text"), sfx)).withColumn(
-            "n_chars", F.col("n_chars") + F.length(sfx)
+        # Suffix every 3rd token with the replica tag, then append a
+        # tail token: kills cross-replica shingle overlap (see module
+        # docstring) deterministically and entirely JVM-side.
+        tag = F.lit(f"_r{i}")
+        perturbed = F.array_join(
+            F.zip_with(
+                F.split(F.col("text"), " "),
+                F.sequence(F.lit(0), F.size(F.split(F.col("text"), " ")) - 1),
+                lambda tok, j: F.when(j % 3 == 2, F.concat(tok, tag)).otherwise(tok),
+            ),
+            " ",
+        )
+        return r.withColumn(
+            "text", F.concat(perturbed, F.lit(f" r{i}"))
+        ).withColumn("n_chars", F.length(F.col("text")))
+
+    def emb_shift(r, i):
+        if i == 0:
+            return r
+        # Cyclic shift by i mod dim: slice+concat, JVM-side, exact.
+        dim = F.size(F.col("embedding"))
+        k = F.lit(i) % dim
+        return r.withColumn(
+            "embedding",
+            F.when(k == 0, F.col("embedding")).otherwise(
+                F.concat(
+                    F.slice(F.col("embedding"), k + 1, dim - k),
+                    F.slice(F.col("embedding"), 1, k),
+                )
+            ),
         )
 
     save(replicate(docs, {"doc_id": du}, doc_text), "documents", 4)
-    save(replicate(emb, {"vec_id": vu}), "embeddings", 4)
+    save(replicate(emb, {"vec_id": vu}, emb_shift), "embeddings", 4)
     print(f"wrote {k}x of {src} to {dst}")
     spark.stop()
 
