@@ -15,7 +15,7 @@ columns and similarity is a distributed operator:
   corpus — the correctness baseline; one scan, no shuffle of the
   corpus.
 - random-hyperplane LSH bucketing: deterministic integer plane
-  weights ``((p*31 + i*17) % 7) - 3`` (no RNG -> reproducible in SQL);
+  weights :func:`plane_weight` (no RNG -> reproducible in SQL);
   bucket-local joins are the scale path (IVF-style pruning: the
   pair/candidate work is bounded per bucket, not quadratic in the
   corpus).
@@ -144,10 +144,36 @@ def brute_force_topk(
 _HYPERPLANE_UDFS: dict = {}
 
 
+def plane_weight(p: int, i: int) -> int:
+    """Deterministic hyperplane component w(p, i) for plane p at
+    0-based vector index i: a Knuth multiplicative hash of (p, i)
+    folded into the small-integer range [-5, 5] (exact in DOUBLE and
+    replicated verbatim by the DuckDB oracles via
+    :func:`plane_weight_sql`). The r10 sf10 probe killed the previous
+    family ``((p*31 + i*17) % 7) - 3``: both congruences have period
+    7, so plane p and plane p+7 were IDENTICAL — only 7 distinct
+    hyperplanes existed, at most ~2^7 usable buckets at ANY requested
+    plane count, and heavily skewed ones on structured vectors (sf10:
+    126 buckets, max 6,950 of 200k rows, ~378M in-bucket pair
+    evaluations). The hash mix gives distinct, sign-balanced planes
+    for every p, so the corpus-adaptive plane rule actually buys
+    buckets. Intermediate products stay < 2^47 — exact in BIGINT on
+    both engines."""
+    return (((p * 1009 + i) * 2654435761) % 2147483647) % 11 - 5
+
+
+def plane_weight_sql(p: int) -> str:
+    """DuckDB expression computing ``plane_weight(p, i-1)`` for the
+    1-based ``list_transform`` index ``i`` — the single source the
+    oracle generators interpolate, so engine and oracle can never
+    drift apart on the plane family."""
+    return f"(((({p * 1009} + (i-1)) * 2654435761) % 2147483647) % 11 - 5)"
+
+
 def hyperplane_bucket(vec_col: Column, n_planes: int = 8, dim: int = 64) -> Column:
     """Random-hyperplane LSH bucket id in [0, 2^n_planes): bit p is
     the sign of the projection onto deterministic integer plane
-    ``w(p,i) = ((p*31 + i*17) % 7) - 3`` — Arrow exact-fold kernel,
+    :func:`plane_weight` — Arrow exact-fold kernel,
     bit-identical to :func:`hyperplane_bucket_expr` (the projections
     are the same component-sequential IEEE folds, so every sign bit
     agrees; pinned by tests/test_pq_adc_kernels.py)."""
@@ -159,7 +185,7 @@ def hyperplane_bucket(vec_col: Column, n_planes: int = 8, dim: int = 64) -> Colu
 
         w = np.array(
             [
-                [float(((p * 31 + i * 17) % 7) - 3) for i in range(dim)]
+                [float(plane_weight(p, i)) for i in range(dim)]
                 for p in range(n_planes)
             ]
         )
@@ -193,7 +219,13 @@ def hyperplane_bucket_expr(vec_col: Column, n_planes: int = 8, dim: int = 64) ->
     def _plane_term(p: int):
         return lambda i: (
             F.element_at(vec_col, i).cast("double")
-            * F.lit(1.0) * (((F.lit(p * 31) + (i - 1) * 17) % 7) - 3)
+            * F.lit(1.0)
+            * (
+                ((F.lit(p * 1009) + (i - 1)) * F.lit(2654435761))
+                % F.lit(2147483647)
+                % F.lit(11)
+                - F.lit(5)
+            )
         )
 
     bucket = None

@@ -14,6 +14,7 @@ from dss_nlp_ingestion_spark.operators.similarity import (
     bucketed_near_pairs,
     hyperplane_bucket,
     l2_norm,
+    plane_weight_sql,
 )
 from dss_nlp_ingestion_spark.plans.registry import (
     TAGS,
@@ -100,7 +101,7 @@ _plane_projs = []
 for p in range(_N_PLANES):
     prods = (
         f"[CAST(0.0 AS DOUBLE)] || list_transform(range(1, {_DIM + 1}), "
-        f"i -> CAST(embedding[i] AS DOUBLE) * ((({p * 31} + (i-1)*17) % 7) - 3))"
+        f"i -> CAST(embedding[i] AS DOUBLE) * {plane_weight_sql(p)})"
     )
     _plane_projs.append(
         f"(CASE WHEN list_reduce({prods}, (x, y) -> x + y) > 0 THEN {2**p} ELSE 0 END)"
@@ -165,19 +166,45 @@ WHERE {_PAIR_SCORE} >= 0.3
 _NEAR_DUP_CAP = 128
 
 
+def _adaptive_planes(n_rows: int) -> int:
+    """Corpus-adaptive hyperplane count for the near-dup DEFAULT path
+    (r10 sf10 finding): with a FIXED plane count the bucket COUNT is
+    fixed, so expected bucket size — and therefore the bucket-local
+    pair space, which is quadratic IN BUCKET SIZE — grows linearly
+    with the corpus: the 8-plane layout that gives ~23-row buckets at
+    sf0.1 gives ~2,350-row buckets at sf10, ~680M in-bucket pair
+    evaluations, a measured 11+-minute cliff. The standard LSH answer
+    is to scale the bucket count with the corpus: smallest p >=
+    _N_PLANES such that expected bucket size n/2^p <= _NEAR_DUP_CAP,
+    i.e. p ~ log2(n/cap). Total pair work is then ~n*cap/2 — LINEAR
+    in n at a fixed per-bucket budget. At the driver's oracle SF
+    (and sf<=0.1) the rule returns exactly _N_PLANES, so the hash
+    gate and all committed small-SF records are byte-identical; the
+    recall/precision trade of a finer layout only engages where the
+    fixed layout would drown first."""
+    p = _N_PLANES
+    while (n_rows >> p) > _NEAR_DUP_CAP:
+        p += 1
+    return p
+
+
 @register("embedding_near_dups", _NEAR_ORACLE)
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs restricted to equal LSH
     buckets (threshold 0.3) — bucket-local joins are the 100 TB path:
     shuffle on bucket id, quadratic work bounded per bucket.  The
     skew guard is the DEFAULT here (``_NEAR_DUP_CAP``); the unguarded
-    join survives as the oracle twin ``embedding_near_dups_exact``."""
+    join survives as the oracle twin ``embedding_near_dups_exact``.
+    The plane count adapts to the corpus (:func:`_adaptive_planes` —
+    one parquet metadata count() decides the layout) so expected
+    bucket size stays bounded at any scale."""
     emb = table(spark, sf_dir, "embeddings")
+    planes = _adaptive_planes(emb.count())
     return bucketed_near_pairs(
         emb,
         "vec_id",
         "embedding",
-        n_planes=_N_PLANES,
+        n_planes=planes,
         dim=_DIM,
         threshold=0.3,
         max_bucket=_NEAR_DUP_CAP,
@@ -188,7 +215,11 @@ TAGS["embedding_near_dups"] = (
     "skew guard (_NEAR_DUP_CAP=128, blocked self-pairs) is the DEFAULT "
     "since r7: ~+1.4s at sf0.1 vs the unguarded twin "
     "(embedding_near_dups_exact) - the price of the bounded per-task "
-    "pair budget that holds at sf1 hot buckets and beyond"
+    "pair budget that holds at sf1 hot buckets and beyond. Since r10 "
+    "the plane count is corpus-adaptive (p ~ log2(n/128), still 8 at "
+    "sf<=0.1 so small-SF records/oracles are unchanged): a fixed "
+    "layout's in-bucket pair space grows quadratically with corpus "
+    "size — the measured sf10 cliff"
 )
 
 
@@ -212,13 +243,15 @@ def embedding_near_dups_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-create the quadratic join in a single reducer.  Result set is
     identical to ``embedding_near_dups`` — same oracle — only the
     per-task bound changes (max_bucket=4 is deliberately tiny so the
-    split path is exercised even at sf0.01)."""
+    split path is exercised even at sf0.01). Same corpus-adaptive
+    plane rule as the default path."""
     emb = table(spark, sf_dir, "embeddings")
+    planes = _adaptive_planes(emb.count())
     return bucketed_near_pairs(
         emb,
         "vec_id",
         "embedding",
-        n_planes=_N_PLANES,
+        n_planes=planes,
         dim=_DIM,
         threshold=0.3,
         max_bucket=4,

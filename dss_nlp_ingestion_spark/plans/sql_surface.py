@@ -10,7 +10,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dss_nlp_ingestion_spark.catalog import load_all, table
-from dss_nlp_ingestion_spark.operators.similarity import cosine, hyperplane_bucket
+from dss_nlp_ingestion_spark.operators.similarity import (
+    cosine,
+    hyperplane_bucket,
+    plane_weight_sql,
+)
 from dss_nlp_ingestion_spark.plans.registry import fround, fround_sql, register, register_split
 
 # ---------------------------------------------------------------------------
@@ -55,7 +59,7 @@ _plane_projs = []
 for p in range(_N_PLANES):
     prods = (
         f"[CAST(0.0 AS DOUBLE)] || list_transform(range(1, {_DIM + 1}), "
-        f"i -> CAST(embedding[i] AS DOUBLE) * ((({p * 31} + (i-1)*17) % 7) - 3))"
+        f"i -> CAST(embedding[i] AS DOUBLE) * {plane_weight_sql(p)})"
     )
     _plane_projs.append(
         f"(CASE WHEN list_reduce({prods}, (x, y) -> x + y) > 0 THEN {2**p} ELSE 0 END)"
