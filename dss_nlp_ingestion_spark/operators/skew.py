@@ -131,8 +131,24 @@ def blocked_self_pairs(
         *[F.col(c).alias(f"{c}_b") for c in df.columns if c != group_col],
     )
     ida, idb = F.col(f"{id_col}_a"), F.col(f"{id_col}_b")
+    # Pin the pair-join's partition COUNT (r10 sf10 finding): the
+    # block keys spread a hot group's g*(g+1)/2 combos across the key
+    # space, but AQE's size-based partition coalescing then merges
+    # these byte-LIGHT, CPU-DENSE partitions (each output row costs a
+    # dim-wide similarity evaluation downstream) back into a handful
+    # of tasks — measured at sf10: 12 post-coalesce partitions, 8
+    # done in 2-8 s, 4 stragglers >211 s, 28 of 32 cores idle. A
+    # user-specified repartition count is exempt from AQE coalescing
+    # (REPARTITION_BY_NUM shuffle origin), and since it lands on the
+    # join keys the join reuses the exchange — no extra shuffle.
+    shuffle_n = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    keys = [group_col, "_blk_i", "_blk_j"]
+    a = a.repartition(shuffle_n, *[F.col(k) for k in keys])
+    b = b.repartition(shuffle_n, *[F.col(k) for k in keys])
     return (
-        a.join(b, [group_col, "_blk_i", "_blk_j"])
+        a.join(b, keys)
         .filter((F.col("_blk_i") != F.col("_blk_j")) | (ida < idb))
         .filter(ida != idb)
         .drop("_blk_i", "_blk_j")
