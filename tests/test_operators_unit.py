@@ -1810,3 +1810,34 @@ def test_ivf_centroid_artifact_provenance_and_recall_gain():
     Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
     assign = (Xn @ got.T).argmax(axis=1)
     assert len(set(assign.tolist())) > 8
+
+
+def test_adaptive_planes_and_plane_family_distinctness():
+    """r10 LSH fixes. (1) _adaptive_planes: 8 planes at every
+    committed small SF (the oracle gate's invariance), then grows
+    one plane per doubling so expected bucket size stays <= the cap.
+    (2) plane_weight: the r9 family ((p*31+i*17)%7)-3 had period 7 in
+    p (only 7 distinct planes ever existed); the hash-mixed family
+    must give pairwise-distinct planes across every count the
+    adaptive rule can reach, with roughly sign-balanced weights."""
+    from dss_nlp_ingestion_spark.operators.similarity import plane_weight
+    from dss_nlp_ingestion_spark.plans.similarity_queries import (
+        _NEAR_DUP_CAP,
+        _adaptive_planes,
+    )
+
+    assert _adaptive_planes(602) == 8        # sf0.01 (oracle SF)
+    assert _adaptive_planes(6016) == 8       # sf0.1 bench record SF
+    assert _adaptive_planes(20_000) == 8     # sf1
+    assert _adaptive_planes(200_000) == 11   # sf10 (200000/2^11 ~ 98)
+    for n in (602, 20_000, 200_000, 2_000_000, 10**9):
+        p = _adaptive_planes(n)
+        assert (n >> p) <= _NEAR_DUP_CAP
+        assert p == 8 or (n >> (p - 1)) > _NEAR_DUP_CAP  # minimal p
+
+    planes = [tuple(plane_weight(p, i) for i in range(64)) for p in range(32)]
+    assert len(set(planes)) == 32, "plane family must not repeat"
+    for w in planes:
+        pos = sum(1 for x in w if x > 0)
+        neg = sum(1 for x in w if x < 0)
+        assert 20 <= pos and 20 <= neg, (pos, neg)
