@@ -150,19 +150,36 @@ def _sf_from_dir(sf_dir: str) -> float:
 #: record (SPARK_GRAFT_SOLO_BASE, e.g. the committed sf0.1 record
 #: when this run is the sf1 sweep) is re-run in a FRESH subprocess
 #: and the clean number lands in the record as solo_sec[name].
+#:
+#: r10 postmortem: the solo pass used to spawn one fresh python+JVM
+#: PER flagged query (~25-40 s of pure startup each); with 45 flagged
+#: rows that added 20-30 min and timed out the driver's bench run
+#: (BENCH_r10.json rc=124). The pass is now (a) BATCHED — all flagged
+#: queries run sequentially inside ONE fresh subprocess/JVM, with
+#: release_cached between rows, which preserves the "fresh session,
+#: no 300-query GC debris" property that motivated solo numbers while
+#: paying JVM startup once — and (b) BUDGETED — the child stops
+#: starting new rows once SPARK_GRAFT_SOLO_BUDGET seconds (default
+#: 300) have elapsed, largest sweep rows first, and the remainder is
+#: recorded under "solo_skipped" instead of silently missing.
 SOLO_BASE = os.environ.get("SPARK_GRAFT_SOLO_BASE", "")
 SOLO_RATIO = float(os.environ.get("SPARK_GRAFT_SOLO_RATIO", "6"))
-#: Internal: set => this process times ONE query solo and exits.
-SOLO_QUERY = os.environ.get("SPARK_GRAFT_SOLO_QUERY", "")
+SOLO_BUDGET = float(os.environ.get("SPARK_GRAFT_SOLO_BUDGET", "300"))
+#: Internal: set => this process times the listed queries solo
+#: (one fresh JVM, sequential) and exits.
+SOLO_QUERIES = os.environ.get("SPARK_GRAFT_SOLO_QUERIES", "")
 
 
 def _solo_main() -> None:
-    """Fresh-session single-query timing (the SPARK_GRAFT_SOLO_QUERY
+    """Fresh-session batched solo timing (the SPARK_GRAFT_SOLO_QUERIES
     mode the solo_sec pass spawns). Same measurement policy as the
     sweep: setup/probe split honored, min of two timed executions
-    after a warmup of the python-worker pool."""
+    after a warmup of the python-worker pool. One JSON line per
+    completed query (so a hard kill leaves partials parseable), then
+    a final summary line with the full map + the budget-skipped tail."""
+    t_start = time.perf_counter()
     spark = get_spark(
-        app_name=f"dss-bench-solo-{SOLO_QUERY}",
+        app_name="dss-bench-solo",
         master=f"local[{CPUS}]",
         shuffle_partitions=max(CPUS, 32),
     )
@@ -170,9 +187,8 @@ def _solo_main() -> None:
     spark.range(0, 1000, 1, CPUS).mapInPandas(
         lambda it: it, schema="id long"
     ).count()
-    name = SOLO_QUERY
 
-    def once() -> float:
+    def once(name: str) -> float:
         if name in SETUPS:
             ctx = SETUPS[name](spark, SF_DIR)
             t0 = time.perf_counter()
@@ -184,46 +200,80 @@ def _solo_main() -> None:
         release_cached(spark)
         return dt
 
-    t = round(min(once(), once()), 3)
-    print(json.dumps({"query": name, "solo_sec": t}), flush=True)
+    out: dict[str, object] = {}
+    skipped: list[str] = []
+    for name in [n.strip() for n in SOLO_QUERIES.split(",") if n.strip()]:
+        if time.perf_counter() - t_start > SOLO_BUDGET:
+            skipped.append(name)
+            continue
+        try:
+            t: object = round(min(once(name), once(name)), 3)
+        except Exception as exc:  # noqa: BLE001 — keep measuring the rest
+            t = {"solo_sec": -1.0, "reason": f"{type(exc).__name__}: {exc}"[:200]}
+        out[name] = t
+        print(json.dumps({"query": name, "solo_sec": t}), flush=True)
+    print(
+        json.dumps({"solo_sec": out, "solo_skipped": skipped}), flush=True
+    )
     spark.stop()
 
 
-def _solo_rerun(names: list[str]) -> dict[str, object]:
-    """Spawn a fresh python/JVM per flagged query and collect its
-    clean timing. A failure records -1 WITH its reason (exception
-    type / last stderr line) so a -1 in the committed record is
-    diagnosable, and each flagged re-run is logged to stderr (r8
-    advisor: silent -1s + 1800 s timeouts could add tens of
-    undiagnosable minutes to a sweep)."""
+def _solo_rerun(
+    names: list[str],
+) -> tuple[dict[str, object], list[str]]:
+    """Spawn ONE fresh python/JVM for all flagged queries (largest
+    sweep time first — the caller orders them) and collect the clean
+    timings. A per-query failure records -1 WITH its reason so a -1
+    in the committed record is diagnosable; a child death/timeout is
+    recovered from the per-query progress lines, with unreported
+    names recorded under solo_skipped."""
     import subprocess
 
+    env = dict(os.environ, SPARK_GRAFT_SOLO_QUERIES=",".join(names))
+    print(
+        f"[bench] solo re-run (batched, {len(names)} rows, "
+        f"budget {SOLO_BUDGET:.0f}s): {' '.join(names)}",
+        file=sys.stderr,
+        flush=True,
+    )
+    stdout = ""
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            capture_output=True,
+            text=True,
+            # JVM start + warmup + one in-flight row of slack past the
+            # child's own budget cut-off.
+            timeout=SOLO_BUDGET + 420,
+            env=env,
+        )
+        stdout = proc.stdout or ""
+    except subprocess.TimeoutExpired as exc:
+        stdout = (exc.stdout or b"").decode(errors="replace") if isinstance(
+            exc.stdout, bytes
+        ) else (exc.stdout or "")
+        print("[bench] solo re-run child timed out", file=sys.stderr, flush=True)
+    except Exception as exc:  # noqa: BLE001 — the sweep numbers stand
+        print(
+            f"[bench] solo re-run FAILED: {type(exc).__name__}: {exc}",
+            file=sys.stderr,
+            flush=True,
+        )
     out: dict[str, object] = {}
-    for name in names:
-        env = dict(os.environ, SPARK_GRAFT_SOLO_QUERY=name)
-        print(f"[bench] solo re-run: {name}", file=sys.stderr, flush=True)
-        proc = None
+    skipped: list[str] = []
+    for line in stdout.splitlines():
         try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                capture_output=True, text=True, timeout=1800, env=env,
-            )
-            line = proc.stdout.strip().splitlines()[-1]
-            out[name] = float(json.loads(line)["solo_sec"])
-        except Exception as exc:  # noqa: BLE001 — the sweep number stands
-            reason = f"{type(exc).__name__}: {exc}"[:200]
-            stderr_tail = ""
-            if proc is not None and proc.stderr:
-                lines = proc.stderr.strip().splitlines()
-                if lines:
-                    stderr_tail = lines[-1][:200]
-            out[name] = {"solo_sec": -1.0, "reason": reason, "stderr": stderr_tail}
-            print(
-                f"[bench] solo re-run FAILED: {name}: {reason}",
-                file=sys.stderr,
-                flush=True,
-            )
-    return out
+            rec = json.loads(line)
+        except ValueError:
+            continue
+        if "query" in rec:  # per-query progress line
+            out[rec["query"]] = rec["solo_sec"]
+        elif "solo_sec" in rec:  # final summary line
+            out.update(rec["solo_sec"])
+            skipped = list(rec.get("solo_skipped", []))
+    if not skipped:
+        skipped = [n for n in names if n not in out]
+    return out, skipped
 
 
 def main() -> None:
@@ -238,7 +288,10 @@ def main() -> None:
     if ONLY:
         names = [n for n in names if n in ONLY]
         if not names:  # probe set disjoint from the headline list
-            names = [n for n in ONLY if n in QUERIES and n not in SKIP]
+            # sorted(): ONLY is a set, so iteration order would vary
+            # across processes (hash randomization) and shift
+            # warm-cache timing attribution between probe runs.
+            names = [n for n in sorted(ONLY) if n in QUERIES and n not in SKIP]
     # One broken query must never zero out the whole round's perf
     # signal (r3: a single AnalysisException killed the process before
     # the JSON line). Every timing call is fenced; errors are recorded
@@ -345,7 +398,8 @@ def main() -> None:
         skew = {"err": f"{type(exc).__name__}: {exc}"[:500]}
 
     # Solo re-measurement of outlier rows vs the baseline record.
-    solo_sec: dict[str, float] = {}
+    solo_sec: dict[str, object] = {}
+    solo_skipped: list[str] = []
     flagged: set[str] = set()
     if SOLO_BASE:
         try:
@@ -363,7 +417,10 @@ def main() -> None:
     if _sf_from_dir(SF_DIR) <= 0.2 and not HEADLINE_ONLY:
         flagged |= {n for n, t in timings.items() if t > 2.0}
     if flagged:
-        solo_sec = _solo_rerun(sorted(flagged))
+        # Largest sweep rows first: if the solo budget binds, the
+        # rows most worth a clean number are measured first.
+        ordered = sorted(flagged, key=lambda n: -timings.get(n, 0.0))
+        solo_sec, solo_skipped = _solo_rerun(ordered)
 
     cold_total = round(sum(t for t in cold.values() if t is not None), 3)
     # The full record (per-query map, headline list, skew demo) goes to
@@ -389,6 +446,9 @@ def main() -> None:
         # SOLO_RATIO x their SOLO_BASE baseline inside the sweep —
         # the number to read when sweep contention is suspected.
         "solo_sec": solo_sec,
+        # Rows the solo budget cut off (largest-first ordering means
+        # these are the cheapest of the flagged set).
+        "solo_skipped": solo_skipped,
         # r8 verdict #8: every >2 s row must carry a documenting TAGS
         # note. Violations are recorded here (never crash the sweep —
         # the driver still needs a record) and
@@ -396,8 +456,23 @@ def main() -> None:
         # asserts the committed record is clean. The 2 s threshold is
         # calibrated to sf0.1 — at larger SFs most rows legitimately
         # exceed it, so the audit only applies to sf<=0.2 sweeps.
+        # r10 postmortem: the audit judges each row by its EFFECTIVE
+        # time — min(sweep, fresh-session solo) — so a noisy-window
+        # sweep can no longer mark genuinely-fast rows heavy when
+        # their own solo measurement (taken in this same run) shows
+        # them under threshold.
         "untagged_heavy": sorted(
-            n for n, t in timings.items() if t > 2.0 and n not in TAGS
+            n
+            for n, t in timings.items()
+            if n not in TAGS
+            and min(
+                t,
+                solo_sec[n]
+                if isinstance(solo_sec.get(n), (int, float))
+                and solo_sec[n] > 0
+                else t,
+            )
+            > 2.0
         )
         if _sf_from_dir(SF_DIR) <= 0.2
         else [],
@@ -432,7 +507,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    if SOLO_QUERY:
+    if SOLO_QUERIES:
         _solo_main()
     else:
         main()

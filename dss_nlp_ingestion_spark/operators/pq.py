@@ -456,6 +456,79 @@ def pq_adc_from_lut_column(
     return out
 
 
+def pq_adc_cogroup_scorer(model: dict, refine: int, query_block: int = 256):
+    """Cogrouped IVFADC list scorer (the r10-named scale fix,
+    SCALE.md r10 §4): one call scores ALL queries probing one
+    inverted list against ALL of that list's codes, and emits each
+    query's per-list top-``refine`` candidates.
+
+    Join shape: the old form joined probe rows (query_id, lut) onto
+    every candidate row, so the per-query 256-double LUT crossed the
+    Arrow boundary once per (query, candidate) pair — ~586 GB of
+    duplicated LUT traffic at sf10, which stalled executors past the
+    heartbeat timeout. Cogrouping by ``cent_id`` ships each list's
+    code block ONCE per group and each query's LUT once per probed
+    list (n_probe rows), i.e. transfer is O(index + batch x n_probe)
+    instead of O(batch x corpus).
+
+    Correctness: the ADC value is accumulated s-sequentially with
+    plain numpy elementwise adds — the same left-associated '+' chain
+    as :func:`pq_adc_from_lut_column` / :func:`pq_adc_from_lut_sql`,
+    so every emitted double is bit-identical to the old per-pair
+    kernel and the DuckDB oracle. Emitting only the per-(query, list)
+    top-``refine`` under the (adc ASC, neighbor_id ASC) total order
+    is lossless for the global per-query top-``refine``: the rows of
+    one list that survive the global cut form a prefix of that list's
+    own ordering, so they are all inside its per-list prefix.
+
+    ``query_block`` caps kernel memory: the (queries x list) score
+    matrix is built in blocks (256 x ~6k doubles ~= 13 MB), so task
+    memory stays flat however large the probing batch grows."""
+    m, k = model["m"], model["k"]
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="int64"),
+                "neighbor_id": pd.Series([], dtype="int64"),
+                "_adc": pd.Series([], dtype="float64"),
+            }
+        )
+
+    def score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return _empty()
+        luts = np.stack([np.asarray(v, dtype=np.float64) for v in left["_lut"]])
+        codes = np.stack(
+            [np.asarray(c, dtype=np.int64) for c in right["codes"]]
+        )  # (L, m)
+        nbr = right["neighbor_id"].to_numpy(dtype=np.int64)
+        qids = left["query_id"].to_numpy(dtype=np.int64)
+        n_keep = min(refine, len(nbr))
+        out_q, out_n, out_a = [], [], []
+        for lo in range(0, len(qids), query_block):
+            lut_blk = luts[lo : lo + query_block]  # (b, m*k)
+            # s-sequential left-associated accumulation — bit-identical
+            # per element to the '+' chain of pq_adc_from_lut_column.
+            acc = lut_blk[:, 0 * k + codes[:, 0]]
+            for s in range(1, m):
+                acc = acc + lut_blk[:, s * k + codes[:, s]]
+            for i in range(acc.shape[0]):
+                order = np.lexsort((nbr, acc[i]))[:n_keep]
+                out_q.append(np.full(n_keep, qids[lo + i], dtype=np.int64))
+                out_n.append(nbr[order])
+                out_a.append(acc[i][order])
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "_adc": np.concatenate(out_a),
+            }
+        )
+
+    return score
+
+
 def pq_adc_from_lut_sql(
     model: dict, lut_sql: str = "l.lut", clist_sql: str = "k.clist"
 ) -> str:

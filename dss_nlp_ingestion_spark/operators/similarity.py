@@ -108,6 +108,85 @@ def cosine(a: Column, b: Column) -> Column:
     return _COSINE_ARROW_UDF(a, b)
 
 
+def cosine_cogroup_topk_scorer(k: int, query_block: int = 256):
+    """Cogrouped full-precision list scorer (r11 — the same join-shape
+    fix as ``operators.pq.pq_adc_cogroup_scorer``, for the
+    FULL-PRECISION inverted-list probe): one call scores all queries
+    probing one inverted list against all of that list's vectors and
+    emits each query's per-list top-``k`` by (cosine DESC,
+    neighbor_id ASC).
+
+    Why: joining probe rows (query_id, qv) onto every candidate row
+    ships the 64-double query vector once per (query, candidate) pair
+    (~146 GB at the sf10 fixture). Cogrouping by list id ships each
+    list's vectors ONCE per group and each query vector once per
+    probed list; per-(query, list) top-``k`` output is lossless for
+    the global per-query top-``k`` (the global survivors from one
+    list form a prefix of that list's own ordering).
+
+    Bit-exactness: cosine is accumulated with the same
+    component-sequential unseeded folds as the :func:`cosine` Arrow
+    kernel (dot, |a|^2, |b|^2 chains in index order; one multiply of
+    the two sqrt's, one divide), so every emitted double matches the
+    per-pair kernel and the DuckDB oracle.
+
+    ``query_block`` bounds the (queries x list) score matrix so task
+    memory stays flat as the probing batch grows."""
+    import numpy as np
+    import pandas as pd
+
+    def _empty() -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="int64"),
+                "neighbor_id": pd.Series([], dtype="int64"),
+                "score": pd.Series([], dtype="float64"),
+            }
+        )
+
+    def score(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
+        if len(left) == 0 or len(right) == 0:
+            return _empty()
+        Q = np.stack([np.asarray(v, dtype=np.float64) for v in left["_qv"]])
+        C = np.stack([np.asarray(v, dtype=np.float64) for v in right["_cv"]])
+        qids = left["query_id"].to_numpy(dtype=np.int64)
+        nbr = right["neighbor_id"].to_numpy(dtype=np.int64)
+        dim = C.shape[1]
+        # |c|^2 per candidate: shared across query blocks, same
+        # component-sequential chain as the cosine kernel.
+        bb = None
+        for j in range(dim):
+            sb = C[:, j] * C[:, j]
+            bb = sb if bb is None else bb + sb
+        sqrt_bb = np.sqrt(bb)
+        n_keep = min(k, len(nbr))
+        out_q, out_n, out_s = [], [], []
+        for lo in range(0, len(qids), query_block):
+            Qb = Q[lo : lo + query_block]
+            dots = aa = None
+            for j in range(dim):
+                pj = Qb[:, j][:, None] * C[:, j][None, :]
+                dots = pj if dots is None else dots + pj
+                sa = Qb[:, j] * Qb[:, j]
+                aa = sa if aa is None else aa + sa
+            with np.errstate(all="ignore"):
+                vals = dots / (np.sqrt(aa)[:, None] * sqrt_bb[None, :])
+            for i in range(vals.shape[0]):
+                order = np.lexsort((nbr, -vals[i]))[:n_keep]
+                out_q.append(np.full(n_keep, qids[lo + i], dtype=np.int64))
+                out_n.append(nbr[order])
+                out_s.append(vals[i][order])
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "score": np.concatenate(out_s),
+            }
+        )
+
+    return score
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -168,6 +247,34 @@ def plane_weight_sql(p: int) -> str:
     oracle generators interpolate, so engine and oracle can never
     drift apart on the plane family."""
     return f"(((({p * 1009} + (i-1)) * 2654435761) % 2147483647) % 11 - 5)"
+
+
+#: Plane-COUNT policy (r10 verdict #7 — ONE documented rule, two
+#: intentional regimes; unit-pinned in tests/test_operators_unit.py):
+#:
+#: 1. PAIR-EMITTING near-dup paths (embedding_near_dups, _guarded,
+#:    semdedup candidate generation) ADAPT the plane count to the
+#:    corpus (plans.similarity_queries._adaptive_planes: smallest
+#:    p >= 8 with n/2^p <= 128) because their in-bucket work is
+#:    QUADRATIC in bucket size — a fixed layout's pair space grows
+#:    linearly-in-n PER BUCKET and was the measured sf10 cliff.
+#:
+#: 2. BUCKET-INDEX paths keep a FIXED 8-plane layout BY DESIGN:
+#:    - lsh_bucket_stats: the histogram DESCRIBES a concrete fixed
+#:      index layout; adapting would make the row describe a moving
+#:      target.
+#:    - ann_bucket_topk / ann_multiprobe_topk: the layout is the
+#:      PERSISTED index definition a query-time probe must match —
+#:      multiprobe's neighbor set (bucket XOR (1 << p)) is defined
+#:      over the fixed bit width, and per-query candidate work is
+#:      LINEAR in bucket size, so a big corpus degrades latency
+#:      gracefully instead of quadratically. Production re-picks p at
+#:      index BUILD time with the same n/2^p <= cap rule, then keeps
+#:      it fixed for the index's lifetime.
+#:    - embedding_near_dups_exact: small-sf verifier twin; fixed 8
+#:      equals the adaptive rule at every SF the twin is run at
+#:      (sf <= 0.1), keeping it byte-comparable with the default row.
+PLANE_COUNT_POLICY = "adaptive-for-pair-emitters, fixed-for-bucket-indexes"
 
 
 def hyperplane_bucket(vec_col: Column, n_planes: int = 8, dim: int = 64) -> Column:
@@ -901,6 +1008,45 @@ def semdedup(
 #: n_probe=2 (0.84 at 4) — centroid QUALITY, not probe width, was
 #: the bottleneck. Provenance pinned by a retrain-equality test.
 DEFAULT_IVF_CENTROIDS = __file__.replace("similarity.py", "ivf_centroids_v1.npz")
+#: Scale-tier centroid artifact (r10 verdict #5): nlist must scale
+#: ~sqrt(n) or average inverted-list length — and with it per-query
+#: probe cost — grows linearly with the corpus at fixed k. Trained at
+#: the sf10 fixture scale (k=448 ~ sqrt(200k)) by
+#: tools/train_ivf_scale.py from the first 4480 vectors (by vec_id)
+#: of the regenerated sf10 corpus — deterministic end-to-end (the
+#: generator is key-shifted replication, the trainer is the same
+#: exact-fold spherical k-means as the default artifact).
+SCALE_IVF_CENTROIDS = __file__.replace(
+    "similarity.py", "ivf_centroids_sf10_v1.npz"
+)
+
+#: (k, artifact path) tiers :func:`select_ivf_centroids` picks from.
+IVF_CENTROID_TIERS = (
+    (32, DEFAULT_IVF_CENTROIDS),
+    (448, SCALE_IVF_CENTROIDS),
+)
+
+
+def select_ivf_centroids(n_vectors: int) -> str:
+    """Index-BUILD-time nlist policy (nlist ~ sqrt(n)): return the
+    committed centroid artifact whose k is nearest sqrt(n_vectors).
+    At every committed small SF this picks the default k=32 artifact
+    (sqrt(6016) ~ 78, sqrt(20k) ~ 141 — both nearer 32 than 448), so
+    oracle-gated results are unchanged; the sf10 fixture (200k,
+    sqrt ~ 447) picks the k=448 tier. Missing scale artifacts fall
+    back to the default so hermetic checkouts keep working."""
+    import math
+    import os
+
+    target = math.sqrt(max(n_vectors, 1))
+    best, bestd = DEFAULT_IVF_CENTROIDS, None
+    for k, path in IVF_CENTROID_TIERS:
+        if not os.path.exists(path):
+            continue
+        d = abs(k - target)
+        if bestd is None or d < bestd:
+            best, bestd = path, d
+    return best
 
 
 def train_spherical_kmeans(sample, k: int = 32, iters: int = 10):

@@ -137,6 +137,14 @@ def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TAGS["lsh_bucket_stats"] = (
+    "FIXED 8-plane layout BY DESIGN (operators.similarity"
+    ".PLANE_COUNT_POLICY): the histogram describes one concrete index "
+    "layout; the pair-emitting near-dup rows are the ones that adapt "
+    "the plane count to the corpus."
+)
+
+
 # ---------------------------------------------------------------------------
 
 _PAIR_SCORE = (
@@ -232,6 +240,10 @@ def embedding_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucketed_near_pairs(
         emb, "vec_id", "embedding", n_planes=_N_PLANES, dim=_DIM, threshold=0.3
     ).select("id_a", "id_b", "bucket", fround(F.col("score"), 6).alias("score"))
+
+
+# (TAG for this twin is set near the end of the module, merged with
+# the fixed-plane-layout rationale.)
 
 
 @register("embedding_near_dups_guarded", _NEAR_ORACLE)
@@ -504,7 +516,7 @@ WITH cents AS (
   ) WHERE rn = 1
 ), incoming AS (
   SELECT vec_id + {_IVF_INC_SHIFT} AS query_id, embedding AS qv
-  FROM embeddings WHERE vec_id % 7 = 0 AND vec_id < 20000
+  FROM embeddings WHERE vec_id % 7 = 0 AND vec_id < {_IVF_INC_BATCH_CAP}
 ), probes AS (
   SELECT query_id, qv, cent_id FROM (
     SELECT q.query_id, q.qv, cents.cent_id,
@@ -607,15 +619,26 @@ def _ivf_inc_build_pq(spark: SparkSession, sf_dir: str, cents: list):
 
 
 def _ivf_inc_trained_setup(spark: SparkSession, sf_dir: str):
-    """SETUP (trained form — r7 verdict #3, r8 verdict #5): the
-    committed spherical k-means centroid artifact (ivf_centroids_v1
-    .npz) seeds the IVFADC index build — trained lists + compressed-
-    domain probing, the index-maintenance path users would keep."""
-    from dss_nlp_ingestion_spark.operators.similarity import load_ivf_centroids
+    """SETUP (trained form — r7 verdict #3, r8 verdict #5): a
+    committed spherical k-means centroid artifact seeds the IVFADC
+    index build — trained lists + compressed-domain probing, the
+    index-maintenance path users would keep. Since r11 the artifact
+    TIER is picked at build time by the nlist ~ sqrt(n) policy
+    (`select_ivf_centroids`: one metadata count() decides): every
+    committed small SF selects the default k=32 artifact (results and
+    oracles unchanged), the sf10 fixture selects the k=448 tier so
+    average inverted-list length — and with it per-query probe cost
+    at fixed n_probe — stays ~flat across the decade instead of
+    growing linearly with the corpus (r10 verdict #5)."""
+    from dss_nlp_ingestion_spark.operators.similarity import (
+        load_ivf_centroids,
+        select_ivf_centroids,
+    )
 
+    n = table(spark, sf_dir, "embeddings").count()
     cents = [
         {"cent_id": int(c), "_cvec": [float(x) for x in v]}
-        for c, v in load_ivf_centroids()
+        for c, v in load_ivf_centroids(select_ivf_centroids(n))
     ]
     return _ivf_inc_build_pq(spark, sf_dir, cents)
 
@@ -626,15 +649,24 @@ def _ivf_inc_probe(spark: SparkSession, ctx) -> DataFrame:
     fixed centroid set, probes the PERSISTED inverted lists for its
     top-k neighbors, and appends its own assignments back through the
     same commit protocol — index maintenance is O(batch), never a
-    corpus re-index. The oracle replays both assignments from
-    scratch: the hash match proves persisted-index search equals the
-    recompute-everything semantics. (In-query assert: the index
-    snapshot grew by exactly the batch.)"""
+    corpus re-index.
+
+    Since r11 the scoring stage is a LIST-GROUPED cogroup
+    (`cosine_cogroup_topk_scorer`): the old shape joined (query_id,
+    qv) onto every candidate row, shipping the 64-double query vector
+    once per (query, candidate) pair — the same Arrow-duplication
+    defect the r10 sf10 probe measured on the IVFADC twin. The
+    cogroup ships each list once per group and emits per-(query,
+    list) top-k only, bit-identically (see the scorer's docstring).
+    The oracle replays both assignments from scratch: the hash match
+    proves persisted-index search equals the recompute-everything
+    semantics. (In-query assert: the index snapshot grew by exactly
+    the batch.)"""
     from pyspark.sql import Window
 
     from dss_nlp_ingestion_spark.operators.similarity import (
         assign_nearest_centroid,
-        cosine,
+        cosine_cogroup_topk_scorer,
     )
     from dss_nlp_ingestion_spark.sources import txlog
 
@@ -652,10 +684,13 @@ def _ivf_inc_probe(spark: SparkSession, ctx) -> DataFrame:
     idx = txlog.read(spark, path).select(
         F.col("id").alias("neighbor_id"), F.col("v").alias("_cv"), "cent_id"
     )
-    scored = idx.join(F.broadcast(probes), "cent_id").select(
-        "query_id",
-        "neighbor_id",
-        cosine(F.col("_qv"), F.col("_cv")).alias("score"),
+    scored = (
+        probes.groupBy("cent_id")
+        .cogroup(idx.groupBy("cent_id"))
+        .applyInPandas(
+            cosine_cogroup_topk_scorer(_IVF_K),
+            "query_id long, neighbor_id long, score double",
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("neighbor_id")
@@ -677,25 +712,37 @@ def _ivf_inc_probe(spark: SparkSession, ctx) -> DataFrame:
 
 
 def _ivf_inc_adc_probe(spark: SparkSession, ctx) -> DataFrame:
-    """PROBE (IVFADC form — r8 verdict #5): the incoming batch (every
-    7th vector, id-shifted) assigns only itself against the fixed
-    centroid set, probes ``n_probe`` persisted inverted lists in the
-    COMPRESSED domain — per candidate, m=16 LUT loads instead of
-    64-dim arithmetic (`pq_adc_from_lut_column`) — keeps a per-query
-    top-``refine`` shortlist, exact-rescores only that shortlist
-    against the base table, and appends its own (id, codes, cent_id)
-    rows back through the same commit protocol: maintenance stays
-    O(batch). The oracle replays assignment, encoding, LUTs and both
-    rankings from scratch — the hash match proves persisted-
-    compressed-index search equals the recompute-everything
-    semantics. (In-query assert: the index grew by exactly the
-    batch.)"""
+    """PROBE (IVFADC form — r8 verdict #5; list-grouped scoring r11):
+    the incoming batch (every 7th vector, id-shifted) assigns only
+    itself against the fixed centroid set, probes ``n_probe``
+    persisted inverted lists in the COMPRESSED domain, keeps a
+    per-query top-``refine`` shortlist, exact-rescores only that
+    shortlist against the base table, and appends its own (id, codes,
+    cent_id) rows back through the same commit protocol: maintenance
+    stays O(batch).
+
+    The compressed-domain stage is a COGROUP by list id
+    (`pq_adc_cogroup_scorer`): each inverted list's code block and
+    each query's 256-double ADC LUT cross the Arrow boundary once per
+    (query, list) GROUP, not once per (query, candidate) row — the
+    r10 sf10 probe measured the old per-pair join duplicating the LUT
+    onto ~286 M candidate rows (~586 GB of Arrow traffic, SparkContext
+    death); the cogroup moves O(index + batch x n_probe) bytes and
+    emits only per-(query, list) top-``refine`` rows, so the
+    shortlist window shuffles n_probe x refine rows per query instead
+    of every probed candidate. Scoring is bit-identical to the old
+    '+'-chain kernel (see the scorer's docstring), so results and the
+    DuckDB oracle are unchanged. The oracle replays assignment,
+    encoding, LUTs and both rankings from scratch — the hash match
+    proves persisted-compressed-index search equals the
+    recompute-everything semantics. (In-query assert: the index grew
+    by exactly the batch.)"""
     from pyspark.sql import Window
 
     from dss_nlp_ingestion_spark.operators.pq import (
         DEFAULT_PQ_ARTIFACT,
         load_pq_artifact,
-        pq_adc_from_lut_column,
+        pq_adc_cogroup_scorer,
         pq_code_array_udf,
         pq_query_lut_udf,
     )
@@ -727,13 +774,17 @@ def _ivf_inc_adc_probe(spark: SparkSession, ctx) -> DataFrame:
     idx = txlog.read(spark, path).select(
         F.col("id").alias("neighbor_id"), "codes", "cent_id"
     )
-    # Compressed-domain pre-scoring: no vectors move, no per-dimension
-    # math — the shortlist window is the only shuffle and it is
-    # k-bounded (WindowGroupLimit).
-    pre = idx.join(F.broadcast(probes), "cent_id").select(
-        "query_id",
-        "neighbor_id",
-        pq_adc_from_lut_column(model, "_lut", "codes").alias("_adc"),
+    # Compressed-domain pre-scoring: list-grouped cogroup kernel — no
+    # vectors move, no per-dimension math, no LUT duplication per
+    # candidate; each group call scores one whole inverted list for
+    # all the queries probing it and emits their per-list top-refine.
+    pre = (
+        probes.groupBy("cent_id")
+        .cogroup(idx.groupBy("cent_id"))
+        .applyInPandas(
+            pq_adc_cogroup_scorer(model, refine),
+            "query_id long, neighbor_id long, _adc double",
+        )
     )
     ws = Window.partitionBy("query_id").orderBy(F.asc("_adc"), F.asc("neighbor_id"))
     shortlist = (
@@ -827,7 +878,7 @@ WITH cents AS (
   FROM embeddings
 ), incoming AS (
   SELECT vec_id + {_IVF_INC_SHIFT} AS query_id, embedding AS qv
-  FROM embeddings WHERE vec_id % 7 = 0 AND vec_id < 20000
+  FROM embeddings WHERE vec_id % 7 = 0 AND vec_id < {_IVF_INC_BATCH_CAP}
 ), probes AS (
   SELECT query_id, cent_id FROM (
     SELECT q.query_id, q.qv, cents.cent_id,
@@ -885,10 +936,14 @@ _ivf_inc_trained_q = register_split(
         f"#5): {_INC_ADC_N_PROBE}/32 lists pre-scored at m=16 lookups "
         f"per candidate (~8x cheaper than 64-dim cosine) + "
         f"{_INC_ADC_REFINE} exact rescored ~= 0.93x the old n_probe=4 "
-        "full-precision candidate cost for recall@5 0.68 -> 0.90. Same "
-        "fixture-scaling note as ivf_index_incremental: the batch is "
-        "corpus/7 by design, so sf ratios multiply batch growth by "
-        "list growth; a production increment is O(batch)."
+        "full-precision candidate cost for recall@5 0.68 -> 0.90. "
+        "Since r11 the ADC stage is a LIST-GROUPED cogroup "
+        "(pq_adc_cogroup_scorer): Arrow transfer is O(index + batch x "
+        "n_probe) instead of O(batch x corpus) — the r10 sf10 "
+        "LUT-duplication scale defect. Same fixture-scaling note as "
+        "ivf_index_incremental: the batch is corpus/7 by design, so "
+        "sf ratios multiply batch growth by list growth; a production "
+        "increment is O(batch)."
     ),
 )
 
@@ -1464,7 +1519,10 @@ from dss_nlp_ingestion_spark.plans.registry import TAGS
 
 TAGS["embedding_near_dups_exact"] = (
     "small-sf verifier: unguarded bucket self-join kept to prove the "
-    "skew-guarded default (embedding_near_dups) result-identical"
+    "skew-guarded default (embedding_near_dups) result-identical; "
+    "FIXED 8 planes BY DESIGN (operators.similarity.PLANE_COUNT_POLICY"
+    " — the adaptive rule returns exactly 8 at every SF this twin is "
+    "run at, keeping the two rows byte-comparable)"
 )
 
 for _pq_name in (

@@ -15,7 +15,13 @@ from dss_nlp_ingestion_spark.operators.similarity import (
     hyperplane_bucket,
     plane_weight_sql,
 )
-from dss_nlp_ingestion_spark.plans.registry import fround, fround_sql, register, register_split
+from dss_nlp_ingestion_spark.plans.registry import (
+    TAGS,
+    fround,
+    fround_sql,
+    register,
+    register_split,
+)
 
 # ---------------------------------------------------------------------------
 # Pure-SQL query through spark.sql over registered views
@@ -397,6 +403,19 @@ def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", fround(F.col("score"), 6).alias("score"), "rank"
     )
+
+
+_ANN_FIXED_LAYOUT_NOTE = (
+    "FIXED 8-plane layout BY DESIGN (operators.similarity"
+    ".PLANE_COUNT_POLICY): the bucket layout is the persisted index "
+    "definition query-time probes must match (multiprobe's neighbor "
+    "set is bucket XOR (1 << p) over the fixed bit width), and "
+    "per-query candidate work is LINEAR in bucket size; production "
+    "re-picks the plane count at index BUILD time with the same "
+    "n/2^p <= cap rule."
+)
+TAGS["ann_bucket_topk"] = _ANN_FIXED_LAYOUT_NOTE
+TAGS["ann_multiprobe_topk"] = _ANN_FIXED_LAYOUT_NOTE
 
 
 # ---------------------------------------------------------------------------

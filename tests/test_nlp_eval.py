@@ -43,16 +43,21 @@ def test_models_beat_baselines_on_held_out():
     assert e["model"]["acc"] >= 0.99
     # encoder, natural-prose UNSEEN clusters (r10 axis): EVAL-ONLY —
     # training is deliberately not grown toward it, so the row keeps
-    # measuring vocabulary-generalization headroom. The training-free
-    # hash baseline WINS here by design (measured 0.9062 vs model
-    # 0.4688; a hashed-BoW class probe has ~zero weight in buckets
-    # its synthetic corpus never touched) — so this row is exempt
-    # from beats-baseline and only floors gross regression of both
-    # numbers. The baseline floor matters too: it proves the axis is
-    # SOLVABLE by a vocabulary-driven embedding (an eval no embedding
-    # can pass measures noise, which is how the first single-sentence
-    # cut failed — see gen_eval_fixtures.gen_encoder_nl).
-    assert enl["model"]["acc"] >= 0.40
+    # measuring vocabulary-generalization headroom. Since r11 the
+    # 'model' arm is the SHIPPED coverage-gated default (r10 verdict
+    # #6): every eval row sits below the measured coverage threshold
+    # (max 0.235 < 1/4), so the default serves the hash embedding and
+    # must score >= the baseline (equality by construction; a dip
+    # below means the gate mis-routed a row). The RAW probe number is
+    # kept as ungated_acc and only floors gross regression — the
+    # documented inversion (0.4688 vs 0.9062) is the honest ceiling
+    # of the synthetic-corpus artifact. The baseline floor matters
+    # too: it proves the axis is SOLVABLE by a vocabulary-driven
+    # embedding (an eval no embedding can pass measures noise, which
+    # is how the first single-sentence cut failed — see
+    # gen_eval_fixtures.gen_encoder_nl).
+    assert enl["model"]["acc"] >= enl["baseline"]["acc"]
+    assert enl["ungated_acc"] >= 0.40
     assert enl["baseline"]["acc"] >= 0.85
     # keywords: IDF weighting must beat plain TF
     assert k["model"]["f1"] >= k["baseline"]["f1"] + 0.2

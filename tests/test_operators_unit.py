@@ -1841,3 +1841,65 @@ def test_adaptive_planes_and_plane_family_distinctness():
         pos = sum(1 for x in w if x > 0)
         neg = sum(1 for x in w if x < 0)
         assert 20 <= pos and 20 <= neg, (pos, neg)
+
+
+def test_plane_count_policy_pinned():
+    """r10 verdict #7: ONE documented plane-count policy. Pair-emitting
+    near-dup defaults ADAPT the plane count (their in-bucket work is
+    quadratic in bucket size); bucket-INDEX rows keep the FIXED
+    8-plane layout BY DESIGN and say so on their TAGS (the layout is
+    the persisted index definition / the histogram's subject / the
+    verifier twin's comparability anchor)."""
+    import inspect
+
+    from dss_nlp_ingestion_spark.operators.similarity import (
+        PLANE_COUNT_POLICY,
+    )
+    from dss_nlp_ingestion_spark.plans import similarity_queries as sq
+    from dss_nlp_ingestion_spark.plans.registry import TAGS
+
+    assert "adaptive-for-pair-emitters" in PLANE_COUNT_POLICY
+    # Adaptive regime: the two near-dup defaults call the rule.
+    for fn in (sq.embedding_near_dups, sq.embedding_near_dups_guarded):
+        assert "_adaptive_planes" in inspect.getsource(fn), fn.__name__
+    # Fixed regime: every fixed-layout row's TAG names the policy.
+    for name in (
+        "lsh_bucket_stats",
+        "ann_bucket_topk",
+        "ann_multiprobe_topk",
+        "embedding_near_dups_exact",
+    ):
+        assert "PLANE_COUNT_POLICY" in TAGS.get(name, ""), name
+    # The verifier twin stays byte-comparable with the default row:
+    # the adaptive rule must return exactly the twin's fixed count at
+    # every SF the twin runs at (sf <= 0.1).
+    assert sq._adaptive_planes(6016) == sq._N_PLANES
+
+
+def test_ivf_centroid_tier_selection():
+    """r10 verdict #5: nlist ~ sqrt(n) is an index-BUILD-time policy.
+    Every committed small SF must select the default k=32 artifact
+    (so oracle-gated results never move), the sf10 corpus the k=448
+    tier when its artifact is present; a missing scale artifact falls
+    back to the default (hermetic checkouts keep working)."""
+    import os
+
+    from dss_nlp_ingestion_spark.operators.similarity import (
+        DEFAULT_IVF_CENTROIDS,
+        SCALE_IVF_CENTROIDS,
+        load_ivf_centroids,
+        select_ivf_centroids,
+    )
+
+    for n in (602, 6016, 20_000):  # sf0.01 / sf0.1 / sf1
+        assert select_ivf_centroids(n) == DEFAULT_IVF_CENTROIDS, n
+    if os.path.exists(SCALE_IVF_CENTROIDS):
+        assert select_ivf_centroids(200_000) == SCALE_IVF_CENTROIDS
+        cents = load_ivf_centroids(SCALE_IVF_CENTROIDS)
+        assert len(cents) == 448
+        import numpy as np
+
+        norms = [float(np.linalg.norm(v)) for _, v in cents]
+        assert all(abs(x - 1.0) < 1e-9 for x in norms)
+    else:
+        assert select_ivf_centroids(200_000) == DEFAULT_IVF_CENTROIDS

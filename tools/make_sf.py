@@ -28,10 +28,12 @@ ranges so snapshot/merge/dedup semantics stay well-defined:
   sweep measured that data artifact, not operator scaling — the r10
   sf10 probe caught it as an embedding_near_dups "cliff".)
 - embeddings: vec_id shifts; replica i's vector is CYCLICALLY SHIFTED
-  by i positions (same reasoning: identical copies made every LSH
-  bucket hold K exact clones — quadratic in-bucket pair growth BY
-  DATA; a shifted copy is ~uncorrelated with the original, while
-  within-replica cosine structure is shift-invariant and preserved).
+  by i mod 64 positions and Walsh-sign-flipped by pattern i // 64
+  (same reasoning: identical copies made every LSH bucket hold K
+  exact clones — quadratic in-bucket pair growth BY DATA; a
+  signed-permuted copy is ~uncorrelated with the original, while
+  within-replica cosine structure is exactly preserved since signed
+  permutations are orthogonal). Clone-free for K <= 4096.
 - region/nation/supplier/part: copied as-is — catalog-sized dims stay
   catalog-sized at any scale factor (catalog.BROADCAST_DIMS).
 
@@ -128,16 +130,35 @@ def main() -> None:
             return r
         # Cyclic shift by i mod dim: slice+concat, JVM-side, exact.
         dim = F.size(F.col("embedding"))
-        k = F.lit(i) % dim
-        return r.withColumn(
-            "embedding",
-            F.when(k == 0, F.col("embedding")).otherwise(
-                F.concat(
-                    F.slice(F.col("embedding"), k + 1, dim - k),
-                    F.slice(F.col("embedding"), 1, k),
-                )
-            ),
+        kk = F.lit(i) % dim
+        shifted = F.when(kk == 0, F.col("embedding")).otherwise(
+            F.concat(
+                F.slice(F.col("embedding"), kk + 1, dim - kk),
+                F.slice(F.col("embedding"), 1, kk),
+            )
         )
+        # The shift cycle alone has period dim (=64): replicas i and
+        # i+64 were EXACT clones, so for K > 64 duplicate-cluster size
+        # grew as ceil(K/64) (r10 advisor). Mix the cycle with a
+        # WALSH SIGN PATTERN keyed on j = i // 64: negate component p
+        # iff popcount(p AND j) is odd — distinct orthogonal patterns
+        # for every j in 0..63 (cross-j patterns differ in exactly
+        # half the positions, so cross-cycle replicas decorrelate to
+        # cosine ~0) while within-replica cosine structure is EXACTLY
+        # preserved (a signed permutation is orthogonal, and sign
+        # flips are exact in IEEE). 64 shifts x 64 patterns = the
+        # generator is clone-free for K <= 4096; K <= 64 output is
+        # bit-identical to the r10 generator (j = 0 => identity).
+        j = (i // 64) % 64
+        if j > 0:
+            mask = F.lit(j)
+            shifted = F.transform(
+                shifted,
+                lambda x, p: F.when(
+                    F.bit_count(p.bitwiseAND(mask)) % 2 == 1, -x
+                ).otherwise(x),
+            )
+        return r.withColumn("embedding", shifted)
 
     save(replicate(docs, {"doc_id": du}, doc_text), "documents", 4)
     save(replicate(emb, {"vec_id": vu}, emb_shift), "embeddings", 4)
