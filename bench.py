@@ -417,9 +417,14 @@ def main() -> None:
     if _sf_from_dir(SF_DIR) <= 0.2 and not HEADLINE_ONLY:
         flagged |= {n for n, t in timings.items() if t > 2.0}
     if flagged:
-        # Largest sweep rows first: if the solo budget binds, the
-        # rows most worth a clean number are measured first.
-        ordered = sorted(flagged, key=lambda n: -timings.get(n, 0.0))
+        # Budget priority: UNTAGGED rows first (their solo number
+        # decides the heavy-row audit), tagged rows after; largest
+        # sweep time first within each class — if the solo budget
+        # binds, the rows most worth a clean number are measured
+        # first.
+        ordered = sorted(
+            flagged, key=lambda n: (n in TAGS, -timings.get(n, 0.0))
+        )
         solo_sec, solo_skipped = _solo_rerun(ordered)
 
     cold_total = round(sum(t for t in cold.values() if t is not None), 3)

@@ -1301,6 +1301,128 @@ def encoder_coverage_gate_udf(model: dict):
     return _gate
 
 
+def _hash_fallback_parts(text: str, memo: dict | None = None):
+    """The HASH-fallback branch of the gated default, computed with
+    the exact op sequence of the column-expression path so the gated
+    UDF is bit-identical to it (and to the DuckDB oracle):
+    tokens = Spark ``split(trim(text), '\\s+')`` (trim strips ASCII
+    0x20 only; Java ``\\s`` = ``[ \\t\\n\\x0b\\f\\r]``; limit -1
+    keeps empty edge tokens), e_j = (0.0-seeded left fold of
+    nibble_j(sha256(tok)) - 7.5) / n. Returns (int nibble-sum
+    identity list [2*sum..., n], e values). ``memo`` caches the 8
+    leading nibbles per DISTINCT token across a batch (documents
+    reuse vocabulary heavily; hashing every occurrence dominated the
+    first kernel cut)."""
+    import hashlib
+    import re
+
+    t = text.strip(" ")
+    toks = re.split(r"[ \t\n\x0b\f\r]+", t)
+    n = len(toks)
+    acc = [0.0] * EMBED_DIM
+    s2 = [0] * EMBED_DIM
+    for tok in toks:
+        nibs = memo.get(tok) if memo is not None else None
+        if nibs is None:
+            hx = hashlib.sha256(tok.encode()).hexdigest()
+            nibs = tuple(int(hx[j], 16) for j in range(EMBED_DIM))
+            if memo is not None:
+                memo[tok] = nibs
+        for j in range(EMBED_DIM):
+            acc[j] = acc[j] + (float(nibs[j]) - 7.5)
+            s2[j] += 2 * nibs[j] - 15
+    return s2 + [n], [a / n for a in acc]
+
+
+def gated_text_embedding_udf(model: dict, anchor_text: str):
+    """ONE-Arrow-pass serving kernel of the coverage-gated default
+    embedding: per row — featurize once, decide the integer gate,
+    then emit EITHER the learned branch (raw-int64 sha + big-int
+    anchor cosine, exactly :func:`quantized_encoder_udf`) OR the hash
+    fallback (integer nibble-sum identity sha + the hashed-path
+    cosine, exactly the column-expression form). The first gated
+    text_embeddings shipped the fallback as interpreted higher-order
+    column expressions evaluated on EVERY row next to the learned
+    UDF — 9-15x the row cost; this kernel computes each branch only
+    for its own rows, all inside numpy/hashlib (bit-identical per the
+    fold rules pinned by tests/test_oracle_parity.py)."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    w_q = np.asarray(model["w_q"], dtype=np.int64)
+    b_q = np.asarray(model["b_q"], dtype=np.int64)
+    dim = int(model["dim"])
+    covered = np.zeros(dim, dtype=bool)
+    covered[encoder_covered_buckets(model)] = True
+    num, den = ENCODER_COVERAGE_NUM, ENCODER_COVERAGE_DEN
+    # Learned-branch anchor (int64 embedding + exact norm).
+    a_vec = encode_text_int64(model, anchor_text)
+    a_obj = np.asarray(a_vec, dtype=np.int64).astype(object)
+    a_norm = float(np.sqrt(float(int((a_obj**2).sum()))))
+    # Hash-branch anchor (double components + the an-chain constant,
+    # same op order as the folded column expression).
+    _, a_hash = _hash_fallback_parts(anchor_text)
+    an = None
+    for j in range(EMBED_DIM):
+        a2 = a_hash[j] * a_hash[j]
+        an = a2 if an is None else an + a2
+    sqrt_an = math.sqrt(an)
+
+    @pandas_udf("emb_sha string, anchor_cos double, used_model boolean")
+    def _encode(text: pd.Series) -> pd.DataFrame:
+        shas = []
+        cos = np.empty(len(text), dtype="float64")
+        used = np.empty(len(text), dtype="bool")
+        memo: dict = {}
+        nib_memo: dict = {}
+        for i, t in enumerate(text):
+            counts, n = _ngram_bow_counts(t or "", dim, memo)
+            total = int(counts.sum())
+            covd = int(counts[covered].sum())
+            ok = total > 0 and covd * den >= total * num
+            used[i] = ok
+            if ok:
+                nn = max(n, 1)
+                e = b_q * nn + w_q @ counts
+                shas.append(
+                    hashlib.sha256(
+                        ",".join(str(int(x)) for x in e).encode()
+                    ).hexdigest()
+                )
+                e_obj = e.astype(object)
+                sumsq = int((e_obj**2).sum())
+                if sumsq == 0:
+                    cos[i] = 0.0
+                else:
+                    dot = int((e_obj * a_obj).sum())
+                    c = float(dot) / (float(np.sqrt(float(sumsq))) * a_norm)
+                    cos[i] = np.floor(c * 1e6 + 0.5) / 1e6
+            else:
+                ident, evals = _hash_fallback_parts(t or "", nib_memo)
+                shas.append(
+                    hashlib.sha256(
+                        ",".join(str(x) for x in ident).encode()
+                    ).hexdigest()
+                )
+                dot = None
+                dn = None
+                for j in range(EMBED_DIM):
+                    tj = evals[j] * a_hash[j]
+                    dot = tj if dot is None else dot + tj
+                    d2 = evals[j] * evals[j]
+                    dn = d2 if dn is None else dn + d2
+                sq = math.sqrt(dn)
+                c = dot / (sq * sqrt_an) if sq > 0 else 0.0
+                cos[i] = np.floor(c * 1e6 + 0.5) / 1e6
+        return pd.DataFrame(
+            {"emb_sha": shas, "anchor_cos": cos, "used_model": used}
+        )
+
+    return _encode
+
+
 def encode_text_int64(model: dict, text: str):
     """Driver-side single-text encode: the EXACT int64 embedding the
     serving UDF computes (e = b_q*n + W_q·counts). Used to embed

@@ -431,39 +431,6 @@ FROM e
 """
 
 
-def _hashed_int_identity_sha() -> F.Column:
-    """sha256 identity of the HASH-fallback embedding: the 8 doubled
-    integer nibble sums (sum of 2*nibble-15 per token) plus the token
-    count — together they determine the double vector exactly, and
-    being integer-only they format identically in both engines (a
-    sha over the doubles would hang on CAST(double AS STRING)
-    formatting differences)."""
-    toks = ws_tokens(F.col("text"))
-
-    def _nib_term(j: int):
-        def f(t):
-            return (
-                F.conv(F.substring(F.sha2(t, 256), j + 1, 1), 16, 10).cast(
-                    "long"
-                )
-                * 2
-                - 15
-            )
-
-        return f
-
-    sums = [
-        F.aggregate(
-            F.transform(toks, _nib_term(j)),
-            F.lit(0).cast("long"),
-            lambda a, x: a + x,
-        )
-        for j in range(N.EMBED_DIM)
-    ]
-    parts = [s.cast("string") for s in sums] + [F.size(toks).cast("string")]
-    return F.sha2(F.concat_ws(",", *parts), 256)
-
-
 def _hashed_anchor_cos() -> F.Column:
     """The hash-path anchor cosine as ONE column expression — the
     exact tree ``_hashed_embeddings`` serves (and ``_EMBED_ORACLE``
@@ -507,27 +474,20 @@ def text_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     artifact is unavailable the whole path falls back to the hash
     heuristic (kept registered as ``text_embeddings_hashed``;
     reference surface: tencent_api.py:98-136)."""
-    enc = N.default_text_embedding_udf(_ANCHOR)
     docs = table(spark, sf_dir, "documents")
-    if enc is None:
+    try:
+        model = N.load_encoder_artifact(N.DEFAULT_ENCODER_ARTIFACT)
+    except (OSError, KeyError, ValueError):
         return _hashed_embeddings(docs)
-    model = N.load_encoder_artifact(N.DEFAULT_ENCODER_ARTIFACT)
-    gate = N.encoder_coverage_gate_udf(model)
+    enc = N.gated_text_embedding_udf(model, _ANCHOR)
     base = docs.where(F.trim(F.col("text")) != "").select(
-        "doc_id",
-        "text",
-        gate(F.col("text")).alias("used_model"),
-        enc(F.col("text")).alias("_l"),
+        "doc_id", enc(F.col("text")).alias("_g")
     )
     return base.select(
         "doc_id",
-        F.when(F.col("used_model"), F.col("_l.emb_sha"))
-        .otherwise(_hashed_int_identity_sha())
-        .alias("emb_sha"),
-        F.when(F.col("used_model"), F.col("_l.anchor_cos"))
-        .otherwise(fround(_hashed_anchor_cos(), 6))
-        .alias("anchor_cos"),
-        "used_model",
+        F.col("_g.emb_sha").alias("emb_sha"),
+        F.col("_g.anchor_cos").alias("anchor_cos"),
+        F.col("_g.used_model").alias("used_model"),
     )
 
 
