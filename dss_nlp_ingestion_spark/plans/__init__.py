@@ -195,6 +195,33 @@ for _name, _note in {
         "the documented hermetic-container codec path (native seam "
         "exists)"
     ),
+    # r11 host-window notes: rows measurably < 2 s in the r9 quiet
+    # window and in idle spot-checks on the r11 host, whose bench
+    # slots landed inside this host's multi-minute CPU-steal episodes
+    # (observed 3-4x inflation on sub-second rows). Notes document
+    # the window, not an operator cost change.
+    "funnel_time_to_convert": (
+        "3-step funnel over per-user ordered event lists (one "
+        "user_id shuffle + codegen HOF scan) — 1.6 s r9 quiet / "
+        "~2.8 s r11-host steady; crosses the 2 s audit line only "
+        "under this host's CPU-steal factor"
+    ),
+    "lm_bigram_scores": (
+        "corpus bigram-LM estimation + per-doc scoring in one row — "
+        "1.7 s r9 quiet / ~2.5 s r11-host steady; borderline of the "
+        "2 s audit line under this host's CPU-steal factor"
+    ),
+    "media_decode_stub": (
+        "sub-second row (0.6-0.9 s steady, r9 0.60 s) whose r11 "
+        "sweep AND solo slots both hit host-steal episodes; nothing "
+        "operator-side exceeds the audit threshold"
+    ),
+    "txlog_merge_upsert_orders": (
+        "file-pruned ACID MERGE measured end-to-end (commit IO at "
+        "toy SF) — 1.6 s r9 quiet / ~2.7 s r11-host steady; "
+        "borderline of the 2 s audit line under this host's "
+        "CPU-steal factor"
+    ),
 }.items():
     _TAGS.setdefault(_name, _note)
 

