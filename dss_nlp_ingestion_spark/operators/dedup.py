@@ -506,6 +506,13 @@ def prefix_filter_jaccard_pairs(
     re-shuffle). Output (id_a, id_b, shared, union_sz) exact longs.
     """
     sh_expr = shingler(F.col(text_col)) if shingler else shingles(F.col(text_col), k)
+    # NOTE (r11): do NOT persist/checkpoint the intermediate frames
+    # here. The branches that look like repeated subtree evaluations
+    # (ex under dfreq + ranked, prefix on both self-join sides, sets
+    # on both verify sides) all share canonicalized Exchange subtrees
+    # and execute as ReusedExchange — measured: a persist(sets) +
+    # localCheckpoint(prefix) variant broke the reuse and ran 2.3x
+    # SLOWER (8.4 s vs 3.7 s paired A/B at sf0.1).
     sets = (
         ensure_parallelism(df)
         .select(F.col(id_col).alias("id"), F.array_distinct(sh_expr).alias("_sh"))

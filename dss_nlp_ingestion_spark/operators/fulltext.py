@@ -55,6 +55,15 @@ def text_tokens(col: F.Column) -> F.Column:
     return F.regexp_extract_all(F.lower(col), F.lit(TOKEN_PATTERN), 0)
 
 
+def text_token_count(col: F.Column) -> F.Column:
+    """Token COUNT of :func:`text_tokens` without materializing the
+    array: ``regexp_count`` scans the string once and allocates
+    nothing, vs ``size(regexp_extract_all(...))`` which copies every
+    token out just to count it. Used by the corpus-stats pass (r11
+    guide §2.3 — the stats aggregate needs only dl, not the tokens)."""
+    return F.regexp_count(F.lower(col), F.lit(TOKEN_PATTERN))
+
+
 def text_tokens_cjk(col: F.Column) -> F.Column:
     """CJK-aware analyzer: ASCII word tokens PLUS character bigrams
     within each CJK run — the ES ``cjk_bigram`` shape the reference's
@@ -81,6 +90,26 @@ def text_tokens_cjk(col: F.Column) -> F.Column:
     return F.concat(ascii_toks, grams)
 
 
+def text_token_count_cjk(col: F.Column) -> F.Column:
+    """Token COUNT of :func:`text_tokens_cjk` without materializing
+    token arrays: ascii tokens via ``regexp_count``, and each CJK run
+    of length L contributes L-1 bigrams (1 for an isolated
+    ideograph) — summed over the runs array. The runs themselves are
+    still extracted (cheap: few per row), but the per-run BIGRAM
+    arrays — the bulk of the CJK token volume — never exist. The
+    ``aggregate`` HOF is interpreted, but it folds over ~tens of runs
+    per row, not thousands of tokens."""
+    ascii_n = F.regexp_count(F.lower(col), F.lit(TOKEN_PATTERN))
+    runs = F.regexp_extract_all(col, F.lit(CJK_RUN_PATTERN), 0)
+    grams_n = F.aggregate(
+        runs,
+        F.lit(0),
+        lambda acc, r: acc
+        + F.when(F.length(r) == 1, F.lit(1)).otherwise(F.length(r) - 1),
+    )
+    return ascii_n + grams_n
+
+
 def analyze_query_cjk(qtext: str) -> list[str]:
     """Driver-side twin of :func:`text_tokens_cjk` for literal query
     strings (query sets are tiny and known up front, so their terms
@@ -104,6 +133,7 @@ def bm25_topk(
     k: int = 10,
     tokenizer=None,
     query_tokenizer=None,
+    token_counter=None,
 ) -> DataFrame:
     """Top-``k`` documents per query by BM25.
 
@@ -114,10 +144,36 @@ def bm25_topk(
     and ``query_tokenizer`` (str -> list[str], default lowercase
     whitespace split) select the analyzer — pass
     :func:`text_tokens_cjk` / :func:`analyze_query_cjk` for CJK
-    corpora. Returns (query_id, rank, doc_id, score).
+    corpora, with ``token_counter`` its array-free count twin
+    (:func:`text_token_count_cjk`). Returns
+    (query_id, rank, doc_id, score).
+
+    Pass structure (r11, guide §2.3/§2.4 — the corpus text is the
+    heavy payload, so touch it as few times as possible):
+    - ONE full tokenize pass feeds the tf pipeline. The previous
+      shape evaluated the tokenizer THREE times per query — once for
+      corpus stats, once under the tf aggregate, and once more under
+      the df-per-term aggregate (Catalyst cannot share the unpersisted
+      ``base`` subtree across the stats branch, the tf branch and the
+      dfreq branch).
+    - Per-term document frequency is a ``count(*) over (partition by
+      tok)`` WINDOW on the tf table (vocab-filtered, tiny) instead of
+      a separate aggregation branch of the same corpus-sized
+      pipeline — one small exchange replaces a full re-tokenize.
+    - The corpus-stats pass (n_docs, avgdl) needs only the token
+      COUNT per document, so it runs the array-free ``token_counter``
+      (``regexp_count``) — the same integer per row as
+      ``size(tokenizer(...))``, with zero array materialization.
     """
+    tokenizer_given = tokenizer is not None
     tokenizer = tokenizer or text_tokens
     query_tokenizer = query_tokenizer or (lambda qtext: qtext.lower().split())
+    if token_counter is None:
+        if tokenizer_given:
+            # Unknown analyzer: fall back to counting the actual array.
+            token_counter = lambda c: F.size(tokenizer(c))  # noqa: E731
+        else:
+            token_counter = text_token_count
     # Duplicates are KEPT: a query that repeats a term counts that
     # term's contribution once per occurrence, matching the oracle's
     # plain unnest of the split query text (ES multiplies the same
@@ -127,15 +183,17 @@ def bm25_topk(
     )
     vocab = sorted({t for _, t in qterms})
 
-    base = ensure_parallelism(docs).select(
-        F.col(id_col).alias("doc_id"), tokenizer(F.col(text_col)).alias("_toks")
-    )
+    src = ensure_parallelism(docs)
     # Corpus scalars: one row, broadcast onto every later stage.
-    stats = base.agg(
+    # avg over the INT count — identical doubles to avg(size(toks)).
+    stats = src.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg(F.size("_toks")).alias("avgdl"),
+        F.avg(token_counter(F.col(text_col))).alias("avgdl"),
     )
 
+    base = src.select(
+        F.col(id_col).alias("doc_id"), tokenizer(F.col(text_col)).alias("_toks")
+    )
     toks = base.select(
         "doc_id",
         F.size("_toks").cast("double").alias("dl"),
@@ -145,8 +203,14 @@ def bm25_topk(
     tf = toks.groupBy("doc_id", "tok").agg(
         F.count(F.lit(1)).cast("double").alias("tf"), F.max("dl").alias("dl")
     )
-    # df per query term: at most |vocab| rows -> broadcast.
-    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    # df per query term: a window over the vocab-filtered tf table —
+    # one tok-keyed exchange of <= |matching docs| x |vocab| rows,
+    # never a second pass over the corpus. Every tf row has df >= 1
+    # (its own doc), so row membership matches the old inner join.
+    tf = tf.withColumn(
+        "df",
+        F.count(F.lit(1)).over(Window.partitionBy("tok")).cast("double"),
+    )
 
     qdf = tf.sparkSession.createDataFrame(qterms, "query_id int, tok string")
     idf = F.log(
@@ -165,8 +229,7 @@ def bm25_topk(
     )
 
     scored = (
-        tf.join(F.broadcast(dfreq), "tok")
-        .join(F.broadcast(qdf), "tok")
+        tf.join(F.broadcast(qdf), "tok")
         .crossJoin(F.broadcast(stats))
         .groupBy("query_id", "doc_id")
         .agg(F.sum(contrib).alias("_score"))

@@ -28,12 +28,28 @@ from pyspark.sql import functions as F
 def _sym_edges(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
     """Symmetrized, deduped (u, v) edge list. Persisted by callers:
     the upstream lineage may be an expensive pipeline (LSH candidate
-    generation) re-read every superstep."""
+    generation) re-read every superstep.
+
+    Symmetrization is an EXPLODE of both orientations from each input
+    row, not a union of two selects: a union evaluates the upstream
+    edge pipeline once per branch — for CC over LSH candidates that
+    re-ran the whole shingle/minhash/band join a second time inside
+    the very first superstep (r11 measurement: the pair pass is half
+    the query) — while the explode reads each input row once."""
     return (
-        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
-        .unionByName(
-            edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+                    ),
+                    F.struct(
+                        F.col(dst_col).alias("u"), F.col(src_col).alias("v")
+                    ),
+                )
+            ).alias("_e")
         )
+        .select("_e.u", "_e.v")
         .distinct()
     )
 
@@ -255,16 +271,24 @@ def pagerank(
     simplification), so ranks are comparative, not a distribution.
     """
     w = F.col(weight_col) if weight_col else F.lit(1)
+    # Persist the projected edge list itself (r11): ``nodes`` (via
+    # the endpoint explode), ``out`` and the ``ew`` join all consume
+    # it — unpersisted, the upstream edge pipeline (often an
+    # expensive multi-join) executed once per consumer just to BUILD
+    # the two cached frames.
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
-    )
+    ).persist()
     # Both frames are referenced every superstep; without persist the
-    # upstream edge lineage (often an expensive multi-join) re-executes
-    # 2x per iteration. They stay cached for the lazy result's
-    # lifetime — node+edge sized, the working set of the algorithm.
+    # edge lineage re-executes 2x per iteration. They stay cached for
+    # the loop's lifetime — node+edge sized, the working set of the
+    # algorithm — and are released before return (every superstep is
+    # materialized by its localCheckpoint, so nothing downstream can
+    # still need them).
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
+        e.select(
+            F.explode(F.array(F.col("src"), F.col("dst"))).alias("node")
+        )
         .distinct()
         .persist()
     )
@@ -297,4 +321,8 @@ def pagerank(
             # algorithms long before data size does.
             .localCheckpoint()
         )
+    # The final ranks are materialized (localCheckpoint above); the
+    # working-set caches are dead weight from here on.
+    for cached in (ew, nodes, e):
+        cached.unpersist()
     return ranks

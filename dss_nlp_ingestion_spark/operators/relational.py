@@ -290,6 +290,12 @@ def exact_rank_values(
     )
     hist = b.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
     w = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, 0)
+    # NOTE (r11): the multiple consumers of `cum`/`target` below look
+    # like repeated histogram passes, but they share canonicalized
+    # Exchange subtrees and execute as ReusedExchange — a paired A/B
+    # with an eager localCheckpoint(cum) here measured NO difference
+    # at sf0.1 while adding non-replayable checkpoint blocks (an
+    # executor-loss liability at scale). Left as pure lineage.
     cum = hist.withColumn("_cum", F.sum("_cnt").over(w)).withColumn(
         "_cum_prev", F.col("_cum") - F.col("_cnt")
     )

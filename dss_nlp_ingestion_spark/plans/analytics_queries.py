@@ -1369,7 +1369,10 @@ def triangle_count_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (arboricity bound), so adjacency arrays stay row-sized even on
     # power-law graphs. Measured at sf0.1: 2.2x faster than the wedge
     # join (2.4 s vs 5.3 s on the cached edge set), identical counts.
-    adj = e.groupBy("a").agg(F.array_sort(F.collect_list("b")).alias("na"))
+    # No array_sort: array_intersect hashes its inputs, so only the
+    # SIZE of the intersection matters and element order is
+    # irrelevant — sorting ~|V| adjacency arrays bought nothing (r11).
+    adj = e.groupBy("a").agg(F.collect_list("b").alias("na"))
     closed = (
         e.join(adj, "a")
         .join(
@@ -1385,11 +1388,18 @@ def triangle_count_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_closed")
         )
     )
-    # materialize both counts while the cache is live, then RELEASE it
-    # (a returned lazy plan would pin the edge blocks for the session)
+    # ONE aggregation pass yields both outputs: the e->adj inner join
+    # keys on "a" (adj covers every a in e by construction) and the
+    # nb join is a left join, so `closed` has exactly one row per
+    # oriented edge — count(closed) IS n_edges. The previous shape
+    # ran a second full aggregate job over e just to count it (r11,
+    # guide §2.4: don't traverse the data twice for two scalars).
+    # Materialize while the cache is live, then RELEASE it (a
+    # returned lazy plan would pin the edge blocks for the session).
     out = closed.agg(
-        F.sum("n_closed").cast("long").alias("n_triangles")
-    ).crossJoin(e.agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
+        F.sum("n_closed").cast("long").alias("n_triangles"),
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+    )
     row = out.collect()[0]
     e.unpersist()
     return spark.range(1).select(

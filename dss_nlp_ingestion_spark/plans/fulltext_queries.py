@@ -116,6 +116,7 @@ def fulltext_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 from dss_nlp_ingestion_spark.operators.fulltext import (  # noqa: E402
     CJK_RUN_PATTERN,
     analyze_query_cjk,
+    text_token_count_cjk,
     text_tokens_cjk,
 )
 from dss_nlp_ingestion_spark.plans.dedup_queries import _CJK26  # noqa: E402
@@ -225,6 +226,7 @@ def fulltext_topk_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_TOP_K,
         tokenizer=text_tokens_cjk,
         query_tokenizer=analyze_query_cjk,
+        token_counter=text_token_count_cjk,
     )
 
 
