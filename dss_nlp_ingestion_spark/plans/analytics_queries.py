@@ -1297,21 +1297,11 @@ JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
 """
 
 
-@register("triangle_count_coparts", _TRIANGLES_ORACLE)
-def triangle_count_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle counting (the clustering-coefficient backbone) on the
-    co-purchase graph: parts are vertices, an edge joins parts that
-    appear in the same order. Edges are ORIENTED by the (degree, id)
-    total order — the standard skew-proof formulation: the path join
-    fans out from each vertex only along its HIGHER-degree neighbors,
-    so hub vertices (power-law co-occurrence graphs at 100 TB) cost
-    O(sum of min-degrees) instead of O(hub_degree^2). Each triangle
-    is found exactly once (orientation is transitive); one path join
-    + one closing equi-join, no Cartesian, no driver-side adjacency.
-    Measured tradeoff: on THIS uniform synthetic graph the degree
-    table adds ~10-20%% vs naive id-orientation — the premium buys
-    the hub-graph worst case. Counts are orientation-invariant, so
-    the oracle replays the simpler id-oriented form."""
+def _triangle_out(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAZY one-row (n_triangles, n_edges) aggregation plan for
+    :func:`triangle_count_coparts` — split out so the real physical
+    plan can be dumped/inspected (the registered query collects this
+    and returns a literal row, which hides the plan from explain)."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     # Edge set via basket-local pair generation: ONE shuffle on the
     # order key, pairs exploded inside each basket (bounded by basket
@@ -1333,9 +1323,11 @@ def triangle_count_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SMALLER endpoint degree instead of deg^2 of hub vertices. The
     # triangle/edge counts are orientation-invariant, so the oracle's
     # simpler id-orientation replay still hash-matches.
+    # Both endpoints from ONE pass over the edge set (r11: a
+    # two-branch union re-runs und's post-exchange distinct merge per
+    # branch; the explode emits both in a single traversal).
     deg = (
-        und.select(F.col("a").alias("v"))
-        .unionAll(und.select(F.col("b").alias("v")))
+        und.select(F.explode(F.array(F.col("a"), F.col("b"))).alias("v"))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("d"))
     )
@@ -1352,9 +1344,6 @@ def triangle_count_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("e")
         )
         .select("e.a", "e.b")
-        # referenced three times (path join x2 + closing check + edge
-        # count): persist once or pay the derivation thrice
-        .persist()
     )
     # Close triangles by SORTED-ADJACENCY INTERSECTION (the
     # edge-iterator form) instead of materializing wedge rows through
@@ -1373,8 +1362,14 @@ def triangle_count_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SIZE of the intersection matters and element order is
     # irrelevant — sorting ~|V| adjacency arrays bought nothing (r11).
     adj = e.groupBy("a").agg(F.collect_list("b").alias("na"))
+    # r11: exploding adj reproduces every oriented edge (a, b) WITH
+    # its na array already attached — the former e JOIN adj ON a
+    # (one full sort-merge shuffle of the edge set) is free, and e
+    # now has a single consumer (adj), so the persist + separate
+    # materialization job are gone: the whole query is one linear
+    # plan. The nb join is the only remaining edge-set shuffle.
     closed = (
-        e.join(adj, "a")
+        adj.select("na", F.explode("na").alias("b"))
         .join(
             adj.select(F.col("a").alias("b"), F.col("na").alias("nb")),
             "b",
@@ -1388,20 +1383,34 @@ def triangle_count_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_closed")
         )
     )
-    # ONE aggregation pass yields both outputs: the e->adj inner join
-    # keys on "a" (adj covers every a in e by construction) and the
-    # nb join is a left join, so `closed` has exactly one row per
-    # oriented edge — count(closed) IS n_edges. The previous shape
-    # ran a second full aggregate job over e just to count it (r11,
-    # guide §2.4: don't traverse the data twice for two scalars).
-    # Materialize while the cache is live, then RELEASE it (a
-    # returned lazy plan would pin the edge blocks for the session).
-    out = closed.agg(
+    # ONE aggregation pass yields both outputs: the adj explode emits
+    # exactly one row per oriented edge (sum of out-degrees = |E|)
+    # and the nb join is a left join, so `closed` has exactly one row
+    # per oriented edge — count(closed) IS n_edges. The previous
+    # shape ran a second full aggregate job over e just to count it
+    # (r11, guide §2.4: don't traverse the data twice for two
+    # scalars).
+    return closed.agg(
         F.sum("n_closed").cast("long").alias("n_triangles"),
         F.count(F.lit(1)).cast("long").alias("n_edges"),
     )
-    row = out.collect()[0]
-    e.unpersist()
+
+
+@register("triangle_count_coparts", _TRIANGLES_ORACLE)
+def triangle_count_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting (the clustering-coefficient backbone) on the
+    co-purchase graph: parts are vertices, an edge joins parts that
+    appear in the same order. Edges are ORIENTED by the (degree, id)
+    total order — the standard skew-proof formulation: the closing
+    intersection fans out from each vertex only along its
+    HIGHER-degree neighbors, so hub vertices (power-law co-occurrence
+    graphs at 100 TB) cost O(sum of min-degrees) instead of
+    O(hub_degree^2). Each triangle is found exactly once (orientation
+    is transitive); no Cartesian, no driver-side adjacency. Counts
+    are orientation-invariant, so the oracle replays the simpler
+    id-oriented form. The full pipeline (see :func:`_triangle_out`)
+    is ONE linear plan since r11 — no persist barrier."""
+    row = _triangle_out(spark, sf_dir).collect()[0]
     return spark.range(1).select(
         F.lit(row["n_triangles"]).cast("long").alias("n_triangles"),
         F.lit(row["n_edges"]).cast("long").alias("n_edges"),

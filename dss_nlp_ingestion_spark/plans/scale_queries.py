@@ -423,9 +423,18 @@ def kcore_copurchase_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = basket_item_pairs(table(spark, sf_dir, "lineitem")).select(
         F.col("part_a").alias("pa"), F.col("part_b").alias("pb")
     )
+    # r11: both orientations from ONE pass over the pair table (a
+    # two-branch union re-runs the pair aggregation's post-exchange
+    # merge once per branch; the explode emits both in a single
+    # traversal).
     edges = pairs.select(
-        F.col("pa").alias("a"), F.col("pb").alias("b")
-    ).unionAll(pairs.select(F.col("pb").alias("a"), F.col("pa").alias("b")))
+        F.explode(
+            F.array(
+                F.struct(F.col("pa").alias("a"), F.col("pb").alias("b")),
+                F.struct(F.col("pb").alias("a"), F.col("pa").alias("b")),
+            )
+        ).alias("_e")
+    ).select("_e.a", "_e.b")
     edges = _peel_rounds(edges, _KCORE_K, _KCORE_ROUNDS)
     return edges.groupBy(F.col("a").alias("part")).agg(
         F.count(F.lit(1)).cast("long").alias("degree")
@@ -1866,25 +1875,30 @@ def association_rules_confidence(
         F.count(F.lit(1)).cast("long").alias("s")
     )
     pairs = basket_item_pairs(li)
-    sa = supp.select(
-        F.col("l_partkey").alias("part_a"), F.col("s").alias("_sa")
-    )
-    sb = supp.select(
-        F.col("l_partkey").alias("part_b"), F.col("s").alias("_sb")
-    )
-    fwd = pairs.join(F.broadcast(sa), "part_a").select(
-        F.col("part_a").alias("antecedent"),
-        F.col("part_b").alias("consequent"),
+    # r11: both rule directions from ONE pass over the pair table
+    # (the fwd/rev union re-ran the pair aggregation's post-exchange
+    # merge per branch and paid two broadcast joins); one explode +
+    # one broadcast join on the antecedent produces the identical
+    # rule multiset.
+    both = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("part_a").alias("antecedent"),
+                    F.col("part_b").alias("consequent"),
+                ),
+                F.struct(
+                    F.col("part_b").alias("antecedent"),
+                    F.col("part_a").alias("consequent"),
+                ),
+            )
+        ).alias("_r"),
         "support",
-        F.col("_sa").alias("s_ante"),
+    ).select("_r.antecedent", "_r.consequent", "support")
+    sante = supp.select(
+        F.col("l_partkey").alias("antecedent"), F.col("s").alias("s_ante")
     )
-    rev = pairs.join(F.broadcast(sb), "part_b").select(
-        F.col("part_b").alias("antecedent"),
-        F.col("part_a").alias("consequent"),
-        "support",
-        F.col("_sb").alias("s_ante"),
-    )
-    rules = fwd.unionAll(rev)
+    rules = both.join(F.broadcast(sante), "antecedent")
     conf = F.col("support").cast("double") / F.col("s_ante")
     return (
         rules.orderBy(conf.desc(), "antecedent", "consequent")
@@ -1935,9 +1949,11 @@ def degree_distribution_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = basket_item_pairs(table(spark, sf_dir, "lineitem")).select(
         F.col("part_a").alias("pa"), F.col("part_b").alias("pb")
     )
+    # r11: both endpoints from ONE pass over the pair table (the
+    # union form re-ran the pair aggregation's post-exchange merge
+    # once per branch).
     deg = (
-        pairs.select(F.col("pa").alias("node"))
-        .unionAll(pairs.select(F.col("pb").alias("node")))
+        pairs.select(F.explode(F.array("pa", "pb")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
     )

@@ -50,12 +50,15 @@ def test_fulltext_index_invariants(spark):
 def test_triangle_edges_basket_local():
     # The edge derivation must be basket-local pair generation (one
     # shuffle on the order key), not a fact-table self-join. The
-    # edge DataFrame is persisted, which hides its lineage from plan
-    # introspection — pin the construction at source level instead
+    # registered query collects a literal row, which hides the
+    # lineage from plan introspection — pin the construction at
+    # source level on the split-out lazy plan builder instead
     # (correctness is pinned by the oracle gate).
     import inspect
 
-    src = inspect.getsource(QUERIES["triangle_count_coparts"])
+    from dss_nlp_ingestion_spark.plans.analytics_queries import _triangle_out
+
+    src = inspect.getsource(_triangle_out)
     assert 'groupBy("l_orderkey")' in src and "collect_set" in src
     assert 'li.alias("x")' not in src
 
