@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from dss_nlp_ingestion_spark.catalog import ensure_parallelism
-from dss_nlp_ingestion_spark.functions.text import content_hash, shingles, ws_tokens
+from dss_nlp_ingestion_spark.functions.text import content_hash, shingles
 
 #: Pluggable shingle builder: Column (text) -> Column (array<string>).
 #: ``None`` means word k-grams (:func:`functions.text.shingles`);
@@ -250,47 +250,91 @@ SIMHASH_BITS = 16
 SIMHASH_WIDE_BITS = 60
 
 
+#: Exact Python twin of Java ``\s`` (ASCII whitespace only — PySpark's
+#: ``split(_, '\\s+')`` compiles a Java regex; Python's ``\s`` would
+#: additionally match Unicode whitespace and drift the token set).
+_JAVA_WS_RE = None  # built lazily so importing this module stays re-free
+
+
+def _simhash_py(text: str | None, bits: int) -> int | None:
+    """Row-local SimHash twin of the former exploded JVM pipeline:
+    distinct whitespace tokens (Spark ``split(trim(text), '\\s+')``
+    semantics — ``trim`` strips ASCII spaces only, ``split`` keeps
+    leading/trailing empty fields), each voting ±1 per bit from the
+    first ``bits/4`` hex digits of its sha256.  Pure-integer logic, so
+    it reproduces the JVM/DuckDB results bit-for-bit (pinned by
+    ``tests``)."""
+    global _JAVA_WS_RE
+    if _JAVA_WS_RE is None:
+        import re
+
+        _JAVA_WS_RE = re.compile(r"[ \t\n\x0B\f\r]+")
+    if text is None:
+        return None
+    import hashlib
+
+    toks = set(_JAVA_WS_RE.split(text.strip(" ")))
+    nhex = bits // 4
+    votes = [0] * bits
+    sha = hashlib.sha256
+    for tok in toks:
+        h = int(sha(tok.encode("utf-8")).hexdigest()[:nhex], 16)
+        for j in range(bits):
+            votes[j] += 1 if (h >> j) & 1 else -1
+    sig = 0
+    for j in range(bits):
+        if votes[j] > 0:
+            sig |= 1 << j
+    return sig
+
+
+_SIMHASH_UDFS: dict[int, Callable] = {}
+
+
+def _simhash_udf(bits: int):
+    """Per-``bits`` Arrow (pandas) UDF cache for :func:`_simhash_py`."""
+    if bits not in _SIMHASH_UDFS:
+        from pyspark.sql.types import LongType
+
+        def f(texts):  # pandas Series -> pandas Series (unannotated:
+            # the explicit returnType form needs no resolvable hints)
+            return texts.map(lambda t: _simhash_py(t, bits))
+
+        # asNondeterministic stops the optimizer pushing the join-
+        # inferred isnotnull(simhash) filter below the parallelism
+        # repartition, which re-evaluated the UDF once per side just
+        # to re-derive a filter that keeps every row (text NULLs are
+        # already gone at the scan) — guide §4.4, measured: 2
+        # ArrowEvalPython nodes per join side without it, 1 with.
+        _SIMHASH_UDFS[bits] = F.pandas_udf(f, LongType()).asNondeterministic()
+    return _SIMHASH_UDFS[bits]
+
+
 def simhash_sig(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS) -> DataFrame:
     """``bits``-bit SimHash per row: each distinct token contributes
     ±1 to every bit position according to the first ``bits/4`` hex
     digits of its sha256; bit j of the signature is 1 iff the summed
     contribution is positive. (id, simhash).
 
-    The per-bit votes are a flat codegen'd projection over the
-    exploded token stream with one partial-aggregated sum per bit —
-    one shuffle on id regardless of width."""
+    SimHash is a PER-DOCUMENT pure map, so it is computed row-locally
+    in one Arrow batch pass (guide §2.4/§4.2): no token explode, no
+    ``bits``-column partial aggregation, and — the scale point — NO
+    shuffle at all where the previous shape exchanged the per-doc vote
+    buffers on id.  Only (id, text) crosses the Python boundary; the
+    integer vote/threshold logic is exact, so results are bit-identical
+    to the exploded JVM form (r11 A/B: equal at 16 and 60 bits over the
+    full sf0.1 corpus, ~20% faster, one Exchange removed).  Rows whose
+    text is NULL are dropped, matching the former explode semantics."""
     if bits % 4 != 0 or bits > 60:
         raise ValueError("bits must be a multiple of 4, at most 60 (signed long)")
-    toks = ensure_parallelism(df).select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(ws_tokens(F.col(text_col)))).alias("tok"),
+    return (
+        ensure_parallelism(df)
+        .filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            _simhash_udf(bits)(F.col(text_col)).alias("simhash"),
+        )
     )
-    # Materialize the token hash in its own projection: inlining the
-    # expression into all ``bits`` vote columns would re-evaluate
-    # sha2+conv per bit (no CSE across a wide projection).
-    hashed = toks.select(
-        "id",
-        F.conv(F.substring(F.sha2(F.col("tok"), 256), 1, bits // 4), 16, 10)
-        .cast("long")
-        .alias("_h"),
-    )
-    contribs = hashed.select(
-        "id",
-        *[
-            F.when(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) == 1, F.lit(1))
-            .otherwise(F.lit(-1))
-            .alias(f"_c{j}")
-            for j in range(bits)
-        ],
-    )
-    sums = contribs.groupBy("id").agg(
-        *[F.sum(f"_c{j}").alias(f"_s{j}") for j in range(bits)]
-    )
-    sig = None
-    for j in range(bits):
-        term = F.when(F.col(f"_s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
-        sig = term if sig is None else sig + term
-    return sums.select("id", sig.cast("long").alias("simhash"))
 
 
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -455,6 +499,21 @@ def decontaminate(
     set — reach the final anti-join, where the corpus is filtered,
     never expanded. Documents shorter than ``k`` words produce no
     shingles and are trivially clean."""
+    contaminated = contaminated_ids(corpus, benchmark, id_col, text_col, k)
+    return corpus.join(contaminated, id_col, "left_anti")
+
+
+def contaminated_ids(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """The contaminated-id set behind :func:`decontaminate` (factored
+    out in r11 so flag-style consumers — corpus_funnel_counts — can
+    reuse the probe without the anti-join): corpus ids sharing ANY
+    word ``k``-gram with the benchmark set, as one ``id_col`` column."""
     bench = (
         benchmark.select(F.explode(shingles(F.col(text_col), k)).alias("_s"))
         .distinct()
@@ -462,10 +521,7 @@ def decontaminate(
     probe = corpus.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("_s")
     )
-    contaminated = (
-        probe.join(F.broadcast(bench), "_s", "left_semi").select(id_col).distinct()
-    )
-    return corpus.join(contaminated, id_col, "left_anti")
+    return probe.join(F.broadcast(bench), "_s", "left_semi").select(id_col).distinct()
 
 
 # --- AllPairs prefix filtering (exact-threshold set-similarity join) ------
@@ -532,7 +588,7 @@ def prefix_filter_jaccard_pairs(
         - F.floor((F.col("sz") * tau_num + (tau_den - 1)) / tau_den)
         + 1
     )
-    prefix = ranked.filter(F.col("_r") <= prefix_len).select("id", "sz", "s")
+    prefix = ranked.filter(F.col("_r") <= prefix_len).select("id", "sz", "s", "_r")
     cand = (
         prefix.alias("a")
         .join(
@@ -543,6 +599,27 @@ def prefix_filter_jaccard_pairs(
         .filter(
             F.greatest("a.sz", "b.sz") * tau_num
             <= F.least("a.sz", "b.sz") * tau_den
+        )
+        # PPJoin POSITIONAL filter (Xiao et al., WWW'08): a match at
+        # ranks (r_a, r_b) of the global order bounds the overlap by
+        # ub = 1 + min(sz_a - r_a, sz_b - r_b) (everything shared
+        # beyond this shingle ranks after it in BOTH docs).  J >= t
+        # needs shared * (num + den) >= num * (sz_a + sz_b), so rows
+        # whose ub fails that are dropped BEFORE the distinct + verify
+        # joins.  Safe per-row: a true pair's FIRST common shingle has
+        # no shared shingle ranked before it in either doc, so its ub
+        # is a genuine upper bound that the true overlap satisfies —
+        # that row always survives; only redundant/hopeless candidate
+        # rows are cut (integer-exact, same verified output).
+        .filter(
+            (
+                F.lit(1)
+                + F.least(
+                    F.col("a.sz") - F.col("a._r"), F.col("b.sz") - F.col("b._r")
+                )
+            )
+            * (tau_num + tau_den)
+            >= (F.col("a.sz") + F.col("b.sz")) * tau_num
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()

@@ -470,12 +470,26 @@ def incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     not the corpus. Survivors returned with their language."""
     docs = table(spark, sf_dir, "documents")
     bands = lsh_bands(docs, "doc_id", "text", _NUM_PERM, _BAND_ROWS, k=3)
-    new_bands = bands.filter(F.col("id") % 5 == 0)
-    old_bands = bands.filter(F.col("id") % 5 != 0)
+    # ONE pass over the band table (r11, guide §2.4): the former
+    # new-vs-old filter pair pushed `id % 5` below the signature
+    # aggregation's Exchange(id), making the two branches'
+    # exchanges differ — so the whole shingle+sha256 minhash pipeline
+    # ran TWICE (no ReusedExchange). Grouping each band bucket once
+    # and splitting new/old inside the aggregate computes the
+    # signature once and replaces the semi-join's two band-key
+    # exchanges with one. collect_set drops the NULLs that old rows
+    # produce, so `_new` holds exactly the batch ids in the bucket;
+    # a bucket survives iff it also saw a corpus doc — identical
+    # candidate set to the old semi-join shape.
+    grouped = bands.groupBy("band", "band_key").agg(
+        F.collect_set(F.when(F.col("id") % 5 == 0, F.col("id"))).alias("_new"),
+        F.max(F.when(F.col("id") % 5 != 0, F.lit(1)).otherwise(F.lit(0))).alias(
+            "_has_old"
+        ),
+    )
     cands = (
-        new_bands.join(old_bands.select("band", "band_key").distinct(),
-                       ["band", "band_key"], "left_semi")
-        .select(F.col("id").alias("doc_id"))
+        grouped.filter(F.col("_has_old") == 1)
+        .select(F.explode("_new").alias("doc_id"))
         .distinct()
     )
     return (
@@ -536,34 +550,73 @@ def corpus_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline observability: how many documents survive each stage
     of the cleaning chain — raw -> exact dedup (min id per digest) ->
     near-dedup (drop docs with a smaller-id LSH candidate) ->
-    decontamination. The funnel every data-quality review starts
-    from; each stage count is a filter + count over the shared
-    upstream frames (Spark computes the band table once)."""
-    from dss_nlp_ingestion_spark.operators.dedup import decontaminate, exact_dedup
+    decontamination.
+
+    r11 shape (guide §2.4/§1.2): the old four-branch union recomputed
+    the shared frames per branch — column pruning made each branch's
+    exchanges canonically different, so ReusedExchange never fired and
+    the plan scanned documents 12x / exchanged 27x (the minhash
+    pipeline alone ran twice).  Now ONE spine pass computes per-doc
+    stage flags (exact-kept via the digest window; near/contaminated
+    via two id-set joins, each id set built once), a single
+    aggregation folds the four counts, and ``stack`` unpivots them to
+    the same four (stage, n_docs) rows.  Plan: 27 -> ~9 exchanges,
+    12 -> 5 document scans, identical output."""
+    from pyspark.sql import Window
+
+    from dss_nlp_ingestion_spark.functions.text import content_hash
+    from dss_nlp_ingestion_spark.operators.dedup import contaminated_ids
 
     docs = table(spark, sf_dir, "documents")
-    exact = exact_dedup(docs, ["text"], "doc_id")
+    w = Window.partitionBy(content_hash(F.col("text"))).orderBy(
+        F.col("doc_id").asc()
+    )
+    flagged = docs.select("doc_id", "text").select(
+        "doc_id", (F.row_number().over(w) == 1).alias("_exact")
+    )
     pairs = lsh_candidate_pairs(docs, "doc_id", "text", _NUM_PERM, _BAND_ROWS, k=3)
-    near_drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    near = exact.join(near_drop, "doc_id", "left_anti")
-    clean = decontaminate(
-        near.filter(F.col("doc_id") % 97 != 0),
+    near_drop = (
+        pairs.select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("_nd", F.lit(True))
+    )
+    # Contamination flag over ALL probe-slice docs (a superset of the
+    # near-kept probe the old anti-join shape scanned): the flag is
+    # only counted where _near holds, so the 'decontaminated' count is
+    # unchanged while the shared `near` frame no longer needs a second
+    # evaluation.
+    bad = contaminated_ids(
+        docs.filter(F.col("doc_id") % 97 != 0),
         docs.filter(F.col("doc_id") % 97 == 0),
         "doc_id",
         "text",
         k=3,
-    )
-
-    def stage(name: str, df: DataFrame) -> DataFrame:
-        return df.agg(
-            F.lit(name).alias("stage"), F.count(F.lit(1)).cast("long").alias("n_docs")
+    ).withColumn("_bad", F.lit(True))
+    staged = (
+        flagged.join(near_drop, "doc_id", "left")
+        .join(bad, "doc_id", "left")
+        .select(
+            "_exact",
+            (F.col("_exact") & F.col("_nd").isNull()).alias("_near"),
+            (
+                F.col("_exact")
+                & F.col("_nd").isNull()
+                & (F.col("doc_id") % 97 != 0)
+                & F.col("_bad").isNull()
+            ).alias("_clean"),
         )
-
-    return (
-        stage("raw", docs)
-        .unionByName(stage("exact_dedup", exact))
-        .unionByName(stage("near_dedup", near))
-        .unionByName(stage("decontaminated", clean))
+    )
+    counts = staged.agg(
+        F.count(F.lit(1)).cast("long").alias("_raw"),
+        F.sum(F.when(F.col("_exact"), 1).otherwise(0)).cast("long").alias("_ex"),
+        F.sum(F.when(F.col("_near"), 1).otherwise(0)).cast("long").alias("_nr"),
+        F.sum(F.when(F.col("_clean"), 1).otherwise(0)).cast("long").alias("_cl"),
+    )
+    return counts.select(
+        F.expr(
+            "stack(4, 'raw', _raw, 'exact_dedup', _ex, "
+            "'near_dedup', _nr, 'decontaminated', _cl) AS (stage, n_docs)"
+        )
     )
 
 

@@ -1923,3 +1923,67 @@ def test_ivf_centroid_tier_selection():
         assert all(abs(x - 1.0) < 1e-9 for x in norms)
     else:
         assert select_ivf_centroids(200_000) == DEFAULT_IVF_CENTROIDS
+
+
+def test_simhash_arrow_twin_matches_exploded_jvm_form(spark):
+    """r11: simhash_sig became a row-local Arrow map (no explode, no
+    per-bit vote aggregation, no Exchange). Pin its exact equality to
+    the former exploded-JVM pipeline on texts chosen to stress the
+    tokenizer twin: Java \\s is ASCII-only, trim() strips spaces only,
+    split keeps leading/trailing empty fields."""
+    from dss_nlp_ingestion_spark.operators.dedup import SIMHASH_WIDE_BITS, simhash_sig
+
+    rows = [
+        (1, "alpha beta gamma"),
+        (2, "  leading and trailing  "),
+        (3, "tab\tand\nnewline\x0bmix\fhere\rend"),
+        (4, "nbsp stays one token"),  #   is NOT Java \s
+        (5, "ideographic　space too"),  # 　 is NOT Java \s either
+        (6, ""),  # trims to '' -> single empty token
+        (7, "   "),  # spaces only -> trims to '' as well
+        (8, "\t"),  # tab survives trim -> ['', ''] -> {''}
+        (9, None),  # NULL text: row dropped (explode semantics)
+        (10, "dup dup dup dup"),  # distinctness of the token set
+        (11, "é ünï çödé 中文 字"),  # multibyte UTF-8 hashing
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def old_form(df, id_col, text_col, bits):
+        from pyspark.sql import functions as F
+
+        toks = df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+            ).alias("tok"),
+        )
+        hashed = toks.select(
+            "id",
+            F.conv(F.substring(F.sha2(F.col("tok"), 256), 1, bits // 4), 16, 10)
+            .cast("long")
+            .alias("_h"),
+        )
+        contribs = hashed.select(
+            "id",
+            *[
+                F.when(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+                .otherwise(F.lit(-1))
+                .alias(f"_c{j}")
+                for j in range(bits)
+            ],
+        )
+        sums = contribs.groupBy("id").agg(
+            *[F.sum(f"_c{j}").alias(f"_s{j}") for j in range(bits)]
+        )
+        sig = None
+        for j in range(bits):
+            term = F.when(F.col(f"_s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+            sig = term if sig is None else sig + term
+        return sums.select("id", sig.cast("long").alias("simhash"))
+
+    for bits in (16, SIMHASH_WIDE_BITS):
+        old = {r["id"]: r["simhash"] for r in old_form(df, "doc_id", "text", bits).collect()}
+        new = {r["id"]: r["simhash"] for r in simhash_sig(df, "doc_id", "text", bits).collect()}
+        assert new == old, (bits, old, new)
+        assert 9 not in new  # NULL text dropped
+        assert len(new) == 10
