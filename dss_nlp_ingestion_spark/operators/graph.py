@@ -35,7 +35,22 @@ def _sym_edges(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
     edge pipeline once per branch — for CC over LSH candidates that
     re-ran the whole shingle/minhash/band join a second time inside
     the very first superstep (r11 measurement: the pair pass is half
-    the query) — while the explode reads each input row once."""
+    the query) — while the explode reads each input row once.
+
+    The result is hash-partitioned on ``v`` AT NO EXTRA EXCHANGE
+    (r11, guide §2.4): the dedup shuffles on v alone —
+    hash-partitioning by v co-locates every copy of a (u, v) row, so
+    the dropDuplicates aggregate runs partition-locally on top of it
+    (HashPartitioning(v) satisfies ClusteredDistribution(u, v)) —
+    where ``.distinct()`` would shuffle the same rows keyed on (u, v).
+    Why v: every superstep's propagation join keys on ``sym.v ==
+    labels.node``. At toy scale the labels side broadcasts and the
+    cache partitioning is moot (measured: neutral at sf0.1); at scale
+    labels outgrow broadcast, the join falls back to sort-merge, and
+    a (u, v)-partitioned cache would re-shuffle the FULL edge table
+    every superstep while the v-partitioned one leaves only the
+    neighbor-min groupBy(u) — the message shuffle the algorithm is
+    made of — plus the |V|-sized labels exchange."""
     return (
         edges.select(
             F.explode(
@@ -50,7 +65,8 @@ def _sym_edges(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
             ).alias("_e")
         )
         .select("_e.u", "_e.v")
-        .distinct()
+        .repartition(F.col("v"))
+        .dropDuplicates(["u", "v"])
     )
 
 
@@ -276,6 +292,13 @@ def pagerank(
     # it — unpersisted, the upstream edge pipeline (often an
     # expensive multi-join) executed once per consumer just to BUILD
     # the two cached frames.
+    # NOTE (r11): an explicit repartition("src") on this cache was
+    # tried and REVERTED — in the at-scale (no-broadcast) regime the
+    # `ew` build join is itself a sort-merge on src, so the cached ew
+    # is already src-partitioned AND sorted for the iteration joins
+    # (verified: plans/r11/pagerank_superstep_smj_{before,after}.txt
+    # show the identical exchange-free superstep either way), and at
+    # toy scale ranks broadcast so partitioning is moot (A/B neutral).
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
     ).persist()
