@@ -207,9 +207,12 @@ def stupid_backoff_scores(
         F.count(F.lit(1)).cast("long").alias("c123")
     )
     c12 = c123.groupBy("w1", "w2").agg(F.sum("c123").cast("long").alias("c12"))
-    c23 = train.groupBy("w2", "w3").agg(
-        F.count(F.lit(1)).cast("long").alias("c23")
-    )
+    # c23 = Σ_w1 c123 EXACTLY (both count train trigram occurrences),
+    # so it folds from the distinct-trigram table instead of
+    # re-tokenizing the train half and shuffling every trigram
+    # OCCURRENCE a second time (r11, guide §1.2/§2.3: aggregate the
+    # aggregated) — one corpus-sized map pass + exchange removed.
+    c23 = c123.groupBy("w2", "w3").agg(F.sum("c123").cast("long").alias("c23"))
     c2 = c23.groupBy("w2").agg(F.sum("c23").cast("long").alias("c2"))
     train_toks = base.filter(F.col("_id") % train_mod == 0).select(
         F.explode("_t").alias("tok")
@@ -217,9 +220,12 @@ def stupid_backoff_scores(
     c3 = train_toks.groupBy(F.col("tok").alias("w3")).agg(
         F.count(F.lit(1)).cast("long").alias("c3")
     )
-    nv = train_toks.agg(
-        F.count(F.lit(1)).cast("long").alias("n_tok"),
-        F.countDistinct("tok").cast("long").alias("v"),
+    # (n_tok, v) fold from the unigram table — n_tok = Σ c3, v = its
+    # row count — rather than a second tokenize+explode of the train
+    # half just for two scalars (same r11 pass).
+    nv = c3.agg(
+        F.sum("c3").cast("long").alias("n_tok"),
+        F.count(F.lit(1)).cast("long").alias("v"),
     )
 
     def _q(raw: Column) -> Column:

@@ -560,7 +560,7 @@ def corpus_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage flags (exact-kept via the digest window; near/contaminated
     via two id-set joins, each id set built once), a single
     aggregation folds the four counts, and ``stack`` unpivots them to
-    the same four (stage, n_docs) rows.  Plan: 27 -> ~9 exchanges,
+    the same four (stage, n_docs) rows.  Plan: 27 -> 10 exchanges,
     12 -> 5 document scans, identical output."""
     from pyspark.sql import Window
 
