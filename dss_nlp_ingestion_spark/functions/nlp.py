@@ -50,8 +50,10 @@ EMBED_DIM = 8
 
 
 def _hits(col: Column, words: tuple[str, ...]) -> Column:
+    # regexp_count: same integer as size(regexp_extract_all(...)),
+    # no match array materialized (r12, guide §2.3).
     pat = r"\b(" + "|".join(words) + r")\b"
-    return F.size(F.regexp_extract_all(F.lower(col), F.lit(pat), 0)).cast("long")
+    return F.regexp_count(F.lower(col), F.lit(pat)).cast("long")
 
 
 def sentiment_hits(col: Column) -> tuple[Column, Column]:

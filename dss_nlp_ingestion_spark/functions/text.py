@@ -51,8 +51,13 @@ def token_count(col: Column) -> Column:
 
 
 def bpe_token_count(col: Column) -> Column:
-    """BPE-ish token count via :data:`BPE_TOKEN_RE`, BIGINT."""
-    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), 0)).cast("long")
+    """BPE-ish token count via :data:`BPE_TOKEN_RE`, BIGINT.
+
+    ``regexp_count`` scans once and allocates nothing — the same
+    integer as ``size(regexp_extract_all(...))`` without building the
+    match array (r12, guide §2.3; the r11 fulltext trick applied to
+    the whole count family)."""
+    return F.regexp_count(col, F.lit(BPE_TOKEN_RE)).cast("long")
 
 
 # --- extraction (X1-X3, X15) ---------------------------------------------
@@ -176,13 +181,15 @@ def hierarchy_truncate(code: Column, trim: Column | int) -> Column:
 # --- text analysis (LLM-pipeline operators) -------------------------------
 
 def stopword_count(col: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
-    """Count of stopword occurrences (word-bounded)."""
+    """Count of stopword occurrences (word-bounded). ``regexp_count``
+    — same integer as ``size(regexp_extract_all(...))``, no match
+    array materialized (r12, guide §2.3)."""
     pat = r"\b(" + "|".join(stopwords) + r")\b"
-    return F.size(F.regexp_extract_all(F.lower(col), F.lit(pat), 0)).cast("long")
+    return F.regexp_count(F.lower(col), F.lit(pat)).cast("long")
 
 
 def punct_count(col: Column) -> Column:
-    return F.size(F.regexp_extract_all(col, F.lit(PUNCT_CLASS), 0)).cast("long")
+    return F.regexp_count(col, F.lit(PUNCT_CLASS)).cast("long")
 
 
 def uniq_token_ratio(col: Column) -> Column:
@@ -239,8 +246,12 @@ CJK_CHAR_RE = r"[一-鿿]"
 
 
 def cjk_char_ratio(col: Column) -> Column:
-    """Fraction of characters that are CJK ideographs, in [0,1]."""
-    n_cjk = F.size(F.regexp_extract_all(col, F.lit(CJK_CHAR_RE), 0))
+    """Fraction of characters that are CJK ideographs, in [0,1].
+    ``regexp_count`` — the old form materialized one array element
+    per CJK character of every document just to take its size (r12,
+    guide §2.3); the count is the same integer, so per-row routing
+    decisions (``shingles_auto``) are unchanged."""
+    n_cjk = F.regexp_count(col, F.lit(CJK_CHAR_RE))
     return n_cjk / F.greatest(F.length(col), F.lit(1))
 
 
@@ -328,11 +339,12 @@ def redact_pii(col: Column) -> Column:
 
 def pii_counts(col: Column) -> tuple[Column, Column, Column]:
     """(n_emails, n_phones, n_ips) occurrence counts — the audit
-    metric reported alongside redaction."""
+    metric reported alongside redaction. ``regexp_count`` — same
+    integers, no match arrays (r12, guide §2.3)."""
     return (
-        F.size(F.regexp_extract_all(col, F.lit(PII_EMAIL_RE), 0)).cast("long"),
-        F.size(F.regexp_extract_all(col, F.lit(PII_PHONE_RE), 0)).cast("long"),
-        F.size(F.regexp_extract_all(col, F.lit(PII_IPV4_RE), 0)).cast("long"),
+        F.regexp_count(col, F.lit(PII_EMAIL_RE)).cast("long"),
+        F.regexp_count(col, F.lit(PII_PHONE_RE)).cast("long"),
+        F.regexp_count(col, F.lit(PII_IPV4_RE)).cast("long"),
     )
 
 

@@ -86,7 +86,16 @@ def minhash_signature_df(
 
     ``shingler`` overrides the shingle unit (e.g. ``shingles_auto``
     for CJK-aware character n-grams); docs yielding no shingles are
-    excluded either way."""
+    excluded either way.
+
+    NOTE (do not re-try): a row-local Arrow twin (token set + sha256
+    + slice-mins in Python, no explode/shuffle — the shape that won
+    for SimHash) was measured SLOWER twice: 1.02 vs 0.75 s isolated
+    at sf0.1 (r11) and 8.75 vs 2.25 s min-of-3 paired on
+    minhash_lsh_candidates at sf1 (r12, twin asserted bit-equal on
+    all 50k signatures first). Unlike SimHash's integer votes, the
+    per-shingle sha256 dominates here and the JVM form amortizes it
+    in codegen while the shuffle stays cheap (8 slice-min columns)."""
     if num_perm > 8:
         raise ValueError("one-permutation slicing supports at most 8 perms (64 hex chars)")
     sh_expr = shingler(F.col(text_col)) if shingler else shingles(F.col(text_col), k)

@@ -382,7 +382,9 @@ def pq_query_lut_udf(model: dict, dim: int = 64):
 
     @F.pandas_udf(ArrayType(DoubleType()))
     def _lut(vs: pd.Series) -> pd.Series:
-        q = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])  # (n, dim)
+        # One stack + exact float64 widening (r12, guide §4.2) —
+        # same values as the former per-row asarray loop.
+        q = np.stack(vs.to_numpy()).astype(np.float64, copy=False)  # (n, dim)
         n = q.shape[0]
         out = np.empty((n, m * k), dtype=np.float64)
         for s in range(m):
@@ -415,7 +417,8 @@ def pq_code_array_udf(model: dict, dim: int = 64):
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def _codes(vs: pd.Series) -> pd.Series:
-        q = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        # One stack + exact float64 widening (r12, guide §4.2).
+        q = np.stack(vs.to_numpy()).astype(np.float64, copy=False)
         n = q.shape[0]
         codes = np.empty((n, m), dtype=np.int32)
         for s in range(m):

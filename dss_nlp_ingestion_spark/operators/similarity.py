@@ -69,23 +69,19 @@ def cosine(a: Column, b: Column) -> Column:
             if n == 0:
                 return pd.Series([], dtype="float64")
             out = np.empty(n, dtype=np.float64)
-            null = np.zeros(n, dtype=bool)
-            A = []
-            B = []
-            for i in range(n):
-                x, y = va.iloc[i], vb.iloc[i]
-                if x is None or y is None:
-                    null[i] = True
-                    A.append(None)
-                    B.append(None)
-                else:
-                    A.append(np.asarray(x, dtype=np.float64))
-                    B.append(np.asarray(y, dtype=np.float64))
+            # Vectorized batch assembly (r12, guide §4.2): the former
+            # per-row ``va.iloc[i]`` loop was interpreted Python per
+            # PAIR — the dominant cost of every candidate-scoring
+            # join at sf1+. isna() + one np.stack over the object
+            # array is C-speed; float32 -> float64 widening via
+            # astype is exact, so every fold input is bit-identical
+            # to the old np.asarray(x, dtype=float64) path.
+            null = va.isna().to_numpy() | vb.isna().to_numpy()
             if null.all():
                 return pd.Series([None] * n)
             idx = np.where(~null)[0]
-            Am = np.stack([A[i] for i in idx])
-            Bm = np.stack([B[i] for i in idx])
+            Am = np.stack(va.to_numpy()[idx]).astype(np.float64, copy=False)
+            Bm = np.stack(vb.to_numpy()[idx]).astype(np.float64, copy=False)
             dim = Am.shape[1]
             dots = aa = bb = None  # component-sequential folds
             for j in range(dim):
@@ -104,7 +100,15 @@ def cosine(a: Column, b: Column) -> Column:
                 return pd.Series(res)
             return pd.Series(out)
 
-        _COSINE_ARROW_UDF = pandas_udf(_cos_fn, "double")
+        # asNondeterministic (r12, guide §4.4): every scoring join
+        # filters on the score column (``score >= threshold``), and
+        # the optimizer's filter pushdown duplicated the UDF — one
+        # ArrowEvalPython below the pushed filter, one above for the
+        # projection — so EVERY candidate pair paid the cosine twice
+        # (plan nodes 48+51 in plans/r12/embedding_near_dups_before
+        # .txt). The function is pure; the marker only pins a single
+        # evaluation, exactly the r11 simhash fix.
+        _COSINE_ARROW_UDF = pandas_udf(_cos_fn, "double").asNondeterministic()
     return _COSINE_ARROW_UDF(a, b)
 
 
@@ -147,8 +151,10 @@ def cosine_cogroup_topk_scorer(k: int, query_block: int = 256):
     def score(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
         if len(left) == 0 or len(right) == 0:
             return _empty()
-        Q = np.stack([np.asarray(v, dtype=np.float64) for v in left["_qv"]])
-        C = np.stack([np.asarray(v, dtype=np.float64) for v in right["_cv"]])
+        # One stack + exact float64 widening per side (r12, §4.2) —
+        # same values as the former per-row asarray loop.
+        Q = np.stack(left["_qv"].to_numpy()).astype(np.float64, copy=False)
+        C = np.stack(right["_cv"].to_numpy()).astype(np.float64, copy=False)
         qids = left["query_id"].to_numpy(dtype=np.int64)
         nbr = right["neighbor_id"].to_numpy(dtype=np.int64)
         dim = C.shape[1]
@@ -301,7 +307,15 @@ def hyperplane_bucket(vec_col: Column, n_planes: int = 8, dim: int = 64) -> Colu
             n = len(vs)
             if n == 0:
                 return pd.Series([], dtype="int64")
-            mat = np.array([[float(x) for x in v] for v in vs], dtype=np.float64)
+            # Vectorized batch assembly (r12, guide §4.2): the former
+            # ``[[float(x) for x in v] for v in vs]`` double loop was
+            # n*dim interpreted float() calls per evaluation — at the
+            # sf10 fixture (~500k vectors, evaluated once per plan
+            # branch) that was the bulk of the embedding_near_dups
+            # decade-row cost. np.stack + astype(float64) widens
+            # float32 exactly, so the per-plane component-sequential
+            # folds below see bit-identical inputs.
+            mat = np.stack(vs.to_numpy()).astype(np.float64, copy=False)
             bucket = np.zeros(n, dtype=np.int64)
             for p in range(n_planes):
                 proj = None  # component-sequential fold
@@ -311,7 +325,13 @@ def hyperplane_bucket(vec_col: Column, n_planes: int = 8, dim: int = 64) -> Colu
                 bucket += (proj > 0).astype(np.int64) << p
             return pd.Series(bucket)
 
-        _HYPERPLANE_UDFS[key] = pandas_udf(_bucket_fn, "long")
+        # asNondeterministic (r12, guide §4.4): the bucket column is
+        # a join/group key downstream, and the join-inferred
+        # isnotnull(bucket) filter was pushed below the projection,
+        # duplicating the UDF — TWO ArrowEvalPython nodes per scan
+        # branch in plans/r12/embedding_near_dups_before.txt. The
+        # function is pure; the marker pins one evaluation per branch.
+        _HYPERPLANE_UDFS[key] = pandas_udf(_bucket_fn, "long").asNondeterministic()
     return _HYPERPLANE_UDFS[key](vec_col)
 
 
@@ -656,7 +676,9 @@ def centroid_topk_exact_udf(cent_rows: list, n_best: int):
     def _topk_fn(vs):
         if len(vs) == 0:
             return pd.Series([], dtype="object")
-        mat = np.array([[float(x) for x in v] for v in vs], dtype=np.float64)
+        # One stack + exact float64 widening (r12, §4.2) — replaces
+        # the n*dim interpreted float() double loop, same values.
+        mat = np.stack(vs.to_numpy()).astype(np.float64, copy=False)
         dots = None  # (n, k): sequential fold over components
         qq = None  # (n,): sequential self-dot
         for j in range(dim):
@@ -673,7 +695,12 @@ def centroid_topk_exact_udf(cent_rows: list, n_best: int):
             ]
         )
 
-    return pandas_udf(_topk_fn, "array<long>")
+    # asNondeterministic (r12, guide §4.4): cent_id derived from this
+    # UDF is a downstream join key; the join-inferred isnotnull filter
+    # was pushed below the projection and duplicated the UDF (two
+    # stacked ArrowEvalPython nodes per scan branch in the ivf_topk /
+    # semdedup_prune before-plans). Pure function; single evaluation.
+    return pandas_udf(_topk_fn, "array<long>").asNondeterministic()
 
 
 def _centroid_probe_udf(cent_rows: list, n_best: int):
@@ -694,13 +721,17 @@ def _centroid_probe_udf(cent_rows: list, n_best: int):
     def _probe_fn(vs):
         if len(vs) == 0:
             return pd.Series([], dtype="object")
-        mat = np.array([[float(x) for x in v] for v in vs], dtype=np.float64)
+        # One stack + exact float64 widening (r12, §4.2) — replaces
+        # the n*dim interpreted float() double loop, same values.
+        mat = np.stack(vs.to_numpy()).astype(np.float64, copy=False)
         vnorms = np.sqrt((mat * mat).sum(axis=1))
         scores = (mat @ cent_mat.T) / np.outer(vnorms, cnorms)
         order = np.argsort(-scores, axis=1, kind="stable")[:, :n_best]
         return pd.Series([cent_ids[row].tolist() for row in order])
 
-    return pandas_udf(_probe_fn, "array<long>")
+    # asNondeterministic — same §4.4 single-evaluation pin as the
+    # exact-fold twin above.
+    return pandas_udf(_probe_fn, "array<long>").asNondeterministic()
 
 
 def _centroid_assign_udf(cent_rows: list):
@@ -725,12 +756,15 @@ def _centroid_assign_udf(cent_rows: list):
     def _assign_fn(vs):
         if len(vs) == 0:
             return pd.Series([], dtype="int64")
-        mat = np.array([[float(x) for x in v] for v in vs], dtype=np.float64)
+        # One stack + exact float64 widening (r12, §4.2) — replaces
+        # the n*dim interpreted float() double loop, same values.
+        mat = np.stack(vs.to_numpy()).astype(np.float64, copy=False)
         vnorms = np.sqrt((mat * mat).sum(axis=1))
         scores = (mat @ cent_mat.T) / np.outer(vnorms, cnorms)
         return pd.Series(cent_ids[np.argmax(scores, axis=1)])
 
-    return pandas_udf(_assign_fn, "long")
+    # asNondeterministic — same §4.4 single-evaluation pin.
+    return pandas_udf(_assign_fn, "long").asNondeterministic()
 
 
 def _ivf_topk_pandas(
@@ -760,7 +794,9 @@ def _ivf_topk_pandas(
     cnorms = np.sqrt((cent_mat * cent_mat).sum(axis=1))
 
     def _scores(vs):
-        mat = np.array([[float(x) for x in v] for v in vs], dtype=np.float64)
+        # One stack + exact float64 widening (r12, §4.2) — replaces
+        # the n*dim interpreted float() double loop, same values.
+        mat = np.stack(vs.to_numpy()).astype(np.float64, copy=False)
         vnorms = np.sqrt((mat * mat).sum(axis=1))
         return (mat @ cent_mat.T) / np.outer(vnorms, cnorms)
 
@@ -777,8 +813,10 @@ def _ivf_topk_pandas(
         order = np.argsort(-_scores(vs), axis=1, kind="stable")[:, :n_probe]
         return pd.Series([cent_ids[row].tolist() for row in order])
 
-    _assign = pandas_udf(_assign_fn, "long")
-    _probe = pandas_udf(_probe_fn, "array<long>")
+    # asNondeterministic — same §4.4 single-evaluation pin as the
+    # literal-cap path.
+    _assign = pandas_udf(_assign_fn, "long").asNondeterministic()
+    _probe = pandas_udf(_probe_fn, "array<long>").asNondeterministic()
 
     assigned = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")

@@ -268,32 +268,51 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         % _DSIR_B
     )
     b = grams.select("doc_id", "lang", bucket.alias("bucket"))
-    stats = b.groupBy("bucket").agg(
-        F.sum(F.when(F.col("lang") == _TARGET_LANG, 1).otherwise(0))
+    # r12 (guide §2.3/§2.4): pre-aggregate the gram stream to per-
+    # (doc, lang, bucket) COUNTS once. The old shape consumed the raw
+    # per-gram stream twice — once under the broadcast stats build and
+    # once on the probe side of the join — so the corpus explode +
+    # sha256 pipeline (the expensive part: one crypto hash per gram)
+    # ran 2x per query. Both consumers below share ``db``'s exchange
+    # (the subtrees are canonically identical: every column is a group
+    # key, so per-branch pruning cannot differentiate them), and AQE
+    # stage reuse materializes the gram pipeline ONCE. The shuffle
+    # also shrinks from one row per gram to one row per distinct
+    # (doc, bucket) — map-side partial aggregation does the folding.
+    # Exact-arithmetic equivalence: sum_g f(bucket_g) per doc
+    # == sum_{(doc,bucket)} _c * f(bucket); products are cast to
+    # DECIMAL(38,0) BEFORE the _c multiply so the widened form cannot
+    # overflow anywhere the old per-gram LONG diff did not.
+    db = b.groupBy("doc_id", "lang", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    stats = db.groupBy("bucket").agg(
+        F.sum(F.when(F.col("lang") == _TARGET_LANG, F.col("_c")).otherwise(F.lit(0)))
         .cast("long")
         .alias("tc"),
-        F.count(F.lit(1)).cast("long").alias("rc"),
+        F.sum("_c").cast("long").alias("rc"),
     )
     tot = stats.agg(
         F.sum("tc").cast("long").alias("t_total"),
         F.sum("rc").cast("long").alias("r_total"),
     )
     terms = (
-        b.join(F.broadcast(stats), "bucket")
+        db.join(F.broadcast(stats), "bucket")
         .crossJoin(F.broadcast(tot))
     )
     num = F.sum(
         (F.col("tc") * F.col("r_total") - F.col("rc") * F.col("t_total")).cast(
             "decimal(38,0)"
         )
+        * F.col("_c")
     ).cast("double")
     den = (
-        F.count(F.lit(1)).cast("double")
+        F.sum("_c").cast("double")
         * F.first("t_total").cast("double")
         * F.first("r_total").cast("double")
     )
     return terms.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum("_c").cast("long").alias("n_grams"),
         fround(num / den, 10).alias("imp_score"),
     )
 

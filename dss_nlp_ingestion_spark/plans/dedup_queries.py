@@ -962,13 +962,25 @@ def edit_distance_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = spark.sparkContext.defaultParallelism
     a = (docs.repartition(n, "blk") if docs.rdd.getNumPartitions() < n else docs).alias("a")
     b = docs.alias("b")
+    # r12 (guide §1.2, the Levenshtein analog of the PPJoin positional
+    # filter): |len(a) - len(b)| is a LOWER BOUND on edit distance, so
+    # candidates whose lengths differ by more than the threshold can
+    # never verify — they are dropped in the join condition, before
+    # any DP runs. The surviving pairs use the THRESHOLD form of
+    # levenshtein (Spark 3.5+): a banded O(len x 20) DP instead of the
+    # full O(len^2) matrix, returning the exact distance when it is
+    # <= 20 and -1 otherwise — output rows are bit-identical.
     pairs = a.join(
         b,
         (F.col("a.blk") == F.col("b.blk"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (
+            F.abs(F.length(F.col("a.text")) - F.length(F.col("b.text")))
+            <= F.lit(20)
+        ),
     )
-    dist = F.levenshtein(F.col("a.text"), F.col("b.text"))
-    return pairs.filter(dist <= 20).select(
+    dist = F.levenshtein(F.col("a.text"), F.col("b.text"), 20)
+    return pairs.filter(dist >= 0).select(
         F.col("a.doc_id").alias("id_a"),
         F.col("b.doc_id").alias("id_b"),
         dist.cast("long").alias("dist"),

@@ -925,6 +925,32 @@ def merge_into_table(
         merge_into_with_delete,
     )
 
+    # r12 (guide §5): the merge consumes ``source`` three times —
+    # the pruning-bounds aggregate, the touched-file semi-join, and
+    # the COW rewrite itself — and for incremental callers (CDC
+    # replication, matview refresh) ``source`` is a whole
+    # net-changes pipeline (changed-file scan + full-row groupBy)
+    # that re-ran per consumer. Persist it for the duration of the
+    # merge: it is O(commit delta) by the operator's own cost model,
+    # never O(table), and the split timer showed the re-computation
+    # was ~70% of the CDC probe where the tag said "write IO".
+    # Released in the finally below — nothing outlives the call.
+    source = source.persist()
+    try:
+        return _merge_into_table_body(
+            spark, path, source, key_cols, delete_col, insert_only,
+            stats_cols, max_retries, txn, null_safe, F,
+            merge_into, merge_into_with_delete,
+        )
+    finally:
+        source.unpersist()
+
+
+def _merge_into_table_body(
+    spark, path, source, key_cols, delete_col, insert_only,
+    stats_cols, max_retries, txn, null_safe, F,
+    merge_into, merge_into_with_delete,
+) -> dict:
     last_err: TxConflictError | None = None
     for _ in range(max_retries):
         head = (_versions(path) or [-1])[-1]

@@ -508,3 +508,37 @@ def test_register_warm_probe_reuses_the_same_plan(spark):
     assert not hasattr(fn, "__wrapped__") and callable(fn)
     # greenness hash covers the warm halves
     assert len(getattr(fn, "_split", ())) == 2
+
+
+def test_scoring_udfs_evaluate_once_per_branch(spark):
+    """r12 (guide §4.4): the cosine and hyperplane-bucket UDFs are
+    asNondeterministic, so the optimizer may not duplicate them
+    around pushed filters. Before the fix embedding_near_dups carried
+    TWO stacked ArrowEvalPython nodes per scan branch (the
+    join-inferred isnotnull(bucket) pushed below the projection) and
+    TWO for the score (the score >= threshold filter pushed below
+    the projection) — every candidate pair paid the cosine twice."""
+    import re
+
+    plan = _formatted(spark, "embedding_near_dups")
+    nodes = re.findall(r"\((\d+)\) ArrowEvalPython", plan)
+    # 4 bucket evaluations (one per scan branch of the skew-guarded
+    # self-join: sizes + left + right + guard stats) + exactly ONE
+    # cosine — duplication would double these.
+    assert len(nodes) <= 5, f"UDF duplication is back: {len(nodes)} ArrowEvalPython nodes"
+    # the cosine feeds one projection: the threshold filter must sit
+    # ABOVE the single evaluation, not around a second one.
+    assert plan.count("_cos_fn") <= 2  # one tree entry + one detail entry
+
+
+def test_edit_distance_uses_banded_dp_and_length_prefilter(spark):
+    """r12: edit_distance_dups prunes candidates with the
+    |len(a)-len(b)| <= 20 lower bound inside the join condition and
+    verifies with the threshold (banded-DP) levenshtein form."""
+    import re
+
+    plan = _formatted(spark, "edit_distance_dups")
+    assert "levenshtein" in plan
+    # threshold form carries the third argument (rendered Some(20))
+    assert re.search(r"levenshtein\([^)]*Some\(20\)", plan)
+    assert "abs((length" in plan.replace("\n", "")
