@@ -297,17 +297,83 @@ def _simhash_py(text: str | None, bits: int) -> int | None:
     return sig
 
 
+def _simhash_batch(texts, bits: int):
+    """Vectorized batch twin of :func:`_simhash_py` (r12, guide §4.2):
+    the per-token 60-iteration Python vote loop was the hot half of
+    the sf10 banded row (sig pass 7.6 s of 20.5 s). Per batch: one
+    Python pass tokenizes and sha-hashes (hashlib is C; the hex parse
+    becomes int.from_bytes on the digest prefix — same integer), then
+    the votes fold as numpy segment sums per bit: votes_j =
+    2 * Σ_tok bit_j(h) − n_toks — pure integer arithmetic, so the
+    signatures are bit-identical to the scalar twin (the unit test
+    asserts equality against the exploded JVM form, and the scalar
+    reference stays above as executable documentation)."""
+    global _JAVA_WS_RE
+    if _JAVA_WS_RE is None:
+        import re
+
+        _JAVA_WS_RE = re.compile(r"[ \t\n\x0B\f\r]+")
+    import hashlib
+
+    import numpy as np
+
+    nhex = bits // 4
+    nb = (nhex + 1) // 2
+    shift = 4 if nhex % 2 else 0
+    sha = hashlib.sha256
+    hs_flat: list[int] = []
+    starts: list[int] = []
+    lens: list[int] = []
+    null = np.zeros(len(texts), dtype=bool)
+    pos = 0
+    for i, t in enumerate(texts):
+        if t is None:
+            null[i] = True
+            starts.append(pos)
+            lens.append(0)
+            continue
+        toks = set(_JAVA_WS_RE.split(t.strip(" ")))
+        starts.append(pos)
+        lens.append(len(toks))
+        hs_flat.extend(
+            int.from_bytes(sha(tok.encode("utf-8")).digest()[:nb], "big")
+            >> shift
+            for tok in toks
+        )
+        pos += len(toks)
+    hs = np.asarray(hs_flat, dtype=np.uint64)
+    starts_a = np.asarray(starts, dtype=np.int64)
+    lens_a = np.asarray(lens, dtype=np.int64)
+    sig = np.zeros(len(texts), dtype=np.int64)
+    if len(hs):
+        one = np.uint64(1)
+        ends_a = starts_a + lens_a
+        for j in range(bits):
+            col = ((hs >> np.uint64(j)) & one).astype(np.int64)
+            # prefix-sum segment fold: seg = csum[end] - csum[start]
+            # (integer-exact, immune to empty segments)
+            csum = np.concatenate(([0], np.cumsum(col)))
+            seg = csum[ends_a] - csum[starts_a]
+            votes = 2 * seg - lens_a
+            sig |= (votes > 0).astype(np.int64) << j
+    out = sig.astype(object)
+    out[null] = None
+    return out
+
+
 _SIMHASH_UDFS: dict[int, Callable] = {}
 
 
 def _simhash_udf(bits: int):
-    """Per-``bits`` Arrow (pandas) UDF cache for :func:`_simhash_py`."""
+    """Per-``bits`` Arrow (pandas) UDF cache for :func:`_simhash_batch`
+    (the vectorized twin of :func:`_simhash_py`)."""
     if bits not in _SIMHASH_UDFS:
+        import pandas as pd
         from pyspark.sql.types import LongType
 
         def f(texts):  # pandas Series -> pandas Series (unannotated:
             # the explicit returnType form needs no resolvable hints)
-            return texts.map(lambda t: _simhash_py(t, bits))
+            return pd.Series(_simhash_batch(texts, bits), index=texts.index)
 
         # asNondeterministic stops the optimizer pushing the join-
         # inferred isnotnull(simhash) filter below the parallelism
